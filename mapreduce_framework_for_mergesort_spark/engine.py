@@ -1,0 +1,49 @@
+"""``MergeSortEngine`` — facade mirroring the reference's job API.
+
+The reference client submits one blocking job:
+``sortFile(fileName, chunkSize, mergeJobs) -> result filename``
+(``Client.java:20-39``, ``Server.thrift:4``).  The facade keeps that
+surface (so a user of the reference can switch 1:1) while the body is the
+idiomatic Spark pipeline: read text → parse ints → global sort → write
+text.  ``chunk_size`` maps to the FileScan split size and ``merge_jobs``
+is accepted-and-ignored: Spark's shuffle merges sorted spills in a single
+pass, subsuming the reference's multi-round merge tree
+(``Server.java:290-405``; SURVEY.md O8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_framework_for_mergesort_spark.operators import ingest, sort
+
+
+class MergeSortEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def sort_file(
+        self,
+        file_name: str,
+        chunk_size: int | None = None,
+        merge_jobs: int | None = None,  # noqa: ARG002 — reference parity, subsumed by shuffle
+        output_path: str | None = None,
+    ) -> str:
+        """Reference ``SNService.sortFile`` (``ServerHandler.java:23-80``).
+
+        Returns the output path, like the reference returns the final
+        merged filename (``ServerHandler.java:79``).
+        """
+        out = output_path or f"{file_name}_sorted"
+        df = self.sort_ints(self.ingest(file_name, chunk_size))
+        ingest.write_ints_text(df, out)
+        return out
+
+    def ingest(self, file_name: str, chunk_size: int | None = None) -> DataFrame:
+        if chunk_size:
+            # Reference chunkSize (bytes, README.md:57) == input split size.
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(chunk_size))
+        return ingest.drop_invalid(ingest.read_ints_text(self.spark, file_name))
+
+    def sort_ints(self, df: DataFrame) -> DataFrame:
+        return sort.sort_global(df, ["value"])

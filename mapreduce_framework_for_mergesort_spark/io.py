@@ -1,0 +1,47 @@
+"""Loaders for the driver-generated parquet test tables (``TESTDATA.md``).
+
+All reads go through ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown and column pruning — at 100 TB these scans are where most time
+goes, and a projection that reaches the parquet footer (``ReadSchema`` in
+``.explain``) is the difference between reading 2 columns and reading 11.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at every realistic scale
+# factor (region=5 rows, nation=25 rows — fixed-size in TPC-H-like schemas
+# regardless of SF).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

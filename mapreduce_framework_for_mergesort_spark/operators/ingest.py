@@ -1,0 +1,83 @@
+"""Reference I/O format: space-delimited integer text (SURVEY.md O1/O3/O9).
+
+The reference's entire data model is one ASCII file of space-separated
+ints (``NodeHandler.java:66-70`` parse, ``NodeHandler.java:88-104`` sink;
+delimiter documented at ``README.md:76``).  Here that format is a thin
+source/sink around the DataFrame world:
+
+* scan/split planning (reference O1/O2, ``ServerHandler.java:44-52``,
+  ``NodeHandler.java:119-200``) is Spark's FileScan: split size is
+  ``spark.sql.files.maxPartitionBytes``, record-boundary ownership is the
+  text line reader's — nothing to build;
+* tokenize/parse (O3) is ``split`` + ``explode`` + ``try_cast`` — all
+  JVM-side, whole-stage-codegen'd, no Python in the loop;
+* malformed tokens become NULLs via ``try_cast`` and are dropped
+  *explicitly* (reference O4's "dummy" filtering,
+  ``NodeHandler.java:113-116``) — unlike the reference, which swallows
+  ``NumberFormatException`` and silently drops the rest of the chunk
+  (``NodeHandler.java:68-75``; SURVEY.md §1.3 non-goal).
+
+The engine is correct over the full int domain — the reference is only
+correct below its 999999 merge sentinel (``NodeHandler.java:223,238``;
+regression-tested in ``tests/test_property_sort.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_ints_text(
+    spark: SparkSession, path: str, value_col: str = "value"
+) -> DataFrame:
+    """Space-delimited text → one-int-per-row DataFrame (reference O1+O3).
+
+    Keeps NULLs for unparseable tokens; callers choose the corrupt-record
+    policy (``drop_invalid`` mirrors reference O4).
+    """
+    lines = spark.read.text(path)
+    tokens = lines.select(
+        F.explode(F.split(F.col("value"), r"\s+")).alias("token")
+    )
+    return tokens.where(F.col("token") != "").select(
+        F.col("token").try_cast("int").alias(value_col)
+    )
+
+
+def drop_invalid(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Reference O4: eliminate empty/invalid records
+    (``NodeHandler.java:113-116``, ``Server.java:261-263``)."""
+    return df.where(F.col(value_col).isNotNull())
+
+
+def write_ints_text(
+    df: DataFrame,
+    path: str,
+    value_col: str = "value",
+    values_per_line: int = 1000,
+    num_files: int | None = None,
+) -> None:
+    """DataFrame → space-delimited text (reference O9 sink,
+    ``NodeHandler.java:88-104``).
+
+    Values are packed ``values_per_line`` per text line; within a line the
+    packing group is formed by a key so the emitted *multiset* is
+    deterministic.  Never ``coalesce(1)`` at scale — ``num_files`` exists
+    only for tiny demo outputs.
+    """
+    packed = (
+        df.select(F.col(value_col).cast("string").alias("v"))
+        .withColumn(
+            "__grp",
+            F.floor(
+                (F.monotonically_increasing_id() % (2**33)) / values_per_line
+            ),
+        )
+        .groupBy("__grp")
+        .agg(F.concat_ws(" ", F.collect_list("v")).alias("line"))
+        .select("line")
+    )
+    if num_files:
+        packed = packed.coalesce(num_files)
+    packed.write.mode("overwrite").text(path)
