@@ -61,23 +61,31 @@ def write_ints_text(
     """DataFrame → space-delimited text (reference O9 sink,
     ``NodeHandler.java:88-104``).
 
-    Values are packed ``values_per_line`` per text line; within a line the
-    packing group is formed by a key so the emitted *multiset* is
-    deterministic.  Never ``coalesce(1)`` at scale — ``num_files`` exists
-    only for tiny demo outputs.
+    Order-preserving and shuffle-free: values are packed
+    ``values_per_line`` per line *within each partition* via
+    ``mapInPandas`` (Arrow batches arrive in partition order), so writing
+    a globally-sorted DataFrame yields part files that are sorted within
+    and across files (part file numbering follows range-partition order)
+    — the reference's sorted final file, in its idiomatic N-ordered-files
+    form.  Never ``coalesce(1)`` at scale — ``num_files`` exists only for
+    tiny demo outputs (applied *before* the pack so it cannot collapse an
+    upstream sort's parallelism is still the caller's concern; see
+    pitfall note in ``plans/``).
     """
-    packed = (
-        df.select(F.col(value_col).cast("string").alias("v"))
-        .withColumn(
-            "__grp",
-            F.floor(
-                (F.monotonically_increasing_id() % (2**33)) / values_per_line
-            ),
-        )
-        .groupBy("__grp")
-        .agg(F.concat_ws(" ", F.collect_list("v")).alias("line"))
-        .select("line")
-    )
+    packed = df.select(F.col(value_col).cast("string").alias("v"))
     if num_files:
         packed = packed.coalesce(num_files)
-    packed.write.mode("overwrite").text(path)
+
+    def pack(batches):
+        import pandas as pd
+
+        buf: list[str] = []
+        for pdf in batches:
+            buf.extend(pdf["v"].tolist())
+            while len(buf) >= values_per_line:
+                yield pd.DataFrame({"line": [" ".join(buf[:values_per_line])]})
+                del buf[:values_per_line]
+        if buf:
+            yield pd.DataFrame({"line": [" ".join(buf)]})
+
+    packed.mapInPandas(pack, "line string").write.mode("overwrite").text(path)
