@@ -1,0 +1,152 @@
+"""Relational spine: joins, aggregation, windows, set ops, JSON, as-of.
+
+The reference has **none** of these (SURVEY.md §2, "operators the
+reference does NOT have") — they are the context any real pipeline built
+on its sort capability needs, and the north star
+(``BASELINE.json``) declares them in scope.
+
+Every aggregate here follows the exact-arithmetic discipline from
+``queries/__init__``: DECIMAL in, DOUBLE out.  Raw double sums are
+order-dependent under distributed partial aggregation — not even two
+Spark runs are guaranteed to agree, never mind Spark vs. the DuckDB
+oracle.
+
+Scale posture (100 TB):
+
+* fixed-cardinality dims (nation=25, region=5) are broadcast explicitly
+  — no shuffle of the fact side for those joins;
+* fact⋈fact joins (orders⋈customer) shuffle on the join key and rely on
+  AQE for skew splitting;
+* windows partition by a real key (customer, user) — never a global
+  ``Window.orderBy`` over data rows;
+* as-of join aggregates candidates with ``max(struct(...))`` (one shuffle
+  + partial aggregation) instead of ranking all candidates through a
+  window over an exploded join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MONEY = "decimal(18,2)"
+
+
+def dec_sum(col: str, scale: str = MONEY, alias: str | None = None):
+    """Exact distributed sum: cast to decimal (exact for the data's
+    2-decimal domain), sum (exact), surface as double."""
+    expr = F.sum(F.col(col).cast(scale)).cast("double")
+    return expr.alias(alias) if alias else expr
+
+
+def enrich_revenue_by_nation(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """orders ⋈ customer ⋈ nation → revenue per nation.
+
+    customer⋈nation is broadcast (25 rows); orders⋈customer is a shuffle
+    hash join on the key both sides are large in.
+    """
+    cust = customer.join(
+        F.broadcast(nation),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", "n_name")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dec_sum("o_totalprice", alias="revenue"),
+        )
+    )
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str) -> DataFrame:
+    """TPC-H Q1-shaped summary: filter pushed to the parquet scan, partial
+    (map-side) aggregation, tiny result."""
+    li = lineitem.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    disc_price = (
+        F.col("l_extendedprice").cast(MONEY)
+        * (F.lit(1).cast(MONEY) - F.col("l_discount").cast(MONEY))
+    )
+    charge = disc_price * (F.lit(1).cast(MONEY) + F.col("l_tax").cast(MONEY))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity", alias="sum_qty"),
+        dec_sum("l_extendedprice", alias="sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def hourly_event_agg(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream (batch form; the
+    Structured Streaming twin lives in ``streaming/``)."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def running_total_per_customer(orders: DataFrame) -> DataFrame:
+    """Cumulative revenue per customer — window partitioned by customer
+    (scales with #customers; no global ordering anywhere)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(MONEY))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+def top_n_per_group(
+    df: DataFrame, part_cols: list[str], order_cols, n: int, rank_alias: str = "rn"
+) -> DataFrame:
+    """Per-group top-n via ranked window; Spark pushes a group-local
+    top-n (WindowGroupLimit) below the shuffle, so each partition only
+    keeps n candidates per group."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_alias, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_alias) <= n)
+    )
+
+
+def asof_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the latest order of the same user at
+    or before the event time (ties broken by highest orderkey).
+
+    Implemented as candidate-join + ``max(struct(time, key))`` partial
+    aggregation: the struct max is computed map-side within each shuffle
+    partition, so the exploded candidate set never materializes through
+    a window.  (Spark has no native as-of join; this is composition (a)
+    from the task's custom-operator ladder.)
+    """
+    cand = events.select("event_id", "user_id", "ts").join(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        (events["user_id"] == orders["o_custkey"])
+        & (orders["o_orderdate"] <= events["ts"]),
+        "left",
+    )
+    best = F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
+    return (
+        cand.groupBy("event_id", "user_id")
+        .agg(best)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("best.o_orderdate").alias("asof_orderdate"),
+            F.col("best.o_orderkey").alias("asof_orderkey"),
+        )
+    )

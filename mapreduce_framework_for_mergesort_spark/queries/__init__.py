@@ -41,6 +41,9 @@ def query(name: str, oracle: str | None = None):
 
 
 # Import for side effect: each module registers its family of queries.
-from mapreduce_framework_for_mergesort_spark.queries import sort_family  # noqa: E402,F401
+from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
+    relational,
+    sort_family,
+)
 
 __all__ = ["QUERIES", "ORACLE", "query"]

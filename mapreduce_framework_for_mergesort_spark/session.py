@@ -39,6 +39,13 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # --- determinism / oracle parity --------------------------------------
     "spark.sql.session.timeZone": "UTC",
+    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    # parquet reader rejects outright; read as raw ns longs and let
+    # io.load_table rebuild a microsecond timestamp (ts div 1000 — exact
+    # integer math; DuckDB 1.0 truncates the same way).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Progress bars interleave with test/bench output.
+    "spark.ui.showConsoleProgress": "false",
     # --- fault tolerance (reference parity, see SURVEY.md O11-O18) --------
     # Speculative execution = reference's proactive redundant tasks
     # (Server.java:194-224) minus the 3x duplicate work: clones launch only
