@@ -1,0 +1,141 @@
+"""Deterministic hashing primitives for dedup/fingerprinting operators.
+
+Every primitive is built twice from the same constants: a Spark SQL
+expression (JVM-side, whole-stage-codegen'd — no Python in the loop) and
+a DuckDB SQL snippet for the oracle.  Both engines use md5 as the hash
+family (identical hex output), min/compare on hex *strings* (identical
+byte order), so signatures agree bit-for-bit with zero engine-specific
+numerics.
+
+MinHash seeding: hash_k(s) = md5('<k>|' || s).  Salting the input string
+is the standard trick for a hash family {h_k} without integer mixing —
+it keeps everything in portable string-space.
+
+Scale note: all of this is per-row array work over token/shingle lists —
+embarrassingly parallel, no shuffle.  The only shuffle in any dedup
+pipeline built on these is the final group/join on signature or band,
+which is exactly the shuffle the algorithm requires.
+"""
+
+from __future__ import annotations
+
+# --- shared constants (single source of truth for both engines) -----------
+
+NUM_MINHASHES = 12
+BAND_ROWS = 3  # signatures per LSH band
+NUM_BANDS = NUM_MINHASHES // BAND_ROWS
+SIMHASH_BITS = 16
+SHINGLE_N = 3  # word n-gram width
+
+
+# --- tokenization ----------------------------------------------------------
+
+def spark_tokens(text_col: str = "text") -> str:
+    # '(\S+)': Spark's regexp_extract_all requires an explicit group.
+    return rf"regexp_extract_all({text_col}, '(\\S+)', 1)"
+
+
+def duckdb_tokens(text_col: str = "text") -> str:
+    return rf"regexp_extract_all({text_col}, '\S+')"
+
+
+# --- word n-gram shingles --------------------------------------------------
+
+def spark_shingles(toks: str, n: int = SHINGLE_N) -> str:
+    parts = ", ".join(f"element_at({toks}, i + {k})" for k in range(n))
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def duckdb_shingles(toks: str, n: int = SHINGLE_N) -> str:
+    parts = ", ".join(f"{toks}[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE [] END"
+    )
+
+
+# --- minhash signatures ----------------------------------------------------
+
+def spark_minhash(shingles: str, k: int) -> str:
+    return f"array_min(transform({shingles}, s -> md5(concat('{k}|', s))))"
+
+
+def duckdb_minhash(shingles: str, k: int) -> str:
+    return f"list_min(list_transform({shingles}, s -> md5('{k}|' || s)))"
+
+
+def band_slices() -> list[tuple[int, list[int]]]:
+    """[(band_id, [sig indexes])]."""
+    return [
+        (b, list(range(b * BAND_ROWS, (b + 1) * BAND_ROWS)))
+        for b in range(NUM_BANDS)
+    ]
+
+
+def spark_band(sig_cols: list[str]) -> str:
+    return f"md5(concat_ws('|', {', '.join(sig_cols)}))"
+
+
+def duckdb_band(sig_cols: list[str]) -> str:
+    return f"md5(concat_ws('|', {', '.join(sig_cols)}))"
+
+
+# --- simhash ---------------------------------------------------------------
+# 16-bit simhash: bit i is the majority vote over tokens of the i-th md5
+# hex digit's top bit (digit >= '8'; hex digits sort bytewise identically
+# in both engines).  Ties (2*hi == n) vote 0.
+
+def spark_simhash(toks: str) -> str:
+    hashes = f"transform({toks}, t -> md5(t))"
+    bits = []
+    for i in range(1, SIMHASH_BITS + 1):
+        hi = f"size(filter({hashes}, h -> substring(h, {i}, 1) >= '8'))"
+        bits.append(
+            f"(CASE WHEN 2 * {hi} > size({toks}) THEN "
+            f"{1 << (SIMHASH_BITS - i)} ELSE 0 END)"
+        )
+    return f"CAST({' + '.join(bits)} AS BIGINT)"
+
+
+def duckdb_simhash(toks: str) -> str:
+    hashes = f"list_transform({toks}, t -> md5(t))"
+    bits = []
+    for i in range(1, SIMHASH_BITS + 1):
+        hi = f"len(list_filter({hashes}, h -> substring(h, {i}, 1) >= '8'))"
+        bits.append(
+            f"(CASE WHEN 2 * {hi} > len({toks}) THEN "
+            f"{1 << (SIMHASH_BITS - i)} ELSE 0 END)"
+        )
+    return f"CAST({' + '.join(bits)} AS BIGINT)"
+
+
+# --- winnowing-style document fingerprint ---------------------------------
+# Min md5 over character k-grams — the selection step of winnowing
+# (Schleimer et al., SIGMOD'03) with a global window.
+
+FINGERPRINT_K = 8
+
+
+def spark_fingerprint(text_col: str = "text", k: int = FINGERPRINT_K) -> str:
+    return (
+        f"CASE WHEN char_length({text_col}) >= {k} THEN "
+        f"array_min(transform(sequence(1, char_length({text_col}) - {k - 1}), "
+        f"i -> md5(substring({text_col}, i, {k})))) "
+        f"ELSE md5({text_col}) END"
+    )
+
+
+def duckdb_fingerprint(text_col: str = "text", k: int = FINGERPRINT_K) -> str:
+    return (
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"list_min(list_transform(range(1, length({text_col}) - {k - 2}), "
+        f"i -> md5(substring({text_col}, i, {k})))) "
+        f"ELSE md5({text_col}) END"
+    )

@@ -1,0 +1,44 @@
+"""Vector math over ``array<float>`` embedding columns — JVM-side only.
+
+Cosine similarity as a sequential left fold in DOUBLE:
+``dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))``.  Verified bitwise equal
+to DuckDB's ``list_sum(list_transform(...))`` formulation on the test
+embeddings (both engines evaluate the same IEEE op sequence), so oracle
+comparisons need no rounding fudge.
+
+``aggregate``/``zip_with`` are higher-order Catalyst expressions — the
+whole computation stays inside whole-stage codegen; no Python, no UDF.
+For very hot paths a Pandas-UDF matrix kernel can beat the fold (see
+``operators/similarity.py`` notes), but it forfeits exact cross-engine
+reproducibility, so the default is the fold.
+"""
+
+from __future__ import annotations
+
+
+def spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def spark_cosine(a: str, b: str) -> str:
+    return (
+        f"{spark_dot(a, b)} / "
+        f"(sqrt({spark_dot(a, a)}) * sqrt({spark_dot(b, b)}))"
+    )
+
+
+def duckdb_dot(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def duckdb_cosine(a: str, b: str, dim: int) -> str:
+    return (
+        f"{duckdb_dot(a, b, dim)} / "
+        f"(sqrt({duckdb_dot(a, a, dim)}) * sqrt({duckdb_dot(b, b, dim)}))"
+    )

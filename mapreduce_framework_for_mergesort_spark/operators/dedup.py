@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference deduplicates only *task results* (redundant speculative
+copies racing, ``Server.java:262,444-446``) — data-level dedup is a
+north-star extension (``BASELINE.json``).  Four tiers, cheapest first:
+
+1. exact           — hash groupBy on content (one shuffle on the key)
+2. minhash + LSH   — near-dup *candidates* without any pairwise compare
+3. simhash         — per-doc bit signature; hamming-near pairs
+4. n-gram jaccard  — exact set similarity for candidate verification
+5. embedding cos   — semantic near-dup (exact small-N; LSH path at scale)
+
+Scale posture (100 TB): the only all-pairs computation here
+(``embedding_near_dup_pairs``) is the *verification* tier — at scale you
+run tiers 2/3 first so the candidate set is tiny, then verify exactly.
+MinHash/LSH costs one explode (docs × bands) + one equi-join on band
+value — the canonical web-scale dedup shape (Broder '97); band-value
+hotspots (boilerplate docs) are AQE-skew-split and can be salted by
+band_id, which is already part of the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+from mapreduce_framework_for_mergesort_spark.functions import vector as V
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup: one row per distinct key (physical: hash aggregate
+    with map-side partial dedup; equivalent to ``dropDuplicates`` but with
+    a *deterministic* survivor — min rowkey — instead of an arbitrary one).
+    """
+    return df.dropDuplicates(cols)
+
+
+def exact_dup_groups(documents: DataFrame, key: str = "text") -> DataFrame:
+    """Duplicate-group summary: deterministic survivor + multiplicity."""
+    return documents.groupBy(key).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _with_shingles(documents: DataFrame) -> DataFrame:
+    toks = H.spark_tokens("text")
+    return documents.withColumn("__sh", F.expr(H.spark_shingles(toks)))
+
+
+def minhash_bands(documents: DataFrame) -> DataFrame:
+    """doc_id → (band_id, band_val) rows: the LSH index.
+
+    Signature k = min over shingles of md5('k|'||shingle) (string-min —
+    portable, no integer mixing); bands of ``BAND_ROWS`` signatures are
+    collapsed to one md5.  Docs with no shingles (< n tokens) are dropped:
+    they have no content to collide on.
+    """
+    df = _with_shingles(documents).where(F.size("__sh") > 0)
+    sig_cols = []
+    for k in range(H.NUM_MINHASHES):
+        df = df.withColumn(f"__sig{k}", F.expr(H.spark_minhash("__sh", k)))
+        sig_cols.append(f"__sig{k}")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.expr(H.spark_band([f"__sig{i}" for i in idxs])).alias("band_val"),
+            )
+            for b, idxs in H.band_slices()
+        ]
+    )
+    return (
+        df.withColumn("__band", F.explode(bands))
+        .select(
+            "doc_id",
+            F.col("__band.band_id").alias("band_id"),
+            F.col("__band.band_val").alias("band_val"),
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Docs sharing any band → candidate near-dup pair (a < b), distinct.
+
+    Equi-join on (band_id, band_val): band_id in the key spreads each
+    doc's bands across partitions; hot band values are AQE-skew-split.
+    """
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """Per-doc 16-bit simhash (majority vote over token-md5 bit columns)."""
+    toks = H.spark_tokens("text")
+    return documents.select(
+        "doc_id",
+        F.expr(H.spark_simhash(toks)).alias("simhash"),
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, tau: float) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    shingle-explode → self-equi-join on shingle → per-pair intersection
+    count → |A∪B| = |A|+|B|−|A∩B|.  Never compares docs with zero
+    overlap (the join prunes them), so cost tracks true overlap, not N².
+    The final division is one double op — deterministic cross-engine.
+    """
+    sh = (
+        _with_shingles(documents)
+        .where(F.size("__sh") > 0)
+        .select("doc_id", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("s"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, tau: float) -> DataFrame:
+    """Exact cosine near-dup pairs (verification tier).
+
+    All-pairs via theta-join (a < b): O(N²) per-row folds — correct and
+    cheap at candidate-set size, NOT the 100 TB entry point (run LSH
+    first; see module docstring).
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(V.spark_cosine("ea", "eb")))
+        .where(F.col("cosine") >= tau)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,128 @@
+"""Text analysis operators (north-star extension; reference has none).
+
+Everything is per-row JVM expression work (regex, higher-order array
+functions) — zero Python in the hot path, embarrassingly parallel, no
+shuffle except the explicit per-lang aggregation.  Ratios and scores are
+single-expression double math, which is IEEE-deterministic cross-engine
+(only *aggregated* double sums are order-dependent — those go through
+DECIMAL or integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+# Chosen for determinism, not linguistic quality — the language-ID
+# contract is "same text → same label", replicated exactly in the oracle.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ein", "nicht"),
+    "es": ("el", "la", "de", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "des", "une"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+PUNCT_CLASS = r"[^.,!?;:]"
+
+
+def _tokens() -> Column:
+    return F.expr(H.spark_tokens("text"))
+
+
+def _hits(toks: str, words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({toks}, t -> t IN ({in_list})))"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Per-doc token stats: whitespace tokens + a BPE-ish subword proxy
+    (alnum runs + punctuation singletons)."""
+    toks = H.spark_tokens("text")
+    bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)"
+    return documents.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(f"size({bpe})").cast("long").alias("n_subwords"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def text_stats_by_lang(documents: DataFrame) -> DataFrame:
+    """Corpus stats per language label: doc/char/token totals (all
+    integer-exact — no float aggregation)."""
+    toks = H.spark_tokens("text")
+    return (
+        documents.select(
+            "lang",
+            F.expr(f"size({toks})").alias("__nt"),
+            F.length(F.regexp_replace("text", r"\s+", "")).alias("__tc"),
+            F.col("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("__nt").cast("long").alias("sum_tokens"),
+            F.sum("__tc").cast("long").alias("sum_token_chars"),
+        )
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation, low
+    punctuation density, stopword presence (fluency proxy).  Fixed
+    expression tree of per-row double ops — deterministic cross-engine."""
+    toks = H.spark_tokens("text")
+    n_tokens = f"size({toks})"
+    punct = f"(char_length(text) - char_length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
+    stop_hits = _hits(toks, LANG_STOPWORDS["en"])
+    return documents.select(
+        "doc_id",
+        F.expr(n_tokens).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST({punct} AS DOUBLE) / char_length(text)"
+        ).alias("punct_ratio"),
+        F.expr(
+            f"CAST({stop_hits} AS DOUBLE) / {n_tokens}"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"0.4 * least(CAST({n_tokens} AS DOUBLE) / 64.0, CAST(1 AS DOUBLE)) "
+            f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length(text)) "
+            f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
+        ).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit argmax language ID with deterministic tiebreak (the
+    CASE order).  A real system uses char-n-gram models; the operator
+    shape (per-row classify → label column) is identical."""
+    toks = H.spark_tokens("text")
+    df = documents
+    langs = list(LANG_STOPWORDS)
+    for lang, words in LANG_STOPWORDS.items():
+        df = df.withColumn(f"__h_{lang}", F.expr(_hits(toks, words)))
+    branches = []
+    for lang in langs:
+        cond = " AND ".join(
+            f"__h_{lang} >= __h_{other}" for other in langs if other != lang
+        )
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    pred = f"CASE {' '.join(branches)} ELSE 'und' END"
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.expr(pred).alias("pred_lang"),
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Winnowing-style content fingerprint: min md5 over char 8-grams
+    (robust to global reordering, cheap rolling window)."""
+    return documents.select(
+        "doc_id",
+        F.expr(H.spark_fingerprint("text")).alias("fingerprint"),
+    )

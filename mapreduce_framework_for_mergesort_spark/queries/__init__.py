@@ -42,8 +42,12 @@ def query(name: str, oracle: str | None = None):
 
 # Import for side effect: each module registers its family of queries.
 from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
+    dedup_family,
+    multimodal_family,
     relational,
+    similarity_family,
     sort_family,
+    text_family,
 )
 
 __all__ = ["QUERIES", "ORACLE", "query"]

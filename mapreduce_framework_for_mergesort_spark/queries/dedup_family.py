@@ -1,0 +1,141 @@
+"""Dedup queries — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.  The MinHash/SimHash oracles replicate the *entire*
+signature pipeline in DuckDB SQL from the same constants
+(``functions/hashing.py``), so even the approximate algorithms get exact
+cross-engine verification — both engines hash with md5 and compare hex
+strings, no engine-specific numerics anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+from mapreduce_framework_for_mergesort_spark.functions import vector as V
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import dedup as D
+from mapreduce_framework_for_mergesort_spark.queries import query
+
+JACCARD_TAU = 0.8
+EMBED_TAU = 0.45  # test embeddings are near-orthogonal; 0.45 → ~14 pairs
+EMBED_DIM = 64
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+def _duckdb_bands_cte() -> str:
+    toks = H.duckdb_tokens("text")
+    sigs = ",\n         ".join(
+        f"{H.duckdb_minhash('sh', k)} AS sig{k}" for k in range(H.NUM_MINHASHES)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"{H.duckdb_band([f'sig{i}' for i in idxs])} AS band_val FROM sigs"
+        for b, idxs in H.band_slices()
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {H.duckdb_shingles(toks)} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id,
+         {sigs}
+      FROM sh WHERE len(sh) > 0),
+    bands AS (
+      {band_selects})
+    """
+
+
+@query(
+    "q_dedup_minhash_bands",
+    oracle=_duckdb_bands_cte() + "SELECT doc_id, band_id, band_val FROM bands",
+)
+def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH index itself (doc → band rows) — fully oracle-verified."""
+    return D.minhash_bands(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_minhash_pairs",
+    oracle=_duckdb_bands_cte()
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from LSH band collisions."""
+    return D.lsh_candidate_pairs(
+        D.minhash_bands(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=(
+        "SELECT doc_id, "
+        + H.duckdb_simhash(H.duckdb_tokens("text"))
+        + " AS simhash FROM documents"
+    ),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {H.duckdb_shingles(H.duckdb_tokens('text'))} AS sh
+      FROM documents),
+    e AS (
+      SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+      FROM sh WHERE len(sh) > 0),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS inter,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM p
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_TAU}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ τ (verification tier for LSH
+    candidates)."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), JACCARD_TAU
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {V.duckdb_cosine('a.embedding', 'b.embedding', EMBED_DIM)} AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {V.duckdb_cosine('a.embedding', 'b.embedding', EMBED_DIM)} >= {EMBED_TAU}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact; candidate-set tier)."""
+    return D.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), EMBED_TAU
+    )
