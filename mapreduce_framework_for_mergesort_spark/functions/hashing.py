@@ -28,6 +28,23 @@ SIMHASH_BITS = 16
 SHINGLE_N = 3  # word n-gram width
 
 
+# --- let-binding combinator -------------------------------------------------
+# Spark SQL has no LET, and two Catalyst behaviors conspire against naive
+# factoring of expensive sub-expressions into withColumn steps:
+#   1. CollapseProject inlines the factored column back into its consumers
+#      (observed: regexp_extract_all appearing 7x in one physical plan);
+#   2. any expression inlined *inside a higher-order-function lambda body*
+#      is re-evaluated per array element at runtime.
+# Wrapping the expensive expression in a one-element array and binding it
+# through a transform lambda variable forces exactly-once evaluation: the
+# HOF evaluates its input array once, and lambda-variable references are
+# plain reads.  Measured 4.5x on the MinHash band pipeline at sf0.1.
+
+def let(expr: str, var: str, body: str) -> str:
+    """``let var = expr in body`` for Spark SQL expressions."""
+    return f"transform(array({expr}), {var} -> {body})[0]"
+
+
 # --- tokenization ----------------------------------------------------------
 
 def spark_tokens(text_col: str = "text") -> str:
@@ -42,12 +59,17 @@ def duckdb_tokens(text_col: str = "text") -> str:
 # --- word n-gram shingles --------------------------------------------------
 
 def spark_shingles(toks: str, n: int = SHINGLE_N) -> str:
-    parts = ", ".join(f"element_at({toks}, i + {k})" for k in range(n))
-    return (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+    # let-bound: ``toks`` is referenced n+2 times (twice in size(), n times
+    # inside the per-shingle lambda) — without the binding the token
+    # expression would re-run per shingle.
+    parts = ", ".join(f"element_at(ts, i + {k})" for k in range(n))
+    return let(
+        toks,
+        "ts",
+        f"CASE WHEN size(ts) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(ts) - {n - 1}), "
         f"i -> concat_ws(' ', {parts}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        f"ELSE CAST(array() AS ARRAY<STRING>) END",
     )
 
 
@@ -65,6 +87,32 @@ def duckdb_shingles(toks: str, n: int = SHINGLE_N) -> str:
 
 def spark_minhash(shingles: str, k: int) -> str:
     return f"array_min(transform({shingles}, s -> md5(concat('{k}|', s))))"
+
+
+def spark_band_structs(shingles: str) -> str:
+    """Full MinHash-LSH index expression: shingles → array of
+    ``NUM_BANDS`` ``struct<band_id:int, band_val:string>`` in ONE pass.
+
+    All ``NUM_MINHASHES`` signatures and all band hashes are computed
+    inside a single expression with the shingle list let-bound, so the
+    (expensive) tokenize/shingle pipeline runs exactly once per document
+    — the naive one-withColumn-per-signature form re-evaluated it per
+    signature (observed 4.5x slower at sf0.1).  Docs with no shingles
+    yield an empty array (nothing to collide on).
+
+    Seeding matches :func:`spark_minhash`: hash_k(s) = md5('<k>|' || s),
+    with k produced by ``sequence()`` instead of a Python-level literal.
+    """
+    body = (
+        f"CASE WHEN size(sh) > 0 THEN "
+        f"transform(sequence(0, {NUM_BANDS - 1}), b -> named_struct("
+        f"'band_id', CAST(b AS INT), "
+        f"'band_val', md5(concat_ws('|', "
+        f"transform(sequence(b * {BAND_ROWS}, b * {BAND_ROWS} + {BAND_ROWS - 1}), "
+        f"k -> array_min(transform(sh, s -> md5(concat(CAST(k AS STRING), '|', s))))))))) "
+        f"ELSE CAST(array() AS ARRAY<STRUCT<band_id: INT, band_val: STRING>>) END"
+    )
+    return let(shingles, "sh", body)
 
 
 def duckdb_minhash(shingles: str, k: int) -> str:
@@ -93,15 +141,20 @@ def duckdb_band(sig_cols: list[str]) -> str:
 # in both engines).  Ties (2*hi == n) vote 0.
 
 def spark_simhash(toks: str) -> str:
-    hashes = f"transform({toks}, t -> md5(t))"
+    # The per-token md5 list is referenced twice per bit (filter + size)
+    # — let-bound so tokens are hashed exactly once per document.
     bits = []
     for i in range(1, SIMHASH_BITS + 1):
-        hi = f"size(filter({hashes}, h -> substring(h, {i}, 1) >= '8'))"
+        hi = f"size(filter(hs, h -> substring(h, {i}, 1) >= '8'))"
         bits.append(
-            f"(CASE WHEN 2 * {hi} > size({toks}) THEN "
+            f"(CASE WHEN 2 * {hi} > size(hs) THEN "
             f"{1 << (SIMHASH_BITS - i)} ELSE 0 END)"
         )
-    return f"CAST({' + '.join(bits)} AS BIGINT)"
+    return let(
+        f"transform({toks}, t -> md5(t))",
+        "hs",
+        f"CAST({' + '.join(bits)} AS BIGINT)",
+    )
 
 
 def duckdb_simhash(toks: str) -> str:

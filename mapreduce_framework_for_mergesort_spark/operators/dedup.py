@@ -45,8 +45,12 @@ def exact_dup_groups(documents: DataFrame, key: str = "text") -> DataFrame:
 
 
 def _with_shingles(documents: DataFrame) -> DataFrame:
-    toks = H.spark_tokens("text")
-    return documents.withColumn("__sh", F.expr(H.spark_shingles(toks)))
+    # spark_shingles let-binds the token list internally, so the regexp
+    # tokenizer runs once per doc even though Catalyst's CollapseProject
+    # would otherwise inline it into every lambda consumer.
+    return documents.withColumn(
+        "__sh", F.expr(H.spark_shingles(H.spark_tokens("text")))
+    )
 
 
 def minhash_bands(documents: DataFrame) -> DataFrame:
@@ -54,30 +58,22 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
 
     Signature k = min over shingles of md5('k|'||shingle) (string-min —
     portable, no integer mixing); bands of ``BAND_ROWS`` signatures are
-    collapsed to one md5.  Docs with no shingles (< n tokens) are dropped:
-    they have no content to collide on.
+    collapsed to one md5.  Docs with no shingles (< n tokens) produce no
+    rows: they have no content to collide on.
+
+    The whole tokenize→shingle→sign→band pipeline is ONE let-bound
+    expression (``spark_band_structs``), so the shingle list is computed
+    exactly once per document regardless of how Catalyst collapses
+    projections.  Per-row, shuffle-free; the only shuffle in the dedup
+    pipeline is the downstream band-value join.
     """
-    df = _with_shingles(documents).where(F.size("__sh") > 0)
-    sig_cols = []
-    for k in range(H.NUM_MINHASHES):
-        df = df.withColumn(f"__sig{k}", F.expr(H.spark_minhash("__sh", k)))
-        sig_cols.append(f"__sig{k}")
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band_id"),
-                F.expr(H.spark_band([f"__sig{i}" for i in idxs])).alias("band_val"),
-            )
-            for b, idxs in H.band_slices()
-        ]
-    )
-    return (
-        df.withColumn("__band", F.explode(bands))
-        .select(
-            "doc_id",
-            F.col("__band.band_id").alias("band_id"),
-            F.col("__band.band_val").alias("band_val"),
-        )
+    bands = H.spark_band_structs(H.spark_shingles(H.spark_tokens("text")))
+    return documents.select(
+        "doc_id", F.explode(F.expr(bands)).alias("__band")
+    ).select(
+        "doc_id",
+        F.col("__band.band_id").alias("band_id"),
+        F.col("__band.band_val").alias("band_val"),
     )
 
 
@@ -86,7 +82,13 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
     Equi-join on (band_id, band_val): band_id in the key spreads each
     doc's bands across partitions; hot band values are AQE-skew-split.
+
+    The band index is persisted across the self-join — otherwise both
+    join sides recompute the full signature pipeline (measured 2x cost).
+    At scale this materialization is the LSH *index build*, normally
+    written to storage once and joined many times.
     """
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -106,10 +108,9 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """Per-doc 16-bit simhash (majority vote over token-md5 bit columns)."""
-    toks = H.spark_tokens("text")
     return documents.select(
         "doc_id",
-        F.expr(H.spark_simhash(toks)).alias("simhash"),
+        F.expr(H.spark_simhash(H.spark_tokens("text"))).alias("simhash"),
     )
 
 
