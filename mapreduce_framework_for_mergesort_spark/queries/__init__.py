@@ -47,6 +47,7 @@ from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
     relational,
     similarity_family,
     sort_family,
+    streaming_family,
     text_family,
 )
 

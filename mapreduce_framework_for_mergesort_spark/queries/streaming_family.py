@@ -1,0 +1,112 @@
+"""Streaming queries, made driver-checkable.
+
+A Structured Streaming query drained with ``availableNow`` over static
+input is deterministic: it processes exactly the files present and
+stops.  That lets the driver hash-compare *streaming* results against a
+batch DuckDB oracle — the strongest correctness statement available for
+a streaming operator (same algebra, two execution modes, one result).
+
+The reference has no streaming at all (single blocking sortFile RPC,
+``ServerHandler.java:23-80``); this family is north-star surface.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.queries import query
+from mapreduce_framework_for_mergesort_spark.streaming import (
+    run_to_memory,
+    sessionize_stream,
+    stream_events,
+    windowed_event_aggregate,
+)
+from mapreduce_framework_for_mergesort_spark.streaming.stateful import (
+    sessionize_batch,
+)
+
+# Memory-sink table names must be unique per started query within a
+# session (tests run queries repeatedly; the driver once).
+_seq = itertools.count()
+
+_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ORACLE_CORE = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT *, SUM(new_sess) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, sess,
+             min(ts) AS session_start,
+             max(ts) AS session_end,
+             CAST(COUNT(*) AS INT) AS n_events,
+             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+               AS total_value
+      FROM numbered GROUP BY user_id, sess)
+"""
+
+
+@query(
+    "q_sessionize_gap",
+    oracle=_SESSION_ORACLE_CORE
+    + """
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM sessions
+    """,
+)
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (30-min inactivity) — pure window-function
+    algebra, same semantics as the streaming stateful operator."""
+    return sessionize_batch(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@query(
+    "q_stream_windowed_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate, run as a real stream
+    (file source → availableNow → memory sink, complete mode)."""
+    stream = windowed_event_aggregate(stream_events(spark, sf_dir))
+    return run_to_memory(
+        stream, f"q_stream_windowed_agg_{next(_seq)}", output_mode="complete"
+    )
+
+
+@query(
+    "q_stream_sessionize",
+    oracle=_SESSION_ORACLE_CORE
+    + f"""
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM (SELECT *, max(session_end) OVER (PARTITION BY user_id) AS mx
+          FROM sessions) t
+    WHERE epoch_us(session_end) + {_GAP_US} < epoch_us(mx)
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState gap
+    sessionization).  Emits *closed* sessions — ones that can no longer
+    grow given the key's observed timeline — so the oracle is the batch
+    sessionization minus each user's still-open trailing session."""
+    stream = sessionize_stream(stream_events(spark, sf_dir), gap="30 minutes")
+    return run_to_memory(stream, f"q_stream_sessionize_{next(_seq)}")

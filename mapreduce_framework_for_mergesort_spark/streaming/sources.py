@@ -1,0 +1,63 @@
+"""Streaming sources/sinks for the test tables.
+
+``stream_events`` is the streaming twin of ``io.load_table(..,
+"events")``: same schema, same ns→µs timestamp rebuild, but through the
+file *stream* source.  At scale the file source is swapped for Kafka /
+event-hub readers — every downstream operator is source-agnostic
+because it sees the same (ts, user_id, event_type, value, props) schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.io import table_path
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over the events table.
+
+    The file stream source needs an explicit schema (no inference on
+    unbounded input); we take it from a batch peek at the same path —
+    in production this is the registered catalog/registry schema.
+    ``maxFilesPerTrigger`` bounds per-microbatch intake (backpressure).
+    """
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # The file stream source wants a directory or glob (a bare file path
+    # fails basePath resolution); the test tables are single files, so
+    # turn the exact name into a one-match glob.
+    df = reader.parquet(path.replace("events.parquet", "events*.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        # Same TIMESTAMP(NANOS) rebuild as io.load_table (exact µs math).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Drain a stream with ``availableNow`` into the in-memory sink.
+
+    availableNow processes everything currently available (across as
+    many microbatches as the source's trigger options dictate) and
+    stops — the deterministic test/CI form of a continuous run.
+    Returns the sink contents as a DataFrame (``SELECT * FROM name``).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,165 @@
+"""Gap-based sessionization — the custom stateful operator.
+
+Built-in windowed aggregation can't express "a session ends after
+``gap`` of inactivity" (window boundaries are data-dependent), so this
+is the designated ``applyInPandasWithState`` case: per-key state holds
+the set of open sessions as merged intervals; each microbatch folds new
+events in and emits sessions that can no longer grow.
+
+Two entry points:
+
+* ``sessionize_batch`` — the same semantics in pure DataFrame algebra
+  (lag → gap flag → running count → aggregate), usable as a batch
+  operator and as the oracle for the streaming path.
+* ``sessionize_stream`` — the streaming operator.  State is four
+  parallel arrays (starts, ends, counts, totals) of *open* sessions;
+  intervals are merged order-robustly, so out-of-order and cross-batch
+  events land correctly.  A session is emitted (and dropped from state)
+  once ``end + gap < max event time seen for the key`` — no later event
+  can extend it unless it violates the key's own observed timeline,
+  which is the same contract a watermark enforces globally.
+
+Scale notes: state is per-user and bounded by the number of *open*
+sessions (almost always 1); the shuffle is the groupBy(user_id) hash
+partition that any sessionizer needs.  Arrow moves batches in columns.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP = "30 minutes"
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int, total_value double"
+)
+STATE_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, "
+    "counts array<int>, totals array<double>"
+)
+
+
+def _gap_to_us(gap: str) -> int:
+    qty, unit = gap.split()
+    per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[
+        unit.rstrip("s")
+    ]
+    return int(qty) * per * 1_000_000
+
+
+def sessionize_batch(events: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
+    """Gap sessionization as plain window-function algebra.
+
+    A new session starts where the gap to the previous event of the same
+    user exceeds ``gap``; the running sum of start-flags numbers the
+    sessions; one aggregate per (user, session).
+    """
+    gap_us = _gap_to_us(gap)
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "__new",
+        (
+            F.coalesce(
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(by_user)),
+                F.lit(gap_us + 1),
+            )
+            > gap_us
+        ).cast("int"),
+    ).withColumn(
+        "__sess",
+        F.sum("__new").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("user_id", "__sess").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+
+
+def _merge_sessions(
+    rows: list[tuple[int, int, int, float]], gap_us: int
+) -> list[tuple[int, int, int, float]]:
+    """Union point/interval sessions whose gap is ≤ gap_us (sorted by start)."""
+    rows.sort()
+    merged: list[list] = []
+    for s, e, n, v in rows:
+        if merged and s - merged[-1][1] <= gap_us:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += n
+            merged[-1][3] += v
+        else:
+            merged.append([s, e, n, v])
+    return [tuple(m) for m in merged]
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = DEFAULT_GAP, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap sessionization via ``applyInPandasWithState``."""
+    gap_us = _gap_to_us(gap)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state,  # GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows: list[tuple[int, int, int, float]] = []
+        if state.exists:
+            starts, ends, counts, totals = state.get
+            rows += list(zip(starts, ends, counts, totals))
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000
+            for t, v in zip(us, pdf["value"]):
+                rows.append((int(t), int(t), 1, float(v)))
+        sessions = _merge_sessions(rows, gap_us)
+        max_ts = max(e for _, e, _, _ in sessions)
+        closed = [s for s in sessions if s[1] + gap_us < max_ts]
+        kept = [s for s in sessions if s[1] + gap_us >= max_ts]
+        state.update(
+            (
+                [s[0] for s in kept],
+                [s[1] for s in kept],
+                [s[2] for s in kept],
+                [s[3] for s in kept],
+            )
+        )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [s[0] * 1000 for s in closed]
+                    ),
+                    "session_end": pd.to_datetime(
+                        [s[1] * 1000 for s in closed]
+                    ),
+                    "n_events": [s[2] for s in closed],
+                    "total_value": [round(s[3], 2) for s in closed],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

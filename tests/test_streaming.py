@@ -1,0 +1,87 @@
+"""Structured Streaming: batch/stream result unification + oracle parity.
+
+The strongest invariant a streaming operator can offer: drained over
+static input with ``availableNow``, it must produce exactly the batch
+result of the same algebra.  Oracle tests additionally pin both modes to
+DuckDB SQL (the driver's t2 gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.queries import ORACLE, QUERIES
+from mapreduce_framework_for_mergesort_spark.streaming import (
+    run_to_memory,
+    sessionize_stream,
+    stream_events,
+    windowed_event_aggregate,
+)
+from mapreduce_framework_for_mergesort_spark.streaming.stateful import (
+    _gap_to_us,
+    sessionize_batch,
+)
+from tests.oracle import compare_query
+
+
+def test_stream_windowed_equals_batch(spark, sf_smoke):
+    stream = windowed_event_aggregate(stream_events(spark, sf_smoke))
+    got = run_to_memory(stream, "t_win_unify", output_mode="complete")
+    want = windowed_event_aggregate(load_table(spark, sf_smoke, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stream_sessionize_emits_closed_sessions(spark, sf_smoke):
+    gap = "30 minutes"
+    got = run_to_memory(
+        sessionize_stream(stream_events(spark, sf_smoke), gap=gap),
+        "t_sess_unify",
+    )
+    sessions = sessionize_batch(load_table(spark, sf_smoke, "events"), gap)
+    by_user = Window.partitionBy("user_id")
+    closed = (
+        sessions.withColumn("__mx", F.max("session_end").over(by_user))
+        .where(
+            F.unix_micros("session_end") + _gap_to_us(gap)
+            < F.unix_micros("__mx")
+        )
+        .drop("__mx")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, closed.collect())
+    )
+
+
+def test_stream_multibatch_state_carries(spark, sf_smoke):
+    """maxFilesPerTrigger=1 still yields one deterministic drain (state
+    must merge correctly across microbatches when the source splits)."""
+    gap = "30 minutes"
+    one = run_to_memory(
+        sessionize_stream(
+            stream_events(spark, sf_smoke, max_files_per_trigger=1), gap=gap
+        ),
+        "t_sess_multibatch",
+    )
+    ref = run_to_memory(
+        sessionize_stream(stream_events(spark, sf_smoke), gap=gap),
+        "t_sess_singlebatch",
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+def test_q_sessionize_gap_oracle(spark, sf_oracle):
+    compare_query(spark, "q_sessionize_gap", sf_oracle, QUERIES, ORACLE)
+
+
+def test_q_stream_windowed_agg_oracle(spark, sf_oracle):
+    compare_query(spark, "q_stream_windowed_agg", sf_oracle, QUERIES, ORACLE)
+
+
+def test_q_stream_sessionize_oracle(spark, sf_oracle):
+    compare_query(spark, "q_stream_sessionize", sf_oracle, QUERIES, ORACLE)
