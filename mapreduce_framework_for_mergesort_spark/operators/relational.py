@@ -123,6 +123,51 @@ def top_n_per_group(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage (salted) aggregation for skewed keys.
+
+    At 100 TB a hot key (one user producing 1% of all events) turns a
+    plain ``groupBy`` into a single straggler reducer.  Salting splits
+    each key across ``n_salts`` reducers for the partial aggregate, then
+    a second (tiny — one row per key×salt) shuffle combines them.  The
+    partial sums are DECIMAL so the two-stage result is bit-identical to
+    the single-stage one.
+
+    Returns columns ``keys + [n, sum_value]``.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast(MONEY)).alias("_s"),
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").cast("double").alias("sum_value"),
+    )
+
+
+def band_join(
+    df: DataFrame, bands: DataFrame, value_col: str
+) -> DataFrame:
+    """Range(band) join: assign each row to the [lo, hi) band containing
+    ``value_col``.  The band table is broadcast, so this is a broadcast
+    nested-loop join with a range predicate — no shuffle of the fact side
+    and the idiomatic shape for binning 100 TB against a small range dim.
+    ``bands`` must have columns ``band, lo, hi``.
+    """
+    v = F.col(value_col)
+    return df.join(
+        F.broadcast(bands), (v >= F.col("lo")) & (v < F.col("hi")), "inner"
+    )
+
+
 def asof_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     """As-of join: for each event, the latest order of the same user at
     or before the event time (ties broken by highest orderkey).

@@ -45,6 +45,7 @@ from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
     dedup_family,
     multimodal_family,
     relational,
+    relational_ext,
     similarity_family,
     sort_family,
     streaming_family,

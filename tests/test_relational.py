@@ -19,6 +19,19 @@ RELATIONAL_KEYS = [
     "q_rollup",
     "q_json_extract",
     "q_asof_join",
+    # extended family (relational_ext.py)
+    "q_semi_anti_join",
+    "q_cube_grouping",
+    "q_pivot_status",
+    "q_unpivot_metrics",
+    "q_range_band_join",
+    "q_percentiles",
+    "q_scalar_subquery",
+    "q_window_funcs",
+    "q_salted_agg",
+    "q_sample_systematic",
+    "q_scalar_funcs",
+    "q_array_funcs",
 ]
 
 
@@ -45,3 +58,59 @@ def test_pricing_summary_pushes_filter_to_scan(spark, sf_oracle):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_band_join_broadcasts_band_table(spark, sf_oracle):
+    """The range predicate forces a nested-loop join — it must be the
+    *broadcast* variant (fact side never shuffles)."""
+    plan = (
+        QUERIES["q_range_band_join"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_semi_anti_prune_to_key_columns(spark, sf_oracle):
+    """Semi/anti joins must read only the key column from orders
+    (column pruning reaches the scan)."""
+    plan = (
+        QUERIES["q_semi_anti_join"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ReadSchema: struct<o_custkey:bigint>" in plan, plan
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_oracle):
+    """Two-stage salted aggregation is bit-identical to the single-stage
+    plan (DECIMAL partials commute)."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators import relational as R
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_oracle, "events")
+    salted = R.salted_agg(events, ["user_id"], "event_id", 16)
+    plain = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(R.MONEY)).cast("double").alias("sum_value"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_approx_percentile_within_tolerance(spark, sf_oracle):
+    """The 100 TB path for q_percentiles: one-pass mergeable sketch.
+    Not cross-engine reproducible, so bounded against the exact answer
+    instead of the oracle."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_oracle, "lineitem")
+    row = li.agg(
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias("approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact"),
+    ).collect()[0]
+    # l_quantity spans 1..50; accuracy=1000 keeps the sketch within ~1 unit.
+    assert abs(row["approx"] - row["exact"]) <= 1.0, row
