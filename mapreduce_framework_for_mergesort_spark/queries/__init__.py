@@ -48,6 +48,7 @@ from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
     relational_ext,
     similarity_family,
     sort_family,
+    sources_family,
     streaming_family,
     text_family,
 )
