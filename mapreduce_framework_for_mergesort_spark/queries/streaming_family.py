@@ -15,10 +15,13 @@ from __future__ import annotations
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.queries import query
 from mapreduce_framework_for_mergesort_spark.streaming import (
+    dedup_stream,
+    enrich_stream_with_dim,
     run_to_memory,
     sessionize_stream,
     stream_events,
@@ -110,3 +113,52 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization minus each user's still-open trailing session."""
     stream = sessionize_stream(stream_events(spark, sf_dir), gap="30 minutes")
     return run_to_memory(stream, f"q_stream_sessionize_{next(_seq)}")
+
+
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming dedup (``dropDuplicates`` state: one row per
+    distinct key).  Keyed on the bounded (user, type) space so the result
+    — the distinct pairs — is processing-order-independent and exactly
+    matches the batch DISTINCT oracle.  The watermark-bounded variant for
+    unbounded key spaces is ``dedup_stream_within_watermark`` (tested
+    rows-only in tests/test_streaming.py — its keep-first semantics are
+    inherently arrival-order-dependent)."""
+    stream = dedup_stream(stream_events(spark, sf_dir), ["user_id", "event_type"])
+    return run_to_memory(
+        stream, f"q_stream_dedup_{next(_seq)}", output_mode="append"
+    )
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join (stateless enrichment) feeding a
+    streaming aggregate: the canonical 'enrich the firehose against a
+    dimension, then reduce' pipeline."""
+    enriched = enrich_stream_with_dim(
+        stream_events(spark, sf_dir),
+        load_table(spark, sf_dir, "customer"),
+        on=("user_id", "c_custkey"),
+        dim_cols=["c_mktsegment"],
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
+          .alias("sum_value"),
+    )
+    return run_to_memory(
+        agg, f"q_stream_static_join_{next(_seq)}", output_mode="complete"
+    )

@@ -18,3 +18,8 @@ from mapreduce_framework_for_mergesort_spark.streaming.windows import (  # noqa:
 from mapreduce_framework_for_mergesort_spark.streaming.stateful import (  # noqa: F401
     sessionize_stream,
 )
+from mapreduce_framework_for_mergesort_spark.streaming.dedup import (  # noqa: F401
+    dedup_stream,
+    dedup_stream_within_watermark,
+    enrich_stream_with_dim,
+)

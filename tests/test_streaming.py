@@ -85,3 +85,36 @@ def test_q_stream_windowed_agg_oracle(spark, sf_oracle):
 
 def test_q_stream_sessionize_oracle(spark, sf_oracle):
     compare_query(spark, "q_stream_sessionize", sf_oracle, QUERIES, ORACLE)
+
+
+def test_q_stream_dedup_oracle(spark, sf_oracle):
+    compare_query(spark, "q_stream_dedup", sf_oracle, QUERIES, ORACLE)
+
+
+def test_q_stream_static_join_oracle(spark, sf_oracle):
+    compare_query(spark, "q_stream_static_join", sf_oracle, QUERIES, ORACLE)
+
+
+def test_dedup_within_watermark_bounds_state(spark, sf_smoke):
+    """Watermarked dedup: every key survives at least once, and the
+    output never exceeds the input (keep-first semantics are
+    arrival-order-dependent, so this is a rows/keys invariant check,
+    not value-exact)."""
+    from mapreduce_framework_for_mergesort_spark.streaming import (
+        dedup_stream_within_watermark,
+    )
+
+    got = run_to_memory(
+        dedup_stream_within_watermark(
+            stream_events(spark, sf_smoke), ["user_id", "event_type"]
+        ),
+        "t_dedup_wm",
+        output_mode="append",
+    )
+    events = load_table(spark, sf_smoke, "events")
+    n_in = events.count()
+    n_keys = events.select("user_id", "event_type").distinct().count()
+    n_out = got.count()
+    assert n_keys <= n_out <= n_in
+    # within one watermark era over static input, exact dedup is achieved
+    assert got.select("user_id", "event_type").distinct().count() == n_keys
