@@ -32,6 +32,14 @@ HEADLINE = [
     "q_window_running_total",
     "q_group_topn",
     "q_asof_join",
+    "q_semi_anti_join",
+    "q_cube_grouping",
+    "q_window_funcs",
+    "q_salted_agg",
+    "q_percentiles",
+    "q_range_band_join",
+    "q_scalar_funcs",
+    "q_partitioned_parquet",
     "q_dedup_exact",
     "q_dedup_minhash_bands",
     "q_dedup_minhash_pairs",

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 _PID = "__msfs_pid"
 _LOCAL_RANK = "__msfs_local_rank"
 _OFFSET = "__msfs_offset"
+_MID = "__msfs_mid"
 
 
 def _order_cols(cols, ascending):
@@ -69,10 +70,17 @@ def with_global_rank(
     Two-stage scalable construction:
       1. ``repartitionByRange`` on the sort key (sampled boundaries, same
          mechanism as ``SortExec``) + ``sortWithinPartitions`` → globally
-         ordered partitions, each ranked locally by a window that stays
-         inside its partition.
-      2. Per-partition row counts (a few hundred rows at any scale) are
-         cumulated and broadcast-joined back as offsets.
+         ordered partitions.  ``monotonically_increasing_id`` — evaluated
+         on the sorted stream — encodes (partition id, ordinal) as
+        ``pid << 33 | ordinal``, so partition id and local rank decode
+         with two bit-ops: a *narrow projection*, where a
+         ``Window.partitionBy(pid)`` would force a full extra
+         hash-repartition of every data row (Spark can't see that pid
+         partitioning already satisfies the window's distribution).
+      2. Per-partition row counts reduce map-side to one row per
+         partition (tiny), are cumulated by a window over #partitions
+         rows, and broadcast-joined back as offsets.  Under AQE the
+         range exchange is computed once and reused by both branches.
 
     No stage moves all rows to one task, so this survives a 100× scale-up
     as well as ``orderBy`` itself does.
@@ -82,15 +90,18 @@ def with_global_rank(
         ranged = df.repartitionByRange(num_partitions, *order)
     else:
         ranged = df.repartitionByRange(*order)
-    ranged = ranged.sortWithinPartitions(*order).withColumn(
-        _PID, F.spark_partition_id()
+    ranked = (
+        ranged.sortWithinPartitions(*order)
+        .withColumn(_MID, F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftrightunsigned(F.col(_MID), 33).cast("int"))
+        .withColumn(
+            _LOCAL_RANK, (F.col(_MID).bitwiseAND((1 << 33) - 1) + 1)
+        )
+        .drop(_MID)
     )
 
-    local_w = Window.partitionBy(_PID).orderBy(*order)
-    ranked = ranged.withColumn(_LOCAL_RANK, F.row_number().over(local_w))
-
-    # Tiny aggregate: one row per partition.  The running-total window runs
-    # over #partitions rows, not data rows.
+    # Tiny aggregate: map-side combine leaves one row per partition.  The
+    # running-total window runs over #partitions rows, not data rows.
     counts = ranked.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
     offset_w = (
         Window.orderBy(_PID)
