@@ -67,6 +67,61 @@ def brute_force_topk(
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
 
 
+def ivf_cells(embeddings: DataFrame, num_centroids: int) -> DataFrame:
+    """IVF index build: assign every vector to its nearest centroid.
+
+    Centroids here are the first ``num_centroids`` vectors by ``vec_id``
+    — a deterministic stand-in for a k-means pass (the assignment /
+    probe / rerank machinery is identical; swapping in trained centroids
+    changes recall, not the plan).  Assignment is a broadcast cross join
+    (C rows to every task) + per-key argmax via ``max(struct(score,
+    -cid))`` style window — one shuffle on vec_id.
+
+    At 100 TB the cell table is written partitioned by ``cell`` so a
+    probe prunes to 1/C of storage (same pattern as
+    ``sources.write_partitioned_parquet``).
+    """
+    cents = embeddings.where(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).withColumn(
+        "__cscore", F.expr(V.spark_cosine("embedding", "ce"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__cscore").desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int,
+    num_centroids: int = 8,
+) -> DataFrame:
+    """IVF ANN: probe only the query's cell, exact cosine rerank inside.
+
+    nprobe=1 keeps the demo deterministic and oracle-checkable (the
+    assignment and rerank are exact arithmetic; only *recall* is
+    approximate, bounded in tests against the brute-force baseline).
+    """
+    cells = ivf_cells(embeddings, num_centroids)
+    q = cells.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
+    )
+    cands = cells.join(F.broadcast(q), cells["cell"] == F.col("qcell"))
+    scored = cands.select(
+        "vec_id", F.expr(V.spark_cosine("embedding", "qe")).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame, query_vec_id: int, k: int, dim: int = 64
 ) -> DataFrame:

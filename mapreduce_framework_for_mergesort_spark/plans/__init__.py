@@ -1,0 +1,65 @@
+"""Physical-plan auditing.
+
+The 100 TB posture is enforced as *plan shape*, not hope: every operator
+family has tests asserting the plan it must compile to (broadcasts where
+a side is small, pushed filters, pruned columns, no stray exchanges).
+``audit`` is the shared tool those tests use — it parses
+``executedPlan`` into the counts that matter at scale.
+
+Reading an audit:
+
+* ``exchanges`` — each is a full shuffle of its input.  The question is
+  never "zero?" but "is each one load-bearing?"  (A global sort needs
+  its range exchange; a second exchange of the same data is a bug —
+  see ``operators/sort.py`` history.)
+* ``broadcasts`` — small side shipped to every task; the *absence* of
+  one where a dim table joins a fact is usually a missed
+  ``F.broadcast``.
+* ``pushed_filters`` / ``read_schemas`` — what actually reached the
+  parquet scan.  A filter evaluated post-scan reads 100 TB to drop
+  99 TB.
+* ``codegen_spans`` — whole-stage-codegen regions; Python UDFs and
+  misplaced casts break them apart.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanAudit:
+    exchanges: int = 0
+    broadcasts: int = 0
+    file_scans: int = 0
+    codegen_spans: int = 0
+    python_evals: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    text: str = ""
+
+    def __str__(self) -> str:  # compact one-liner for test failure output
+        return (
+            f"exchanges={self.exchanges} broadcasts={self.broadcasts} "
+            f"scans={self.file_scans} codegen={self.codegen_spans} "
+            f"python={self.python_evals}"
+        )
+
+
+def audit(df: DataFrame) -> PlanAudit:
+    """Parse the executed plan into scale-relevant counts."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return PlanAudit(
+        # shuffle exchanges only — BroadcastExchange is counted separately
+        exchanges=len(re.findall(r"Exchange (?:range|hash|Single)", plan)),
+        broadcasts=plan.count("BroadcastExchange"),
+        file_scans=plan.count("FileScan"),
+        codegen_spans=plan.count("WholeStageCodegen"),
+        python_evals=plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),
+        pushed_filters=re.findall(r"PushedFilters: \[[^\]]*\]", plan),
+        read_schemas=re.findall(r"ReadSchema: \S+", plan),
+        text=plan,
+    )

@@ -297,6 +297,51 @@ def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join over bucketed tables: both sides are
+    written bucketed by the join key (the write pays the shuffle once),
+    then the join itself plans with zero exchanges — each task merges
+    bucket i of both tables locally.  The no-exchange shape is pinned in
+    tests/test_bucketing.py."""
+    import hashlib
+
+    from mapreduce_framework_for_mergesort_spark.operators import bucketing as B
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    t_orders, t_cust = f"orders_b_{tag}", f"customer_b_{tag}"
+    B.write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        ),
+        t_orders,
+        ["o_custkey"],
+        num_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    B.write_bucketed(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        t_cust,
+        ["c_custkey"],
+        num_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    joined = B.colocated_join(spark, t_orders, t_cust, "o_custkey", "c_custkey")
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        R.dec_sum("o_totalprice", alias="revenue"),
+    )
+
+
+@query(
     "q_scalar_funcs",
     oracle="""
     SELECT o_orderkey,

@@ -42,6 +42,51 @@ def q_embed_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NUM_CENTROIDS = 8
+
+
+@query(
+    "q_embed_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {NUM_CENTROIDS}),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {V.duckdb_cosine('e.embedding', 'c.ce', DIM)} DESC, c.cid)
+               AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+    q AS (
+      SELECT embedding AS qe, cell AS qcell FROM cells
+      WHERE vec_id = {QUERY_VEC}),
+    s AS (
+      SELECT vec_id, {V.duckdb_cosine('embedding', 'qe', DIM)} AS score
+      FROM cells, q WHERE cell = qcell)
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, score
+    FROM s
+    ORDER BY score DESC, vec_id
+    LIMIT {TOPK}
+    """,
+)
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (cell assignment → single-cell probe → exact rerank).
+    Unlike the LSH variant, every step is exact deterministic arithmetic,
+    so the *whole index + search* is oracle-verified value-for-value;
+    recall vs. brute force is additionally bounded in tests."""
+    top = S.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC, TOPK, NUM_CENTROIDS
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "score"
+    )
+
+
 @query("q_embed_ann_lsh")  # rows-only: ANN recall is probabilistic by design
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed ANN top-k — the 100 TB scale path

@@ -46,6 +46,11 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Progress bars interleave with test/bench output.
     "spark.ui.showConsoleProgress": "false",
+    # --- catalog (bucketed tables) ----------------------------------------
+    # Keep the warehouse and the embedded-Derby metastore out of the repo;
+    # bucketed-table DDL (operators/bucketing.py) needs a real catalog.
+    "spark.sql.warehouse.dir": "/tmp/msfs_warehouse",
+    "spark.driver.extraJavaOptions": "-Dderby.system.home=/tmp/msfs_derby",
     # --- fault tolerance (reference parity, see SURVEY.md O11-O18) --------
     # Speculative execution = reference's proactive redundant tasks
     # (Server.java:194-224) minus the 3x duplicate work: clones launch only

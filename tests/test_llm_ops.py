@@ -102,6 +102,22 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_oracle):
     assert len(set(ann) & set(exact)) >= 1
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = [r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()]
+    ivf = [r["vec_id"] for r in S.ivf_topk(emb, 0, 10, 8).collect()]
+    # the query vector scores 1.0 with itself and lives in its own cell
+    assert ivf[0] == 0
+    assert len(set(ivf) & set(exact)) >= 1
+
+
+def test_ivf_cells_partition_the_table(spark, sf_oracle):
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cells = S.ivf_cells(emb, 8)
+    assert cells.count() == emb.count()  # every vector in exactly one cell
+    assert cells.select("cell").distinct().count() <= 8
+
+
 def test_multimodal_feature_pipeline(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(20)
     feats = M.extract_features(M.binarize_documents(docs))
