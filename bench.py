@@ -47,7 +47,10 @@ HEADLINE = [
     "q_text_stats",
     "q_quality_score",
     "q_fingerprint",
+    "q_tfidf_top_terms",
     "q_embed_topk_sim",
+    "q_embed_ivf_topk",
+    "q_bucketed_join",
     "q_multimodal_binary",
 ]
 

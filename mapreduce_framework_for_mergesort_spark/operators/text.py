@@ -119,6 +119,43 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
+    """Per-document top-n terms by tf-idf (linear-idf variant:
+    ``tf · N / df`` — no logarithm, so the score is exact integer
+    arithmetic surfaced as one deterministic double division; ``log``
+    is libm territory where engines can differ in the last ulp).
+
+    Pipeline: explode tokens → (doc, term) counts (one shuffle, map-side
+    combined) → document frequency per term (second small shuffle) →
+    join + per-doc top-n window.  At 100 TB the df table is Zipf-small
+    and broadcast; the window partitions by doc_id — never global.
+    """
+    toks = H.spark_tokens("text")
+    tf = (
+        documents.select("doc_id", F.explode(F.expr(toks)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= top_n)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Winnowing-style content fingerprint: min md5 over char 8-grams
     (robust to global reordering, cheap rolling window)."""

@@ -100,6 +100,66 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfr AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfr.df AS tfidf
+      FROM tf JOIN dfr USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 terms by (linear-idf) tf-idf — the keyword-extraction
+    shape of a training-data pipeline, exact cross-engine."""
+    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), 3)
+
+
+@query(
+    "q_regex_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '[0-9]+') AS first_num,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS no_digits,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+             AS n_capitalized,
+           regexp_matches(text, 'https?://') AS has_url
+    FROM documents
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar bundle (extract / replace-all / extract-all count /
+    match test) — JVM-side, whole-stage-codegen'd.  Patterns stay within
+    the POSIX-compatible subset where Java regex and DuckDB's RE2 agree;
+    both engines return '' for a no-match extract."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("no_digits"),
+        F.expr(r"size(regexp_extract_all(text, '([A-Z][a-z]+)', 1))")
+        .cast("long")
+        .alias("n_capitalized"),
+        F.col("text").rlike("https?://").alias("has_url"),
+    )
+
+
+@query(
     "q_fingerprint",
     oracle=(
         "SELECT doc_id, "

@@ -27,6 +27,9 @@ ORACLE_KEYS = [
     "q_quality_score",
     "q_lang_id",
     "q_fingerprint",
+    "q_tfidf_top_terms",
+    "q_regex_funcs",
+    "q_embed_ivf_topk",
     "q_multimodal_binary",
 ]
 
