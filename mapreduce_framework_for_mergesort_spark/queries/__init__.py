@@ -46,6 +46,7 @@ from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
     multimodal_family,
     relational,
     relational_ext,
+    relational_ext2,
     similarity_family,
     sort_family,
     sources_family,

@@ -43,3 +43,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature arrays."""
     b = M.binarize_documents(load_table(spark, sf_dir, "documents"))
     return M.extract_features(b)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((((strlen(text) + {M.FRAME_BYTES - 1}) // {M.FRAME_BYTES}) + 1) // 2
+                AS BIGINT) AS n_frames,
+           CAST(least(strlen(text), {M.FRAME_BYTES}) AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out, then a per-doc reduction the oracle can
+    derive in closed form from payload length (every 2nd 64-byte frame):
+    the mapInPandas 1→N plumbing is exercised for real, and its row
+    arithmetic is still exactly verified."""
+    b = M.binarize_documents(load_table(spark, sf_dir, "documents"))
+    frames = M.sample_frames(b, every_n=2)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(
+            F.when(F.col("frame_idx") == 0, F.col("frame_n_bytes"))
+        ).alias("first_frame_bytes"),
+    )

@@ -1,0 +1,196 @@
+"""Second extension wave: explicit GROUPING SETS, conditional/null
+functions, time-range window frames, date-function breadth, and a
+key-uniqueness audit — all exact-oracled.
+
+Cross-engine notes specific to this module:
+
+* day-of-week numbering differs (Spark ``dayofweek``: 1=Sunday; DuckDB
+  ``dayofweek``: 0=Sunday) — both sides normalize to ISO (1=Monday).
+* ``months_between`` has engine-specific fractional semantics and is
+  deliberately excluded; month arithmetic goes through ``date_trunc``.
+* time-range window frames: Spark's ``rangeBetween`` needs a numeric
+  ordering column, so both engines order by epoch microseconds (exact
+  integer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators.relational import dec_sum
+from mapreduce_framework_for_mergesort_spark.queries import query
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    one Expand + one aggregate, not three scans."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+             AS finished_price,
+           least(o_totalprice, 250000.0) AS capped,
+           greatest(o_totalprice, 1000.0) AS floored
+    FROM orders
+    """,
+)
+def q_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / null-handling bundle: CASE, nullif+coalesce,
+    least/greatest — pure codegen projections (a CASE evaluates per row
+    with zero plan cost; the alternative pattern of N filtered unions
+    scans N times)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("finished_price"),
+        F.least("o_totalprice", F.lit(250000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("floored"),
+    )
+
+
+@query(
+    "q_window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour *time-range* frame per user (every event sees its
+    trailing hour — the rate-limit / rolling-activity shape).  RANGE
+    frames bound by event time, not row count; ordering is epoch
+    microseconds so the frame arithmetic is exact integers in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time breadth: truncation, month boundaries, ISO day-of-week /
+    week-of-year, day arithmetic.  Spark's ``dayofweek`` is 1=Sunday;
+    both sides are normalized to ISO (1=Monday) — the kind of off-by-one
+    that silently corrupts weekly rollups."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        # Spark dayofweek: 1=Sun..7=Sat → ISO 1=Mon..7=Sun
+        ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("long").alias("iso_dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
+    )
+
+
+@query(
+    "q_key_uniqueness",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)' AS key_name,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_keys,
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_dup_rows
+    FROM lineitem
+    """,
+)
+def q_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit (the data-quality gate every pipeline runs
+    before a merge/join): rows vs distinct keys per declared key.  The
+    distinct-count is a two-stage aggregate — partial distinct map-side,
+    never a global collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.agg(
+        F.lit("orders.o_orderkey").alias("key_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_dup_rows"),
+    )
+    l = li.agg(
+        F.lit("lineitem.(l_orderkey,l_linenumber)").alias("key_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("n_keys"),
+        (
+            F.count(F.lit(1)) - F.count_distinct("l_orderkey", "l_linenumber")
+        ).alias("n_dup_rows"),
+    )
+    return o.unionByName(l)

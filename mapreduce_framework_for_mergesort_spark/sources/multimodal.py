@@ -73,6 +73,88 @@ def decode_stub(payload: bytes, modality: str) -> list[float]:
     )
 
 
+FRAME_BYTES = 64
+
+FRAME_SCHEMA = (
+    "doc_id bigint, modality string, frame_idx int, frame_payload binary, "
+    "frame_n_bytes bigint"
+)
+
+
+def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[bytes]:
+    """Frame-decode seam.  For the deterministic 'text' stand-in, frames
+    are fixed-width byte windows (a proxy for GOP/keyframe decode — same
+    1→N shape, same batch mechanics).  Real video needs a codec library
+    and is an explicit error, mirroring ``decode_stub``."""
+    if modality == "text":
+        if not payload:
+            return []
+        return [payload[i : i + chunk] for i in range(0, len(payload), chunk)]
+    raise NotImplementedError(
+        f"frame decoder for modality {modality!r} requires codec libraries "
+        "not present in this environment"
+    )
+
+
+def sample_frames(binarized: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling: each payload row fans out to its sampled frames
+    (every ``every_n``-th) via ``mapInPandas`` — the one-to-many batch
+    shape a video pipeline needs (a pandas UDF can't change row count;
+    ``mapInPandas`` can).  Raw payloads are dropped in the same pass, so
+    the fan-out never shuffles the originals."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "modality": [], "frame_idx": [],
+                "frame_payload": [], "frame_n_bytes": [],
+            }
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                frames = frame_stub(payload, modality)[::every_n]
+                for idx, fp in enumerate(frames):
+                    out["doc_id"].append(doc_id)
+                    out["modality"].append(modality)
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(fp)
+                    out["frame_n_bytes"].append(len(fp))
+            yield pd.DataFrame(out)
+
+    return binarized.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+def resize_payload(binarized: DataFrame, target_bytes: int) -> DataFrame:
+    """Resize seam: normalize every payload to ``target_bytes`` (the
+    image-resize analog — output size becomes uniform, which is what
+    makes downstream batches rectangular).  The 'text' stand-in
+    truncates / zero-pads; metadata is recomputed in the same
+    projection so it can never drift from the payload."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def rz(p, m):
+                if m != "text":
+                    raise NotImplementedError(
+                        f"resize for modality {m!r} requires codec libraries"
+                    )
+                p = p or b""
+                return p[:target_bytes].ljust(target_bytes, b"\x00")
+
+            resized = [rz(p, m) for p, m in zip(pdf["payload"], pdf["modality"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": resized,
+                    "meta_mime": pdf["meta_mime"],
+                    "meta_n_bytes": [len(p) for p in resized],
+                }
+            )
+
+    return binarized.mapInPandas(resize_batches, MODALITY_SCHEMA)
+
+
 def extract_features(binarized: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature pipeline over ``mapInPandas``.
 

@@ -31,6 +31,7 @@ ORACLE_KEYS = [
     "q_regex_funcs",
     "q_embed_ivf_topk",
     "q_multimodal_binary",
+    "q_multimodal_frames",
 ]
 
 
@@ -130,6 +131,40 @@ def test_multimodal_feature_pipeline(spark, sf_smoke):
     # deterministic: same input → same features
     again = M.extract_features(M.binarize_documents(docs)).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_resize_normalizes_and_errors(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    resized = M.resize_payload(M.binarize_documents(docs), 32).collect()
+    assert all(
+        r["meta_n_bytes"] == 32 and len(r["payload"]) == 32 for r in resized
+    )
+    video = spark.createDataFrame(
+        [(1, "video", bytearray(b"xx"), "video/mp4", 2)],
+        "doc_id long, modality string, payload binary, meta_mime string, meta_n_bytes long",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        M.resize_payload(video, 32).collect()
+
+
+def test_multimodal_frame_sampling_fans_out(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    b = M.binarize_documents(docs)
+    all_frames = M.sample_frames(b, every_n=1)
+    sampled = M.sample_frames(b, every_n=2)
+    n_all, n_half = all_frames.count(), sampled.count()
+    assert n_all > 10  # real fan-out: more frames than docs
+    assert n_half <= n_all
+    # frame bytes reassemble the payload when nothing is skipped
+    doc0 = b.orderBy("doc_id").first()
+    parts = (
+        all_frames.where(F.col("doc_id") == doc0["doc_id"])
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert b"".join(bytes(p["frame_payload"]) for p in parts) == bytes(
+        doc0["payload"]
+    )
 
 
 def test_multimodal_unknown_modality_raises(spark):

@@ -32,6 +32,12 @@ RELATIONAL_KEYS = [
     "q_sample_systematic",
     "q_scalar_funcs",
     "q_array_funcs",
+    # second extension wave (relational_ext2.py)
+    "q_grouping_sets",
+    "q_conditional_funcs",
+    "q_window_time_range",
+    "q_date_funcs",
+    "q_key_uniqueness",
 ]
 
 
