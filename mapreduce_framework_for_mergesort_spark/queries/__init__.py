@@ -50,6 +50,7 @@ from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
     similarity_family,
     sort_family,
     sources_family,
+    udf_family,
     streaming_family,
     text_family,
 )

@@ -157,6 +157,71 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cdc_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'U'
+                  WHEN o_orderkey % 7 = 0 THEN 'D' END AS op,
+             o_totalprice + 1000.0 AS new_price
+      FROM orders
+      WHERE o_orderkey % 3 = 0 OR o_orderkey % 7 = 0),
+    inserts AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, 'I' AS op,
+             o_totalprice AS new_price
+      FROM orders WHERE o_orderkey % 11 = 0),
+    all_changes AS (
+      SELECT * FROM changes UNION ALL SELECT * FROM inserts),
+    survivors AS (
+      SELECT o.o_orderkey, o.o_totalprice
+      FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM all_changes c
+        WHERE c.o_orderkey = o.o_orderkey AND c.op IN ('U', 'D'))),
+    merged AS (
+      SELECT o_orderkey, o_totalprice FROM survivors
+      UNION ALL
+      SELECT o_orderkey, new_price AS o_totalprice
+      FROM all_changes WHERE op IN ('I', 'U'))
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM merged
+    """,
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: a deterministic change feed (updates on key%3, deletes
+    on key%7, inserts with shifted keys on key%11) applied via
+    ``operators/upsert.apply_cdc`` — anti-join survivors + union payload
+    — then reduced to (row count, exact total) for the oracle."""
+    from mapreduce_framework_for_mergesort_spark.operators.upsert import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    changes = (
+        orders.where((k % 3 == 0) | (k % 7 == 0))
+        .select(
+            "o_orderkey",
+            F.when(k % 3 == 0, "U").otherwise("D").alias("op"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+    )
+    inserts = orders.where(k % 11 == 0).select(
+        (k + 100_000_000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice"),
+    )
+    merged = apply_cdc(
+        orders, changes.unionByName(inserts), ["o_orderkey"], op_col="op"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("o_totalprice", alias="total"),
+    )
+
+
+@query(
     "q_key_uniqueness",
     oracle="""
     SELECT 'orders.o_orderkey' AS key_name,

@@ -38,6 +38,7 @@ RELATIONAL_KEYS = [
     "q_window_time_range",
     "q_date_funcs",
     "q_key_uniqueness",
+    "q_cdc_upsert",
 ]
 
 
