@@ -15,6 +15,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from mapreduce_framework_for_mergesort_spark.metrics import (
+    JobMetrics,
+    run_with_metrics,
+)
 from mapreduce_framework_for_mergesort_spark.operators import ingest, sort
 
 
@@ -38,6 +42,21 @@ class MergeSortEngine:
         df = self.sort_ints(self.ingest(file_name, chunk_size))
         ingest.write_ints_text(df, out)
         return out
+
+    def sort_file_with_stats(
+        self,
+        file_name: str,
+        chunk_size: int | None = None,
+        merge_jobs: int | None = None,
+        output_path: str | None = None,
+    ) -> tuple[str, JobMetrics]:
+        """``sort_file`` plus the reference's post-job stats report
+        (task counts / failures / elapsed — ``ServerHandler.java:64-75``
+        prints the same after every job)."""
+        return run_with_metrics(
+            self.spark,
+            lambda: self.sort_file(file_name, chunk_size, merge_jobs, output_path),
+        )
 
     def ingest(self, file_name: str, chunk_size: int | None = None) -> DataFrame:
         if chunk_size:
