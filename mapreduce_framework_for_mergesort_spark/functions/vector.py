@@ -23,6 +23,15 @@ def spark_dot(a: str, b: str) -> str:
     )
 
 
+# Per-PAIR scoring through Catalyst expressions — the fold above, or an
+# unrolled 64-term sum — is interpreted at ~10 µs/pair and must not be
+# the hot loop of an all-pairs/blocked-pairs operator.  The fast path is
+# the NumPy kernel + exact-rescore pattern in
+# ``operators/dedup.embedding_near_dup_pairs`` (candidates at BLAS
+# speed, final filter through this exact fold).  Per-ROW scoring (one
+# query vector against the table) is fine: N folds, not N².
+
+
 def spark_cosine(a: str, b: str) -> str:
     return (
         f"{spark_dot(a, b)} / "

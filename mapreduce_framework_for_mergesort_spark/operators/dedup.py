@@ -114,14 +114,25 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(documents: DataFrame, tau: float) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+def ngram_jaccard_pairs(
+    documents: DataFrame, tau: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """N-gram Jaccard similarity, **LSH-blocked by default**: exact
+    verification runs only over ``candidates`` (doc_a < doc_b pairs) —
+    when none are given, the MinHash/LSH candidate pairs.
 
-    shingle-explode → self-equi-join on shingle → per-pair intersection
-    count → |A∪B| = |A|+|B|−|A∩B|.  Never compares docs with zero
-    overlap (the join prunes them), so cost tracks true overlap, not N².
-    The final division is one double op — deterministic cross-engine.
+    The unblocked form (join every pair sharing ≥1 shingle) looks linear
+    at small SF but is quadratic in duplication: a shingle shared by k
+    docs yields k² pairs, so a 10× corpus with hot boilerplate blew up
+    the 10× scale run (SCALE_NOTES.md).  Blocking bounds work to
+    |candidates| × |shingles per doc|.
+
+    Per-pair intersection uses the shingle-equality join count
+    (multiset-product counting — the DuckDB oracle mirrors the identical
+    formulation); |A∪B| = |A|+|B|−|A∩B|; the division is one double op.
     """
+    if candidates is None:
+        candidates = lsh_candidate_pairs(minhash_bands(documents))
     sh = (
         _with_shingles(documents)
         .where(F.size("__sh") > 0)
@@ -129,14 +140,14 @@ def ngram_jaccard_pairs(documents: DataFrame, tau: float) -> DataFrame:
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (
-        a.join(
+        candidates.alias("c")
+        .join(a, F.col("a.doc_id") == F.col("c.doc_a"))
+        .join(
             b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("b.doc_id") == F.col("c.doc_b"))
+            & (F.col("a.s") == F.col("b.s")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        .groupBy("c.doc_a", "c.doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
             F.first(F.col("a.n_sh")).alias("na"),
@@ -152,21 +163,56 @@ def ngram_jaccard_pairs(documents: DataFrame, tau: float) -> DataFrame:
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, tau: float) -> DataFrame:
-    """Exact cosine near-dup pairs (verification tier).
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, tau: float, num_centroids: int = 8, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, **IVF-cell-blocked**: vectors are
+    assigned to their nearest centroid (``similarity.ivf_cells``) and
+    only same-cell pairs are scored exactly.
 
-    All-pairs via theta-join (a < b): O(N²) per-row folds — correct and
-    cheap at candidate-set size, NOT the 100 TB entry point (run LSH
-    first; see module docstring).
+    The unblocked all-pairs theta-join is O(N²) cosine folds — 200M
+    pair-folds already at the 10× scale run.  Cell blocking divides that
+    by ~num_centroids; at real scale centroids grow ∝ √N so cells stay
+    bounded.  True near-dups (cosine ≥ τ with τ high) co-locate in a
+    cell with high probability; the deterministic assignment keeps the
+    whole operator oracle-checkable, unlike random LSH.
     """
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    from mapreduce_framework_for_mergesort_spark.operators.similarity import (
+        ivf_cells,
     )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-    )
+
+    # Tier 1 — candidate generation: a NumPy/BLAS kernel per cell emits
+    # pairs scoring ≥ τ−ε.  All-pairs scoring through Catalyst
+    # expressions is interpreted at ~10 µs/pair (HOF folds and 64-term
+    # unrolled sums both refuse codegen at this width — measured, see
+    # SCALE_NOTES.md); the matmul does the same work in milliseconds.
+    # Tier 2 — exactness: survivors are re-scored with the engine's
+    # canonical fold expression and filtered at τ, so the FINAL result
+    # is bit-identical to the oracle regardless of BLAS summation order
+    # (ε = 1e-6 is ~6 orders beyond double-vs-BLAS drift; no true pair
+    # can be missed).
+    cells = ivf_cells(embeddings, num_centroids)
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = np.sqrt((X * X).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        G = (X / norms[:, None]) @ (X / norms[:, None]).T
+        ia, ib = np.where(G >= tau - 1e-6)
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep]})
+
+    cand = cells.groupBy("cell").applyInPandas(cell_pairs, "vec_a long, vec_b long")
+
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cosine", F.expr(V.spark_cosine("ea", "eb")))
         .where(F.col("cosine") >= tau)
         .select("vec_a", "vec_b", "cosine")

