@@ -22,6 +22,7 @@ from mapreduce_framework_for_mergesort_spark.queries import query
 from mapreduce_framework_for_mergesort_spark.streaming import (
     dedup_stream,
     enrich_stream_with_dim,
+    interval_join_events,
     run_to_memory,
     sessionize_stream,
     stream_events,
@@ -161,4 +162,31 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_to_memory(
         agg, f"q_stream_static_join_{next(_seq)}", output_mode="complete"
+    )
+
+
+@query(
+    "q_stream_interval_join",
+    oracle="""
+    SELECT a.event_id AS probe_id,
+           a.user_id,
+           b.event_id AS follow_id,
+           b.event_type AS follow_type
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_id % 50 = 0
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: sampled probe events joined to each
+    same-user event in the following 6 hours — both sides unbounded,
+    state bounded by watermark + interval.  Drained with availableNow,
+    the result equals the batch self-join the oracle runs."""
+    probes = stream_events(spark, sf_dir).where(F.col("event_id") % 50 == 0)
+    others = stream_events(spark, sf_dir)
+    joined = interval_join_events(probes, others, "6 hours", "1 day")
+    return run_to_memory(
+        joined, f"q_stream_interval_join_{next(_seq)}", output_mode="append"
     )

@@ -95,6 +95,10 @@ def test_q_stream_static_join_oracle(spark, sf_oracle):
     compare_query(spark, "q_stream_static_join", sf_oracle, QUERIES, ORACLE)
 
 
+def test_q_stream_interval_join_oracle(spark, sf_oracle):
+    compare_query(spark, "q_stream_interval_join", sf_oracle, QUERIES, ORACLE)
+
+
 def test_dedup_within_watermark_bounds_state(spark, sf_smoke):
     """Watermarked dedup: every key survives at least once, and the
     output never exceeds the input (keep-first semantics are
