@@ -222,6 +222,95 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bucket id is one floor-divide (codegen
+    projection), then a low-cardinality aggregate — the profile/sanity
+    pass every ingest pipeline runs before committing a partition
+    layout.  Bucket arithmetic is exact (floor of a double divide on
+    identical operands)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice", alias="sum_price"),
+        )
+    )
+
+
+@query(
+    "q_corr_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM m
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group — but NOT via the built-in ``corr``
+    (both engines stream doubles through it in partition order, which is
+    not reproducible).  The moment sums (Σx, Σy, Σx², Σy², Σxy) are
+    DECIMAL — exact and order-free — and the final formula is one fixed
+    double expression tree, so the coefficient verifies bitwise."""
+    d = "decimal(18,2)"
+    x = F.col("l_quantity").cast(d)
+    y = F.col("l_extendedprice").cast(d)
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
     "q_key_uniqueness",
     oracle="""
     SELECT 'orders.o_orderkey' AS key_name,

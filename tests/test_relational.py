@@ -39,6 +39,8 @@ RELATIONAL_KEYS = [
     "q_date_funcs",
     "q_key_uniqueness",
     "q_cdc_upsert",
+    "q_histogram",
+    "q_corr_stats",
 ]
 
 
