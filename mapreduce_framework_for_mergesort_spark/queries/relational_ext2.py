@@ -222,6 +222,60 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_posexplode",
+    oracle="""
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, embedding[i] AS val
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         unnest(range(1, len(embedding) + 1)) AS u(i)
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode with ordinality (``posexplode``): the long-format
+    unpivot of an array column — narrow 1→N generator, no shuffle.
+    Sampled (1-in-25 vectors) because the long format multiplies rows by
+    the array width; at scale you explode *after* filtering, never
+    before."""
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 25 == 0
+    )
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+
+
+@query(
+    "q_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, nullif(c_nationkey % 5, 4) AS grp FROM customer),
+    b AS (
+      SELECT nullif(n_nationkey % 5, 4) AS grp, COUNT(*) AS n_nations
+      FROM nation GROUP BY 1)
+    SELECT a.c_custkey, a.grp, b.n_nations
+    FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+    """,
+)
+def q_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the semantics
+    dimension tables with 'unknown' buckets need.  Still a plain hash
+    join on the key (null-safe equality is hashable), not a nested
+    loop."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("grp")
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.nullif(F.col("n_nationkey") % 5, F.lit(4)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    return cust.join(F.broadcast(nat), cust["grp"].eqNullSafe(nat["grp"])).select(
+        "c_custkey", cust["grp"].alias("grp"), "n_nations"
+    )
+
+
+@query(
     "q_histogram",
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,

@@ -103,3 +103,43 @@ def test_empty_input(spark):
     empty = _df(spark, [])
     assert sort.sort_global(empty, ["value"]).count() == 0
     assert sort.with_global_rank(empty, ["value"], num_partitions=2).count() == 0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    n_base=st.integers(min_value=0, max_value=40),
+    ops=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=60),
+                  st.sampled_from(["I", "U", "D"])),
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_cdc_upsert_matches_dict_semantics(spark, n_base, ops):
+    """apply_cdc == dict-application oracle: U replaces, D removes,
+    I inserts (keys unique within a change set by contract)."""
+    from mapreduce_framework_for_mergesort_spark.operators.upsert import apply_cdc
+
+    # contract: 'I' is for genuinely new keys (an I on an existing key is
+    # the caller's bug) — collide-as-insert becomes update here
+    ops = [(k, "U" if op == "I" and k < n_base else op) for k, op in ops]
+    base = {k: k * 10 for k in range(n_base)}
+    expect = dict(base)
+    for k, op in ops:
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = k * 10 + 1
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or
+        spark.sparkContext.emptyRDD(),  # typed empty
+        "k int, v int",
+    )
+    ch_df = spark.createDataFrame(
+        [(k, op, k * 10 + 1) for k, op in ops] or
+        spark.sparkContext.emptyRDD(),
+        "k int, op string, v int",
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(base_df, ch_df, ["k"]).collect()}
+    assert got == expect

@@ -41,6 +41,8 @@ RELATIONAL_KEYS = [
     "q_cdc_upsert",
     "q_histogram",
     "q_corr_stats",
+    "q_posexplode",
+    "q_nullsafe_join",
 ]
 
 
