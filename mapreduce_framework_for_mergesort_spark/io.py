@@ -41,6 +41,17 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects outright.  The caller may hand us a *vanilla*
+        # SparkSession (the correctness driver does exactly that), so the
+        # session-factory conf in session.py cannot be relied on; both
+        # confs below are runtime-settable, so set them here where the
+        # read actually happens.  Timezone is pinned to UTC because the
+        # rebuilt timestamp is TIMESTAMP_LTZ and hour()/window() semantics
+        # must match the timezone-naive DuckDB oracle.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as raw ns via

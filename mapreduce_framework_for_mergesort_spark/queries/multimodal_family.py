@@ -38,11 +38,53 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # rows-only: Python decode seam
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           modality,
+           n_bytes,
+           array_to_string([
+               n_bytes,
+               CASE WHEN n_bytes > 0 THEN unicode(substr(text, 1, 1)) ELSE 0 END,
+               CASE WHEN n_bytes > 0 THEN unicode(substr(text, length(text), 1)) ELSE 0 END,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT),
+               CAST(length(text) - length(replace(text, 'a', '')) AS BIGINT),
+               CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT),
+               n_bytes % 251,
+               CASE WHEN n_bytes > 0
+                    THEN (unicode(substr(text, 1, 1)) * 31
+                          + unicode(substr(text, length(text), 1))) % 997
+                    ELSE 0 END
+           ], ',') AS feature_csv
+    FROM (
+        SELECT doc_id, 'text' AS modality, text,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode → fixed-width feature arrays."""
+    """Arrow-batched mapInPandas decode → fixed-width feature vectors.
+
+    The decode itself runs in Python over the payload *bytes* (the real
+    seam); the fake codec's features are closed-form over those bytes so
+    the oracle recomputes them from the source text.  The array is
+    projected to a CSV string because the driver's canonicalizer cannot
+    hash array cells (round-1 `unhashable type: 'list'` failure); the
+    feature values are integral by construction so the long cast is exact.
+    """
     b = M.binarize_documents(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(b)
+    feats = M.extract_features(b)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("long").cast("string")),
+            ",",
+        ).alias("feature_csv"),
+    )
 
 
 @query(

@@ -397,19 +397,36 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(embedding) AS BIGINT) AS dim,
            embedding[1] AS first_val,
            embedding[len(embedding)] AS last_val,
-           embedding[1:3] AS head3
+           array_to_string(
+               list_transform(
+                   embedding[1:3],
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               ), ',') AS head3_csv
     FROM embeddings
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function bundle over the embedding column: size, element
-    access, slicing — all JVM builtins (no UDF), the primitives the
-    similarity family composes."""
+    access, slicing, transform, join — all JVM builtins (no UDF), the
+    primitives the similarity family composes.
+
+    The slice is emitted as a CSV of micro-scaled longs, not a raw
+    ``array<float>``: the driver's canonicalizer cannot hash array cells
+    (round-1 failure), and int-scaling avoids float-to-string formatting
+    divergence between engines (float→double widening is exact; x*1e6 and
+    round-half-away-from-zero agree bit-for-bit on identical doubles).
+    """
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", -1).alias("last_val"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double") * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("head3_csv"),
     )

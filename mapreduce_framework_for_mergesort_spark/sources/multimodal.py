@@ -52,13 +52,28 @@ def binarize_documents(documents: DataFrame) -> DataFrame:
 
 def fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a codec: FEATURE_DIM floats derived from
-    byte-position sums.  Stable across runs/machines; no external libs."""
-    if payload is None:
+    the payload bytes.  Stable across runs/machines; no external libs.
+
+    Every feature is closed-form over the bytes so a SQL oracle can
+    recompute it exactly (see ``q_multimodal_features``): byte length,
+    first/last byte, counts of three ASCII bytes, and two modular mixes.
+    (Char-count SQL equals byte-count here because the fixture text is
+    ASCII; multibyte payloads would only affect the three count features.)
+    """
+    if not payload:
         return [0.0] * FEATURE_DIM
-    acc = [0] * FEATURE_DIM
-    for i, byte in enumerate(payload):
-        acc[i % FEATURE_DIM] += byte
-    return [float(a % 997) for a in acc]
+    n = len(payload)
+    first, last = payload[0], payload[-1]
+    return [
+        float(n),
+        float(first),
+        float(last),
+        float(payload.count(b" ")),
+        float(payload.count(b"a")),
+        float(payload.count(b"e")),
+        float(n % 251),
+        float((first * 31 + last) % 997),
+    ]
 
 
 def decode_stub(payload: bytes, modality: str) -> list[float]:
