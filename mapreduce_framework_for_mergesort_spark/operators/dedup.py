@@ -29,11 +29,24 @@ from mapreduce_framework_for_mergesort_spark.functions import vector as V
 
 
 def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Exact dedup: one row per distinct key (physical: hash aggregate
-    with map-side partial dedup; equivalent to ``dropDuplicates`` but with
-    a *deterministic* survivor — min rowkey — instead of an arbitrary one).
+    """Exact dedup: one row per distinct key, with a *deterministic*
+    survivor — the row whose non-key columns are lexicographically
+    smallest (struct-min) — unlike ``dropDuplicates``, whose survivor is
+    whichever row the hash aggregate sees first.  Physical plan is the
+    same single hash aggregate with map-side partials (min composes);
+    when every column is part of the key the struct-min degenerates to
+    plain ``dropDuplicates``.
     """
-    return df.dropDuplicates(cols)
+    rest = [c for c in df.columns if c not in cols]
+    if not rest:
+        return df.dropDuplicates(cols)
+    picked = df.groupBy(*cols).agg(F.min(F.struct(*rest)).alias("__surv"))
+    return picked.select(
+        *[
+            F.col(f"__surv.{c}").alias(c) if c in rest else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def exact_dup_groups(documents: DataFrame, key: str = "text") -> DataFrame:
@@ -77,18 +90,27 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, materialize: bool = True
+) -> DataFrame:
     """Docs sharing any band → candidate near-dup pair (a < b), distinct.
 
     Equi-join on (band_id, band_val): band_id in the key spreads each
     doc's bands across partitions; hot band values are AQE-skew-split.
 
-    The band index is persisted across the self-join — otherwise both
-    join sides recompute the full signature pipeline (measured 2x cost).
-    At scale this materialization is the LSH *index build*, normally
-    written to storage once and joined many times.
+    The band index is materialized (checkpointed to local disk) before
+    the self-join — otherwise both join sides recompute the full
+    signature pipeline (measured 2x cost).  ``localCheckpoint(eager)``
+    instead of ``persist()``: a persist with no paired unpersist leaks
+    executor storage memory for the session lifetime (round-1 finding);
+    checkpoint blocks are reclaimed with the DataFrame by the
+    ContextCleaner, no caller-side release protocol needed.  At real
+    scale this materialization is the LSH *index build*, normally
+    written to a table once and joined many times — pass
+    ``materialize=False`` when ``bands`` is already stored.
     """
-    bands = bands.persist()
+    if materialize:
+        bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -16,6 +16,8 @@ oracle status for the ANN query.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,28 +26,46 @@ from mapreduce_framework_for_mergesort_spark.functions import vector as V
 NUM_PLANES = 8
 
 
-def _hyperplane_component(plane: int, i: str) -> str:
-    """Deterministic pseudo-random component in [-7.5, 7.5]/7.5: first hex
-    digit of md5('<plane>_<i>') recentered.  conv() hex→dec exists in both
-    engines' SQL, but only Spark needs it (the oracle never sees planes).
-    """
-    return (
-        f"(CAST(conv(substring(md5(concat('{plane}', '_', CAST({i} AS STRING))), 1, 2), 16, 10) "
-        f"AS DOUBLE) - 127.5)"
-    )
+def _hyperplane_matrix(dim: int):
+    """Deterministic (dim × NUM_PLANES) hyperplane matrix: component
+    (i, p) is the first hex byte of md5('<p>_<i>') recentered to
+    [-127.5, 127.5].  Derived from md5, not an RNG — reproducible across
+    runs, machines, and engines with no seed state to ship around."""
+    import hashlib
 
-
-def _bucket_expr(emb_col: str, dim: int) -> str:
-    """Sign-bit bucket string over NUM_PLANES deterministic hyperplanes."""
-    bits = []
+    H = np.empty((dim, NUM_PLANES), dtype=np.float64)
     for p in range(NUM_PLANES):
-        dot = (
-            f"aggregate(zip_with({emb_col}, "
-            f"transform(sequence(1, {dim}), i -> {_hyperplane_component(p, 'i')}), "
-            f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        bits.append(f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)")
-    return f"concat({', '.join(bits)})"
+        for i in range(1, dim + 1):
+            hx = hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:2]
+            H[i - 1, p] = int(hx, 16) - 127.5
+    return H
+
+
+def lsh_bucket_udf(dim: int):
+    """Arrow-batched bucket assignment: ONE NumPy matmul per batch
+    against the md5-derived hyperplane matrix, then sign bits → bucket
+    string.
+
+    This replaces a per-row Catalyst HOF fold (8 planes × dim-term
+    ``aggregate(zip_with(...))``) that ran interpreted — no codegen —
+    at ~10 µs/row (SCALE_NOTES.md measurements); bucketing a 100 TB
+    corpus through that expression was the round-1 scale-killer flagged
+    in VERDICT.md.  The matmul does the identical arithmetic at BLAS
+    speed; the matrix is built on the driver and ships inside the UDF
+    closure (dim × 8 doubles — trivially broadcastable)."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = _hyperplane_matrix(dim)
+    powers = 1 << np.arange(NUM_PLANES - 1, -1, -1)
+
+    @pandas_udf("string")
+    def bucket(emb: pd.Series) -> pd.Series:
+        X = np.array(emb.tolist(), dtype=np.float64)
+        codes = ((X @ H) >= 0.0) @ powers  # (n,) ints in [0, 2^planes)
+        fmt = f"0{NUM_PLANES}b"
+        return pd.Series([format(int(c), fmt) for c in codes])
+
+    return bucket
 
 
 def brute_force_topk(
@@ -131,7 +151,9 @@ def lsh_bucketed_topk(
     and queries prune to one partition — the scan-everything term drops
     out entirely.
     """
-    bucketed = embeddings.withColumn("bucket", F.expr(_bucket_expr("embedding", dim)))
+    bucketed = embeddings.withColumn(
+        "bucket", lsh_bucket_udf(dim)(F.col("embedding"))
+    )
     q = (
         bucketed.where(F.col("vec_id") == query_vec_id)
         .select(F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket"))

@@ -17,6 +17,7 @@ from mapreduce_framework_for_mergesort_spark.streaming.windows import (  # noqa:
 )
 from mapreduce_framework_for_mergesort_spark.streaming.stateful import (  # noqa: F401
     sessionize_stream,
+    sessionize_stream_watermarked,
 )
 from mapreduce_framework_for_mergesort_spark.streaming.dedup import (  # noqa: F401
     dedup_stream,

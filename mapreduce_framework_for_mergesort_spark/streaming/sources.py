@@ -28,6 +28,11 @@ def stream_events(
     ``maxFilesPerTrigger`` bounds per-microbatch intake (backpressure).
     """
     path = table_path(sf_dir, "events")
+    # Runtime-set (not session-factory) so a vanilla SparkSession — the
+    # correctness driver's calling convention — can read the
+    # TIMESTAMP(NANOS) parquet; mirrors io.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

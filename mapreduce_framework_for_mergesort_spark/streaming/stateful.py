@@ -11,17 +11,33 @@ Two entry points:
 * ``sessionize_batch`` — the same semantics in pure DataFrame algebra
   (lag → gap flag → running count → aggregate), usable as a batch
   operator and as the oracle for the streaming path.
-* ``sessionize_stream`` — the streaming operator.  State is four
-  parallel arrays (starts, ends, counts, totals) of *open* sessions;
-  intervals are merged order-robustly, so out-of-order and cross-batch
-  events land correctly.  A session is emitted (and dropped from state)
-  once ``end + gap < max event time seen for the key`` — no later event
-  can extend it unless it violates the key's own observed timeline,
-  which is the same contract a watermark enforces globally.
+* ``sessionize_stream`` — the drain-deterministic streaming operator.
+  State is four parallel arrays (starts, ends, counts, totals-in-cents)
+  of *open* sessions; intervals are merged order-robustly, so
+  out-of-order events land correctly *within* the batches seen so far.
+  A session is emitted (and dropped from state) once
+  ``end + gap < max event time seen for the key``.  CONTRACT: input must
+  be per-key near-ordered **across microbatches** — an event that
+  arrives in a later batch but falls before an already-emitted session's
+  ``end + gap`` produces a second (split) session for that key.  For
+  sources that can be later than that, use
+  ``sessionize_stream_watermarked``, which only emits below the query
+  watermark.  The per-key-max variant exists because it is
+  drain-deterministic: drained with availableNow it emits every
+  closeable session regardless of final watermark position, which is
+  what lets the driver hash-compare it against a batch oracle.
+
+* ``sessionize_stream_watermarked`` — the production variant for
+  genuinely out-of-order unbounded sources: emission is gated on the
+  query watermark (``GroupState.getCurrentWatermarkMs``), and idle keys
+  flush via ``EventTimeTimeout`` timeouts, so any event the watermark
+  still admits can extend its session before emission.
 
 Scale notes: state is per-user and bounded by the number of *open*
 sessions (almost always 1); the shuffle is the groupBy(user_id) hash
 partition that any sessionizer needs.  Arrow moves batches in columns.
+Session values accumulate as integer cents (exact, order-independent)
+— the Python mirror of the DataFrame layer's DECIMAL-sum discipline.
 """
 
 from __future__ import annotations
@@ -41,7 +57,7 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = (
     "starts array<bigint>, ends array<bigint>, "
-    "counts array<int>, totals array<double>"
+    "counts array<int>, totals array<bigint>"  # totals = integer cents
 )
 
 
@@ -81,15 +97,31 @@ def sessionize_batch(events: DataFrame, gap: str = DEFAULT_GAP) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).cast("int").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # DECIMAL partial sums: order-independent, exact vs the oracle.
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
     ).select(
         "user_id", "session_start", "session_end", "n_events", "total_value"
     )
 
 
+def _to_cents(v: float) -> int:
+    """Quantize a double to integer cents exactly the way Spark's
+    ``CAST(double AS DECIMAL(18,2))`` does: shortest decimal repr
+    (Double.toString == Python repr), then HALF_UP at 2 places.  Integer
+    cents make the session total an exact, order-independent sum."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(float(v))).quantize(Decimal("0.01"), ROUND_HALF_UP)
+        * 100
+    )
+
+
 def _merge_sessions(
-    rows: list[tuple[int, int, int, float]], gap_us: int
-) -> list[tuple[int, int, int, float]]:
+    rows: list[tuple[int, int, int, int]], gap_us: int
+) -> list[tuple[int, int, int, int]]:
     """Union point/interval sessions whose gap is ≤ gap_us (sorted by start)."""
     rows.sort()
     merged: list[list] = []
@@ -115,14 +147,14 @@ def sessionize_stream(
         state,  # GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        rows: list[tuple[int, int, int, float]] = []
+        rows: list[tuple[int, int, int, int]] = []
         if state.exists:
             starts, ends, counts, totals = state.get
             rows += list(zip(starts, ends, counts, totals))
         for pdf in pdfs:
             us = pdf["ts"].astype("int64") // 1000
             for t, v in zip(us, pdf["value"]):
-                rows.append((int(t), int(t), 1, float(v)))
+                rows.append((int(t), int(t), 1, _to_cents(v)))
         sessions = _merge_sessions(rows, gap_us)
         max_ts = max(e for _, e, _, _ in sessions)
         closed = [s for s in sessions if s[1] + gap_us < max_ts]
@@ -135,20 +167,7 @@ def sessionize_stream(
                 [s[3] for s in kept],
             )
         )
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": pd.to_datetime(
-                        [s[0] * 1000 for s in closed]
-                    ),
-                    "session_end": pd.to_datetime(
-                        [s[1] * 1000 for s in closed]
-                    ),
-                    "n_events": [s[2] for s in closed],
-                    "total_value": [round(s[3], 2) for s in closed],
-                }
-            )
+        yield from _emit(user_id, closed)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -161,5 +180,95 @@ def sessionize_stream(
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def _emit(user_id: int, closed: list[tuple[int, int, int, int]]):
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": pd.to_datetime(
+                    [s[0] * 1000 for s in closed]
+                ),
+                "session_end": pd.to_datetime(
+                    [s[1] * 1000 for s in closed]
+                ),
+                "n_events": [s[2] for s in closed],
+                # cents → double is the same decimal(18,2)→double cast the
+                # batch operator performs; exact at 2 decimals.
+                "total_value": [s[3] / 100.0 for s in closed],
+            }
+        )
+
+
+def sessionize_stream_watermarked(
+    events: DataFrame, gap: str = DEFAULT_GAP, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermark-gated gap sessionization for out-of-order sources.
+
+    Emission is bounded by the *query watermark*, not the key's own max
+    event time: a session leaves state only when ``end + gap`` is below
+    the watermark, so any event the watermark still admits can extend it
+    first — no duplicate/split sessions under admissible late data.
+    Idle keys flush through ``EventTimeTimeout`` (a key with no new
+    input still gets a timeout invocation once the watermark passes its
+    earliest close point).  The cost of that correctness: sessions
+    younger than the final watermark are never emitted on a drained
+    finite input, so the availableNow-drain hash check uses
+    ``sessionize_stream`` instead.
+    """
+    gap_us = _gap_to_us(gap)
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state,  # GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows: list[tuple[int, int, int, int]] = []
+        if state.exists:
+            starts, ends, counts, totals = state.get
+            rows += list(zip(starts, ends, counts, totals))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                us = pdf["ts"].astype("int64") // 1000
+                for t, v in zip(us, pdf["value"]):
+                    rows.append((int(t), int(t), 1, _to_cents(v)))
+        sessions = _merge_sessions(rows, gap_us)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        kept = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if kept:
+            state.update(
+                (
+                    [s[0] for s in kept],
+                    [s[1] for s in kept],
+                    [s[2] for s in kept],
+                    [s[3] for s in kept],
+                )
+            )
+            # Wake this key when the watermark can first close a session,
+            # even if it never receives another event.
+            next_close_ms = min(s[1] + gap_us for s in kept) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(next_close_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.remove()
+        yield from _emit(user_id, closed)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -37,7 +37,12 @@ def windowed_event_aggregate(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # DECIMAL partial sums are order-independent (exact); a raw
+            # DOUBLE sum can flip the 2nd decimal at a rounding boundary
+            # depending on partial-aggregation order.
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
