@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mapreduce_framework_for_mergesort_spark.queries import QUERIES  # noqa: E402
 from mapreduce_framework_for_mergesort_spark.session import get_spark  # noqa: E402
 
+# Mirrors the consolidated registry (round-2: ≤50 keys, see README.md);
+# every name here has a green CORRECTNESS row — the bench stays honest
+# about what is verified.
 HEADLINE = [
     "q_sort_global",
     "q_sort_within_partitions",
@@ -29,29 +32,29 @@ HEADLINE = [
     "q_join_enrich",
     "q_agg_pricing_summary",
     "q_events_sessionize",
-    "q_window_running_total",
     "q_group_topn",
     "q_asof_join",
-    "q_semi_anti_join",
+    "q_join_variants",
     "q_cube_grouping",
     "q_window_funcs",
     "q_salted_agg",
-    "q_percentiles",
+    "q_profile_stats",
     "q_range_band_join",
     "q_scalar_funcs",
-    "q_partitioned_parquet",
+    "q_source_roundtrips",
     "q_dedup_exact",
-    "q_dedup_minhash_bands",
     "q_dedup_minhash_pairs",
     "q_dedup_simhash",
     "q_text_stats",
-    "q_quality_score",
-    "q_fingerprint",
+    "q_text_doc_profile",
+    "q_lang_id",
     "q_tfidf_top_terms",
     "q_embed_topk_sim",
     "q_embed_ivf_topk",
     "q_bucketed_join",
     "q_multimodal_binary",
+    "q_multimodal_features",
+    "q_udf_suite",
 ]
 
 

@@ -48,11 +48,13 @@ def median_long(v: pd.Series) -> int:  # Series -> scalar ⇒ grouped-agg UDF
     return int(s.iloc[(len(s) - 1) // 2])
 
 
-@udtf(returnType="word: string, pos: int")
+@udtf(returnType="word: string, pos: int", useArrow=True)
 class SplitWords:
     """Python UDTF: one text row → one row per whitespace token with its
     position.  The generalized-explode seam; real uses are parsers and
-    tokenizers that emit structured rows."""
+    tokenizers that emit structured rows.  ``useArrow=True`` pins Arrow
+    transfer at the decorator (conf-independent, so the driver's vanilla
+    session gets columnar batches too) — plan node ArrowEvalPythonUDTF."""
 
     def eval(self, text: str):
         if text:

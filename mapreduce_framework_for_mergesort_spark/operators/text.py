@@ -96,10 +96,14 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
+def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
     """Stopword-hit argmax language ID with deterministic tiebreak (the
     CASE order).  A real system uses char-n-gram models; the operator
-    shape (per-row classify → label column) is identical."""
+    shape (per-row classify → label column) is identical.
+
+    ``with_fingerprint=True`` appends the winnowing-style content
+    fingerprint (min md5 over char 8-grams) in the same projection —
+    classify + fingerprint share one scan."""
     toks = H.spark_tokens("text")
     df = documents
     langs = list(LANG_STOPWORDS)
@@ -112,10 +116,52 @@ def lang_id(documents: DataFrame) -> DataFrame:
         )
         branches.append(f"WHEN {cond} THEN '{lang}'")
     pred = f"CASE {' '.join(branches)} ELSE 'und' END"
-    return df.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.col("lang").alias("labeled_lang"),
         F.expr(pred).alias("pred_lang"),
+    ]
+    if with_fingerprint:
+        cols.append(F.expr(H.spark_fingerprint("text")).alias("fingerprint"))
+    return df.select(*cols)
+
+
+def doc_profile(documents: DataFrame) -> DataFrame:
+    """Per-document profile: token/subword/char counts, punctuation and
+    stopword ratios, the heuristic quality score, and the regex scalar
+    bundle (extract / replace-all / extract-all count / match test) —
+    ONE whole-stage-codegen projection over one scan; at 100 TB this is
+    the single-pass per-doc featurizer a filter pipeline wants, not five
+    passes.  Patterns stay in the POSIX-compatible subset where Java
+    regex and DuckDB's RE2 agree; both return '' for a no-match
+    extract."""
+    toks = H.spark_tokens("text")
+    n_tokens = f"size({toks})"
+    bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)"
+    punct = f"(char_length(text) - char_length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
+    stop_hits = _hits(toks, LANG_STOPWORDS["en"])
+    return documents.select(
+        "doc_id",
+        F.expr(n_tokens).cast("long").alias("n_tokens"),
+        F.expr(f"size({bpe})").cast("long").alias("n_subwords"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.expr(
+            f"CAST({punct} AS DOUBLE) / char_length(text)"
+        ).alias("punct_ratio"),
+        F.expr(
+            f"CAST({stop_hits} AS DOUBLE) / {n_tokens}"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"0.4 * least(CAST({n_tokens} AS DOUBLE) / 64.0, CAST(1 AS DOUBLE)) "
+            f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length(text)) "
+            f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
+        ).alias("quality"),
+        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("no_digits"),
+        F.expr(r"size(regexp_extract_all(text, '([A-Z][a-z]+)', 1))")
+        .cast("long")
+        .alias("n_capitalized"),
+        F.col("text").rlike("https?://").alias("has_url"),
     )
 
 

@@ -41,18 +41,22 @@ def query(name: str, oracle: str | None = None):
 
 
 # Import for side effect: each module registers its family of queries.
+# Order matters: the driver checks at most 50 keys in registry order, so
+# the reference-parity sort family and the core relational spine lead;
+# the registry is kept ≤ 50 keys total (see README.md consolidation map).
 from mapreduce_framework_for_mergesort_spark.queries import (  # noqa: E402,F401
+    sort_family,
     dedup_family,
-    multimodal_family,
     relational,
     relational_ext,
     relational_ext2,
-    similarity_family,
-    sort_family,
-    sources_family,
-    udf_family,
-    streaming_family,
+    profile_family,
     text_family,
+    similarity_family,
+    multimodal_family,
+    udf_family,
+    sources_family,
+    streaming_family,
 )
 
 __all__ = ["QUERIES", "ORACLE", "query"]

@@ -56,12 +56,12 @@ def _duckdb_bands_cte() -> str:
     """
 
 
-@query(
-    "q_dedup_minhash_bands",
-    oracle=_duckdb_bands_cte() + "SELECT doc_id, band_id, band_val FROM bands",
-)
-def q_dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH index itself (doc → band rows) — fully oracle-verified."""
+def minhash_bands_unregistered(spark, sf_dir):
+    """The LSH index (doc → band rows).  Was its own driver key
+    (``q_dedup_minhash_bands``) in round 1; consolidated out for the
+    driver's 50-key budget — ``q_dedup_minhash_pairs``'s oracle
+    re-derives the full band pipeline in SQL, so the index math is still
+    exactly verified, and tests/test_llm_ops.py pins it directly."""
     return D.minhash_bands(load_table(spark, sf_dir, "documents"))
 
 

@@ -1,0 +1,227 @@
+"""Data-profiling query: one long-format (metric, grp, value) audit pass
+combining exact-decimal Pearson correlation, exact percentiles,
+key-uniqueness counts, a fixed-width histogram, and a deterministic
+systematic sample — round-1 keys ``q_corr_stats`` / ``q_percentiles`` /
+``q_key_uniqueness`` / ``q_histogram`` / ``q_sample_systematic``,
+consolidated to the driver's 50-key check budget.  Every constituent
+aggregate is unchanged (DECIMAL moment sums, quantile_cont-equivalent
+interpolation, floor-divide buckets); only the output surface is the
+shared long format.  All values are exact in double (counts < 2^53,
+decimal sums cast once at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators.relational import dec_sum
+from mapreduce_framework_for_mergesort_spark.queries import query
+
+
+def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
+    """Project an aggregate into (metric, grp, value) rows."""
+    outs = []
+    for metric, col in pairs:
+        outs.append(
+            df.select(
+                F.lit(metric).alias("metric"),
+                grp_col.cast("string").alias("grp"),
+                col.cast("double").alias("value"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "q_profile_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag),
+    corr_rows AS (
+      SELECT 'corr_qty_price' AS metric, l_returnflag AS grp,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS value
+      FROM m
+      UNION ALL
+      SELECT 'group_n', l_returnflag, CAST(n AS DOUBLE) FROM m),
+    pct_rows AS (
+      SELECT 'p25_qty' AS metric, l_returnflag AS grp,
+             quantile_cont(l_quantity, 0.25) AS value
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'p50_qty', l_returnflag, quantile_cont(l_quantity, 0.50)
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'p75_qty', l_returnflag, quantile_cont(l_quantity, 0.75)
+      FROM lineitem GROUP BY l_returnflag),
+    uniq_rows AS (
+      SELECT 'n_rows' AS metric, 'orders.o_orderkey' AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+      UNION ALL
+      SELECT 'n_keys', 'orders.o_orderkey',
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT 'n_dup_rows', 'orders.o_orderkey',
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+      UNION ALL
+      SELECT 'n_rows', 'lineitem.(l_orderkey,l_linenumber)',
+             CAST(COUNT(*) AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'n_keys', 'lineitem.(l_orderkey,l_linenumber)',
+             CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'n_dup_rows', 'lineitem.(l_orderkey,l_linenumber)',
+             CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+                  AS DOUBLE)
+      FROM lineitem),
+    hist_rows AS (
+      SELECT 'hist_n' AS metric,
+             CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR)
+               AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS value
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'hist_sum_price',
+             CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders GROUP BY 2),
+    sample_rows AS (
+      SELECT 'sample_n' AS metric, l_returnflag AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS value
+      FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'sample_sum_qty', l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_returnflag)
+    SELECT * FROM corr_rows
+    UNION ALL SELECT * FROM pct_rows
+    UNION ALL SELECT * FROM uniq_rows
+    UNION ALL SELECT * FROM hist_rows
+    UNION ALL SELECT * FROM sample_rows
+    """,
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiling audit pass.  Correlation avoids the built-in
+    ``corr`` (order-dependent double streaming): DECIMAL moment sums are
+    exact and order-free, and the final coefficient is one fixed double
+    expression tree, so it verifies bitwise.  Exact percentiles need a
+    per-group sort; ``approx_percentile`` (KLL/GK sketch, one pass,
+    mergeable) is the 100 TB path — tested with a tolerance bound in
+    tests/test_relational.py since sketches aren't cross-engine
+    reproducible.  The distinct-counts are two-stage partial aggregates,
+    never a global collect; the systematic key-modulo sample is
+    reproducible across engines, unlike ``TABLESAMPLE``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = "decimal(18,2)"
+    x = F.col("l_quantity").cast(d)
+    y = F.col("l_extendedprice").cast(d)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    corr_rows = _long(
+        m, F.col("l_returnflag"),
+        [("corr_qty_price", corr), ("group_n", F.col("n"))],
+    )
+
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+    pct_rows = _long(
+        pct, F.col("l_returnflag"),
+        [("p25_qty", F.col("p25")), ("p50_qty", F.col("p50")),
+         ("p75_qty", F.col("p75"))],
+    )
+
+    o_uniq = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+    l_uniq = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("n_keys"),
+    )
+    uniq_rows = _long(
+        o_uniq, F.lit("orders.o_orderkey"),
+        [("n_rows", F.col("n_rows")), ("n_keys", F.col("n_keys")),
+         ("n_dup_rows", F.col("n_rows") - F.col("n_keys"))],
+    ).unionByName(
+        _long(
+            l_uniq, F.lit("lineitem.(l_orderkey,l_linenumber)"),
+            [("n_rows", F.col("n_rows")), ("n_keys", F.col("n_keys")),
+             ("n_dup_rows", F.col("n_rows") - F.col("n_keys"))],
+        )
+    )
+
+    hist = (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("hn"),
+            dec_sum("o_totalprice", alias="hsum"),
+        )
+    )
+    hist_rows = _long(
+        hist, F.col("bucket"),
+        [("hist_n", F.col("hn")), ("hist_sum_price", F.col("hsum"))],
+    )
+
+    samp = (
+        li.where(F.col("l_orderkey") % 50 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("sn"),
+            dec_sum("l_quantity", alias="ssum"),
+        )
+    )
+    sample_rows = _long(
+        samp, F.col("l_returnflag"),
+        [("sample_n", F.col("sn")), ("sample_sum_qty", F.col("ssum"))],
+    )
+
+    return (
+        corr_rows.unionByName(pct_rows)
+        .unionByName(uniq_rows)
+        .unionByName(hist_rows)
+        .unionByName(sample_rows)
+    )

@@ -1,5 +1,8 @@
-"""Relational-spine queries: joins, aggregates, windows, set ops, JSON,
-as-of join — each with an exact DuckDB oracle."""
+"""Relational-spine queries: joins, aggregates, set ops, JSON, as-of
+join — each with an exact DuckDB oracle.  (Round-1 keys
+q_window_running_total / q_distinct / q_rollup were consolidated into
+q_window_funcs / q_set_ops / q_grouping_sets respectively — the driver
+checks at most 50 keys; operator coverage is unchanged, see README.md.)"""
 
 from __future__ import annotations
 
@@ -76,22 +79,6 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_window_running_total",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_total
-    FROM orders
-    """,
-)
-def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.running_total_per_customer(load_table(spark, sf_dir, "orders"))
-
-
-@query(
     "q_group_topn",
     oracle="""
     SELECT * FROM (
@@ -116,20 +103,6 @@ def q_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_distinct",
-    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-)
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct = hash aggregate on the pair (map-side partial dedup
-    before the shuffle; low-cardinality result)."""
-    return (
-        load_table(spark, sf_dir, "customer")
-        .select("c_mktsegment", "c_nationkey")
-        .distinct()
-    )
-
-
-@query(
     "q_set_ops",
     oracle="""
     WITH big_spenders AS (
@@ -144,7 +117,9 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION ALL in one result, tagged."""
+    """INTERSECT / EXCEPT / UNION ALL in one result, tagged.  Also the
+    registry's DISTINCT coverage (round-1 ``q_distinct`` consolidated
+    here — the big-spenders branch is a .distinct() hash aggregate)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     big = (
@@ -160,28 +135,6 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rich_only").alias("tag"), "custkey"
     )
     return both.unionByName(rich_only)
-
-
-@query(
-    "q_rollup",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical totals (grouping-sets family)."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            R.dec_sum("l_quantity", alias="sum_qty"),
-        )
-    )
 
 
 @query(

