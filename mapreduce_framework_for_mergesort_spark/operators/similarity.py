@@ -26,18 +26,25 @@ from mapreduce_framework_for_mergesort_spark.functions import vector as V
 NUM_PLANES = 8
 
 
-def _hyperplane_matrix(dim: int):
-    """Deterministic (dim × NUM_PLANES) hyperplane matrix: component
-    (i, p) is the first hex byte of md5('<p>_<i>') recentered to
-    [-127.5, 127.5].  Derived from md5, not an RNG — reproducible across
-    runs, machines, and engines with no seed state to ship around."""
+QUANT = 1 << 20  # component quantization scale (see lsh_bucket_udf)
+
+
+def hyperplane_matrix_int(dim: int):
+    """Deterministic integer (dim × NUM_PLANES) hyperplane matrix:
+    component (i, p) is ``2·hexbyte − 255`` where hexbyte is the first
+    hex byte of md5('<p>_<i>') — the round-1 ``hexbyte − 127.5`` planes
+    scaled by 2 into integers (positive scaling, identical sign
+    structure).  Derived from md5, not an RNG — reproducible across
+    runs, machines, and engines with no seed state to ship around, and
+    *integer* so the dot products below are exact in any summation
+    order."""
     import hashlib
 
-    H = np.empty((dim, NUM_PLANES), dtype=np.float64)
+    H = np.empty((dim, NUM_PLANES), dtype=np.int64)
     for p in range(NUM_PLANES):
         for i in range(1, dim + 1):
             hx = hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:2]
-            H[i - 1, p] = int(hx, 16) - 127.5
+            H[i - 1, p] = 2 * int(hx, 16) - 255
     return H
 
 
@@ -52,20 +59,59 @@ def lsh_bucket_udf(dim: int):
     corpus through that expression was the round-1 scale-killer flagged
     in VERDICT.md.  The matmul does the identical arithmetic at BLAS
     speed; the matrix is built on the driver and ships inside the UDF
-    closure (dim × 8 doubles — trivially broadcastable)."""
+    closure (dim × 8 int64 — trivially broadcastable).
+
+    Exactness: components are quantized to integers
+    (``round-half-away(x · 2^20)``, matching SQL ``round`` semantics)
+    and the planes are integers, so every dot product is an exact int64
+    sum — independent of summation order.  A BLAS matmul and a SQL
+    SUM() therefore agree bit-for-bit, which is what lets
+    ``q_embed_ann_lsh`` carry a full DuckDB oracle instead of a
+    rows-only check (a float matmul's last-ulp drift vs a SQL fold
+    could flip a sign bit on a boundary row)."""
     from pyspark.sql.functions import pandas_udf
 
-    H = _hyperplane_matrix(dim)
+    H = hyperplane_matrix_int(dim)
     powers = 1 << np.arange(NUM_PLANES - 1, -1, -1)
 
     @pandas_udf("string")
     def bucket(emb: pd.Series) -> pd.Series:
-        X = np.array(emb.tolist(), dtype=np.float64)
-        codes = ((X @ H) >= 0.0) @ powers  # (n,) ints in [0, 2^planes)
+        X = np.array(emb.tolist(), dtype=np.float64) * QUANT
+        # round half away from zero (SQL round), not numpy's half-even
+        Xq = (np.sign(X) * np.floor(np.abs(X) + 0.5)).astype(np.int64)
+        codes = ((Xq @ H) >= 0) @ powers  # (n,) ints in [0, 2^planes)
         fmt = f"0{NUM_PLANES}b"
         return pd.Series([format(int(c), fmt) for c in codes])
 
     return bucket
+
+
+def duckdb_bucket_cte(dim: int, table: str = "embeddings") -> str:
+    """DuckDB CTE replicating the integer LSH bucketing exactly: the
+    hyperplane matrix is embedded as a literal VALUES table (the same
+    md5-derived constants the UDF uses), the quantized dot is an exact
+    BIGINT SUM, and the bucket string aggregates sign bits in plane
+    order.  Yields CTEs ``hp(i, p, h)`` and ``buckets(vec_id, bucket)``."""
+    H = hyperplane_matrix_int(dim)
+    rows = ", ".join(
+        f"({i + 1}, {p}, {int(H[i, p])})"
+        for p in range(NUM_PLANES)
+        for i in range(dim)
+    )
+    return f"""
+    hp(i, p, h) AS (VALUES {rows}),
+    dots AS (
+      SELECT e.vec_id, hp.p,
+             SUM(CAST(round(CAST(e.embedding[hp.i] AS DOUBLE) * {QUANT})
+                      AS BIGINT) * hp.h) AS dot
+      FROM {table} e, hp
+      GROUP BY e.vec_id, hp.p),
+    buckets AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY p) AS bucket
+      FROM dots GROUP BY vec_id)
+    """
 
 
 def brute_force_topk(

@@ -87,12 +87,39 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_ann_lsh")  # rows-only: ANN recall is probabilistic by design
+@query(
+    "q_embed_ann_lsh",
+    oracle=f"""
+    WITH {S.duckdb_bucket_cte(DIM)},
+    q AS (
+      SELECT e.embedding AS qe, b.bucket AS qbucket
+      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+      WHERE e.vec_id = {QUERY_VEC}),
+    s AS (
+      SELECT e.vec_id, {V.duckdb_cosine('e.embedding', 'qe', DIM)} AS score
+      FROM embeddings e
+      JOIN buckets b ON e.vec_id = b.vec_id
+      CROSS JOIN q
+      WHERE b.bucket = q.qbucket)
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
+           vec_id, score
+    FROM s
+    ORDER BY score DESC, vec_id
+    LIMIT {TOPK}
+    """,
+)
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed ANN top-k — the 100 TB scale path
-    (bucket prune → exact rerank).  Recall vs. the brute-force baseline
-    is asserted in tests/test_similarity.py; no SQL oracle because the
-    result is legitimately approximate."""
-    return S.lsh_bucketed_topk(
+    (bucket prune → exact rerank).  *Recall* is probabilistic (bounded
+    vs the brute-force baseline in tests/test_llm_ops.py), but since
+    round 2 the bucketing itself is exact integer arithmetic
+    (quantized components × integer planes — order-independent int64
+    sums), so the index + search result is fully oracle-verified: the
+    round-1 rows-only check is gone."""
+    top = S.lsh_bucketed_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC, TOPK, DIM
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "score"
     )

@@ -30,6 +30,7 @@ ORACLE_KEYS = [
     "q_lang_id",
     "q_tfidf_top_terms",
     "q_embed_ivf_topk",
+    "q_embed_ann_lsh",
     "q_multimodal_binary",
     "q_multimodal_features",
     "q_multimodal_frames",
