@@ -21,20 +21,21 @@ from mapreduce_framework_for_mergesort_spark.queries import query
 
 
 def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
-    """Project an aggregate into (metric, grp, value) rows."""
-    outs = []
-    for metric, col in pairs:
-        outs.append(
-            df.select(
+    """Project an aggregate into (metric, grp, value) rows via ONE
+    explode — not a union of per-metric selects, which would re-evaluate
+    the source aggregate (and re-scan its input) once per metric."""
+    kvs = F.array(
+        *[
+            F.struct(
                 F.lit(metric).alias("metric"),
-                grp_col.cast("string").alias("grp"),
                 col.cast("double").alias("value"),
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+            for metric, col in pairs
+        ]
+    )
+    return df.select(
+        grp_col.cast("string").alias("grp"), F.explode(kvs).alias("kv")
+    ).select(F.col("kv.metric").alias("metric"), "grp", F.col("kv.value").alias("value"))
 
 
 @query(
@@ -136,7 +137,15 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = "decimal(18,2)"
     x = F.col("l_quantity").cast(d)
     y = F.col("l_extendedprice").cast(d)
+    sampled = F.col("l_orderkey") % 50 == 0
 
+    # ONE lineitem pass serves correlation moments, exact percentiles,
+    # AND the systematic-sample aggregates: all are per-returnflag
+    # aggregates, the sample via conditional (filtered) aggregation.
+    # A second lineitem pass covers the whole-table key-uniqueness
+    # distinct-count; orders takes one pass per grain (global, bucket).
+    # 4 scans total instead of round 1's seven across five queries —
+    # at 100 TB the scan count IS the audit's cost.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -144,6 +153,11 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
         F.sum(x * y).alias("sxy"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.count(F.when(sampled, 1)).alias("sn"),
+        F.sum(F.when(sampled, x)).cast("double").alias("ssum"),
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -155,20 +169,18 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (nd * sxy - sx * sy) / (
         F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
     )
-    corr_rows = _long(
+    li_rows = _long(
         m, F.col("l_returnflag"),
-        [("corr_qty_price", corr), ("group_n", F.col("n"))],
-    )
-
-    pct = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
-    )
-    pct_rows = _long(
-        pct, F.col("l_returnflag"),
-        [("p25_qty", F.col("p25")), ("p50_qty", F.col("p50")),
+        [("corr_qty_price", corr), ("group_n", F.col("n")),
+         ("p25_qty", F.col("p25")), ("p50_qty", F.col("p50")),
          ("p75_qty", F.col("p75"))],
+    ).unionByName(
+        # conditional agg emits sn=0 groups the oracle's WHERE…GROUP BY
+        # never sees — drop them to keep the surfaces identical
+        _long(
+            m.where(F.col("sn") > 0), F.col("l_returnflag"),
+            [("sample_n", F.col("sn")), ("sample_sum_qty", F.col("ssum"))],
+        )
     )
 
     o_uniq = orders.agg(
@@ -206,22 +218,4 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("hist_n", F.col("hn")), ("hist_sum_price", F.col("hsum"))],
     )
 
-    samp = (
-        li.where(F.col("l_orderkey") % 50 == 0)
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("sn"),
-            dec_sum("l_quantity", alias="ssum"),
-        )
-    )
-    sample_rows = _long(
-        samp, F.col("l_returnflag"),
-        [("sample_n", F.col("sn")), ("sample_sum_qty", F.col("ssum"))],
-    )
-
-    return (
-        corr_rows.unionByName(pct_rows)
-        .unionByName(uniq_rows)
-        .unionByName(hist_rows)
-        .unionByName(sample_rows)
-    )
+    return li_rows.unionByName(uniq_rows).unionByName(hist_rows)

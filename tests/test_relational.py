@@ -121,3 +121,42 @@ def test_approx_percentile_within_tolerance(spark, sf_oracle):
     ).collect()[0]
     # l_quantity spans 1..50; accuracy=1000 keeps the sketch within ~1 unit.
     assert abs(row["approx"] - row["exact"]) <= 1.0, row
+
+
+def test_window_funcs_single_shuffle(spark, sf_oracle):
+    """All seven window expressions (incl. the absorbed running total)
+    must share ONE exchange — they use the same partition key."""
+    plan = (
+        QUERIES["q_window_funcs"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_scalar_funcs_is_one_narrow_projection(spark, sf_oracle):
+    """The 27-column scalar bundle (string/math/conditional/date) must
+    stay a shuffle-free single-scan projection."""
+    plan = (
+        QUERIES["q_scalar_funcs"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_profile_stats_bounded_scans(spark, sf_oracle):
+    """The consolidated audit must not re-scan per metric: two grouped
+    lineitem passes (stats+sample / uniqueness) + two orders passes
+    (uniqueness / histogram) + one filtered re-reference, bounded at 5
+    scans total (round-1's five separate queries cost 7+)."""
+    plan = (
+        QUERIES["q_profile_stats"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") <= 5, plan
