@@ -68,9 +68,18 @@ def main() -> None:
     spark = get_spark(app_name="msfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen path once so per-query times measure the
-    # queries, not first-touch initialization.
+    # Warm the JVM/codegen path AND the Arrow Python worker pool once so
+    # per-query times measure the queries, not first-touch
+    # initialization (a cold pandas_udf pays ~2-4 s of worker spawn that
+    # has nothing to do with the operator being measured).
     force(QUERIES["q_topk"](spark, sf_dir))
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(v):
+        return v
+
+    force(spark.range(10_000).repartition(64).select(_warm(col("id"))))
 
     times: dict[str, float] = {}
     for name in HEADLINE:
