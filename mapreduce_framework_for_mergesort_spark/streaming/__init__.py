@@ -10,6 +10,7 @@ operators can't express the semantics (gap sessionization).
 
 from mapreduce_framework_for_mergesort_spark.streaming.sources import (  # noqa: F401
     run_to_memory,
+    run_to_parquet,
     stream_events,
 )
 from mapreduce_framework_for_mergesort_spark.streaming.windows import (  # noqa: F401

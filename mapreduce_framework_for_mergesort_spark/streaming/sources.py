@@ -47,6 +47,32 @@ def stream_events(
     return df
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain a stream into a parquet directory with exactly-once
+    semantics: the checkpoint records source offsets + the file-sink
+    manifest transactionally, so a crashed/re-run query resumes from
+    the last committed batch and never duplicates or loses rows (a
+    re-drain over already-committed input is a no-op).  This is the
+    durable counterpart of ``run_to_memory`` — the shape a production
+    pipeline uses for stream → table materialization; readers see only
+    manifest-committed files, so a mid-write crash is invisible.
+    """
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "update"
 ) -> DataFrame:

@@ -122,3 +122,38 @@ def test_dedup_within_watermark_bounds_state(spark, sf_smoke):
     assert n_keys <= n_out <= n_in
     # within one watermark era over static input, exact dedup is achieved
     assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_file_sink_exactly_once_across_restarts(spark, sf_smoke, tmp_path):
+    """Durable stream->parquet with checkpointing: a re-drain over
+    already-committed input must be a no-op (no duplicate rows), and the
+    sink contents must equal the batch result of the same algebra."""
+    from mapreduce_framework_for_mergesort_spark.streaming import run_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    agg = windowed_event_aggregate(stream_events(spark, sf_smoke))
+    run_to_parquet(agg, out, ckpt)            # first drain commits all input
+    first = sorted(map(tuple, spark.read.parquet(out).collect()))
+    run_to_parquet(
+        windowed_event_aggregate(stream_events(spark, sf_smoke)), out, ckpt
+    )                                          # restart: nothing new -> no-op
+    second = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert first == second
+    # append mode emits only watermark-FINALIZED windows: those whose end
+    # is at or below max(ts) - 2h (the declared watermark).  The trailing
+    # windows stay in state — that is the append-mode contract, and why
+    # the hash-checked memory-sink queries use complete mode instead.
+    ev = load_table(spark, sf_smoke, "events")
+    from pyspark.sql import functions as F
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    want = sorted(
+        map(tuple, windowed_event_aggregate(ev)
+            .where(F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+                   <= F.lit(cutoff))
+            .collect())
+    )
+    assert second == want
