@@ -160,3 +160,19 @@ def test_profile_stats_bounded_scans(spark, sf_oracle):
         .toString()
     )
     assert plan.count("Scan parquet") <= 5, plan
+
+
+def test_asof_join_stays_linear_union_merge(spark, sf_oracle):
+    """The as-of join must remain the linear union-merge (tag, union,
+    one shuffle, prefix window) — never a per-key candidate join, whose
+    |events|x|orders| pair growth was the round-1 quadratic regression
+    (SCALE_NOTES.md)."""
+    plan = (
+        QUERIES["q_asof_join"](spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan          # no join operator of any kind
+    assert plan.count("Union") == 1, plan
+    assert plan.count("Exchange") == 1, plan  # the one (user, time) shuffle
