@@ -107,6 +107,25 @@ def q_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → ORC → read back → aggregate.  Spark's second vectorized
+    columnar format; pushdown/pruning semantics mirror parquet."""
+    path = _workdir(sf_dir, "orc_part")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    formats.write_orc(part, path)
+    back = formats.read_orc(spark, path)
+    return (
+        back.where(F.col("p_size") >= 25)
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("p_retailprice", alias="sum_price"),
+        )
+    )
+
+
 @query(
     "q_source_roundtrips",
     oracle="""
@@ -124,12 +143,18 @@ def q_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
            CAST(NULL AS BIGINT) AS sum_k
     FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'orc' AS fmt, CAST(p_size AS VARCHAR) AS grp, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
+           CAST(NULL AS BIGINT) AS sum_k
+    FROM part WHERE p_size >= 25 GROUP BY p_size
     """,
 )
 def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three serialization round-trips in one tagged union (registry
     consolidated to the driver's 50-key budget — round-1
-    ``q_csv_roundtrip`` + ``q_json_roundtrip`` + ``q_partitioned_parquet``).
+    ``q_csv_roundtrip`` + ``q_json_roundtrip`` + ``q_partitioned_parquet``,
+    plus a new ORC branch).
     Each branch writes the table out in the target format, reads it back
     through ``sources/formats.py``, and aggregates; the oracle aggregates
     the ORIGINAL parquet, so any loss in any text/partition hop would
@@ -157,4 +182,11 @@ def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue").alias("sum_metric"),
         F.lit(None).cast("long").alias("sum_k"),
     )
-    return csv.unionByName(jsonl).unionByName(pq)
+    orc = q_orc_roundtrip(spark, sf_dir).select(
+        F.lit("orc").alias("fmt"),
+        F.col("p_size").cast("string").alias("grp"),
+        "n",
+        F.col("sum_price").alias("sum_metric"),
+        F.lit(None).cast("long").alias("sum_k"),
+    )
+    return csv.unionByName(jsonl).unionByName(pq).unionByName(orc)

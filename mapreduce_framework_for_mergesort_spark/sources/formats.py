@@ -79,3 +79,14 @@ def write_partitioned_parquet(
 
 def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC: the other columnar-at-rest format Spark ships a vectorized
+    reader for (predicate pushdown + column pruning work the same as
+    parquet — ``PushedFilters`` appears in the scan node)."""
+    return spark.read.orc(path)
