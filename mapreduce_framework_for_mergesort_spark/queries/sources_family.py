@@ -136,7 +136,8 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'jsonl' AS fmt, event_type AS grp, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     UNION ALL
     SELECT 'parquet_part' AS fmt, o_orderpriority AS grp, COUNT(*) AS n,
