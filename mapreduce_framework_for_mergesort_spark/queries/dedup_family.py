@@ -15,6 +15,7 @@ from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import dedup as D
+from mapreduce_framework_for_mergesort_spark.operators import similarity as S
 from mapreduce_framework_for_mergesort_spark.queries import query
 
 JACCARD_TAU = 0.8
@@ -137,18 +138,7 @@ NUM_CELLS = 8
 @query(
     "q_dedup_embedding",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      WHERE vec_id < {NUM_CELLS}),
-    assign AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY {V.duckdb_cosine('e.embedding', 'c.ce', EMBED_DIM)} DESC,
-                        c.cid) AS rn
-      FROM embeddings e CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1)
+    WITH {S.duckdb_kmeans_cte(EMBED_DIM, NUM_CELLS)}
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {V.duckdb_cosine('a.embedding', 'b.embedding', EMBED_DIM)} AS cosine
     FROM cells a

@@ -48,18 +48,7 @@ NUM_CENTROIDS = 8
 @query(
     "q_embed_ivf_topk",
     oracle=f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS ce FROM embeddings
-      WHERE vec_id < {NUM_CENTROIDS}),
-    assign AS (
-      SELECT e.vec_id, e.embedding, c.cid,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY {V.duckdb_cosine('e.embedding', 'c.ce', DIM)} DESC, c.cid)
-               AS rn
-      FROM embeddings e CROSS JOIN cents c),
-    cells AS (
-      SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+    WITH {S.duckdb_kmeans_cte(DIM, NUM_CENTROIDS)},
     q AS (
       SELECT embedding AS qe, cell AS qcell FROM cells
       WHERE vec_id = {QUERY_VEC}),
@@ -74,10 +63,12 @@ NUM_CENTROIDS = 8
     """,
 )
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (cell assignment → single-cell probe → exact rerank).
-    Unlike the LSH variant, every step is exact deterministic arithmetic,
-    so the *whole index + search* is oracle-verified value-for-value;
-    recall vs. brute force is additionally bounded in tests."""
+    """IVF ANN (trained integer-k-means cells → single-cell probe →
+    exact rerank).  Unlike the LSH variant, every step — INCLUDING the
+    k-means training, round 3's upgrade from the first-C-vectors
+    stand-in — is exact deterministic arithmetic, so the *whole index +
+    search* is oracle-verified value-for-value; recall vs. brute force
+    is additionally bounded in tests."""
     top = S.ivf_topk(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC, TOPK, NUM_CENTROIDS
     )

