@@ -62,30 +62,161 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
-    spark = get_spark(app_name="msfs-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # Warm the JVM/codegen path AND the Arrow Python worker pool once so
-    # per-query times measure the queries, not first-touch
-    # initialization (a cold pandas_udf pays ~2-4 s of worker spawn that
-    # has nothing to do with the operator being measured).
+def _warm(spark, sf_dir: str) -> None:
+    """Warm the JVM/codegen path AND the Arrow Python worker pool once so
+    per-query times measure the queries, not first-touch initialization
+    (a cold pandas_udf pays ~2-4 s of worker spawn that has nothing to
+    do with the operator being measured)."""
     force(QUERIES["q_topk"](spark, sf_dir))
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("long")
-    def _warm(v):
+    def _ident(v):
         return v
 
-    force(spark.range(10_000).repartition(64).select(_warm(col("id"))))
+    force(spark.range(10_000).repartition(64).select(_ident(col("id"))))
+
+
+def _timed_sweep(spark, sf_dir: str, names) -> dict[str, float]:
+    """Force each query once; q_bucketed_join is split into its one-time
+    bucketed-table build and the zero-exchange join probe so the
+    round-over-round join timing is comparable (round-2 bench folded the
+    two writes into the join number)."""
+    from mapreduce_framework_for_mergesort_spark.queries.relational_ext import (
+        bucketed_join_probe,
+        bucketed_tables_build,
+    )
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(QUERIES[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+    for name in names:
+        if name == "q_bucketed_join":
+            t0 = time.perf_counter()
+            t_orders, t_cust = bucketed_tables_build(spark, sf_dir)
+            times["q_bucketed_join_build"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            force(bucketed_join_probe(spark, t_orders, t_cust))
+            times[name] = round(time.perf_counter() - t0, 3)
+        else:
+            t0 = time.perf_counter()
+            force(QUERIES[name](spark, sf_dir))
+            times[name] = round(time.perf_counter() - t0, 3)
+        # Drop the py4j references so the ContextCleaner reclaims this
+        # key's localCheckpoint/broadcast blocks before the next key runs
+        # — otherwise block accumulation across a 50-key sweep distorts
+        # late keys by up to ~30x (measured: q_range_band_join read
+        # 27.8 s inside the sweep, 0.75 s isolated).
+        import gc
+
+        gc.collect()
+    return times
+
+
+# ----- 10x key-shifted scale sweep (bench.py --scale) -----------------
+
+SCALE_DIR = "/tmp/msfs_scale_sf1"
+
+# fact tables replicate 10x with their PRIMARY keys shifted to stay
+# unique while JOIN keys (custkey, partkey, suppkey, user_id) and
+# payloads stay fixed — keys get HOTTER, not just more numerous, and
+# documents/embeddings gain 10x duplicates (the adversarial case for
+# dedup).  Dim tables keep their size: at 100 TB facts grow, dims don't.
+_FACT_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def ensure_scale_dir(replication: int = 10) -> str:
+    """Generate the 10x key-shifted replication of sf0.1 (idempotent) —
+    the method behind SCALE_NOTES.md, now checked in.  pyarrow, not a
+    SQL engine: the copies must keep the EXACT physical schema
+    (events.ts is timestamp[ns]; a DuckDB COPY would silently rewrite
+    it as micros and change what the readers exercise)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.1"
+    if os.path.isdir(SCALE_DIR) and len(os.listdir(SCALE_DIR)) == 10:
+        return SCALE_DIR
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    for t in _DIMS:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{SCALE_DIR}/{t}.parquet")
+    for t, keys in _FACT_SHIFT.items():
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        shift = {
+            k: pc.max(tab[k]).as_py() + 1 for k in keys
+        }
+        copies = []
+        for i in range(replication):
+            cols = [
+                pc.add(tab[c], i * shift[c]) if c in keys else tab[c]
+                for c in tab.column_names
+            ]
+            copies.append(
+                pa.table(dict(zip(tab.column_names, cols)))
+            )
+        out = pa.concat_tables(copies).cast(tab.schema.remove_metadata())
+        pq.write_table(out, f"{SCALE_DIR}/{t}.parquet")
+    return SCALE_DIR
+
+
+def scale_main(out_path: str) -> None:
+    """Per-key sf0.1 vs 10x sweep over the FULL registry, written as a
+    diffable JSON artifact (round-2 verdict item 8: promote the
+    SCALE_NOTES.md prose numbers to something CI-comparable)."""
+    ten = ensure_scale_dir()
+    spark = get_spark(app_name="msfs-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark, "/root/testdata/sf0.1")
+    base = _timed_sweep(spark, "/root/testdata/sf0.1", sorted(QUERIES))
+    tenx = _timed_sweep(spark, ten, sorted(QUERIES))
+    doc = {
+        "metric": "scale_sweep",
+        "replication": 10,
+        "keys": {
+            k: {
+                "sf0.1_sec": base[k],
+                "x10_sec": tenx[k],
+                "ratio": round(tenx[k] / base[k], 2) if base[k] else None,
+            }
+            for k in base
+        },
+        "total_sf0.1_sec": round(sum(base.values()), 3),
+        "total_x10_sec": round(sum(tenx.values()), 3),
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps({"metric": "scale_sweep_written", "out": out_path,
+                      "total_sf0.1_sec": doc["total_sf0.1_sec"],
+                      "total_x10_sec": doc["total_x10_sec"]}))
+
+
+def main() -> None:
+    if "--scale" in sys.argv:
+        i = sys.argv.index("--scale")
+        out = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else "SCALE_r03.json"
+        )
+        scale_main(out)
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    spark = get_spark(app_name="msfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark, sf_dir)
+    times = _timed_sweep(spark, sf_dir, HEADLINE)
 
     total = round(sum(times.values()), 3)
     print(

@@ -39,19 +39,32 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table.
+
+    .. warning:: loading ``events`` MUTATES THE SESSION GLOBALLY: it sets
+       ``spark.sql.session.timeZone=UTC`` and
+       ``spark.sql.legacy.parquet.nanosAsLong=true`` for the session's
+       remaining lifetime, changing timestamp semantics for unrelated
+       queries run later on the same session in a non-UTC environment.
+       This is deliberate and cannot be scoped: the confs are consulted
+       at *execution* time, so a save/restore around this (lazy) read
+       would silently corrupt the returned DataFrame's later runs.
+       Rationale: events.parquet stores TIMESTAMP(NANOS), which Spark's
+       parquet reader rejects outright, and the caller may hand us a
+       *vanilla* SparkSession (the correctness driver does exactly
+       that), so the session-factory conf in ``session.py`` cannot be
+       relied on.  UTC pins hour()/window() semantics of the rebuilt
+       TIMESTAMP_LTZ to match the timezone-naive DuckDB oracle.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects outright.  The caller may hand us a *vanilla*
-        # SparkSession (the correctness driver does exactly that), so the
-        # session-factory conf in session.py cannot be relied on; both
-        # confs below are runtime-settable, so set them here where the
-        # read actually happens.  Timezone is pinned to UTC because the
-        # rebuilt timestamp is TIMESTAMP_LTZ and hour()/window() semantics
-        # must match the timezone-naive DuckDB oracle.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for k, v in (
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+        ):
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as raw ns via

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
+from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+    materialize as _materialize,
+)
 
 
 def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -98,19 +101,21 @@ def lsh_candidate_pairs(
     Equi-join on (band_id, band_val): band_id in the key spreads each
     doc's bands across partitions; hot band values are AQE-skew-split.
 
-    The band index is materialized (checkpointed to local disk) before
-    the self-join — otherwise both join sides recompute the full
-    signature pipeline (measured 2x cost).  ``localCheckpoint(eager)``
-    instead of ``persist()``: a persist with no paired unpersist leaks
-    executor storage memory for the session lifetime (round-1 finding);
-    checkpoint blocks are reclaimed with the DataFrame by the
-    ContextCleaner, no caller-side release protocol needed.  At real
-    scale this materialization is the LSH *index build*, normally
-    written to a table once and joined many times — pass
-    ``materialize=False`` when ``bands`` is already stored.
+    The band index is materialized before the self-join — otherwise
+    both join sides recompute the full signature pipeline (measured 2x
+    cost).  Policy lives in ``operators/materialize.py``: a RELIABLE
+    ``df.checkpoint`` when the session has a checkpoint dir configured
+    (at 1000-executor scale unreplicated local blocks are lost on any
+    executor decommission — round-2 advisory), executor-local checkpoint
+    otherwise (blocks reclaimed with the DataFrame by the
+    ContextCleaner — no caller-side release protocol, unlike the
+    round-1 ``persist()`` leak).  At real scale this materialization is
+    the LSH *index build*, normally written to a table once and joined
+    many times — pass ``materialize=False`` when ``bands`` is already
+    stored.
     """
     if materialize:
-        bands = bands.localCheckpoint(eager=True)
+        bands = _materialize(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -148,8 +148,10 @@ NUM_CELLS = 8
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell-blocked embedding near-dup pairs: same-cell exact cosine
-    ≥ τ.  Both the deterministic cell assignment and the scoring are
-    replicated in the oracle, so the blocked pipeline is value-exact."""
+    ≥ τ.  The cells are TRAINED (integer k-means, round 3 — see
+    ``operators/similarity.kmeans_centroids``) yet the whole pipeline
+    stays value-exact: training, assignment, and scoring are all
+    replicated in the oracle's CTE chain."""
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), EMBED_TAU, NUM_CELLS
     )

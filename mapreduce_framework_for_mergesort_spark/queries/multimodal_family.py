@@ -2,8 +2,13 @@
 
 ``q_multimodal_binary`` proves the binary plumbing end-to-end with full
 oracle parity (payload bytes, lengths, sha256 digests agree across
-engines).  The decode/feature path (Python seam) is ``q_multimodal_features``
-— rows-only, since the fake codec is engine-side by construction.
+engines).  ``q_multimodal_features`` runs the decode/feature seam over
+two modalities — the closed-form text featurizer and a real stdlib
+WAV/PCM parse — both with exact SQL oracles recomputed from the source
+text (the features are closed-form over the payload bytes by
+construction; the fixture being ASCII — pinned in
+tests/test_llm_ops.py — is what makes char arithmetic equal byte
+arithmetic in the oracle).
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_features",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            modality,
            n_bytes,
@@ -62,19 +67,47 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     )
+    UNION ALL
+    SELECT doc_id,
+           'audio' AS modality,
+           CAST(44 + 2 * strlen(text) AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               CAST(strlen(text) AS BIGINT),
+               {M.AUDIO_RATE},
+               (list_min(ch) - 128) * 256,
+               (list_max(ch) - 128) * 256,
+               (ch[1] - 128) * 256,
+               (ch[strlen(text)] - 128) * 256,
+               CAST(list_sum(list_transform(ch, c -> abs((c - 128) * 256)))
+                    % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(len(list_filter(ch, c -> c > 128)) AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch
+        FROM documents
+    )
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode → fixed-width feature vectors.
+    """Arrow-batched mapInPandas decode → fixed-width feature vectors,
+    over TWO modalities: the closed-form text featurizer AND a real
+    stdlib WAV/PCM audio parse (payloads synthesized from the same text
+    bytes, so the oracle recomputes both branches from source — the
+    audio n_bytes check even pins the 44-byte RIFF header the container
+    must produce).
 
-    The decode itself runs in Python over the payload *bytes* (the real
-    seam); the fake codec's features are closed-form over those bytes so
-    the oracle recomputes them from the source text.  The array is
-    projected to a CSV string because the driver's canonicalizer cannot
-    hash array cells (round-1 `unhashable type: 'list'` failure); the
-    feature values are integral by construction so the long cast is exact.
+    The feature array is projected to a CSV string because the driver's
+    canonicalizer cannot hash array cells (round-1 `unhashable type:
+    'list'` failure); the feature values are integral by construction so
+    the long cast is exact (audio features < 2^24, exact in float32).
     """
-    b = M.binarize_documents(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    b = M.binarize_documents(docs).unionByName(
+        M.binarize_audio_documents(docs)
+    )
     feats = M.extract_features(b)
     return feats.select(
         "doc_id",

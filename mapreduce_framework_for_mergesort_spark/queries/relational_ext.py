@@ -289,22 +289,13 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_bucketed_join",
-    oracle="""
-    SELECT c_nationkey, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_nationkey
-    """,
-)
-def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Co-located fact⋈fact join over bucketed tables: both sides are
-    written bucketed by the join key (the write pays the shuffle once),
-    then the join itself plans with zero exchanges — each task merges
-    bucket i of both tables locally.  The no-exchange shape is pinned in
-    tests/test_bucketing.py."""
+def bucketed_tables_build(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """One-time index build for the co-located join: write orders and
+    customer bucketed (and sorted) by the join key — the write pays the
+    shuffle once so every later join plans with zero exchanges.  Split
+    out so the bench can time the build and the join separately
+    (round-2 bench attributed ~all of q_bucketed_join's wall time to
+    this write)."""
     import hashlib
 
     from mapreduce_framework_for_mergesort_spark.operators import bucketing as B
@@ -327,11 +318,38 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=8,
         sort_cols=["c_custkey"],
     )
+    return t_orders, t_cust
+
+
+def bucketed_join_probe(
+    spark: SparkSession, t_orders: str, t_cust: str
+) -> DataFrame:
+    """The zero-exchange part: bucket i of both tables merges locally
+    (no-exchange shape pinned in tests/test_bucketing.py)."""
+    from mapreduce_framework_for_mergesort_spark.operators import bucketing as B
+
     joined = B.colocated_join(spark, t_orders, t_cust, "o_custkey", "c_custkey")
     return joined.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         R.dec_sum("o_totalprice", alias="revenue"),
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join over bucketed tables: build (bucketed
+    write) + probe (zero-exchange sort-merge join)."""
+    t_orders, t_cust = bucketed_tables_build(spark, sf_dir)
+    return bucketed_join_probe(spark, t_orders, t_cust)
 
 
 @query(

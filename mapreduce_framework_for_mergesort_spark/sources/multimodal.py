@@ -76,15 +76,106 @@ def fake_decode(payload: bytes) -> list[float]:
     ]
 
 
+AUDIO_RATE = 8000
+
+AUDIO_SUM_MOD = 9973
+
+
+def synthesize_wav(data: bytes, rate: int = AUDIO_RATE) -> bytes:
+    """Deterministic PCM16 mono WAV from source bytes: sample i is
+    ``(byte_i − 128) · 256``.  A REAL RIFF/WAVE container (stdlib
+    ``wave`` — canonical 44-byte header + little-endian frames), so the
+    decode side exercises an actual audio parse, not a fake; the sample
+    mapping is closed-form so SQL oracles recompute features from the
+    source text."""
+    import io
+    import struct
+    import wave
+
+    frames = struct.pack(f"<{len(data)}h", *(((b - 128) * 256) for b in data))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """Stdlib WAV/PCM decode → FEATURE_DIM floats.  Parses the RIFF
+    container for real (format/channel validation included); every
+    feature is integral and closed-form over the samples:
+    [n_samples, rate, min, max, first, last, Σ|s| mod 9973, #positive].
+    All values < 2^24, so the float32 feature column holds them
+    exactly."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError(
+                f"expected PCM16 mono, got width={w.getsampwidth()} "
+                f"channels={w.getnchannels()}"
+            )
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n}h", raw)
+    if not samples:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(n),
+        float(rate),
+        float(min(samples)),
+        float(max(samples)),
+        float(samples[0]),
+        float(samples[-1]),
+        float(sum(abs(s) for s in samples) % AUDIO_SUM_MOD),
+        float(sum(1 for s in samples if s > 0)),
+    ]
+
+
 def decode_stub(payload: bytes, modality: str) -> list[float]:
-    """The real decode seam.  Image/audio/video codecs are not available
-    in this container — calling those paths is an explicit error, not a
-    silent fake."""
+    """The real decode seam.  'text' uses the closed-form byte
+    featurizer; 'audio' is a REAL stdlib WAV/PCM parse (round-3 upgrade
+    — one non-text modality exercisable end-to-end with no external
+    codec).  Image/video codecs are not available in this container —
+    those paths are an explicit error, not a silent fake."""
     if modality == "text":
         return fake_decode(payload)
+    if modality == "audio":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"decoder for modality {modality!r} requires codec libraries "
-        "(PIL/torchaudio/decord) not present in this environment"
+        "(PIL/decord) not present in this environment"
+    )
+
+
+def binarize_audio_documents(documents: DataFrame) -> DataFrame:
+    """Manufacture an audio-modality table: each document's text bytes
+    are synthesized into a real PCM16 WAV payload (``synthesize_wav``)
+    via Arrow-batched ``mapInPandas`` — the ingestion shape a real audio
+    corpus would arrive in (binary column + mime + size metadata)."""
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_wav(t.encode("utf-8")) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "audio",
+                    "payload": payloads,
+                    "meta_mime": "audio/wav",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth_batches, MODALITY_SCHEMA
     )
 
 

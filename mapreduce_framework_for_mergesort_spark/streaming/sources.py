@@ -26,13 +26,22 @@ def stream_events(
     unbounded input); we take it from a batch peek at the same path —
     in production this is the registered catalog/registry schema.
     ``maxFilesPerTrigger`` bounds per-microbatch intake (backpressure).
+
+    .. warning:: like ``io.load_table("events")``, this GLOBALLY pins
+       ``spark.sql.session.timeZone=UTC`` and the nanos-as-long legacy
+       conf on the caller's session for its remaining lifetime (see
+       ``io.load_table`` for why the mutation cannot be scoped).
     """
     path = table_path(sf_dir, "events")
     # Runtime-set (not session-factory) so a vanilla SparkSession — the
     # correctness driver's calling convention — can read the
     # TIMESTAMP(NANOS) parquet; mirrors io.load_table.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -13,16 +13,19 @@ Two entry points:
   operator and as the oracle for the streaming path.
 * ``sessionize_stream`` — the drain-deterministic streaming operator.
   State is four parallel arrays (starts, ends, counts, totals-in-cents)
-  of *open* sessions; intervals are merged order-robustly, so
-  out-of-order events land correctly *within* the batches seen so far.
-  A session is emitted (and dropped from state) once
-  ``end + gap < max event time seen for the key``.  CONTRACT: input must
-  be per-key near-ordered **across microbatches** — an event that
-  arrives in a later batch but falls before an already-emitted session's
-  ``end + gap`` produces a second (split) session for that key.  For
-  sources that can be later than that, use
-  ``sessionize_stream_watermarked``, which only emits below the query
-  watermark.  The per-key-max variant exists because it is
+  of *open* sessions plus the emitted-boundary high-water mark;
+  intervals are merged order-robustly, so out-of-order events land
+  correctly *within* the batches seen so far.  A session is emitted
+  (and dropped from state) once ``end + gap < max event time seen for
+  the key``.  CONTRACT: input must be per-key near-ordered **across
+  microbatches** — an event that arrives in a later batch but falls
+  before an already-emitted session's ``end + gap`` produces a second
+  (split) session for that key.  Violations are OBSERVABLE: pass
+  ``late_counter`` (an accumulator) and every such arrival is counted
+  against the state's high-water mark, so a silent-split source is
+  detected instead of trusted.  For sources that can be later than
+  that, use ``sessionize_stream_watermarked``, which only emits below
+  the query watermark.  The per-key-max variant exists because it is
   drain-deterministic: drained with availableNow it emits every
   closeable session regardless of final watermark position, which is
   what lets the driver hash-compare it against a batch oracle.
@@ -57,7 +60,8 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = (
     "starts array<bigint>, ends array<bigint>, "
-    "counts array<int>, totals array<bigint>"  # totals = integer cents
+    "counts array<int>, totals array<bigint>, "  # totals = integer cents
+    "hwm bigint"  # highest emitted end+gap — the ordering-contract line
 )
 
 
@@ -136,9 +140,22 @@ def _merge_sessions(
 
 
 def sessionize_stream(
-    events: DataFrame, gap: str = DEFAULT_GAP, watermark: str = "2 hours"
+    events: DataFrame,
+    gap: str = DEFAULT_GAP,
+    watermark: str = "2 hours",
+    late_counter=None,
 ) -> DataFrame:
-    """Streaming gap sessionization via ``applyInPandasWithState``."""
+    """Streaming gap sessionization via ``applyInPandasWithState``.
+
+    ``late_counter`` (an optional ``sparkContext.accumulator(0)``) makes
+    violations of the per-key near-ordered-arrival CONTRACT observable:
+    every event arriving at or below the key's already-emitted session
+    boundary (``end + gap`` high-water mark, carried in state) is
+    counted — such events silently produce split sessions, which is
+    exactly the failure mode the round-2 advisory wanted surfaced.
+    Monitoring jobs alert on a nonzero counter and switch the source to
+    ``sessionize_stream_watermarked``.
+    """
     gap_us = _gap_to_us(gap)
 
     def fn(
@@ -148,25 +165,35 @@ def sessionize_stream(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         rows: list[tuple[int, int, int, int]] = []
+        hwm = 0
         if state.exists:
-            starts, ends, counts, totals = state.get
+            starts, ends, counts, totals, hwm = state.get
+            hwm = hwm or 0
             rows += list(zip(starts, ends, counts, totals))
+        violations = 0
         for pdf in pdfs:
             us = pdf["ts"].astype("int64") // 1000
             for t, v in zip(us, pdf["value"]):
+                if int(t) <= hwm:
+                    violations += 1
                 rows.append((int(t), int(t), 1, _to_cents(v)))
         sessions = _merge_sessions(rows, gap_us)
         max_ts = max(e for _, e, _, _ in sessions)
         closed = [s for s in sessions if s[1] + gap_us < max_ts]
         kept = [s for s in sessions if s[1] + gap_us >= max_ts]
+        if closed:
+            hwm = max(hwm, max(s[1] + gap_us for s in closed))
         state.update(
             (
                 [s[0] for s in kept],
                 [s[1] for s in kept],
                 [s[2] for s in kept],
                 [s[3] for s in kept],
+                hwm,
             )
         )
+        if late_counter is not None and violations:
+            late_counter.add(violations)
         yield from _emit(user_id, closed)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -228,8 +255,10 @@ def sessionize_stream_watermarked(
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         rows: list[tuple[int, int, int, int]] = []
+        hwm = 0
         if state.exists:
-            starts, ends, counts, totals = state.get
+            starts, ends, counts, totals, hwm = state.get
+            hwm = hwm or 0
             rows += list(zip(starts, ends, counts, totals))
         if not state.hasTimedOut:
             for pdf in pdfs:
@@ -240,6 +269,8 @@ def sessionize_stream_watermarked(
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed = [s for s in sessions if s[1] + gap_us < wm_us]
         kept = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if closed:
+            hwm = max(hwm, max(s[1] + gap_us for s in closed))
         if kept:
             state.update(
                 (
@@ -247,6 +278,7 @@ def sessionize_stream_watermarked(
                     [s[1] for s in kept],
                     [s[2] for s in kept],
                     [s[3] for s in kept],
+                    hwm,
                 )
             )
             # Wake this key when the watermark can first close a session,

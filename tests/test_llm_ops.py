@@ -169,6 +169,54 @@ def test_multimodal_feature_pipeline(spark, sf_smoke):
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
 
+def test_documents_fixture_is_ascii(spark, sf_smoke, sf_oracle):
+    """Pin the precondition the multimodal oracles depend on: char-count
+    SQL equals byte-count ONLY while documents.text is pure ASCII
+    (round-2 advisory — a multibyte fixture would flip the hash checks
+    red with no pointer to the cause).  If this ever fails, the oracles
+    must switch to byte-derived arithmetic."""
+    for sf in (sf_smoke, sf_oracle):
+        docs = load_table(spark, sf, "documents")
+        non_ascii = docs.where(
+            F.octet_length(F.col("text")) != F.length(F.col("text"))
+        ).count()
+        assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII documents"
+
+
+def test_wav_synthesis_roundtrip():
+    """The audio seam is a REAL RIFF/WAVE container: canonical 44-byte
+    header, PCM16 mono frames, and decode inverts synthesis."""
+    data = bytes(range(256)) + b"hello world"
+    wav = M.synthesize_wav(data)
+    assert len(wav) == 44 + 2 * len(data)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    feats = M.decode_wav(wav)
+    samples = [(b - 128) * 256 for b in data]
+    assert feats == [
+        float(len(data)),
+        float(M.AUDIO_RATE),
+        float(min(samples)),
+        float(max(samples)),
+        float(samples[0]),
+        float(samples[-1]),
+        float(sum(abs(s) for s in samples) % M.AUDIO_SUM_MOD),
+        float(sum(1 for s in samples if s > 0)),
+    ]
+    assert M.decode_wav(M.synthesize_wav(b"")) == [0.0] * M.FEATURE_DIM
+    with pytest.raises(ValueError):
+        # stereo payload must be rejected, not silently mis-parsed
+        import io
+        import wave as wv
+
+        buf = io.BytesIO()
+        with wv.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x00\x00\x00")
+        M.decode_wav(buf.getvalue())
+
+
 def test_multimodal_resize_normalizes_and_errors(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(10)
     resized = M.resize_payload(M.binarize_documents(docs), 32).collect()

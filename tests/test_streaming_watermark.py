@@ -85,6 +85,88 @@ def test_watermarked_sessionize_merges_admissible_late_event(
     ]
 
 
+def test_watermarked_drain_equals_batch_algebra_below_watermark(
+    spark, tmp_path
+):
+    """End-to-end drain of the PRODUCTION variant over a bulk
+    out-of-order fixture (round-2 verdict item 7): 300 seeded events,
+    5 users, shuffled within each microbatch file plus cross-batch late
+    stragglers displaced < 1 h (admissible under the 2 h watermark).
+    The emitted sessions must equal ``sessionize_batch``'s algebra over
+    the SAME events restricted to watermark-closed sessions
+    (end + gap < final watermark) — including idle-key sessions that
+    only an EventTimeTimeout flush can emit."""
+    import random
+
+    rng = random.Random(20240301)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    events = []
+    eid = 0
+    for user in range(1, 6):
+        t = base_us + rng.randint(0, 3_600_000_000)
+        for _ in range(60):
+            t += rng.randint(60, 80 * 60) * 1_000_000  # 1 min .. 80 min
+            events.append((eid, user, t, round(rng.uniform(0, 50), 2)))
+            eid += 1
+    events.sort(key=lambda e: e[2])
+    files = [events[i::1][j * 75 : (j + 1) * 75] for i, j in [(0, 0), (0, 1), (0, 2), (0, 3)]]
+    # displace each file's trailing <1h of events into the next file —
+    # late but admissible (watermark trails max-seen by 2h)
+    for i in range(3):
+        fmax = files[i][-1][2]
+        stragglers = [e for e in files[i] if e[2] > fmax - 3_600_000_000 // 2][1:]
+        files[i] = [e for e in files[i] if e not in stragglers]
+        files[i + 1] = stragglers + files[i + 1]
+    for i, rows in enumerate(files):
+        rows = rows[:]
+        rng.shuffle(rows)  # out-of-order WITHIN the microbatch too
+        pdf = pd.DataFrame(
+            {
+                "event_id": [e for e, _, _, _ in rows],
+                "user_id": [u for _, u, _, _ in rows],
+                "ts": pd.to_datetime(
+                    [t for _, _, t, _ in rows], unit="us"
+                ).astype("datetime64[us]"),
+                "value": [v for _, _, _, v in rows],
+            }
+        )
+        p = tmp_path / f"bulk{i}.parquet"
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    got = run_to_memory(
+        sessionize_stream_watermarked(
+            _read_stream(spark, str(tmp_path)), gap="30 minutes"
+        ),
+        "t_sess_wm_bulk",
+    )
+    stream_rows = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["total_value"])
+        for r in got.collect()
+    )
+
+    from mapreduce_framework_for_mergesort_spark.streaming.stateful import (
+        sessionize_batch,
+    )
+
+    static = spark.read.schema(
+        "event_id bigint, " + SCHEMA
+    ).parquet(str(tmp_path))
+    batch = sessionize_batch(static, gap="30 minutes")
+    final_wm_us = max(e[2] for e in events) - 2 * 3_600_000_000
+    gap_us = 30 * 60 * 1_000_000
+    expected = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["total_value"])
+        for r in batch.collect()
+        if int(r["session_end"].timestamp() * 1_000_000) + gap_us
+        < final_wm_us
+    )
+    assert len(expected) > 50  # the fixture must actually exercise bulk
+    assert stream_rows == expected
+
+
 def test_perkey_max_variant_splits_by_contract(spark, late_events_dir):
     """The drain-deterministic variant's documented limitation: the same
     late event yields a split session — this is the behavior the
@@ -101,3 +183,23 @@ def test_perkey_max_variant_splits_by_contract(spark, late_events_dir):
     )
     assert (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00") in spans
     assert (1, "2024-01-01 00:20:00", "2024-01-01 00:20:00") in spans
+
+
+def test_perkey_max_variant_counts_contract_violations(
+    spark, late_events_dir
+):
+    """The ordering contract is observable, not just documented: the
+    late 00:20 event falls below user 1's already-emitted boundary
+    (00:10 session end + 30 min gap) and must tick the accumulator
+    (round-2 advisory: surface violations instead of silently emitting
+    split sessions)."""
+    counter = spark.sparkContext.accumulator(0)
+    run_to_memory(
+        sessionize_stream(
+            _read_stream(spark, late_events_dir),
+            gap="30 minutes",
+            late_counter=counter,
+        ),
+        "t_sess_perkey_counter",
+    )
+    assert counter.value == 1
