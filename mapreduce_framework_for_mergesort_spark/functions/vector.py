@@ -6,11 +6,17 @@ to DuckDB's ``list_sum(list_transform(...))`` formulation on the test
 embeddings (both engines evaluate the same IEEE op sequence), so oracle
 comparisons need no rounding fudge.
 
-``aggregate``/``zip_with`` are higher-order Catalyst expressions — the
-whole computation stays inside whole-stage codegen; no Python, no UDF.
-For very hot paths a Pandas-UDF matrix kernel can beat the fold (see
-``operators/similarity.py`` notes), but it forfeits exact cross-engine
-reproducibility, so the default is the fold.
+``aggregate``/``zip_with`` are higher-order Catalyst expressions —
+JVM-side, no Python, no UDF, but evaluated *interpreted* (higher-order
+functions do not enter whole-stage codegen; the containing Project loses
+its codegen star).  Measured tradeoffs at 1M rows × dim 64: a one-dot
+unrolled sum DOES codegen and beats the fold ~2.7× (used for the int-L2
+k-means distance, ``similarity._int_l2_expr``); the three-dot unrolled
+cosine is 3× SLOWER than its fold (192 terms defeat the JIT), so cosine
+stays a fold.  For genuinely hot all-pairs loops a Pandas-UDF matrix
+kernel beats both by orders of magnitude (see ``operators/dedup.py``'s
+two-tier pattern), at the price of BLAS summation order — hence kernel
+for candidates, exact fold for the final filter.
 """
 
 from __future__ import annotations
@@ -23,8 +29,8 @@ def spark_dot(a: str, b: str) -> str:
     )
 
 
-# Per-PAIR scoring through Catalyst expressions — the fold above, or an
-# unrolled 64-term sum — is interpreted at ~10 µs/pair and must not be
+# Per-PAIR scoring through Catalyst expressions — fold or unrolled —
+# costs ~µs/pair and must not be
 # the hot loop of an all-pairs/blocked-pairs operator.  The fast path is
 # the NumPy kernel + exact-rescore pattern in
 # ``operators/dedup.embedding_near_dup_pairs`` (candidates at BLAS

@@ -210,15 +210,17 @@ def embedding_near_dup_pairs(
 
     # Tier 1 — candidate generation: a NumPy/BLAS kernel per cell emits
     # pairs scoring ≥ τ−ε.  All-pairs scoring through Catalyst
-    # expressions is interpreted at ~10 µs/pair (HOF folds and 64-term
-    # unrolled sums both refuse codegen at this width — measured, see
-    # SCALE_NOTES.md); the matmul does the same work in milliseconds.
+    # expressions is ~µs/pair: the HOF cosine fold never enters codegen,
+    # and while a single-dot-width unrolled sum does (similarity.
+    # _int_l2_expr exploits that), the 3-dot unrolled cosine is *slower*
+    # than its fold (192 terms; measured 3× at 1M rows) — the matmul
+    # does the same work in milliseconds either way.
     # Tier 2 — exactness: survivors are re-scored with the engine's
     # canonical fold expression and filtered at τ, so the FINAL result
     # is bit-identical to the oracle regardless of BLAS summation order
     # (ε = 1e-6 is ~6 orders beyond double-vs-BLAS drift; no true pair
     # can be missed).
-    cells = ivf_cells(embeddings, num_centroids)
+    cells = ivf_cells(embeddings, num_centroids, dim=dim)
 
     def cell_pairs(pdf):
         import numpy as np

@@ -244,28 +244,62 @@ _INT_L2 = (
 )
 
 
-def _assign(
-    xqv: DataFrame, cents: DataFrame, carry: tuple[str, ...] = ()
-) -> DataFrame:
-    """(vec_id, xq, …) × broadcast centroids → (vec_id, …, cell): exact
-    int64 squared-L2 argmin, ties to the lowest cid (min-struct — one
-    hash aggregate with map-side partials, no window).  ``carry`` names
-    payload columns functionally dependent on vec_id to thread through
-    the aggregate via ``first()`` (deterministic in value: every row of
-    a group holds the same payload) — cheaper than a post-hoc shuffle
-    join back onto the table."""
-    d = xqv.crossJoin(F.broadcast(cents)).withColumn(
-        "__d", F.expr(_INT_L2.format(a="xq", b="cq"))
+def _int_l2_expr(a: str, b: str, dim: int | None) -> str:
+    """Exact int64 squared-L2 between two array<bigint> expressions.
+
+    When ``dim`` is known the sum is unrolled into a flat 64-term
+    expression (width-sensitive tradeoff measured at 1M rows: a one-dot
+    unrolled sum enters whole-stage codegen and beats the fold ~2.7×
+    in a flat Project; the 192-term unrolled *cosine* is 3× slower than
+    its fold, so only one-dot distances take this path).  int64 addition
+    is associative here (no overflow at |xq| ≤ 2^20, dim ≤ 2^22), so
+    unrolled and fold are value-identical in any order — the DuckDB
+    oracle needs no change."""
+    if dim is None:
+        return _INT_L2.format(a=a, b=b)
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(dim)
     )
-    aggs = [F.min(F.struct(F.col("__d"), F.col("cid"))).alias("__m")]
-    aggs += [F.first(c).alias(c) for c in carry]
-    return d.groupBy("vec_id").agg(*aggs).select(
-        "vec_id", *carry, F.col("__m.cid").alias("cell")
+
+
+def _assign(
+    xqv: DataFrame,
+    cents: DataFrame,
+    carry: tuple[str, ...] = (),
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, xq, …) → (vec_id, …, cell): exact int64 squared-L2
+    argmin over the centroids, ties to the lowest cid.
+
+    SHUFFLE-FREE: the C centroids are packed into a single
+    array<struct<cid,cq>> row (``collect_list`` — order-irrelevant, the
+    min is commutative), broadcast, and the argmin evaluates per row as
+    ``array_min(transform(...))`` with struct ordering (d, cid) giving
+    the deterministic tie-break.  The round-3 first cut crossJoined the
+    C-row centroid table (C× row blowup) and re-grouped by vec_id — a
+    full-table shuffle per assignment pass, three per index build; at
+    100 TB the shuffles dominate everything else, and this map-only
+    form eliminates all of them while also letting ``carry`` payload
+    columns ride the row untouched (no ``first()`` re-aggregation).
+    The distance inside the lambda is HOF-interpreted either way, so
+    ``dim`` matters less here than keeping the pass narrow."""
+    packed = cents.agg(
+        F.collect_list(F.struct("cid", "cq")).alias("__cents")
+    )
+    m = (
+        "array_min(transform(__cents, c -> "
+        f"struct({_int_l2_expr('xq', 'c.cq', dim)} AS d, c.cid AS cid)))"
+    )
+    return (
+        xqv.crossJoin(F.broadcast(packed))
+        .withColumn("__m", F.expr(m))
+        .select("vec_id", *carry, F.col("__m.cid").alias("cell"))
     )
 
 
 def kmeans_centroids(
-    xqv: DataFrame, num_centroids: int, iters: int = KM_ITERS
+    xqv: DataFrame, num_centroids: int, iters: int = KM_ITERS,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic integer Lloyd's k-means → (cid, cq: array<bigint>).
 
@@ -278,10 +312,15 @@ def kmeans_centroids(
     (``duckdb_kmeans_cte`` replicates it CTE-for-CTE) — unlike float
     k-means, whose sum order would drift across partitionings.
 
-    Centroids are materialized per iteration (C rows — trivial), which
-    keeps the lineage shallow: without it iteration t's crossJoin would
-    recompute iterations 0..t-1 on every consumer.  Cells that lose all
-    members drop out (deterministically, on both engines).
+    The returned centroids are LAZY on purpose: each iteration's
+    centroid table has exactly one consumer (the next iteration's — or
+    the caller's — broadcast), so the whole chain executes each
+    assignment pass exactly once inside the consumer's job; eager
+    per-iteration checkpoints (round-3 first cut) added one full scan
+    *job launch* per iteration for zero saved work.  Callers that fan
+    out the RESULT materialize it themselves (``ivf_topk`` does).
+    Cells that lose all members drop out (deterministically, on both
+    engines).
 
     100 TB posture: this is the classic broadcast-centroid pattern —
     per-iteration cost is one scan + one C-row broadcast + two partial
@@ -293,7 +332,7 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         upd = (
-            _assign(xqv, cents, carry=("xq",))
+            _assign(xqv, cents, carry=("xq",), dim=dim)
             .select("cell", F.posexplode("xq").alias("i", "v"))
             .groupBy("cell", "i")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -315,12 +354,12 @@ def kmeans_centroids(
             )
             .select(F.col("cell").alias("cid"), "cq")
         )
-        cents = materialize(cents)
     return cents
 
 
 def ivf_cells(
-    embeddings: DataFrame, num_centroids: int, iters: int = KM_ITERS
+    embeddings: DataFrame, num_centroids: int, iters: int = KM_ITERS,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF index build: train integer k-means centroids
     (``kmeans_centroids``; ``iters=0`` degenerates to the round-2
@@ -334,8 +373,10 @@ def ivf_cells(
     xq = materialize(
         quantize_normalized(embeddings).select("vec_id", "embedding", "xq")
     )
-    cents = kmeans_centroids(xq.select("vec_id", "xq"), num_centroids, iters)
-    return _assign(xq, cents, carry=("embedding",)).select(
+    cents = kmeans_centroids(
+        xq.select("vec_id", "xq"), num_centroids, iters, dim=dim
+    )
+    return _assign(xq, cents, carry=("embedding",), dim=dim).select(
         "vec_id", "embedding", "cell"
     )
 
@@ -345,6 +386,7 @@ def ivf_topk(
     query_vec_id: int,
     k: int,
     num_centroids: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN: probe only the query's cell, exact cosine rerank inside.
 
@@ -357,7 +399,7 @@ def ivf_topk(
     index build executed in two plan branches (the ``q_embed_ivf_topk``
     bench regression).
     """
-    cells = materialize(ivf_cells(embeddings, num_centroids))
+    cells = materialize(ivf_cells(embeddings, num_centroids, dim=dim))
     q = cells.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
     )
