@@ -9,11 +9,14 @@ comparisons need no rounding fudge.
 ``aggregate``/``zip_with`` are higher-order Catalyst expressions —
 JVM-side, no Python, no UDF, but evaluated *interpreted* (higher-order
 functions do not enter whole-stage codegen; the containing Project loses
-its codegen star).  Measured tradeoffs at 1M rows × dim 64: a one-dot
-unrolled sum DOES codegen and beats the fold ~2.7× (used for the int-L2
-k-means distance, ``similarity._int_l2_expr``); the three-dot unrolled
-cosine is 3× SLOWER than its fold (192 terms defeat the JIT), so cosine
-stays a fold.  For genuinely hot all-pairs loops a Pandas-UDF matrix
+its codegen star).  Unrolling a dot into a flat per-component sum is NOT
+a reliable win: in a flat 1M-row Project a one-dot unrolled sum codegens
+and beats the fold ~2.7×, but a three-dot unrolled cosine is 3× SLOWER
+(192 terms defeat the JIT), and inside a ``transform`` lambda — where
+the k-means argmin actually lives — the unrolled form is interpreted
+anyway and its expression size adds ~1 s of analysis/codegen per job
+(measured; see ``similarity._assign``).  So the engine keeps the fold
+everywhere.  For genuinely hot all-pairs loops a Pandas-UDF matrix
 kernel beats both by orders of magnitude (see ``operators/dedup.py``'s
 two-tier pattern), at the price of BLAS summation order — hence kernel
 for candidates, exact fold for the final filter.

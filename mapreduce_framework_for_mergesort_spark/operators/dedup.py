@@ -210,17 +210,16 @@ def embedding_near_dup_pairs(
 
     # Tier 1 — candidate generation: a NumPy/BLAS kernel per cell emits
     # pairs scoring ≥ τ−ε.  All-pairs scoring through Catalyst
-    # expressions is ~µs/pair: the HOF cosine fold never enters codegen,
-    # and while a single-dot-width unrolled sum does (similarity.
-    # _int_l2_expr exploits that), the 3-dot unrolled cosine is *slower*
-    # than its fold (192 terms; measured 3× at 1M rows) — the matmul
-    # does the same work in milliseconds either way.
+    # expressions is ~µs/pair (HOF folds never enter codegen, and
+    # unrolled per-component sums trade that for seconds of per-job
+    # analysis overhead — see similarity._assign); the matmul does the
+    # same work in milliseconds either way.
     # Tier 2 — exactness: survivors are re-scored with the engine's
     # canonical fold expression and filtered at τ, so the FINAL result
     # is bit-identical to the oracle regardless of BLAS summation order
     # (ε = 1e-6 is ~6 orders beyond double-vs-BLAS drift; no true pair
     # can be missed).
-    cells = ivf_cells(embeddings, num_centroids, dim=dim)
+    cells = ivf_cells(embeddings, num_centroids)
 
     def cell_pairs(pdf):
         import numpy as np
@@ -235,7 +234,9 @@ def embedding_near_dup_pairs(
         keep = ids[ia] < ids[ib]
         return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep]})
 
-    cand = cells.groupBy("cell").applyInPandas(cell_pairs, "vec_a long, vec_b long")
+    cand = cells.groupBy("cell").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long"
+    )
 
     a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))

@@ -33,6 +33,17 @@ QUANT = 1 << 20  # component quantization scale (see lsh_bucket_udf)
 
 KM_ITERS = 2  # fixed Lloyd iterations — part of the IVF index definition
 
+# Centroids are trained on the deterministic prefix sample
+# ``vec_id < num_centroids * KM_SAMPLE_FACTOR``, not the full corpus.
+# Sampling is part of the index *definition* (the DuckDB oracle CTE
+# applies the identical predicate), so exactness is unaffected; it is
+# also the only shape that survives 100 TB — Lloyd iterations touch a
+# bounded O(C) sample while the corpus pays exactly one map-only
+# assignment pass.  vec_id is a dense surrogate key in this data model,
+# so a prefix is an arbitrary-but-fixed sample, which is all k-means
+# init needs.
+KM_SAMPLE_FACTOR = 64
+
 
 def hyperplane_matrix_int(dim: int):
     """Deterministic integer (dim × NUM_PLANES) hyperplane matrix:
@@ -126,16 +137,18 @@ def duckdb_kmeans_cte(
     table: str = "embeddings",
 ) -> str:
     """DuckDB CTE chain replicating ``ivf_cells`` step-for-step —
-    quantization, integer-L2 assignment, rounded-mean update, final
-    assignment — yielding ``cells(vec_id, embedding, cell)``.  Every
-    intermediate is int64 (or one correctly-rounded double division), so
-    the two engines agree bit-for-bit on the trained index, same
-    discipline as ``duckdb_bucket_cte``."""
+    quantization, prefix-sample selection (``ksmp``), integer-L2
+    assignment, rounded-mean update, final full-corpus assignment —
+    yielding ``cells(vec_id, embedding, cell)``.  Every intermediate is
+    int64 (or one correctly-rounded double division), so the two engines
+    agree bit-for-bit on the trained index, same discipline as
+    ``duckdb_bucket_cte``."""
     nrm = f"sqrt({V.duckdb_dot('embedding', 'embedding', dim)})"
     dist = (
         f"list_sum(list_transform(range(1, {dim + 1}), "
         "i -> (x.xq[i] - c.cq[i]) * (x.xq[i] - c.cq[i])))"
     )
+    sample = num_centroids * KM_SAMPLE_FACTOR
     parts = [
         f"""knorm AS (
       SELECT vec_id, embedding,
@@ -148,8 +161,10 @@ def duckdb_kmeans_cte(
                CAST(round(CAST(v AS DOUBLE) / nrm
                           * CAST({QUANT} AS DOUBLE)) AS BIGINT)) AS xq
       FROM knorm),
+    ksmp AS (
+      SELECT vec_id, xq FROM kxq WHERE vec_id < {sample}),
     kc0 AS (
-      SELECT vec_id AS cid, xq AS cq FROM kxq
+      SELECT vec_id AS cid, xq AS cq FROM ksmp
       WHERE vec_id < {num_centroids})"""
     ]
     prev = "kc0"
@@ -159,13 +174,13 @@ def duckdb_kmeans_cte(
       SELECT x.vec_id, c.cid,
              row_number() OVER (PARTITION BY x.vec_id
                                 ORDER BY {dist}, c.cid) AS rn
-      FROM kxq x CROSS JOIN {prev} c),
+      FROM ksmp x CROSS JOIN {prev} c),
     ku{t} AS (
       SELECT a.cid AS cell, ki.i,
              CAST(round(CAST(SUM(x.xq[ki.i]) AS DOUBLE)
                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq_i
       FROM ka{t} a
-      JOIN kxq x ON x.vec_id = a.vec_id
+      JOIN ksmp x ON x.vec_id = a.vec_id
       CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) ki
       WHERE a.rn = 1
       GROUP BY a.cid, ki.i),
@@ -238,101 +253,85 @@ def quantize_normalized(embeddings: DataFrame) -> DataFrame:
     )
 
 
-_INT_L2 = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
-    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-)
+Cents = list[tuple[int, list[int]]]  # [(cid, [cq_0..cq_dim-1]), ...]
 
 
-def _int_l2_expr(a: str, b: str, dim: int | None) -> str:
-    """Exact int64 squared-L2 between two array<bigint> expressions.
+def _argmin_cell_udf(cents: Cents):
+    """Arrow-batched nearest-centroid assignment: ONE exact int64
+    distance matrix per batch (||x||² − 2·x·c + ||c||² via NumPy matmul
+    — every term fits int64 at |xq| ≤ 2^20, dim ≤ 2^22), then
+    ``argmin`` whose first-occurrence semantics give the lowest-cid
+    tie-break because ``cents`` is sorted by cid.
 
-    When ``dim`` is known the sum is unrolled into a flat 64-term
-    expression (width-sensitive tradeoff measured at 1M rows: a one-dot
-    unrolled sum enters whole-stage codegen and beats the fold ~2.7×
-    in a flat Project; the 192-term unrolled *cosine* is 3× slower than
-    its fold, so only one-dot distances take this path).  int64 addition
-    is associative here (no overflow at |xq| ≤ 2^20, dim ≤ 2^22), so
-    unrolled and fold are value-identical in any order — the DuckDB
-    oracle needs no change."""
-    if dim is None:
-        return _INT_L2.format(a=a, b=b)
-    return " + ".join(
-        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(dim)
-    )
+    Same playbook as ``lsh_bucket_udf``: integer arithmetic is exact in
+    any summation order, so the BLAS kernel and the DuckDB oracle's SQL
+    SUM agree bit-for-bit — the operator keeps a full value-exact
+    oracle while assigning at matmul speed.  Catalyst-expression
+    alternatives were all measured ~0.1 ms *per fold* interpreted
+    (HOFs never codegen): C folds per row made the corpus pass the
+    dominant cost of every IVF operator at just 2000 rows, and would be
+    hopeless at 100 TB.  The centroid matrix rides the UDF closure
+    (C·dim int64 — index metadata, trivially broadcast)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    Q = np.array([cq for _, cq in cents], dtype=np.int64)  # (C, dim)
+    qn = (Q * Q).sum(axis=1)  # (C,)
+
+    @pandas_udf("long")
+    def cell(xq: pd.Series) -> pd.Series:
+        if len(xq) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.array(xq.tolist(), dtype=np.int64)  # (n, dim)
+        d = (X * X).sum(axis=1)[:, None] - 2 * (X @ Q.T) + qn[None, :]
+        return pd.Series(ids[d.argmin(axis=1)])
+
+    return cell
 
 
 def _assign(
-    xqv: DataFrame,
-    cents: DataFrame,
-    carry: tuple[str, ...] = (),
-    dim: int | None = None,
+    xqv: DataFrame, cents: Cents, carry: tuple[str, ...] = ()
 ) -> DataFrame:
     """(vec_id, xq, …) → (vec_id, …, cell): exact int64 squared-L2
-    argmin over the centroids, ties to the lowest cid.
-
-    SHUFFLE-FREE: the C centroids are packed into a single
-    array<struct<cid,cq>> row (``collect_list`` — order-irrelevant, the
-    min is commutative), broadcast, and the argmin evaluates per row as
-    ``array_min(transform(...))`` with struct ordering (d, cid) giving
-    the deterministic tie-break.  The round-3 first cut crossJoined the
-    C-row centroid table (C× row blowup) and re-grouped by vec_id — a
-    full-table shuffle per assignment pass, three per index build; at
-    100 TB the shuffles dominate everything else, and this map-only
-    form eliminates all of them while also letting ``carry`` payload
-    columns ride the row untouched (no ``first()`` re-aggregation).
-    The distance inside the lambda is HOF-interpreted either way, so
-    ``dim`` matters less here than keeping the pass narrow."""
-    packed = cents.agg(
-        F.collect_list(F.struct("cid", "cq")).alias("__cents")
-    )
-    m = (
-        "array_min(transform(__cents, c -> "
-        f"struct({_int_l2_expr('xq', 'c.cq', dim)} AS d, c.cid AS cid)))"
-    )
-    return (
-        xqv.crossJoin(F.broadcast(packed))
-        .withColumn("__m", F.expr(m))
-        .select("vec_id", *carry, F.col("__m.cid").alias("cell"))
-    )
+    argmin over the (driver-side) centroid list, ties to the lowest
+    cid.  Map-only — no join, no shuffle; ``carry`` payload columns
+    ride the row untouched."""
+    udf = _argmin_cell_udf(cents)
+    return xqv.select("vec_id", *carry, udf(F.col("xq")).alias("cell"))
 
 
-def kmeans_centroids(
-    xqv: DataFrame, num_centroids: int, iters: int = KM_ITERS,
-    dim: int | None = None,
-) -> DataFrame:
-    """Deterministic integer Lloyd's k-means → (cid, cq: array<bigint>).
+def _kmeans_train(xqv: DataFrame, num_centroids: int, iters: int) -> Cents:
+    """Deterministic integer Lloyd's k-means over (vec_id, xq) rows →
+    driver-side centroid list.
 
     Init = the first ``num_centroids`` vectors by vec_id; each iteration
-    reassigns by exact int64 L2 and recomputes centroids as the
-    rounded component mean ``round(sum / n)`` (int64 sum is exact in any
-    order; the one double division is correctly rounded IEEE on both
-    engines).  Every step is reproducible arithmetic, so the *trained*
-    index is still value-exact against the DuckDB oracle
-    (``duckdb_kmeans_cte`` replicates it CTE-for-CTE) — unlike float
-    k-means, whose sum order would drift across partitionings.
+    reassigns by exact int64 L2 and recomputes centroids as the rounded
+    component mean ``round(sum / n)`` (int64 sum is exact in any order;
+    the one double division is correctly rounded IEEE on both engines).
+    Every step is reproducible arithmetic, so the *trained* index is
+    value-exact against the DuckDB oracle (``duckdb_kmeans_cte``
+    replicates it CTE-for-CTE) — unlike float k-means, whose sum order
+    would drift across partitionings.
 
-    The returned centroids are LAZY on purpose: each iteration's
-    centroid table has exactly one consumer (the next iteration's — or
-    the caller's — broadcast), so the whole chain executes each
-    assignment pass exactly once inside the consumer's job; eager
-    per-iteration checkpoints (round-3 first cut) added one full scan
-    *job launch* per iteration for zero saved work.  Callers that fan
-    out the RESULT materialize it themselves (``ivf_topk`` does).
-    Cells that lose all members drop out (deterministically, on both
-    engines).
-
-    100 TB posture: this is the classic broadcast-centroid pattern —
-    per-iteration cost is one scan + one C-row broadcast + two partial
-    aggregations (component sums compose map-side); nothing is driver-
-    side except the C×dim centroid table itself.
+    Centroid state lives ON THE DRIVER between iterations — the classic
+    Spark-MLlib KMeans shape.  The collect here is O(C·dim) index
+    metadata (~512 ints at the defaults), never data; keeping the state
+    as a DataFrame instead (round-3 first cut) made every iteration
+    either a nested-plan re-analysis (~2.5 s/iter of pure driver-side
+    planning) or an extra checkpoint job per iteration.  Per-iteration
+    cluster work is one scan of ``xqv`` + one partial aggregation
+    (component sums compose map-side).  Cells that lose all members drop
+    out (deterministically, on both engines).
     """
-    cents = xqv.where(F.col("vec_id") < num_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("cq")
+    init = (
+        xqv.where(F.col("vec_id") < num_centroids)
+        .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
+        .collect()
     )
+    cents: Cents = sorted((r["cid"], list(r["cq"])) for r in init)
     for _ in range(iters):
         upd = (
-            _assign(xqv, cents, carry=("xq",), dim=dim)
+            _assign(xqv, cents, carry=("xq",))
             .select("cell", F.posexplode("xq").alias("i", "v"))
             .groupBy("cell", "i")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -343,42 +342,67 @@ def kmeans_centroids(
                     " AS BIGINT)"
                 ),
             )
+            .collect()  # C·dim rows — index metadata, not data
         )
-        cents = (
-            upd.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "cq_i"))),
-                    lambda st: st["cq_i"],
-                ).alias("cq")
-            )
-            .select(F.col("cell").alias("cid"), "cq")
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cell.setdefault(r["cell"], {})[r["i"]] = r["cq_i"]
+        cents = sorted(
+            (cell, [comp[i] for i in sorted(comp)])
+            for cell, comp in by_cell.items()
         )
     return cents
 
 
+def kmeans_centroids(
+    xqv: DataFrame, num_centroids: int, iters: int = KM_ITERS
+) -> DataFrame:
+    """DataFrame facade over ``_kmeans_train`` → (cid, cq: array<bigint>)
+    as a local relation (the trained index is C·dim metadata)."""
+    cents = _kmeans_train(xqv, num_centroids, iters)
+    return xqv.sparkSession.createDataFrame(
+        cents, "cid: bigint, cq: array<bigint>"
+    )
+
+
 def ivf_cells(
-    embeddings: DataFrame, num_centroids: int, iters: int = KM_ITERS,
-    dim: int | None = None,
+    embeddings: DataFrame, num_centroids: int, iters: int = KM_ITERS
 ) -> DataFrame:
     """IVF index build: train integer k-means centroids
     (``kmeans_centroids``; ``iters=0`` degenerates to the round-2
-    first-C-vectors stand-in), then assign every vector to its nearest
-    centroid → (vec_id, embedding, cell).
+    first-C-vectors stand-in) on the deterministic prefix sample
+    ``vec_id < num_centroids * KM_SAMPLE_FACTOR``, then assign every
+    vector to its nearest centroid → (vec_id, embedding, cell).
 
-    At 100 TB the cell table is written partitioned by ``cell`` so a
-    probe prunes to 1/C of storage (same pattern as
-    ``sources.write_partitioned_parquet``).
+    Cost shape: the Lloyd iterations touch only the MATERIALIZED sample
+    (O(C·KM_SAMPLE_FACTOR) rows — the round-3 first cut trained on the
+    full corpus, re-quantizing and re-scanning it once per iteration,
+    which is both the sf0.1 bench regression and a non-starter at
+    100 TB); the corpus itself pays exactly one lazy map-only pass —
+    quantize + literal-centroid argmin — fused into whichever job
+    consumes the returned DataFrame.  At 100 TB the cell table is then
+    written partitioned by ``cell`` so a probe prunes to 1/C of storage
+    (same pattern as ``sources.write_partitioned_parquet``).
     """
-    xq = materialize(
-        quantize_normalized(embeddings).select("vec_id", "embedding", "xq")
-    )
-    cents = kmeans_centroids(
-        xq.select("vec_id", "xq"), num_centroids, iters, dim=dim
-    )
-    return _assign(xq, cents, carry=("embedding",), dim=dim).select(
+    cents = _trained_cents(embeddings, num_centroids, iters)
+    xq = quantize_normalized(embeddings).select("vec_id", "embedding", "xq")
+    return _assign(xq, cents, carry=("embedding",)).select(
         "vec_id", "embedding", "cell"
     )
+
+
+def _trained_cents(
+    embeddings: DataFrame, num_centroids: int, iters: int = KM_ITERS
+) -> Cents:
+    """Quantize + materialize the prefix training sample, run Lloyd
+    iterations on it → the driver-side centroid list."""
+    sample = num_centroids * KM_SAMPLE_FACTOR
+    smp = materialize(
+        quantize_normalized(embeddings)
+        .where(F.col("vec_id") < sample)
+        .select("vec_id", "xq")
+    )
+    return _kmeans_train(smp, num_centroids, iters)
 
 
 def ivf_topk(
@@ -386,7 +410,6 @@ def ivf_topk(
     query_vec_id: int,
     k: int,
     num_centroids: int = 8,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN: probe only the query's cell, exact cosine rerank inside.
 
@@ -394,18 +417,36 @@ def ivf_topk(
     assignment and rerank are exact arithmetic; only *recall* is
     approximate, bounded in tests against the brute-force baseline).
 
-    The cell index is materialized ONCE and shared by the query-row
-    lookup and the candidate side — round 2 left it lazy, so the whole
-    index build executed in two plan branches (the ``q_embed_ivf_topk``
-    bench regression).
+    After training (bounded-sample jobs, see ``_trained_cents``) the
+    probe needs NO JOIN: the query row (its embedding and cell) is
+    looked up first — ``vec_id = query`` pushes down to the parquet
+    scan, so quantize+assign runs on one row — and the candidate pass is
+    then a single filter ``cell = <literal>`` + cosine against the
+    (64-element, exactly round-tripped) literal query vector.  This is
+    exactly the shape a 100 TB probe wants: prune to one cell of an
+    index written partitioned by ``cell`` (see ``ivf_cells``).  The
+    round-2/3 alternative — checkpointing the whole cell index per
+    query to share it between the lookup and candidate branches — paid
+    a corpus write+read to save this one-row lookup.
     """
-    cells = materialize(ivf_cells(embeddings, num_centroids, dim=dim))
-    q = cells.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qe"), F.col("cell").alias("qcell")
+    cents = _trained_cents(embeddings, num_centroids)
+    xq = quantize_normalized(embeddings).select("vec_id", "embedding", "xq")
+    q = _assign(
+        xq.where(F.col("vec_id") == query_vec_id), cents, carry=("embedding",)
+    ).select("embedding", "cell").collect()
+    if not q:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id: bigint, score: double"
+        )
+    qe, qcell = q[0]["embedding"], q[0]["cell"]
+    # exact double literals: shortest-round-trip repr parsed back via
+    # string→double, bit-identical to the collected value
+    qe_lit = "array({})".format(
+        ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in qe)
     )
-    cands = cells.join(F.broadcast(q), cells["cell"] == F.col("qcell"))
-    scored = cands.select(
-        "vec_id", F.expr(V.spark_cosine("embedding", "qe")).alias("score")
+    cells = _assign(xq, cents, carry=("embedding",))
+    scored = cells.where(F.col("cell") == F.lit(qcell)).select(
+        "vec_id", F.expr(V.spark_cosine("embedding", qe_lit)).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
 

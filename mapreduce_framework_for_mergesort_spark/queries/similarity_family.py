@@ -70,11 +70,7 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search* is oracle-verified value-for-value; recall vs. brute force
     is additionally bounded in tests."""
     top = S.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        QUERY_VEC,
-        TOPK,
-        NUM_CENTROIDS,
-        dim=DIM,
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC, TOPK, NUM_CENTROIDS
     )
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
