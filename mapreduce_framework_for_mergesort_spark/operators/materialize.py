@@ -2,11 +2,11 @@
 
 Several operators build an index DataFrame that is consumed by more than
 one downstream plan branch (the LSH band index in
-``dedup.lsh_candidate_pairs``, the IVF cell index in
-``similarity.ivf_topk``, the per-iteration k-means centroids).  Without
-materialization each consumer re-executes the full build (measured 2×
-cost on the band index; the round-2 bench regression on
-``q_embed_ivf_topk`` was exactly this on the cell index).
+``dedup.lsh_candidate_pairs``, the quantized k-means training sample in
+``similarity._trained_cents``).  Without materialization each consumer
+re-executes the full build (measured 2× cost on the band index; the
+round-2 bench regression on ``q_embed_ivf_topk`` was exactly this on the
+then-DataFrame cell index).
 
 Two mechanisms, chosen by session state:
 

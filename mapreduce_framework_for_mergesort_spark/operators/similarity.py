@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
@@ -256,35 +256,72 @@ def quantize_normalized(embeddings: DataFrame) -> DataFrame:
 Cents = list[tuple[int, list[int]]]  # [(cid, [cq_0..cq_dim-1]), ...]
 
 
-def _argmin_cell_udf(cents: Cents):
-    """Arrow-batched nearest-centroid assignment: ONE exact int64
-    distance matrix per batch (||x||² − 2·x·c + ||c||² via NumPy matmul
-    — every term fits int64 at |xq| ≤ 2^20, dim ≤ 2^22), then
-    ``argmin`` whose first-occurrence semantics give the lowest-cid
-    tie-break because ``cents`` is sorted by cid.
+def _quantize_np(X):
+    """NumPy replica of ``quantize_normalized``'s SQL arithmetic,
+    bit-for-bit: the squared norm is accumulated with ``np.cumsum``
+    (a strictly sequential left-to-right C loop — the same operation
+    order as the Catalyst/DuckDB fold; ``np.sum`` would use pairwise
+    summation and drift in the last ulp, which round() can amplify into
+    a ±1 quantization flip on a boundary row), the division/scale
+    follow the SQL expression's association ``(v / nrm) * 2^20``, and
+    rounding is half-away-from-zero like SQL ``round`` (the
+    ``lsh_bucket_udf`` precedent).  Pinned against the SQL expression
+    row-for-row in ``tests/test_llm_ops.py``."""
+    sq = np.cumsum(X * X, axis=1)[:, -1]
+    nrm = np.sqrt(sq)
+    nrm[nrm == 0.0] = 1.0
+    Y = X / nrm[:, None] * QUANT
+    return (np.sign(Y) * np.floor(np.abs(Y) + 0.5)).astype(np.int64)
+
+
+def _argmin_np(Xq, cents: Cents):
+    """Exact int64 nearest-centroid ids for quantized rows: ONE distance
+    matrix (||x||² − 2·x·c + ||c||² via NumPy matmul — every term fits
+    int64 at |xq| ≤ 2^20, dim ≤ 2^22), then ``argmin`` whose
+    first-occurrence semantics give the lowest-cid tie-break because
+    ``cents`` is sorted by cid."""
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    Q = np.array([cq for _, cq in cents], dtype=np.int64)  # (C, dim)
+    d = (
+        (Xq * Xq).sum(axis=1)[:, None]
+        - 2 * (Xq @ Q.T)
+        + (Q * Q).sum(axis=1)[None, :]
+    )
+    return ids[d.argmin(axis=1)]
+
+
+def _argmin_cell_udf(cents: Cents, from_embedding: bool = False):
+    """Arrow-batched nearest-centroid assignment.
 
     Same playbook as ``lsh_bucket_udf``: integer arithmetic is exact in
     any summation order, so the BLAS kernel and the DuckDB oracle's SQL
     SUM agree bit-for-bit — the operator keeps a full value-exact
     oracle while assigning at matmul speed.  Catalyst-expression
-    alternatives were all measured ~0.1 ms *per fold* interpreted
-    (HOFs never codegen): C folds per row made the corpus pass the
-    dominant cost of every IVF operator at just 2000 rows, and would be
-    hopeless at 100 TB.  The centroid matrix rides the UDF closure
-    (C·dim int64 — index metadata, trivially broadcast)."""
+    alternatives were all measured ~0.1 ms *per fold* interpreted (HOFs
+    never codegen): C folds per row made the corpus pass the dominant
+    cost of every IVF operator at just 2000 rows, and would be hopeless
+    at 100 TB.  The centroid matrix rides the UDF closure (C·dim int64
+    — index metadata, trivially broadcast).
+
+    With ``from_embedding=True`` the kernel takes the RAW embedding and
+    quantizes in-batch (``_quantize_np``) — the corpus assignment pass
+    then never evaluates the interpreted SQL quantize expression, which
+    was measured at ~0.7 ms/row (14 s for a 20 K-row pass at 10×; the
+    dominant cost of the whole IVF family and a non-starter at 100 TB).
+    The SQL expression remains the canonical definition: training
+    aggregates run on its output, and the kernel is pinned to it
+    row-for-row in tests."""
     from pyspark.sql.functions import pandas_udf
 
-    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
-    Q = np.array([cq for _, cq in cents], dtype=np.int64)  # (C, dim)
-    qn = (Q * Q).sum(axis=1)  # (C,)
-
     @pandas_udf("long")
-    def cell(xq: pd.Series) -> pd.Series:
-        if len(xq) == 0:
+    def cell(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
             return pd.Series([], dtype="int64")
-        X = np.array(xq.tolist(), dtype=np.int64)  # (n, dim)
-        d = (X * X).sum(axis=1)[:, None] - 2 * (X @ Q.T) + qn[None, :]
-        return pd.Series(ids[d.argmin(axis=1)])
+        if from_embedding:
+            Xq = _quantize_np(np.array(col.tolist(), dtype=np.float64))
+        else:
+            Xq = np.array(col.tolist(), dtype=np.int64)
+        return pd.Series(_argmin_np(Xq, cents))
 
     return cell
 
@@ -385,9 +422,9 @@ def ivf_cells(
     (same pattern as ``sources.write_partitioned_parquet``).
     """
     cents = _trained_cents(embeddings, num_centroids, iters)
-    xq = quantize_normalized(embeddings).select("vec_id", "embedding", "xq")
-    return _assign(xq, cents, carry=("embedding",)).select(
-        "vec_id", "embedding", "cell"
+    udf = _argmin_cell_udf(cents, from_embedding=True)
+    return embeddings.select(
+        "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
     )
 
 
@@ -430,23 +467,85 @@ def ivf_topk(
     a corpus write+read to save this one-row lookup.
     """
     cents = _trained_cents(embeddings, num_centroids)
-    xq = quantize_normalized(embeddings).select("vec_id", "embedding", "xq")
-    q = _assign(
-        xq.where(F.col("vec_id") == query_vec_id), cents, carry=("embedding",)
-    ).select("embedding", "cell").collect()
+    udf = _argmin_cell_udf(cents, from_embedding=True)
+    q = (
+        embeddings.where(F.col("vec_id") == query_vec_id)
+        .select("embedding", udf(F.col("embedding")).alias("cell"))
+        .collect()
+    )
     if not q:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id: bigint, score: double"
         )
     qe, qcell = q[0]["embedding"], q[0]["cell"]
-    # exact double literals: shortest-round-trip repr parsed back via
-    # string→double, bit-identical to the collected value
-    qe_lit = "array({})".format(
+    cells = embeddings.select(
+        "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
+    )
+    scored = cells.where(F.col("cell") == F.lit(qcell)).select(
+        "vec_id", F.expr(V.spark_cosine("embedding", _qe_lit(qe))).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+def _qe_lit(qe) -> str:
+    """Exact double-literal array for a collected query embedding:
+    shortest-round-trip ``repr`` parsed back via string→double is
+    bit-identical to the collected value."""
+    return "array({})".format(
         ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in qe)
     )
-    cells = _assign(xq, cents, carry=("embedding",))
-    scored = cells.where(F.col("cell") == F.lit(qcell)).select(
-        "vec_id", F.expr(V.spark_cosine("embedding", qe_lit)).alias("score")
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    num_centroids: int = 8,
+    iters: int = KM_ITERS,
+) -> Cents:
+    """Build the IVF index ONCE and persist it partitioned by ``cell``;
+    returns the trained centroids (the index metadata a caller keeps to
+    assign future queries).
+
+    This is the 100 TB amortization the per-query operators only
+    describe: the corpus pays one quantize+assign+write, and every
+    later ``probe_ivf_index`` call reads ~1/C of storage via partition
+    pruning (pinned in ``tests/test_llm_ops.py``) — the probe never
+    touches the corpus table at all."""
+    cents = _trained_cents(embeddings, num_centroids, iters)
+    udf = _argmin_cell_udf(cents, from_embedding=True)
+    cells = embeddings.select(
+        "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return cents
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    cents: Cents,
+    query_embedding: list[float],
+    k: int,
+) -> DataFrame:
+    """Top-k probe of a persisted IVF index for an ARBITRARY query
+    vector (need not exist in the corpus).
+
+    The query is quantized and assigned through the SAME kernel the
+    index build used (on a one-row LocalRelation), so the cell decision
+    is bit-identical to the build.  The scan then prunes to the query's
+    cell directory (``PartitionFilters`` in the plan) and reranks by
+    exact cosine against the round-tripped literal query vector."""
+    qdf = spark.createDataFrame(
+        [(0, query_embedding)], "vec_id: bigint, embedding: array<float>"
+    )
+    udf = _argmin_cell_udf(cents, from_embedding=True)
+    q = qdf.select(
+        "embedding", udf(F.col("embedding")).alias("cell")
+    ).collect()
+    qe, qcell = q[0]["embedding"], q[0]["cell"]
+    idx = spark.read.parquet(path).where(F.col("cell") == F.lit(qcell))
+    scored = idx.select(
+        "vec_id", F.expr(V.spark_cosine("embedding", _qe_lit(qe))).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
 

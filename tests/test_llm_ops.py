@@ -158,6 +158,54 @@ def test_ivf_cells_partition_the_table(spark, sf_oracle):
     assert cells.select("cell").distinct().count() <= 8
 
 
+def test_kernel_quantize_matches_sql_expression(spark, sf_oracle):
+    """``_quantize_np`` (the in-kernel quantizer the corpus assignment
+    pass uses) must reproduce the SQL ``quantize_normalized`` expression
+    — the oracle-matched canonical definition — bit-for-bit on every
+    fixture row.  This is the load-bearing equivalence: cumsum gives the
+    fold's sequential summation order, and rounding is half-away like
+    SQL round; if either drifts by one ulp on any row, a cell boundary
+    can flip and the IVF oracles go red with no pointer to the cause."""
+    import numpy as np
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        emb = load_table(spark, sf, "embeddings")
+        rows = (
+            S.quantize_normalized(emb)
+            .select("vec_id", "embedding", "xq")
+            .collect()
+        )
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        sql_xq = np.array([r["xq"] for r in rows], dtype=np.int64)
+        np.testing.assert_array_equal(S._quantize_np(X), sql_xq)
+
+
+def test_persisted_ivf_index_probe(spark, sf_oracle, tmp_path):
+    """The write-once/probe-many path: a probe of the persisted index
+    must (a) PRUNE to the query's cell directory — the plan carries a
+    PartitionFilters entry on ``cell``, i.e. the 1/C-of-storage claim —
+    and (b) return exactly what the in-memory ``ivf_topk`` returns for
+    the same query vector (same cells, same exact-cosine rerank)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    cents = S.write_ivf_index(emb, path, num_centroids=8)
+
+    qvec = emb.where("vec_id = 17").collect()[0]["embedding"]
+    probe = S.probe_ivf_index(spark, path, cents, qvec, 10)
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+
+    got = [(r["vec_id"], r["score"]) for r in probe.collect()]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in S.ivf_topk(emb, 17, 10, 8).collect()
+    ]
+    assert got == want
+
+
 def test_multimodal_feature_pipeline(spark, sf_smoke):
     docs = load_table(spark, sf_smoke, "documents").limit(20)
     feats = M.extract_features(M.binarize_documents(docs))
