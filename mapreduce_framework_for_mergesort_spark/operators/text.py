@@ -102,8 +102,8 @@ def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
     shape (per-row classify → label column) is identical.
 
     ``with_fingerprint=True`` appends the winnowing-style content
-    fingerprint (min md5 over char 8-grams) in the same projection —
-    classify + fingerprint share one scan."""
+    fingerprint (min rolling hash over char 8-grams, Arrow kernel) in
+    the same projection — classify + fingerprint share one scan."""
     toks = H.spark_tokens("text")
     df = documents
     langs = list(LANG_STOPWORDS)
@@ -122,7 +122,7 @@ def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
         F.expr(pred).alias("pred_lang"),
     ]
     if with_fingerprint:
-        cols.append(F.expr(H.spark_fingerprint("text")).alias("fingerprint"))
+        cols.append(H.fingerprint_udf()(F.col("text")).alias("fingerprint"))
     return df.select(*cols)
 
 
@@ -203,9 +203,11 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
 
 
 def fingerprints(documents: DataFrame) -> DataFrame:
-    """Winnowing-style content fingerprint: min md5 over char 8-grams
-    (robust to global reordering, cheap rolling window)."""
+    """Winnowing-style content fingerprint: min Karp-Rabin rolling hash
+    over char 8-grams (robust to global reordering), via the exact-int64
+    Arrow kernel (``functions/hashing.py`` — the SQL expression form is
+    the canonical definition it is pinned to)."""
     return documents.select(
         "doc_id",
-        F.expr(H.spark_fingerprint("text")).alias("fingerprint"),
+        H.fingerprint_udf()(F.col("text")).alias("fingerprint"),
     )

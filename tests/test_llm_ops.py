@@ -180,6 +180,29 @@ def test_kernel_quantize_matches_sql_expression(spark, sf_oracle):
         np.testing.assert_array_equal(S._quantize_np(X), sql_xq)
 
 
+def test_fingerprint_kernel_matches_sql_expression(spark, sf_oracle):
+    """``fingerprint_udf`` (np.correlate rolling hash) must reproduce
+    the canonical Spark SQL expression ``spark_fingerprint`` on every
+    fixture document, plus the short/empty edge texts the fixture
+    doesn't contain."""
+    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "a"), (100003, "abcdefg"), (100004, "abcdefgh")],
+        "doc_id: bigint, text: string",
+    )
+    both = docs.unionByName(edge).select(
+        "doc_id",
+        H.fingerprint_udf()(F.col("text")).alias("kern"),
+        F.expr(H.spark_fingerprint("text")).alias("sql"),
+    )
+    bad = both.where(F.col("kern") != F.col("sql")).count()
+    assert bad == 0
+
+
 def test_persisted_ivf_index_probe(spark, sf_oracle, tmp_path):
     """The write-once/probe-many path: a probe of the persisted index
     must (a) PRUNE to the query's cell directory — the plan carries a
