@@ -87,39 +87,147 @@ def duckdb_shingles(toks: str, n: int = SHINGLE_N) -> str:
 
 
 # --- minhash signatures ----------------------------------------------------
+# Carter–Wegman affine family over ONE base md5 per shingle:
+#
+#   h(s)   = first 8 hex chars of md5(s) as an integer   (< 2^32)
+#   h_k(s) = (a_k · h(s) + b_k) mod P,   P = 2^31 − 1
+#
+# with (a_k, b_k) derived deterministically from md5 of the index (the
+# hyperplane-constants trick).  a_k < P and h < 2^32, so every product
+# is < 2^63: exact int64 in Spark SQL (pmod), DuckDB (%), and NumPy —
+# the three implementations agree bit-for-bit.  Round 3 replaced the
+# round-1 family h_k(s) = md5('<k>|' || s), which recomputed md5
+# NUM_MINHASHES times per shingle — the dominant cost of the whole LSH
+# pipeline (~12 interpreted md5+concat per shingle per doc); the affine
+# family hashes each shingle ONCE and derives the rest with integer
+# math, which also makes the signature pass NumPy-vectorizable
+# (``band_structs_udf``).  Min runs over int64 signatures instead of
+# hex strings; band values stay md5-of-decimal-strings (portable).
+
+MINHASH_P = (1 << 31) - 1
+
+
+def _mh_const(tag: str, k: int, mod: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}{k}".encode()).hexdigest()[:8], 16) % mod
+
+
+MINHASH_AB = [
+    (_mh_const("a", k, MINHASH_P - 1) + 1, _mh_const("b", k, MINHASH_P))
+    for k in range(NUM_MINHASHES)
+]
+
+
+def spark_base_hash(s: str) -> str:
+    return f"CAST(conv(substring(md5({s}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def duckdb_base_hash(s: str) -> str:
+    return f"CAST('0x' || substring(md5({s}), 1, 8) AS BIGINT)"
+
 
 def spark_minhash(shingles: str, k: int) -> str:
-    return f"array_min(transform({shingles}, s -> md5(concat('{k}|', s))))"
+    a, b = MINHASH_AB[k]
+    return (
+        f"array_min(transform({shingles}, s -> "
+        f"pmod({a} * {spark_base_hash('s')} + {b}, {MINHASH_P})))"
+    )
+
+
+def duckdb_minhash(shingles: str, k: int) -> str:
+    a, b = MINHASH_AB[k]
+    return (
+        f"list_min(list_transform({shingles}, s -> "
+        f"({a} * {duckdb_base_hash('s')} + {b}) % {MINHASH_P}))"
+    )
 
 
 def spark_band_structs(shingles: str) -> str:
     """Full MinHash-LSH index expression: shingles → array of
     ``NUM_BANDS`` ``struct<band_id:int, band_val:string>`` in ONE pass.
 
-    All ``NUM_MINHASHES`` signatures and all band hashes are computed
-    inside a single expression with the shingle list let-bound, so the
-    (expensive) tokenize/shingle pipeline runs exactly once per document
-    — the naive one-withColumn-per-signature form re-evaluated it per
-    signature (observed 4.5x slower at sf0.1).  Docs with no shingles
-    yield an empty array (nothing to collide on).
+    Canonical Spark SQL definition (the hot path is the Arrow kernel
+    ``band_structs_udf``, pinned to this expression in tests).  The
+    shingle list AND the per-shingle base hashes are let-bound, so the
+    tokenize/shingle/md5 pipeline runs exactly once per document — each
+    of the NUM_MINHASHES signature mins is then pure integer math over
+    the bound hash list.  Docs with no shingles yield an empty array
+    (nothing to collide on)."""
 
-    Seeding matches :func:`spark_minhash`: hash_k(s) = md5('<k>|' || s),
-    with k produced by ``sequence()`` instead of a Python-level literal.
-    """
+    def sig(k: int) -> str:
+        a, b = MINHASH_AB[k]
+        return (
+            f"CAST(array_min(transform(hs, h -> "
+            f"pmod({a} * h + {b}, {MINHASH_P}))) AS STRING)"
+        )
+
+    structs = ", ".join(
+        "named_struct('band_id', CAST({} AS INT), 'band_val', "
+        "md5(concat_ws('|', {})))".format(
+            b_id, ", ".join(sig(k) for k in idxs)
+        )
+        for b_id, idxs in band_slices()
+    )
     body = (
-        f"CASE WHEN size(sh) > 0 THEN "
-        f"transform(sequence(0, {NUM_BANDS - 1}), b -> named_struct("
-        f"'band_id', CAST(b AS INT), "
-        f"'band_val', md5(concat_ws('|', "
-        f"transform(sequence(b * {BAND_ROWS}, b * {BAND_ROWS} + {BAND_ROWS - 1}), "
-        f"k -> array_min(transform(sh, s -> md5(concat(CAST(k AS STRING), '|', s))))))))) "
+        f"CASE WHEN size(sh) > 0 THEN array({structs}) "
         f"ELSE CAST(array() AS ARRAY<STRUCT<band_id: INT, band_val: STRING>>) END"
     )
-    return let(shingles, "sh", body)
+    return let(
+        shingles,
+        "sh",
+        let(f"transform(sh, s -> {spark_base_hash('s')})", "hs", body),
+    )
 
 
-def duckdb_minhash(shingles: str, k: int) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5('{k}|' || s)))"
+def band_structs_udf(n: int = SHINGLE_N):
+    """Arrow-batched LSH index build: per document, ONE md5 per shingle
+    (Python hashlib — hex-identical to JVM/DuckDB md5), then all
+    ``NUM_MINHASHES`` affine signatures in a single NumPy
+    broadcast-multiply + min.  Replaces the interpreted Catalyst
+    expression (~ms/doc) at ~µs-scale/doc; pinned to
+    ``spark_band_structs`` row-for-row in tests."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array([a for a, _ in MINHASH_AB], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in MINHASH_AB], dtype=np.int64)[:, None]
+    slices = band_slices()
+
+    @pandas_udf("array<struct<band_id: int, band_val: string>>")
+    def bands(text: pd.Series) -> pd.Series:
+        out = []
+        for s in text:
+            toks = re.findall(r"\S+", s)
+            if len(toks) < n:
+                out.append([])
+                continue
+            # a set is fine: min() is invariant to duplicates/order
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            hs = np.array(
+                [
+                    int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    for g in sh
+                ],
+                dtype=np.int64,
+            )
+            sig = ((A * hs[None, :] + B) % MINHASH_P).min(axis=1)
+            out.append(
+                [
+                    (
+                        b_id,
+                        hashlib.md5(
+                            "|".join(str(int(sig[i])) for i in idxs).encode()
+                        ).hexdigest(),
+                    )
+                    for b_id, idxs in slices
+                ]
+            )
+        return pd.Series(out)
+
+    return bands
 
 
 def band_slices() -> list[tuple[int, list[int]]]:
@@ -170,6 +278,41 @@ def duckdb_simhash(toks: str) -> str:
             f"{1 << (SIMHASH_BITS - i)} ELSE 0 END)"
         )
     return f"CAST({' + '.join(bits)} AS BIGINT)"
+
+
+def simhash_udf():
+    """Arrow-batched simhash with the IDENTICAL definition as
+    ``spark_simhash`` (one md5 per token, majority vote over the top bit
+    of each of the first ``SIMHASH_BITS`` hex digits; hex chars ≥ '8'
+    have the top bit set, ties vote 0).  The SQL expression makes
+    SIMHASH_BITS interpreted passes over the per-token hash list; the
+    kernel makes one and is pinned to the expression in tests."""
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (1 << np.arange(SIMHASH_BITS - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sim(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.int64)
+        for ix, s in enumerate(text):
+            toks = re.findall(r"\S+", s)
+            if not toks:
+                continue  # no tokens → every vote fails → 0, like the SQL
+            digs = "".join(
+                hashlib.md5(t.encode()).hexdigest()[:SIMHASH_BITS]
+                for t in toks
+            )
+            M = np.frombuffer(digs.encode(), dtype=np.uint8).reshape(
+                len(toks), SIMHASH_BITS
+            )
+            votes = (M >= ord("8")).sum(axis=0)
+            out[ix] = int(((2 * votes > len(toks)) * weights).sum())
+        return pd.Series(out)
+
+    return sim
 
 
 # --- winnowing-style document fingerprint ---------------------------------

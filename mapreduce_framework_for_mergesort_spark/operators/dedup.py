@@ -72,20 +72,21 @@ def _with_shingles(documents: DataFrame) -> DataFrame:
 def minhash_bands(documents: DataFrame) -> DataFrame:
     """doc_id → (band_id, band_val) rows: the LSH index.
 
-    Signature k = min over shingles of md5('k|'||shingle) (string-min —
-    portable, no integer mixing); bands of ``BAND_ROWS`` signatures are
-    collapsed to one md5.  Docs with no shingles (< n tokens) produce no
-    rows: they have no content to collide on.
+    Signature k = min over shingles of the Carter–Wegman affine hash
+    ``(a_k · md5_32(shingle) + b_k) mod (2^31−1)`` — ONE md5 per
+    shingle, all ``NUM_MINHASHES`` signatures by exact-int64 integer
+    math (see ``functions/hashing.py``); bands of ``BAND_ROWS``
+    signatures are collapsed to one md5.  Docs with no shingles
+    (< n tokens) produce no rows: they have no content to collide on.
 
-    The whole tokenize→shingle→sign→band pipeline is ONE let-bound
-    expression (``spark_band_structs``), so the shingle list is computed
-    exactly once per document regardless of how Catalyst collapses
-    projections.  Per-row, shuffle-free; the only shuffle in the dedup
-    pipeline is the downstream band-value join.
+    The whole tokenize→shingle→hash→band pipeline runs in one Arrow
+    kernel (``band_structs_udf``, pinned to the canonical
+    ``spark_band_structs`` SQL expression in tests).  Per-row,
+    shuffle-free; the only shuffle in the dedup pipeline is the
+    downstream band-value join.
     """
-    bands = H.spark_band_structs(H.spark_shingles(H.spark_tokens("text")))
     return documents.select(
-        "doc_id", F.explode(F.expr(bands)).alias("__band")
+        "doc_id", F.explode(H.band_structs_udf()(F.col("text"))).alias("__band")
     ).select(
         "doc_id",
         F.col("__band.band_id").alias("band_id"),
@@ -134,10 +135,12 @@ def lsh_candidate_pairs(
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """Per-doc 16-bit simhash (majority vote over token-md5 bit columns)."""
+    """Per-doc 16-bit simhash (majority vote over token-md5 bit
+    columns), via the Arrow kernel (``simhash_udf`` — identical
+    definition as the canonical SQL expression it is pinned to)."""
     return documents.select(
         "doc_id",
-        F.expr(H.spark_simhash(H.spark_tokens("text"))).alias("simhash"),
+        H.simhash_udf()(F.col("text")).alias("simhash"),
     )
 
 

@@ -37,21 +37,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duckdb_bands_cte() -> str:
     toks = H.duckdb_tokens("text")
+
+    def sig(k: int) -> str:
+        a, b = H.MINHASH_AB[k]
+        return (
+            f"CAST(list_min(list_transform(hs, h -> "
+            f"({a} * h + {b}) % {H.MINHASH_P})) AS BIGINT)"
+        )
+
     sigs = ",\n         ".join(
-        f"{H.duckdb_minhash('sh', k)} AS sig{k}" for k in range(H.NUM_MINHASHES)
+        f"{sig(k)} AS sig{k}" for k in range(H.NUM_MINHASHES)
     )
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band_id, "
-        f"{H.duckdb_band([f'sig{i}' for i in idxs])} AS band_val FROM sigs"
+        f"{H.duckdb_band([f'CAST(sig{i} AS VARCHAR)' for i in idxs])}"
+        f" AS band_val FROM sigs"
         for b, idxs in H.band_slices()
     )
     return f"""
     WITH sh AS (
       SELECT doc_id, {H.duckdb_shingles(toks)} AS sh FROM documents),
+    hs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> {H.duckdb_base_hash('s')}) AS hs
+      FROM sh WHERE len(sh) > 0),
     sigs AS (
       SELECT doc_id,
          {sigs}
-      FROM sh WHERE len(sh) > 0),
+      FROM hs),
     bands AS (
       {band_selects})
     """

@@ -203,6 +203,52 @@ def test_fingerprint_kernel_matches_sql_expression(spark, sf_oracle):
     assert bad == 0
 
 
+def test_band_structs_kernel_matches_sql_expression(spark, sf_oracle):
+    """``band_structs_udf`` (one-md5-per-shingle + NumPy affine mins)
+    must produce exactly the rows of the canonical ``spark_band_structs``
+    SQL expression — tokenization, shingling, base hash, affine family,
+    and band md5 all agree, plus the <n-token empty case."""
+    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "one two"), (100003, "one two three")],
+        "doc_id: bigint, text: string",
+    )
+    both = docs.unionByName(edge)
+    sql_expr = H.spark_band_structs(
+        H.spark_shingles(H.spark_tokens("text"))
+    )
+    rows = both.select(
+        "doc_id",
+        H.band_structs_udf()(F.col("text")).alias("kern"),
+        F.expr(sql_expr).alias("sql"),
+    ).collect()
+    for r in rows:
+        assert sorted(map(tuple, r["kern"])) == sorted(
+            map(tuple, r["sql"])
+        ), r["doc_id"]
+
+
+def test_simhash_kernel_matches_sql_expression(spark, sf_oracle):
+    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "tok")], "doc_id: bigint, text: string"
+    )
+    both = docs.unionByName(edge).select(
+        "doc_id",
+        H.simhash_udf()(F.col("text")).alias("kern"),
+        F.expr(H.spark_simhash(H.spark_tokens("text"))).alias("sql"),
+    )
+    assert both.where(F.col("kern") != F.col("sql")).count() == 0
+
+
 def test_persisted_ivf_index_probe(spark, sf_oracle, tmp_path):
     """The write-once/probe-many path: a probe of the persisted index
     must (a) PRUNE to the query's cell directory — the plan carries a
