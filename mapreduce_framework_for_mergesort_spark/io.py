@@ -49,31 +49,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        This is deliberate and cannot be scoped: the confs are consulted
        at *execution* time, so a save/restore around this (lazy) read
        would silently corrupt the returned DataFrame's later runs.
-       Rationale: events.parquet stores TIMESTAMP(NANOS), which Spark's
-       parquet reader rejects outright, and the caller may hand us a
-       *vanilla* SparkSession (the correctness driver does exactly
-       that), so the session-factory conf in ``session.py`` cannot be
-       relied on.  UTC pins hour()/window() semantics of the rebuilt
-       TIMESTAMP_LTZ to match the timezone-naive DuckDB oracle.
+       Rationale: events.parquet has shipped as TIMESTAMP(NANOS) (which
+       Spark's parquet reader rejects outright without the legacy conf)
+       and as TIMESTAMP(MICROS, isAdjustedToUTC=false), and the caller
+       may hand us a *vanilla* SparkSession (the correctness driver does
+       exactly that), so the session-factory conf in ``session.py``
+       cannot be relied on.  UTC pins hour()/window() semantics of the
+       normalized TIMESTAMP_LTZ to match the timezone-naive DuckDB
+       oracle.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        for k, v in (
-            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-            ("spark.sql.session.timeZone", "UTC"),
-        ):
-            if spark.conf.get(k, None) != v:
-                spark.conf.set(k, v)
+        set_events_read_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as raw ns via
-        # spark.sql.legacy.parquet.nanosAsLong (see session.py): rebuild a
-        # microsecond timestamp with exact integer division.  DuckDB 1.0
-        # truncates the same nanos to µs, so both engines agree bit-for-bit.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
+
+
+def set_events_read_confs(spark: SparkSession) -> None:
+    """Runtime confs the events read depends on, set idempotently (see
+    the ``load_table`` warning about the deliberate global mutation)."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP_LTZ whatever
+    the on-disk encoding was:
+
+    * TIMESTAMP(NANOS) read as raw ns longs via
+      ``spark.sql.legacy.parquet.nanosAsLong`` → rebuild with exact
+      integer division (DuckDB truncates the same nanos to µs, so both
+      engines agree bit-for-bit).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ →
+      relabel to LTZ.  The session timezone is pinned to UTC first, so
+      the cast keeps the wall-clock value and is deterministic; DuckDB
+      reads the same column timezone-naive, so hour()/window()/epoch
+      arithmetic matches exactly.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -39,10 +39,11 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # --- determinism / oracle parity --------------------------------------
     "spark.sql.session.timeZone": "UTC",
-    # The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    # parquet reader rejects outright; read as raw ns longs and let
-    # io.load_table rebuild a microsecond timestamp (ts div 1000 — exact
-    # integer math; DuckDB 1.0 truncates the same way).
+    # The driver's events.parquet has shipped as TIMESTAMP(NANOS), which
+    # Spark's parquet reader rejects outright without this conf; read as
+    # raw ns longs and let io.normalize_events_ts rebuild a microsecond
+    # timestamp (ts div 1000 — exact integer math; DuckDB truncates the
+    # same way).  Harmless when the data is already TIMESTAMP(MICROS).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Progress bars interleave with test/bench output.
     "spark.ui.showConsoleProgress": "false",

@@ -10,9 +10,12 @@ because it sees the same (ts, user_id, event_type, value, props) schema.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from mapreduce_framework_for_mergesort_spark.io import table_path
+from mapreduce_framework_for_mergesort_spark.io import (
+    normalize_events_ts,
+    set_events_read_confs,
+    table_path,
+)
 
 
 def stream_events(
@@ -34,14 +37,9 @@ def stream_events(
     """
     path = table_path(sf_dir, "events")
     # Runtime-set (not session-factory) so a vanilla SparkSession — the
-    # correctness driver's calling convention — can read the
-    # TIMESTAMP(NANOS) parquet; mirrors io.load_table.
-    for k, v in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
-    ):
-        if spark.conf.get(k, None) != v:
-            spark.conf.set(k, v)
+    # correctness driver's calling convention — can read the events
+    # parquet whatever its timestamp encoding; mirrors io.load_table.
+    set_events_read_confs(spark)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -50,10 +48,8 @@ def stream_events(
     # fails basePath resolution); the test tables are single files, so
     # turn the exact name into a one-match glob.
     df = reader.parquet(path.replace("events.parquet", "events*.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
-        # Same TIMESTAMP(NANOS) rebuild as io.load_table (exact µs math).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # Same ns-long / NTZ→LTZ normalization as io.load_table.
+    return normalize_events_ts(df)
 
 
 def run_to_parquet(
