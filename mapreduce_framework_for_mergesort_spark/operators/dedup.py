@@ -134,6 +134,85 @@ def lsh_candidate_pairs(
     )
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list → one row per
+    node with ``cluster`` = the smallest node id reachable from it (the
+    component's canonical label).  This is the step every near-dedup
+    pipeline needs after candidate/verified PAIRS: transitive closure
+    into duplicate CLUSTERS, so exactly one document per cluster
+    survives (A~B and B~C must collapse to one survivor even when A~C
+    was never emitted as a pair).
+
+    Algorithm: hash-min label propagation — labels start as each node's
+    own id; each round every node takes the min of its label and its
+    neighbors' labels; converged when a round changes nothing.  Rounds
+    needed = the longest min-label propagation path (graph diameter
+    bound); dedup similarity graphs are dense clique-ish clusters with
+    tiny diameters, so this settles in a handful of rounds.  Per round
+    the cluster work is one equi-join (labels × edges) + one min
+    aggregation — both shuffle on node id, partial-aggregated map-side;
+    state is materialized per round (lineage cut — iterative plans
+    otherwise re-execute the whole prefix each round and the plan tree
+    grows without bound).  The convergence probe is a ``limit(1)`` run,
+    not a full count.  At 100 TB the edge list is the (tiny) candidate
+    graph, not the corpus; for adversarially long chains switch to
+    large-star/small-star (Kiveris '14), which contracts in
+    O(log diameter) rounds with the same join+min building blocks.
+
+    ``nodes`` (optional, one id column): the full vertex set — nodes
+    with no pairs become singleton clusters of themselves, which is what
+    a dedup survivor pass wants (documents with no near-dups survive).
+    Default: only nodes appearing in ``pairs``.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    edges = _materialize(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    if nodes is None:
+        verts = edges.select(F.col("u").alias("node")).distinct()
+    else:
+        verts = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+    labels = _materialize(verts.select("node", F.col("node").alias("cluster")))
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["v"] == labels["node"]
+        ).select(F.col("u").alias("node"), "cluster")
+        new = _materialize(
+            labels.union(prop).groupBy("node").agg(
+                F.min("cluster").alias("cluster")
+            )
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_survivors(clusters: DataFrame) -> DataFrame:
+    """Per-cluster survivor summary over ``cluster_pairs`` output: the
+    canonical label IS the surviving doc id (smallest in the component —
+    the same deterministic min-survivor rule ``exact_dup_groups`` uses),
+    plus the cluster size.  One hash aggregate, map-side partials."""
+    return clusters.groupBy(F.col("cluster").alias("keep_doc_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
 def simhash_signatures(documents: DataFrame) -> DataFrame:
     """Per-doc 16-bit simhash (majority vote over token-md5 bit
     columns), via the Arrow kernel (``simhash_udf`` — identical

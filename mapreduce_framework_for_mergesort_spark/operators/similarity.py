@@ -22,9 +22,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
-from mapreduce_framework_for_mergesort_spark.operators.materialize import (
-    materialize,
-)
 
 NUM_PLANES = 8
 
@@ -337,28 +334,60 @@ def _assign(
     return xqv.select("vec_id", *carry, udf(F.col("xq")).alias("cell"))
 
 
+def _kmeans_train_np(ids, Xq, num_centroids: int, iters: int) -> Cents:
+    """Driver-side exact integer Lloyd's k-means over the quantized
+    sample — the same arithmetic as ``_kmeans_train`` (the distributed
+    formulation, kept for samples too big to collect) step for step:
+
+    * init = the first ``num_centroids`` vectors by vec_id;
+    * assignment = exact int64 squared-L2 argmin, ties to lowest cid
+      (``_argmin_np`` — the identical kernel the corpus pass uses);
+    * update = component mean ``round(sum / n)`` with int64 sums (exact
+      in any order) and SQL half-away-from-zero rounding of the one
+      correctly-rounded double division;
+    * cells that lose all members drop out.
+
+    Both trainers are pinned equal on real data in
+    ``tests/test_llm_ops.py``, and the DuckDB oracle
+    (``duckdb_kmeans_cte``) replicates the same steps CTE-for-CTE, so
+    the trained index is value-exact across all three formulations.
+    """
+    order = np.argsort(ids)
+    ids, Xq = ids[order], Xq[order]
+    init = ids < num_centroids
+    cents: Cents = [
+        (int(i), [int(v) for v in row]) for i, row in zip(ids[init], Xq[init])
+    ]
+    for _ in range(iters):
+        if not cents:
+            break
+        assign = _argmin_np(Xq, cents)
+        new: Cents = []
+        for cid in np.unique(assign):
+            M = Xq[assign == cid]
+            mean = M.sum(axis=0, dtype=np.int64).astype(np.float64) / len(M)
+            q = (np.sign(mean) * np.floor(np.abs(mean) + 0.5)).astype(np.int64)
+            new.append((int(cid), [int(v) for v in q]))
+        cents = sorted(new)
+    return cents
+
+
 def _kmeans_train(xqv: DataFrame, num_centroids: int, iters: int) -> Cents:
-    """Deterministic integer Lloyd's k-means over (vec_id, xq) rows →
+    """Distributed integer Lloyd's k-means over (vec_id, xq) rows →
     driver-side centroid list.
 
-    Init = the first ``num_centroids`` vectors by vec_id; each iteration
-    reassigns by exact int64 L2 and recomputes centroids as the rounded
-    component mean ``round(sum / n)`` (int64 sum is exact in any order;
-    the one double division is correctly rounded IEEE on both engines).
-    Every step is reproducible arithmetic, so the *trained* index is
-    value-exact against the DuckDB oracle (``duckdb_kmeans_cte``
-    replicates it CTE-for-CTE) — unlike float k-means, whose sum order
-    would drift across partitionings.
+    Same algorithm as ``_kmeans_train_np`` (pinned equal in tests); use
+    this formulation when the training sample is itself too large to
+    collect — per-iteration cluster work is one scan of ``xqv`` + one
+    partial aggregation (component sums compose map-side).
 
     Centroid state lives ON THE DRIVER between iterations — the classic
     Spark-MLlib KMeans shape.  The collect here is O(C·dim) index
     metadata (~512 ints at the defaults), never data; keeping the state
     as a DataFrame instead (round-3 first cut) made every iteration
     either a nested-plan re-analysis (~2.5 s/iter of pure driver-side
-    planning) or an extra checkpoint job per iteration.  Per-iteration
-    cluster work is one scan of ``xqv`` + one partial aggregation
-    (component sums compose map-side).  Cells that lose all members drop
-    out (deterministically, on both engines).
+    planning) or an extra checkpoint job per iteration.  Cells that lose
+    all members drop out (deterministically, on both engines).
     """
     init = (
         xqv.where(F.col("vec_id") < num_centroids)
@@ -431,15 +460,30 @@ def ivf_cells(
 def _trained_cents(
     embeddings: DataFrame, num_centroids: int, iters: int = KM_ITERS
 ) -> Cents:
-    """Quantize + materialize the prefix training sample, run Lloyd
-    iterations on it → the driver-side centroid list."""
+    """Collect the prefix training sample and run Lloyd iterations on
+    the driver → centroid list.
+
+    ONE Spark job total: the ``vec_id < sample`` filter and the 2-column
+    projection push down to the parquet scan, and what comes back is
+    O(C · KM_SAMPLE_FACTOR · dim) values — bounded index metadata by
+    construction (the sample size is part of the index definition), so
+    collecting it is safe at any corpus size.  Quantization uses
+    ``_quantize_np``, pinned row-for-row to the canonical SQL expression.
+    The round-3 first cut instead materialized the sample as a DataFrame
+    and aggregated each Lloyd iteration as a cluster job — 4+ jobs of
+    pure fixed overhead for a 512-row sample (the distributed trainer
+    ``_kmeans_train`` remains available for oversized samples)."""
     sample = num_centroids * KM_SAMPLE_FACTOR
-    smp = materialize(
-        quantize_normalized(embeddings)
-        .where(F.col("vec_id") < sample)
-        .select("vec_id", "xq")
+    rows = (
+        embeddings.where(F.col("vec_id") < sample)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    return _kmeans_train(smp, num_centroids, iters)
+    if not rows:
+        return []
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return _kmeans_train_np(ids, _quantize_np(X), num_centroids, iters)
 
 
 def ivf_topk(

@@ -15,6 +15,9 @@ from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import dedup as D
+from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+    materialize,
+)
 from mapreduce_framework_for_mergesort_spark.operators import similarity as S
 from mapreduce_framework_for_mergesort_spark.queries import query
 
@@ -35,7 +38,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
-def _duckdb_bands_cte() -> str:
+def _duckdb_bands_cte(recursive: bool = False) -> str:
     toks = H.duckdb_tokens("text")
 
     def sig(k: int) -> str:
@@ -55,7 +58,7 @@ def _duckdb_bands_cte() -> str:
         for b, idxs in H.band_slices()
     )
     return f"""
-    WITH sh AS (
+    WITH {"RECURSIVE" if recursive else ""} sh AS (
       SELECT doc_id, {H.duckdb_shingles(toks)} AS sh FROM documents),
     hs AS (
       SELECT doc_id, sh,
@@ -81,19 +84,76 @@ def minhash_bands_unregistered(spark, sf_dir):
 
 @query(
     "q_dedup_minhash_pairs",
-    oracle=_duckdb_bands_cte()
-    + """
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b
-      ON a.band_id = b.band_id AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
+    oracle=_duckdb_bands_cte(recursive=True)
+    + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id),
+    cedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM cand
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM cand),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.node),
+    cl AS (
+      SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT 'pair' AS part, doc_a, doc_b FROM cand
+    UNION ALL
+    SELECT 'cluster' AS part, node AS doc_a, cluster AS doc_b FROM cl
+    UNION ALL
+    SELECT 'survivor' AS part, cluster AS doc_a, COUNT(*) AS doc_b
+    FROM cl GROUP BY cluster
     """,
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs from LSH band collisions."""
-    return D.lsh_candidate_pairs(
-        D.minhash_bands(load_table(spark, sf_dir, "documents"))
+    """The full MinHash near-dedup pipeline in one tagged union (round 3
+    added the transitive-closure tiers — candidate PAIRS alone can't
+    dedup A~B~C chains):
+
+    * ``pair``     — LSH band-collision candidate pairs
+                     (doc_a, doc_b), as in rounds 1-2;
+    * ``cluster``  — connected components over those pairs
+                     (doc_a = doc_id, doc_b = cluster id = smallest
+                     doc_id in the component; every document appears,
+                     singletons label themselves);
+    * ``survivor`` — one row per cluster (doc_a = surviving doc_id,
+                     doc_b = cluster size) — the deterministic
+                     min-survivor rule ``q_dedup_exact`` uses, lifted to
+                     near-dup clusters.
+
+    The oracle replicates all three tiers: the band pipeline in SQL and
+    the clustering as a recursive min-label closure (``reach``) — the
+    iterative Spark propagation (``dedup.cluster_pairs``) must reach the
+    identical fixpoint, so the driver hash-checks an *iterative graph
+    algorithm* value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = materialize(
+        D.lsh_candidate_pairs(D.minhash_bands(docs))
+    )
+    clusters = D.cluster_pairs(pairs, nodes=docs.select("doc_id"))
+    surv = D.cluster_survivors(clusters)
+    lit = F.lit
+    return (
+        pairs.select(lit("pair").alias("part"), "doc_a", "doc_b")
+        .unionByName(
+            clusters.select(
+                lit("cluster").alias("part"),
+                F.col("node").alias("doc_a"),
+                F.col("cluster").alias("doc_b"),
+            )
+        )
+        .unionByName(
+            surv.select(
+                lit("survivor").alias("part"),
+                F.col("keep_doc_id").alias("doc_a"),
+                F.col("cluster_size").alias("doc_b"),
+            )
+        )
     )
 
 

@@ -86,6 +86,47 @@ def test_ngram_jaccard_values(corpus_with_dups):
     assert 0.5 <= pairs[(1, 3)] < 1.0
 
 
+def test_cluster_pairs_transitive_closure(spark):
+    """A~B and B~C must land in ONE cluster even though (A,C) was never
+    a pair — the chain case pair-level dedup can't handle.  Also: a
+    second component, and nodes with no pairs become singletons."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], ["doc_a", "doc_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (10, 20, 30, 40, 50, 60)], ["doc_id"])
+    got = {
+        r["node"]: r["cluster"]
+        for r in D.cluster_pairs(pairs, nodes=nodes).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40, 60: 60}
+    surv = {
+        r["keep_doc_id"]: r["cluster_size"]
+        for r in D.cluster_survivors(D.cluster_pairs(pairs, nodes=nodes)).collect()
+    }
+    assert surv == {10: 3, 40: 2, 60: 1}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """A 12-node path graph (worst case for min propagation: the label
+    must walk the full diameter) still reaches the exact fixpoint."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = {r["node"]: r["cluster"] for r in D.cluster_pairs(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cluster_pairs_default_nodes_from_pairs(corpus_with_dups):
+    """Without an explicit vertex set, clustering covers exactly the
+    docs that appear in some pair; survivors follow the min rule."""
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(corpus_with_dups))
+    got = {r["node"]: r["cluster"] for r in D.cluster_pairs(pairs).collect()}
+    # 1~2 (exact) and 1~3 (near) → one cluster rooted at 1
+    assert got[1] == got[2] == got[3] == 1
+    assert 5 not in got  # shingle-less doc never pairs
+
+
 def test_simhash_close_for_near_dups(corpus_with_dups):
     sig = {
         r["doc_id"]: r["simhash"]
@@ -149,6 +190,26 @@ def test_kmeans_training_reduces_objective(spark, sf_oracle):
     s2 = sse(S.kmeans_centroids(xqv, 8, iters=2))
     assert s1 < s0 * 0.75, (s0, s1)  # measured: 42% drop at sf0.01
     assert s2 <= s1, (s1, s2)
+
+
+def test_kmeans_np_trainer_matches_distributed(spark, sf_oracle):
+    """The driver-side NumPy trainer (what ``_trained_cents`` runs — one
+    collect job) and the distributed DataFrame trainer (the formulation
+    for oversized samples) must produce the IDENTICAL centroid list:
+    both are definitions of the same exact integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    sample = 8 * S.KM_SAMPLE_FACTOR
+    smp = (
+        S.quantize_normalized(emb)
+        .where(F.col("vec_id") < sample)
+        .select("vec_id", "xq")
+        .localCheckpoint()
+    )
+    dist = S._kmeans_train(smp, 8, S.KM_ITERS)
+    via_np = S._trained_cents(emb, 8, S.KM_ITERS)
+    assert via_np == dist
 
 
 def test_ivf_cells_partition_the_table(spark, sf_oracle):
