@@ -77,31 +77,47 @@ def _warm(spark, sf_dir: str) -> None:
     force(spark.range(10_000).repartition(64).select(_ident(col("id"))))
 
 
-def _timed_sweep(spark, sf_dir: str, names) -> dict[str, float]:
-    """Force each query once; q_bucketed_join is split into its one-time
-    bucketed-table build and the zero-exchange join probe so the
-    round-over-round join timing is comparable (round-2 bench folded the
-    two writes into the join number)."""
+def _timed_sweep(
+    spark, sf_dir: str, names, runs: int = 1
+) -> dict[str, float]:
+    """Force each query ``runs`` times and keep the per-key MINIMUM
+    (steady-state time: the min is the run least disturbed by GC/JIT/OS
+    noise, which on single-run local[32] sweeps produced spurious ±0.5 s
+    round-over-round 'regressions' two rounds straight).  q_bucketed_join
+    is split into its one-time bucketed-table build and the
+    zero-exchange join probe so the round-over-round join timing is
+    comparable (round-2 bench folded the two writes into the join
+    number)."""
     from mapreduce_framework_for_mergesort_spark.queries.relational_ext import (
         bucketed_join_probe,
         bucketed_tables_build,
     )
 
+    def best(fn) -> float:
+        return round(min(_once(fn) for _ in range(runs)), 3)
+
+    def _once(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
     times: dict[str, float] = {}
     for name in names:
         if name == "q_bucketed_join":
-            t0 = time.perf_counter()
-            t_orders, t_cust = bucketed_tables_build(spark, sf_dir)
-            times["q_bucketed_join_build"] = round(
-                time.perf_counter() - t0, 3
+            built = {}
+            times["q_bucketed_join_build"] = best(
+                lambda: built.__setitem__(
+                    "t", bucketed_tables_build(spark, sf_dir)
+                )
             )
-            t0 = time.perf_counter()
-            force(bucketed_join_probe(spark, t_orders, t_cust))
-            times[name] = round(time.perf_counter() - t0, 3)
+            t_orders, t_cust = built["t"]
+            times[name] = best(
+                lambda: force(bucketed_join_probe(spark, t_orders, t_cust))
+            )
         else:
-            t0 = time.perf_counter()
-            force(QUERIES[name](spark, sf_dir))
-            times[name] = round(time.perf_counter() - t0, 3)
+            times[name] = best(
+                lambda: force(QUERIES[name](spark, sf_dir))
+            )
         # Drop the py4j references so the ContextCleaner reclaims this
         # key's localCheckpoint/broadcast blocks before the next key runs
         # — otherwise block accumulation across a 50-key sweep distorts
@@ -216,7 +232,7 @@ def main() -> None:
     spark = get_spark(app_name="msfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
-    times = _timed_sweep(spark, sf_dir, HEADLINE)
+    times = _timed_sweep(spark, sf_dir, HEADLINE, runs=2)
 
     total = round(sum(times.values()), 3)
     print(
@@ -226,6 +242,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "runs_per_key": 2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
