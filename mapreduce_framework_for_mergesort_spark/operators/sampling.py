@@ -1,0 +1,72 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``randomSplit`` is the obvious Spark answer but the wrong one for
+training data at scale: its assignment depends on partitioning and seed
+plumbing, so re-running after a repartition (or in another engine)
+reshuffles examples across train/val/test — a leakage bug.  The durable
+contract is *content addressing*: split membership is a pure function of
+a stable key, so any engine, any partitioning, any rerun agrees row for
+row.
+
+Mechanism: the first two hex chars of ``md5(key)`` give 256 equal-mass
+buckets; cumulative weight boundaries are rounded onto bucket edges and
+compared LEXICALLY (lowercase hex compares bytewise identically in every
+engine — no hex→int conversion, which engines disagree on).  Map-only,
+no shuffle, codegen-friendly; resolution is 1/256 of the corpus, plenty
+for split ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Weights = list[tuple[str, float]]
+
+DEFAULT_SPLITS: Weights = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def split_boundaries(splits: Weights = DEFAULT_SPLITS) -> list[tuple[str, str]]:
+    """(name, exclusive upper hex-bucket bound) per split, last bound
+    open-ended.  Shared by the Spark expression and the DuckDB oracle so
+    both derive thresholds from the same arithmetic."""
+    total = sum(w for _, w in splits)
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, w in splits:
+        cum += w / total
+        out.append((name, format(min(256, int(round(cum * 256))), "02x")))
+    return out
+
+
+def split_column(key: Column, splits: Weights = DEFAULT_SPLITS) -> Column:
+    """Split-name column for ``key`` (any type; cast to string first)."""
+    h = F.substring(F.md5(key.cast("string").cast("binary")), 1, 2)
+    bounds = split_boundaries(splits)
+    expr = None  # chained WHENs, first matching bound wins
+    for name, ub in bounds[:-1]:
+        cond = h < ub
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        expr.otherwise(bounds[-1][0]) if expr is not None else F.lit(bounds[-1][0])
+    )
+
+
+def hash_split(
+    df: DataFrame, key: str, splits: Weights = DEFAULT_SPLITS
+) -> DataFrame:
+    """Add a ``split`` column assigning each row by content-hash of
+    ``df[key]``.  Deterministic across runs, partitionings, and engines;
+    rows with equal keys land in the same split (exactly what you want:
+    duplicates must not straddle a train/test boundary)."""
+    return df.withColumn("split", split_column(F.col(key), splits))
+
+
+def duckdb_split_case(key_sql: str, splits: Weights = DEFAULT_SPLITS) -> str:
+    """The oracle-side CASE expression, from the same boundaries."""
+    h = f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, 2)"
+    bounds = split_boundaries(splits)
+    whens = " ".join(
+        f"WHEN {h} < '{ub}' THEN '{name}'" for name, ub in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"

@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import sampling
 from mapreduce_framework_for_mergesort_spark.operators.relational import dec_sum
 from mapreduce_framework_for_mergesort_spark.queries import query
+
+_SPLIT_CASE = sampling.duckdb_split_case("o_orderkey")
 
 
 def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
@@ -113,13 +116,22 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
       UNION ALL
       SELECT 'sample_sum_qty', l_returnflag,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-      FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_returnflag)
+      FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_returnflag),
+    split_rows AS (
+      SELECT 'split_n' AS metric, {split_case} AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS value
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'split_sum_price', {split_case},
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders GROUP BY 2)
     SELECT * FROM corr_rows
     UNION ALL SELECT * FROM pct_rows
     UNION ALL SELECT * FROM uniq_rows
     UNION ALL SELECT * FROM hist_rows
     UNION ALL SELECT * FROM sample_rows
-    """,
+    UNION ALL SELECT * FROM split_rows
+    """.format(split_case=_SPLIT_CASE),
 )
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The profiling audit pass.  Correlation avoids the built-in
@@ -143,9 +155,9 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the systematic-sample aggregates: all are per-returnflag
     # aggregates, the sample via conditional (filtered) aggregation.
     # A second lineitem pass covers the whole-table key-uniqueness
-    # distinct-count; orders takes one pass per grain (global, bucket).
-    # 4 scans total instead of round 1's seven across five queries —
-    # at 100 TB the scan count IS the audit's cost.
+    # distinct-count; orders takes one pass per grain (global, bucket,
+    # split).  5 scans total instead of round 1's seven across five
+    # queries — at 100 TB the scan count IS the audit's cost.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -218,4 +230,25 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("hist_n", F.col("hn")), ("hist_sum_price", F.col("hsum"))],
     )
 
-    return li_rows.unionByName(uniq_rows).unionByName(hist_rows)
+    # Deterministic content-hash train/val/test split audit (round 3):
+    # assignment is a pure function of the key (operators/sampling.py),
+    # so these counts are reproducible across engines/partitionings —
+    # the property the oracle check proves.
+    spl = (
+        sampling.hash_split(orders, "o_orderkey")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("sn"),
+            dec_sum("o_totalprice", alias="ssum"),
+        )
+    )
+    split_rows = _long(
+        spl, F.col("split"),
+        [("split_n", F.col("sn")), ("split_sum_price", F.col("ssum"))],
+    )
+
+    return (
+        li_rows.unionByName(uniq_rows)
+        .unionByName(hist_rows)
+        .unionByName(split_rows)
+    )

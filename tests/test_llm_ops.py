@@ -127,6 +127,49 @@ def test_cluster_pairs_default_nodes_from_pairs(corpus_with_dups):
     assert 5 not in got  # shingle-less doc never pairs
 
 
+def test_hash_split_is_deterministic_and_partition_proof(spark, sf_oracle):
+    """Split membership must be a pure function of the key: identical
+    across reruns AND across repartitionings (the randomSplit failure
+    mode this operator exists to avoid), with duplicates of a key never
+    straddling splits."""
+    from mapreduce_framework_for_mergesort_spark.operators import sampling
+
+    orders = load_table(spark, sf_oracle, "orders").select("o_orderkey")
+    a = {
+        r["o_orderkey"]: r["split"]
+        for r in sampling.hash_split(orders, "o_orderkey").collect()
+    }
+    b = {
+        r["o_orderkey"]: r["split"]
+        for r in sampling.hash_split(
+            orders.repartition(7), "o_orderkey"
+        ).collect()
+    }
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(a.values()).items()}
+    # 256-bucket resolution: expect within a few points of 80/10/10
+    assert abs(frac["train"] - 0.8) < 0.03, frac
+    assert abs(frac["val"] - 0.1) < 0.02, frac
+    assert abs(frac["test"] - 0.1) < 0.02, frac
+
+
+def test_hash_split_custom_weights(spark):
+    """Boundary arithmetic honors custom weights and normalizes them."""
+    from mapreduce_framework_for_mergesort_spark.operators import sampling
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    got = sampling.hash_split(df, "k", [("a", 1.0), ("b", 1.0)])
+    frac = (
+        got.groupBy("split").count().collect()
+    )
+    frac = {r["split"]: r["count"] / 4000 for r in frac}
+    assert set(frac) == {"a", "b"}
+    assert abs(frac["a"] - 0.5) < 0.05, frac
+
+
 def test_simhash_close_for_near_dups(corpus_with_dups):
     sig = {
         r["doc_id"]: r["simhash"]
