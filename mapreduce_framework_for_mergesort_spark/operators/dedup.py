@@ -168,7 +168,13 @@ def cluster_pairs(
     ``nodes`` (optional, one id column): the full vertex set — nodes
     with no pairs become singleton clusters of themselves, which is what
     a dedup survivor pass wants (documents with no near-dups survive).
-    Default: only nodes appearing in ``pairs``.
+    Singletons take a SHORTCUT: a node in no pair can never change
+    label, so the iteration runs only over pair-participating nodes
+    (≤ 2·|pairs| of them) and the singleton rows are unioned in lazily
+    at the end.  This is the property that makes the operator viable at
+    100 TB — per-round state is sized by the CANDIDATE GRAPH, never the
+    corpus; without it every round would checkpoint a corpus-sized
+    label table.  Default ``nodes``: only nodes appearing in ``pairs``.
     """
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -176,10 +182,13 @@ def cluster_pairs(
     edges = _materialize(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
-    if nodes is None:
-        verts = edges.select(F.col("u").alias("node")).distinct()
-    else:
-        verts = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+    verts = edges.select(F.col("u").alias("node")).distinct()
+    singletons = None
+    if nodes is not None:
+        allv = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        singletons = allv.join(verts, "node", "left_anti").select(
+            "node", F.col("node").alias("cluster")
+        )
     labels = _materialize(verts.select("node", F.col("node").alias("cluster")))
     for _ in range(max_iters):
         prop = edges.join(
@@ -200,6 +209,8 @@ def cluster_pairs(
         labels = new
         if changed == 0:
             break
+    if singletons is not None:
+        labels = labels.unionByName(singletons)
     return labels
 
 

@@ -150,16 +150,17 @@ def test_scalar_funcs_is_one_narrow_projection(spark, sf_oracle):
 
 def test_profile_stats_bounded_scans(spark, sf_oracle):
     """The consolidated audit must not re-scan per metric: two grouped
-    lineitem passes (stats+sample / uniqueness) + two orders passes
-    (uniqueness / histogram) + one filtered re-reference, bounded at 5
-    scans total (round-1's five separate queries cost 7+)."""
+    lineitem passes (stats+sample / uniqueness) + three orders passes
+    (uniqueness / histogram / round-3 split audit — a distinct grain
+    each) + one filtered re-reference, bounded at 6 scans total
+    (round-1's five separate queries cost 7+ for less coverage)."""
     plan = (
         QUERIES["q_profile_stats"](spark, sf_oracle)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") <= 5, plan
+    assert plan.count("Scan parquet") <= 6, plan
 
 
 def test_asof_join_stays_linear_union_merge(spark, sf_oracle):
