@@ -189,7 +189,18 @@ def cluster_pairs(
         singletons = allv.join(verts, "node", "left_anti").select(
             "node", F.col("node").alias("cluster")
         )
-    labels = _materialize(verts.select("node", F.col("node").alias("cluster")))
+    # Fused round 0: starting from identity labels, the first
+    # propagation yields exactly min(node, min(neighbors)) — computable
+    # straight from the edge list with one aggregation, no identity
+    # label table to build, join against, and checkpoint first.
+    labels = _materialize(
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mv")).alias("cluster"),
+        )
+    )
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["v"] == labels["node"]
