@@ -225,6 +225,24 @@ def cluster_pairs(
     return labels
 
 
+def near_dedup_documents(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+    """End-to-end near-dedup: keep exactly ONE document per near-dup
+    cluster (the smallest ``key`` in the component) and every document
+    with no near-dups.  Exact duplicates collapse too — identical text
+    yields identical bands, so exact-dup pairs are always candidates.
+
+    Composition of the tiered pipeline in its scale shapes: LSH
+    candidates (no all-pairs), connected components (candidate-graph-
+    sized state), then a semi-join of the corpus against the survivor
+    ids — the corpus itself is never shuffled by the clustering."""
+    pairs = lsh_candidate_pairs(minhash_bands(documents))
+    clusters = cluster_pairs(pairs, nodes=documents.select(key))
+    keep = cluster_survivors(clusters).select(
+        F.col("keep_doc_id").alias(key)
+    )
+    return documents.join(keep, key, "semi")
+
+
 def cluster_survivors(clusters: DataFrame) -> DataFrame:
     """Per-cluster survivor summary over ``cluster_pairs`` output: the
     canonical label IS the surviving doc id (smallest in the component —

@@ -127,6 +127,51 @@ def test_cluster_pairs_default_nodes_from_pairs(corpus_with_dups):
     assert 5 not in got  # shingle-less doc never pairs
 
 
+def test_near_dedup_documents_keeps_one_per_cluster(corpus_with_dups):
+    kept = sorted(
+        r["doc_id"] for r in D.near_dedup_documents(corpus_with_dups).collect()
+    )
+    # docs 1/2/3 are one near-dup cluster → only 1 survives; 4 and 5
+    # have no near-dups → survive as singletons
+    assert kept == [1, 4, 5]
+
+
+def test_curation_pipeline_end_to_end(spark, sf_oracle):
+    """The composed pipeline must (a) run scale-shaped end-to-end on
+    real documents, (b) only keep docs passing the filters, (c) emit
+    disjoint deterministic splits, (d) contain no duplicate texts."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = pipelines.curate_documents(docs, min_quality=0.3)
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()
+    assert set(out.columns) == set(docs.columns) | {"split"}
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))  # exact dups are gone too
+    # rerun is bit-identical (deterministic end to end)
+    again = {(r["doc_id"], r["split"]) for r in
+             pipelines.curate_documents(docs, min_quality=0.3).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_curation_features_match_operator_outputs(spark, sf_oracle):
+    """The fused one-scan feature projection must agree row-for-row
+    with the standalone quality_scores / lang_id operators."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    docs = load_table(spark, sf_oracle, "documents").limit(200)
+    fused = {
+        r["doc_id"]: (r["quality"], r["pred_lang"])
+        for r in pipelines.with_curation_features(docs).collect()
+    }
+    q = {r["doc_id"]: r["quality"] for r in T.quality_scores(docs).collect()}
+    l = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
+    assert fused == {k: (q[k], l[k]) for k in fused}
+
+
 def test_hash_split_is_deterministic_and_partition_proof(spark, sf_oracle):
     """Split membership must be a pure function of the key: identical
     across reruns AND across repartitionings (the randomSplit failure
