@@ -24,6 +24,7 @@ from mapreduce_framework_for_mergesort_spark.streaming.dedup import (  # noqa: F
     dedup_stream,
     dedup_stream_within_watermark,
     enrich_stream_with_dim,
+    near_dup_pairs_stream,
 )
 from mapreduce_framework_for_mergesort_spark.streaming.joins import (  # noqa: F401
     interval_join_events,

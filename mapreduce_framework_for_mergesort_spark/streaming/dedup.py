@@ -43,6 +43,71 @@ def dedup_stream_within_watermark(
     )
 
 
+def near_dup_pairs_stream(documents: DataFrame) -> DataFrame:
+    """Streaming NEAR-dup detection: emit LSH candidate pairs
+    incrementally as documents arrive — the ingestion-time form of
+    ``operators/dedup.lsh_candidate_pairs``.  A pair (a, b) surfaces in
+    the microbatch where the LATER of the two documents arrives, so an
+    ingest pipeline can flag a near-duplicate the moment it shows up
+    instead of waiting for a batch dedup pass.
+
+    Shape: the same Arrow band kernel as batch (tokenize → shingle →
+    minhash → band, zero extra Python), exploded to (band_id, band_val,
+    doc_id) rows; ``applyInPandasWithState`` keyed by band keeps the
+    doc ids seen per band (the streaming LSH *index* as state) and
+    emits new×seen pairs.  The drained pair SET is order-independent —
+    whatever the arrival order or batching, it equals the batch
+    operator's output exactly (pinned in tests), because pair
+    membership depends only on band collisions, not timing.
+
+    State discipline: one row per distinct band value, growing with the
+    corpus — same asymptotics as the batch index, sharded by the
+    groupBy hash.  Hot bands (boilerplate) concentrate both state and
+    pair fan-out; production caps docs-per-band (any cap turns the band
+    into 'emit against the first K representatives', the standard
+    guardrail) — uncapped here to keep exact batch parity.  Callers
+    wanting distinct pairs across bands apply ``.dropDuplicates()`` (or
+    DISTINCT on the sink), exactly as batch does after its band join.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+    bands = documents.select(
+        "doc_id",
+        F.explode(H.band_structs_udf()(F.col("text"))).alias("__band"),
+    ).select(
+        F.col("__band.band_id").alias("band_id"),
+        F.col("__band.band_val").alias("band_val"),
+        "doc_id",
+    )
+
+    def fn(key, pdfs, state):
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        incoming = sorted(
+            {int(d) for pdf in pdfs for d in pdf["doc_id"]} - set(seen)
+        )
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for d in incoming:
+            out_a.extend(min(s, d) for s in seen)
+            out_b.extend(max(s, d) for s in seen)
+            seen.append(d)
+        state.update((seen,))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return bands.groupBy("band_id", "band_val").applyInPandasWithState(
+        fn,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="seen array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def enrich_stream_with_dim(
     events: DataFrame,
     dim: DataFrame,

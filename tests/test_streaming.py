@@ -157,3 +157,49 @@ def test_file_sink_exactly_once_across_restarts(spark, sf_smoke, tmp_path):
             .collect())
     )
     assert second == want
+
+
+def test_near_dup_pairs_stream_equals_batch(spark, sf_smoke, tmp_path):
+    """Streaming LSH pair emission drained over the corpus must produce
+    EXACTLY the batch candidate-pair set — including a pair whose two
+    docs arrive in DIFFERENT microbatches (the case that requires the
+    band state to survive across batches).  maxFilesPerTrigger=1 over
+    two files forces two microbatches; docs 1 (file A) and 2 (file B)
+    are exact duplicates, so their pair can only come from state."""
+    from mapreduce_framework_for_mergesort_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+    from mapreduce_framework_for_mergesort_spark.streaming.dedup import (
+        near_dup_pairs_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = "the quick brown fox jumps over the lazy dog again and again yes"
+    other = "completely different content about spark shuffles and sorting"
+    f_a = [(1, base), (4, other)]
+    f_b = [(2, base), (3, near), (5, "tiny doc")]
+    docs_a = spark.createDataFrame(f_a, ["doc_id", "text"])
+    docs_b = spark.createDataFrame(f_b, ["doc_id", "text"])
+    d = str(tmp_path / "docs_stream")
+    docs_a.coalesce(1).write.mode("overwrite").parquet(d)
+    docs_b.coalesce(1).write.mode("append").parquet(d)
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = run_to_memory(
+        near_dup_pairs_stream(stream), "t_near_dup_stream"
+    ).dropDuplicates()
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+
+    all_docs = docs_a.unionByName(docs_b)
+    want_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_bands(all_docs)).collect()
+    }
+    assert got_pairs == want_pairs
+    assert (1, 2) in got_pairs  # the cross-microbatch pair
