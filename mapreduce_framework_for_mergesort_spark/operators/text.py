@@ -202,6 +202,31 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     )
 
 
+# PII patterns kept in the POSIX subset where Java regex and RE2 agree
+# (same discipline as doc_profile's bundle): email, international-ish
+# phone, 16-digit card, US SSN.  Order matters — longer/more-specific
+# patterns run first so a card number isn't half-eaten by the phone rule.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", "<CARD>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}", "<PHONE>"),
+)
+
+
+def redact_pii(documents: DataFrame, col: str = "text") -> DataFrame:
+    """Replace common PII shapes in ``col`` with typed placeholders —
+    the curation stage that must run before training text ships.  Pure
+    chained ``regexp_replace`` (one codegen projection, zero Python,
+    no shuffle); patterns are deterministic cross-engine so the
+    operator is exactly oracle-able with DuckDB ``regexp_replace(...,
+    'g')``."""
+    out = F.col(col)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return documents.withColumn(col, out)
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Winnowing-style content fingerprint: min Karp-Rabin rolling hash
     over char 8-grams (robust to global reordering), via the exact-int64

@@ -69,11 +69,23 @@ def curate_documents(
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en",),
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
+    redact: bool = True,
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
     filter so the dedup/split stages don't carry them through shuffles).
+
+    Redaction runs FIRST (before features and dedup) so documents that
+    differ only in embedded PII become exact duplicates and collapse,
+    and no PII influences quality/language scores or ships in any
+    output row.
     """
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        redact_pii,
+    )
+
+    if redact:
+        documents = redact_pii(documents)
     kept = (
         with_curation_features(documents)
         .where(

@@ -172,6 +172,30 @@ def test_curation_features_match_operator_outputs(spark, sf_oracle):
     assert fused == {k: (q[k], l[k]) for k in fused}
 
 
+def test_redact_pii_replaces_and_is_idempotent(spark):
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk please"),
+        (2, "card 1234 5678 9012 3456 and ssn 123-45-6789"),
+        (3, "call +1 555 123 4567 today"),
+        (4, "nothing sensitive here"),
+        (5, "dup mail jo.doe+x@example.co.uk"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in T.redact_pii(docs).collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "card <CARD> and ssn <SSN>"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "nothing sensitive here"
+    # idempotent: placeholders contain no redactable shapes
+    again = {
+        r["doc_id"]: r["text"]
+        for r in T.redact_pii(T.redact_pii(docs)).collect()
+    }
+    assert again == got
+
+
 def test_hash_split_is_deterministic_and_partition_proof(spark, sf_oracle):
     """Split membership must be a pure function of the key: identical
     across reruns AND across repartitionings (the randomSplit failure
