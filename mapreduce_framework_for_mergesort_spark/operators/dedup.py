@@ -201,6 +201,7 @@ def cluster_pairs(
             F.least(F.col("u"), F.col("mv")).alias("cluster"),
         )
     )
+    changed = 1
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["v"] == labels["node"]
@@ -220,6 +221,18 @@ def cluster_pairs(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # Exhausting the round budget means the labels are NOT a
+        # fixpoint — returning them would silently under-deduplicate
+        # (one component reported as several clusters, extra
+        # "survivors" kept).  Loud failure; callers with genuinely
+        # long-diameter graphs raise max_iters or switch to
+        # large-star/small-star.
+        raise RuntimeError(
+            f"cluster_pairs did not converge within max_iters={max_iters}"
+            " rounds (graph min-label diameter exceeds the budget);"
+            " raise max_iters or use a star-contraction variant"
+        )
     if singletons is not None:
         labels = labels.unionByName(singletons)
     return labels

@@ -25,7 +25,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "et", "des", "une"),
     "zh": ("de", "shi", "le", "bu", "wo"),
 }
-PUNCT_CLASS = r"[^.,!?;:]"
+# The characters COUNTED as punctuation: ``len(text) - len(text with
+# this class removed)`` is the punctuation count.  (Rounds 1-2 shipped
+# the negated class here, which silently made ``punct_ratio`` the
+# NON-punctuation ratio and inverted the quality score's punctuation
+# term — caught in round-3 review once the score became a load-bearing
+# curation filter.  The oracle replicated the same inversion, so
+# correctness rows stayed green while the semantics were wrong.)
+PUNCT_CLASS = r"[.,!?;:]"
 
 
 def _tokens() -> Column:
@@ -210,7 +217,13 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", "<CARD>"),
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    # 4-group international form first, then the common US 3-group
+    # forms (dash and parenthesized area code).  SSN can't collide with
+    # the 3-group dash form: {3}-{2}-{4} and {3}-{3}-{4} differ in the
+    # middle-run length at every alignment.
     (r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}", "<PHONE>"),
+    (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}", "<PHONE>"),
 )
 
 

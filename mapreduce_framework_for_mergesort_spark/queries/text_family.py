@@ -38,7 +38,9 @@ def _duckdb_hits(words) -> str:
     return f"len(list_filter({toks}, t -> t IN ({in_list})))"
 
 
-_PUNCT = r"(length(text) - length(regexp_replace(text, '[^.,!?;:]', '', 'g')))"
+# Mirrors operators/text.PUNCT_CLASS (non-negated: the chars counted
+# AS punctuation) — both engines must flip together.
+_PUNCT = r"(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
 _NT = r"len(regexp_extract_all(text, '\S+'))"
 
 

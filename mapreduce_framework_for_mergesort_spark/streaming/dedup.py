@@ -73,16 +73,14 @@ def near_dup_pairs_stream(documents: DataFrame) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
-
-    bands = documents.select(
-        "doc_id",
-        F.explode(H.band_structs_udf()(F.col("text"))).alias("__band"),
-    ).select(
-        F.col("__band.band_id").alias("band_id"),
-        F.col("__band.band_val").alias("band_val"),
-        "doc_id",
+    from mapreduce_framework_for_mergesort_spark.operators.dedup import (
+        minhash_bands,
     )
+
+    # The batch band projection runs unchanged on a streaming DataFrame
+    # (pure per-row Arrow kernel) — one definition for both modes, so
+    # the 'drained set equals batch' contract can't drift.
+    bands = minhash_bands(documents)
 
     def fn(key, pdfs, state):
         seen: list[int] = list(state.get[0]) if state.exists else []

@@ -181,6 +181,7 @@ def test_redact_pii_replaces_and_is_idempotent(spark):
         (3, "call +1 555 123 4567 today"),
         (4, "nothing sensitive here"),
         (5, "dup mail jo.doe+x@example.co.uk"),
+        (6, "us forms 555-123-4567 and (555) 123-4567"),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["text"] for r in T.redact_pii(docs).collect()}
@@ -188,6 +189,7 @@ def test_redact_pii_replaces_and_is_idempotent(spark):
     assert got[2] == "card <CARD> and ssn <SSN>"
     assert got[3] == "call <PHONE> today"
     assert got[4] == "nothing sensitive here"
+    assert got[6] == "us forms <PHONE> and <PHONE>"
     # idempotent: placeholders contain no redactable shapes
     again = {
         r["doc_id"]: r["text"]
@@ -237,6 +239,35 @@ def test_hash_split_custom_weights(spark):
     frac = {r["split"]: r["count"] / 4000 for r in frac}
     assert set(frac) == {"a", "b"}
     assert abs(frac["a"] - 0.5) < 0.05, frac
+
+
+def test_hash_split_edge_cases(spark):
+    """Review findings pinned: (a) a tiny trailing weight must not
+    overflow the hex boundary to the 3-char '100' and swallow the
+    corpus; (b) NULL keys route to the FIRST split, explicitly, in both
+    engines; (c) a single-split config yields valid SQL."""
+    import duckdb
+
+    from mapreduce_framework_for_mergesort_spark.operators import sampling
+
+    # (a) 0.999/0.001: bound caps at 'ff'; only bucket 0xff is 'tiny'
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    big = sampling.hash_split(df, "k", [("big", 0.999), ("tiny", 0.001)])
+    frac = {r["split"]: r["count"] / 4000 for r in big.groupBy("split").count().collect()}
+    assert frac.get("big", 0) > 0.98, frac
+    # (b) NULL keys → first split name
+    nd = spark.createDataFrame([(None,), (7,)], "k: bigint")
+    got = {r["k"]: r["split"] for r in sampling.hash_split(nd, "k").collect()}
+    assert got[None] == "train"
+    assert duckdb.execute(
+        "SELECT " + sampling.duckdb_split_case("NULL")
+    ).fetchone()[0] == "train"
+    # (c) single split: valid on both engines
+    one = sampling.hash_split(nd, "k", [("all", 1.0)])
+    assert {r["split"] for r in one.collect()} == {"all"}
+    assert duckdb.execute(
+        "SELECT " + sampling.duckdb_split_case("42", [("all", 1.0)])
+    ).fetchone()[0] == "all"
 
 
 def test_simhash_close_for_near_dups(corpus_with_dups):
