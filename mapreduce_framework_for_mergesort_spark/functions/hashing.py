@@ -1,15 +1,20 @@
 """Deterministic hashing primitives for dedup/fingerprinting operators.
 
-Every primitive is built twice from the same constants: a Spark SQL
-expression (JVM-side, whole-stage-codegen'd — no Python in the loop) and
-a DuckDB SQL snippet for the oracle.  Both engines use md5 as the hash
-family (identical hex output), min/compare on hex *strings* (identical
-byte order), so signatures agree bit-for-bit with zero engine-specific
-numerics.
+Every primitive is built twice (or three times) from the same
+constants: a canonical Spark SQL expression, a DuckDB SQL snippet for
+the oracle, and — on the hot paths — an Arrow/NumPy kernel pinned
+row-for-row to the SQL form in tests.  All arithmetic that feeds a
+signature is exact int64 (order-independent), so every formulation
+agrees bit-for-bit with zero engine-specific numerics.
 
-MinHash seeding: hash_k(s) = md5('<k>|' || s).  Salting the input string
-is the standard trick for a hash family {h_k} without integer mixing —
-it keeps everything in portable string-space.
+MinHash family (Carter–Wegman affine, since round 2): ONE base hash per
+shingle — the first 8 md5 hex chars as an int64 (``md5_32``) — then
+``sig_k = min over shingles of (a_k · h + b_k) mod (2^31 − 1)`` with
+(a_k, b_k) derived deterministically from md5 of the index k.  One md5
+per shingle total; the k signatures are pure integer math on top.
+Bands of ``BAND_ROWS`` signatures collapse to one md5 of the joined
+decimal strings.  (Round 1 used per-k salted-md5 hex-string mins —
+k md5 calls per shingle; replaced for cost, same API.)
 
 Scale note: all of this is per-row array work over token/shingle lists —
 embarrassingly parallel, no shuffle.  The only shuffle in any dedup
@@ -398,9 +403,19 @@ def fingerprint_udf(k: int = FINGERPRINT_K):
     def fp(text: pd.Series) -> pd.Series:
         out = np.empty(len(text), dtype=np.int64)
         for ix, s in enumerate(text):
-            b = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
-                np.int64
-            )
+            if s is None:
+                # The canonical SQL yields 0 for NULL: both length
+                # CASE guards evaluate NULL (falsy) and fall through to
+                # the short-string sum, whose per-position guards all
+                # fall to their ELSE 0.  Pinned in tests.
+                out[ix] = 0
+                continue
+            # Unicode CODEPOINTS, not ascii bytes: Spark ascii() and
+            # DuckDB ord() both return the codepoint, so the kernel
+            # must too — an .encode('ascii') here crashed the whole
+            # batch on the first non-ASCII char (round-3 review), where
+            # the canonical SQL expression it is pinned to just works.
+            b = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
             n = len(b)
             if n == 0:
                 out[ix] = 0

@@ -2,7 +2,7 @@
 
 The reference deduplicates only *task results* (redundant speculative
 copies racing, ``Server.java:262,444-446``) — data-level dedup is a
-north-star extension (``BASELINE.json``).  Four tiers, cheapest first:
+north-star extension (``BASELINE.json``).  Five tiers, cheapest first:
 
 1. exact           — hash groupBy on content (one shuffle on the key)
 2. minhash + LSH   — near-dup *candidates* without any pairwise compare
@@ -53,7 +53,11 @@ def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def exact_dup_groups(documents: DataFrame, key: str = "text") -> DataFrame:
-    """Duplicate-group summary: deterministic survivor + multiplicity."""
+    """Distinct-content summary: ONE row per distinct ``key`` —
+    including contents that appear once — with the deterministic
+    survivor (min doc_id) and ``dup_count`` = total copies (so 1 means
+    *no* duplicates; filter ``dup_count > 1`` for groups that actually
+    have them — not ``> 0``, which selects the whole corpus)."""
     return documents.groupBy(key).agg(
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("dup_count"),
@@ -326,7 +330,7 @@ def ngram_jaccard_pairs(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, tau: float, num_centroids: int = 8, dim: int = 64
+    embeddings: DataFrame, tau: float, num_centroids: int = 8
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, **IVF-cell-blocked**: vectors are
     assigned to their nearest centroid (``similarity.ivf_cells``) and

@@ -44,6 +44,34 @@ def _hits(toks: str, words: tuple[str, ...]) -> str:
     return f"size(filter({toks}, t -> t IN ({in_list})))"
 
 
+def text_feature_exprs(text_col: str = "text") -> dict[str, str]:
+    """SINGLE source of the per-doc text-feature SQL sub-expressions
+    (``toks``/``n_tokens``/``punct``/``stop_hits``/``quality``) shared
+    by ``quality_scores``, ``doc_profile``, and
+    ``pipelines.with_curation_features`` — the round-1 punctuation
+    inversion survived precisely because this formula was hand-copied
+    at every site and had to be found everywhere at once."""
+    toks = H.spark_tokens(text_col)
+    n_tokens = f"size({toks})"
+    punct = (
+        f"(char_length({text_col}) - "
+        f"char_length(regexp_replace({text_col}, '{PUNCT_CLASS}', '')))"
+    )
+    stop_hits = _hits(toks, LANG_STOPWORDS["en"])
+    quality = (
+        f"0.4 * least(CAST({n_tokens} AS DOUBLE) / 64.0, CAST(1 AS DOUBLE)) "
+        f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length({text_col})) "
+        f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
+    )
+    return {
+        "toks": toks,
+        "n_tokens": n_tokens,
+        "punct": punct,
+        "stop_hits": stop_hits,
+        "quality": quality,
+    }
+
+
 def token_counts(documents: DataFrame) -> DataFrame:
     """Per-doc token stats: whitespace tokens + a BPE-ish subword proxy
     (alnum runs + punctuation singletons)."""
@@ -82,24 +110,17 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality score in [0,1]: length saturation, low
     punctuation density, stopword presence (fluency proxy).  Fixed
     expression tree of per-row double ops — deterministic cross-engine."""
-    toks = H.spark_tokens("text")
-    n_tokens = f"size({toks})"
-    punct = f"(char_length(text) - char_length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
-    stop_hits = _hits(toks, LANG_STOPWORDS["en"])
+    e = text_feature_exprs()
     return documents.select(
         "doc_id",
-        F.expr(n_tokens).cast("long").alias("n_tokens"),
+        F.expr(e["n_tokens"]).cast("long").alias("n_tokens"),
         F.expr(
-            f"CAST({punct} AS DOUBLE) / char_length(text)"
+            f"CAST({e['punct']} AS DOUBLE) / char_length(text)"
         ).alias("punct_ratio"),
         F.expr(
-            f"CAST({stop_hits} AS DOUBLE) / {n_tokens}"
+            f"CAST({e['stop_hits']} AS DOUBLE) / {e['n_tokens']}"
         ).alias("stopword_ratio"),
-        F.expr(
-            f"0.4 * least(CAST({n_tokens} AS DOUBLE) / 64.0, CAST(1 AS DOUBLE)) "
-            f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length(text)) "
-            f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
-        ).alias("quality"),
+        F.expr(e["quality"]).alias("quality"),
     )
 
 
@@ -116,7 +137,12 @@ def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
     langs = list(LANG_STOPWORDS)
     for lang, words in LANG_STOPWORDS.items():
         df = df.withColumn(f"__h_{lang}", F.expr(_hits(toks, words)))
-    branches = []
+    # Zero-evidence guard first: with only >= tie conditions the first
+    # language would win the all-zero tie, making 'und' unreachable —
+    # zero-stopword (numeric/foreign-script) docs must classify 'und',
+    # not 'en' (round-3 review finding; oracle flipped in sync).
+    zero = " AND ".join(f"__h_{lang} = 0" for lang in langs)
+    branches = [f"WHEN {zero} THEN 'und'"]
     for lang in langs:
         cond = " AND ".join(
             f"__h_{lang} >= __h_{other}" for other in langs if other != lang
@@ -142,27 +168,21 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     passes.  Patterns stay in the POSIX-compatible subset where Java
     regex and DuckDB's RE2 agree; both return '' for a no-match
     extract."""
-    toks = H.spark_tokens("text")
-    n_tokens = f"size({toks})"
+    e = text_feature_exprs()
+    n_tokens = e["n_tokens"]
     bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)"
-    punct = f"(char_length(text) - char_length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
-    stop_hits = _hits(toks, LANG_STOPWORDS["en"])
     return documents.select(
         "doc_id",
         F.expr(n_tokens).cast("long").alias("n_tokens"),
         F.expr(f"size({bpe})").cast("long").alias("n_subwords"),
         F.length("text").cast("long").alias("n_chars_actual"),
         F.expr(
-            f"CAST({punct} AS DOUBLE) / char_length(text)"
+            f"CAST({e['punct']} AS DOUBLE) / char_length(text)"
         ).alias("punct_ratio"),
         F.expr(
-            f"CAST({stop_hits} AS DOUBLE) / {n_tokens}"
+            f"CAST({e['stop_hits']} AS DOUBLE) / {n_tokens}"
         ).alias("stopword_ratio"),
-        F.expr(
-            f"0.4 * least(CAST({n_tokens} AS DOUBLE) / 64.0, CAST(1 AS DOUBLE)) "
-            f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length(text)) "
-            f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
-        ).alias("quality"),
+        F.expr(e["quality"]).alias("quality"),
         F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
         F.regexp_replace("text", "[0-9]+", "#").alias("no_digits"),
         F.expr(r"size(regexp_extract_all(text, '([A-Z][a-z]+)', 1))")

@@ -20,13 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.operators import dedup as D
 from mapreduce_framework_for_mergesort_spark.operators import sampling
 from mapreduce_framework_for_mergesort_spark.operators.text import (
     LANG_STOPWORDS,
-    PUNCT_CLASS,
     _hits,
+    text_feature_exprs,
 )
 
 
@@ -36,16 +35,14 @@ def with_curation_features(documents: DataFrame) -> DataFrame:
     ``operators/text.py`` uses, composed column-wise so the pipeline
     pays ONE scan — joining the per-doc feature tables back on doc_id
     would shuffle the corpus twice for no reason)."""
-    toks = H.spark_tokens("text")
-    n_tokens = f"size({toks})"
-    punct = (
-        f"(char_length(text) - "
-        f"char_length(regexp_replace(text, '{PUNCT_CLASS}', '')))"
-    )
-    stop_hits = _hits(toks, LANG_STOPWORDS["en"])
+    e = text_feature_exprs()
+    toks = e["toks"]
     langs = list(LANG_STOPWORDS)
     hits = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
-    branches = []
+    # Same zero-evidence 'und' guard as operators/text.lang_id (pinned
+    # equal in tests) — zero-stopword docs must not classify 'en'.
+    zero = " AND ".join(f"({hits[lang]}) = 0" for lang in langs)
+    branches = [f"WHEN {zero} THEN 'und'"]
     for lang in langs:
         cond = " AND ".join(
             f"({hits[lang]}) >= ({hits[other]})"
@@ -54,13 +51,8 @@ def with_curation_features(documents: DataFrame) -> DataFrame:
         )
         branches.append(f"WHEN {cond} THEN '{lang}'")
     pred = f"CASE {' '.join(branches)} ELSE 'und' END"
-    quality = (
-        f"0.4 * least(CAST({n_tokens} AS DOUBLE) / 64.0, CAST(1 AS DOUBLE)) "
-        f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length(text)) "
-        f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
-    )
     return documents.withColumns(
-        {"quality": F.expr(quality), "pred_lang": F.expr(pred)}
+        {"quality": F.expr(e["quality"]), "pred_lang": F.expr(pred)}
     )
 
 

@@ -79,7 +79,10 @@ def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duckdb_lang_case() -> str:
     langs = list(T.LANG_STOPWORDS)
-    branches = []
+    # Zero-evidence guard first: without it the first language wins the
+    # all-zero tie and ELSE 'und' is unreachable (mirrors operators/text).
+    zero = " AND ".join(f"h_{lang} = 0" for lang in langs)
+    branches = [f"WHEN {zero} THEN 'und'"]
     for lang in langs:
         cond = " AND ".join(
             f"h_{lang} >= h_{other}" for other in langs if other != lang

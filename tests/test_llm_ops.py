@@ -172,6 +172,52 @@ def test_curation_features_match_operator_outputs(spark, sf_oracle):
     assert fused == {k: (q[k], l[k]) for k in fused}
 
 
+def test_lang_id_labels_zero_evidence_as_und(spark):
+    """A document with no stopword hits in ANY language must classify
+    'und', not silently win the all-zero tie as the first language —
+    curation would otherwise keep numeric/foreign-script junk as 'en'
+    (round-3 review finding; Spark, oracle, and the fused pipeline
+    projection all carry the same guard)."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    rows = [(1, "1234 5678 9012"), (2, "the cat sat of the mat in a hat")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("xx")
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
+    assert got == {1: "und", 2: "en"}
+    fused = {
+        r["doc_id"]: r["pred_lang"]
+        for r in pipelines.with_curation_features(docs).collect()
+    }
+    assert fused == got
+
+
+def test_fingerprint_kernel_survives_non_ascii_and_null(spark):
+    """The Arrow kernel must behave like the canonical SQL on inputs
+    the ASCII fixture never shows: unicode text (codepoints, matching
+    Spark ascii()/DuckDB ord()) and NULL (NULL out, not a crash)."""
+    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+    rows = [(1, "café au lait forever and ever"), (2, None), (3, "abc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", H.fingerprint_udf()(F.col("text")).alias("fp")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", F.expr(H.spark_fingerprint("text")).alias("fp")
+        ).collect()
+    }
+    assert got == want
+    assert got[2] == 0  # SQL CASE falls through to the zero sum on NULL
+
+
 def test_redact_pii_replaces_and_is_idempotent(spark):
     from mapreduce_framework_for_mergesort_spark.operators import text as T
 
