@@ -161,8 +161,18 @@ def ensure_scale_dir(replication: int = 10) -> str:
     import pyarrow.parquet as pq
 
     src = "/root/testdata/sf0.1"
-    if os.path.isdir(SCALE_DIR) and len(os.listdir(SCALE_DIR)) == 10:
-        return SCALE_DIR
+    # Completion marker written LAST, carrying the replication factor: a
+    # bare file-count check accepted a crash-truncated directory (and a
+    # dir built at a different replication) as complete, silently
+    # feeding later sweeps wrong data.
+    marker = os.path.join(SCALE_DIR, "_COMPLETE")
+    if os.path.isdir(SCALE_DIR):
+        try:
+            if open(marker).read().strip() == str(replication):
+                return SCALE_DIR
+        except OSError:
+            pass
+        shutil.rmtree(SCALE_DIR)
     os.makedirs(SCALE_DIR, exist_ok=True)
     for t in _DIMS:
         shutil.copyfile(f"{src}/{t}.parquet", f"{SCALE_DIR}/{t}.parquet")
@@ -182,6 +192,8 @@ def ensure_scale_dir(replication: int = 10) -> str:
             )
         out = pa.concat_tables(copies).cast(tab.schema.remove_metadata())
         pq.write_table(out, f"{SCALE_DIR}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write(str(replication))
     return SCALE_DIR
 
 

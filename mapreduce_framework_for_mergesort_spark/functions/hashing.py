@@ -54,14 +54,34 @@ def let(expr: str, var: str, body: str) -> str:
 
 
 # --- tokenization ----------------------------------------------------------
+# The whitespace class is EXPLICIT, not '\s': the three regex engines in
+# play disagree about '\s' at the margins — Java includes \x0B (VT), RE2
+# does not, and Python's Unicode '\s' additionally eats \x1c-\x1f, NEL,
+# NBSP, and every Unicode space.  Tokenizing 'a\x1cb' then yields one
+# token in SQL and two in an Arrow kernel — silent signature drift
+# between the engine and its oracle (round-3 review).  [ \t\n\f\r] is
+# the intersection all three agree on, spelled identically everywhere.
+
+# One logical class, three spellings (escaping layers differ): Spark
+# SQL string literals consume one backslash layer before the Java regex
+# sees the pattern (hence double), DuckDB strings pass backslashes
+# through to RE2 untouched (hence single), and the kernels compile the
+# Python-native form.  All three denote exactly [^ \t \n \f \r]+.
+TOKEN_CLASS_SPARK = r"[^ \\t\\n\\f\\r]+"
+TOKEN_CLASS_DUCKDB = r"[^ \t\n\f\r]+"
+
+import re as _re
+
+TOKEN_RE = _re.compile(r"[^ \t\n\f\r]+")  # the kernels' identical class
+
 
 def spark_tokens(text_col: str = "text") -> str:
-    # '(\S+)': Spark's regexp_extract_all requires an explicit group.
-    return rf"regexp_extract_all({text_col}, '(\\S+)', 1)"
+    # explicit group: Spark's regexp_extract_all requires one.
+    return rf"regexp_extract_all({text_col}, '({TOKEN_CLASS_SPARK})', 1)"
 
 
 def duckdb_tokens(text_col: str = "text") -> str:
-    return rf"regexp_extract_all({text_col}, '\S+')"
+    return rf"regexp_extract_all({text_col}, '{TOKEN_CLASS_DUCKDB}')"
 
 
 # --- word n-gram shingles --------------------------------------------------
@@ -205,7 +225,7 @@ def band_structs_udf(n: int = SHINGLE_N):
     def bands(text: pd.Series) -> pd.Series:
         out = []
         for s in text:
-            toks = re.findall(r"\S+", s)
+            toks = TOKEN_RE.findall(s)
             if len(toks) < n:
                 out.append([])
                 continue
@@ -303,7 +323,7 @@ def simhash_udf():
     def sim(text: pd.Series) -> pd.Series:
         out = np.zeros(len(text), dtype=np.int64)
         for ix, s in enumerate(text):
-            toks = re.findall(r"\S+", s)
+            toks = TOKEN_RE.findall(s)
             if not toks:
                 continue  # no tokens → every vote fails → 0, like the SQL
             digs = "".join(
@@ -349,13 +369,13 @@ def spark_fingerprint(text_col: str = "text", k: int = FINGERPRINT_K) -> str:
     ``fingerprint_udf``, pinned to this expression row-for-row in
     tests)."""
     terms = " + ".join(
-        f"ascii(substring({text_col}, i + {j}, 1))"
+        f"pmod(ascii(substring({text_col}, i + {j}, 1)), 256)"
         f" * CAST({_fp_weight(j)} AS BIGINT)"
         for j in range(k)
     )
     short = " + ".join(
         f"(CASE WHEN {j} < char_length({text_col}) THEN "
-        f"ascii(substring({text_col}, {j + 1}, 1))"
+        f"pmod(ascii(substring({text_col}, {j + 1}, 1)), 256)"
         f" * CAST({_fp_weight(j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j in range(k)
     )
@@ -370,13 +390,13 @@ def spark_fingerprint(text_col: str = "text", k: int = FINGERPRINT_K) -> str:
 
 def duckdb_fingerprint(text_col: str = "text", k: int = FINGERPRINT_K) -> str:
     terms = " + ".join(
-        f"ord(substring({text_col}, i + {j}, 1))"
+        f"(ord(substring({text_col}, i + {j}, 1)) % 256)"
         f" * CAST({_fp_weight(j)} AS BIGINT)"
         for j in range(k)
     )
     short = " + ".join(
         f"(CASE WHEN {j} < length({text_col}) THEN "
-        f"ord(substring({text_col}, {j + 1}, 1))"
+        f"(ord(substring({text_col}, {j + 1}, 1)) % 256)"
         f" * CAST({_fp_weight(j)} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j in range(k)
     )
@@ -410,12 +430,14 @@ def fingerprint_udf(k: int = FINGERPRINT_K):
                 # fall to their ELSE 0.  Pinned in tests.
                 out[ix] = 0
                 continue
-            # Unicode CODEPOINTS, not ascii bytes: Spark ascii() and
-            # DuckDB ord() both return the codepoint, so the kernel
-            # must too — an .encode('ascii') here crashed the whole
-            # batch on the first non-ASCII char (round-3 review), where
-            # the canonical SQL expression it is pinned to just works.
-            b = np.fromiter(map(ord, s), dtype=np.int64, count=len(s))
+            # Codepoints mod 256, matching the SQL forms' pmod(ascii(),
+            # 256) / ord() % 256: the clamp keeps every window sum
+            # < 2^58 (exact int64 on all three engines — unclamped CJK
+            # codepoints overflowed, wrapping in Spark/NumPy but
+            # HARD-ERRORING in DuckDB), and an .encode('ascii') here
+            # crashed the whole batch on the first non-ASCII char
+            # (round-3 review) where the canonical SQL just works.
+            b = np.fromiter(map(ord, s), dtype=np.int64, count=len(s)) % 256
             n = len(b)
             if n == 0:
                 out[ix] = 0

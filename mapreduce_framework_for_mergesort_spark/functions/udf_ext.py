@@ -57,6 +57,13 @@ class SplitWords:
     session gets columnar batches too) — plan node ArrowEvalPythonUDTF."""
 
     def eval(self, text: str):
+        from mapreduce_framework_for_mergesort_spark.functions.hashing import (
+            TOKEN_RE,
+        )
+
+        # TOKEN_RE, not str.split(): Python's unicode whitespace rules
+        # diverge from the SQL oracle's explicit class on \x1c-\x1f /
+        # NEL / NBSP (see hashing.py tokenization note).
         if text:
-            for pos, word in enumerate(text.split()):
+            for pos, word in enumerate(TOKEN_RE.findall(text)):
                 yield word, pos

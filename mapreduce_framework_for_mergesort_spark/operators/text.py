@@ -76,7 +76,7 @@ def token_counts(documents: DataFrame) -> DataFrame:
     """Per-doc token stats: whitespace tokens + a BPE-ish subword proxy
     (alnum runs + punctuation singletons)."""
     toks = H.spark_tokens("text")
-    bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)"
+    bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r])', 1)"
     return documents.select(
         "doc_id",
         F.expr(f"size({toks})").cast("long").alias("n_tokens"),
@@ -93,7 +93,7 @@ def text_stats_by_lang(documents: DataFrame) -> DataFrame:
         documents.select(
             "lang",
             F.expr(f"size({toks})").alias("__nt"),
-            F.length(F.regexp_replace("text", r"\s+", "")).alias("__tc"),
+            F.length(F.regexp_replace("text", r"[ \t\n\f\r]+", "")).alias("__tc"),
             F.col("n_chars"),
         )
         .groupBy("lang")
@@ -170,7 +170,7 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     extract."""
     e = text_feature_exprs()
     n_tokens = e["n_tokens"]
-    bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', 1)"
+    bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r])', 1)"
     return documents.select(
         "doc_id",
         F.expr(n_tokens).cast("long").alias("n_tokens"),
@@ -200,8 +200,15 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
 
     Pipeline: explode tokens → (doc, term) counts (one shuffle, map-side
     combined) → document frequency per term (second small shuffle) →
-    join + per-doc top-n window.  At 100 TB the df table is Zipf-small
-    and broadcast; the window partitions by doc_id — never global.
+    join + per-doc top-n window.  The tf↔df join is deliberately NOT
+    force-broadcast: the df table's cardinality is the corpus VOCABULARY
+    (Heaps-law unbounded — IDs/typos/URLs), and ``F.broadcast`` would
+    bypass the size threshold and collect it to the driver at 100 TB.
+    Left to Spark, small vocabularies auto-broadcast under
+    ``autoBroadcastJoinThreshold``/AQE and large ones degrade safely to
+    a shuffle join on ``term`` (both sides already partitioned by term
+    from their aggregations).  The window partitions by doc_id — never
+    global.
     """
     toks = H.spark_tokens("text")
     tf = (
@@ -212,7 +219,7 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

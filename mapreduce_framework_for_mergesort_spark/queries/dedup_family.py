@@ -1,9 +1,13 @@
-"""Dedup queries — exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine.  The MinHash/SimHash oracles replicate the *entire*
-signature pipeline in DuckDB SQL from the same constants
-(``functions/hashing.py``), so even the approximate algorithms get exact
-cross-engine verification — both engines hash with md5 and compare hex
-strings, no engine-specific numerics anywhere.
+"""Dedup queries — exact, MinHash+LSH (+ clustering + survivors),
+SimHash, n-gram Jaccard, embedding-cosine.  The MinHash/SimHash oracles
+replicate the *entire* signature pipeline in DuckDB SQL from the same
+constants (``functions/hashing.py``), so even the approximate
+algorithms get exact cross-engine verification.  Exactness rests on
+every signature-feeding operation being order-independent int64
+arithmetic with all products < 2^63 (one md5 per shingle → affine
+(a·h+b) mod 2^31−1 mins — see the overflow derivation in
+``functions/hashing.py``); any change to those expressions must
+re-derive that bound, not just preserve md5 calls.
 """
 
 from __future__ import annotations

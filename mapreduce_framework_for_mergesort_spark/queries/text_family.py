@@ -21,8 +21,8 @@ from mapreduce_framework_for_mergesort_spark.queries import query
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
-           CAST(SUM(length(regexp_replace(text, '\s+', '', 'g'))) AS BIGINT)
+           CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(length(regexp_replace(text, '[ \t\n\f\r]+', '', 'g'))) AS BIGINT)
              AS sum_token_chars
     FROM documents
     GROUP BY lang
@@ -41,7 +41,7 @@ def _duckdb_hits(words) -> str:
 # Mirrors operators/text.PUNCT_CLASS (non-negated: the chars counted
 # AS punctuation) — both engines must flip together.
 _PUNCT = r"(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
-_NT = r"len(regexp_extract_all(text, '\S+'))"
+_NT = r"len(regexp_extract_all(text, '[^ \t\n\f\r]+'))"
 
 
 @query(
@@ -49,7 +49,7 @@ _NT = r"len(regexp_extract_all(text, '\S+'))"
     oracle=rf"""
     SELECT doc_id,
            CAST({_NT} AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r]'))
                 AS BIGINT) AS n_subwords,
            CAST(length(text) AS BIGINT) AS n_chars_actual,
            CAST({_PUNCT} AS DOUBLE) / length(text) AS punct_ratio,
@@ -116,7 +116,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tfidf_top_terms",
     oracle=r"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+      SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS term
       FROM documents),
     tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),

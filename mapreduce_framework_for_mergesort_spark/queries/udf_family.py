@@ -95,7 +95,7 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            toks[i] AS k,
            doc_id AS v1,
            CAST(i - 1 AS BIGINT) AS v2
-    FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+    FROM (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS toks
           FROM documents),
          unnest(range(1, len(toks) + 1)) AS u(i)
     """,

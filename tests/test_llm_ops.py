@@ -172,6 +172,40 @@ def test_curation_features_match_operator_outputs(spark, sf_oracle):
     assert fused == {k: (q[k], l[k]) for k in fused}
 
 
+def test_tokenizer_agrees_across_engines_on_exotic_whitespace(spark):
+    """The three tokenizer formulations (Spark SQL / DuckDB / Python
+    kernel) must split identically on the characters where '\\s'
+    diverges between regex engines: VT (Java-only whitespace),
+    \\x1c-\\x1f, NEL, NBSP (Python-only).  Round-3 review: Python's
+    unicode '\\S' silently produced different MinHash signatures than
+    the SQL oracle on such bytes."""
+    import duckdb
+
+    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+    cases = [
+        "a\x0bb c\td",          # VT + tab
+        "x\x1cy",                # file separator
+        "p\x85q r s",     # NEL + NBSP
+        "plain words only",
+        "",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], ["i", "t"])
+    from pyspark.sql import functions as F
+
+    got_spark = {
+        r["i"]: list(r["toks"])
+        for r in df.select(
+            "i", F.expr(H.spark_tokens("t")).alias("toks")
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        d = duckdb.execute(
+            f"SELECT {H.duckdb_tokens('t')} FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        assert got_spark[i] == d == H.TOKEN_RE.findall(s), (i, s)
+
+
 def test_lang_id_labels_zero_evidence_as_und(spark):
     """A document with no stopword hits in ANY language must classify
     'und', not silently win the all-zero tie as the first language —
