@@ -63,6 +63,7 @@ def run_with_metrics(spark: SparkSession, action):
 
     tracker = sc.statusTracker()
     m = JobMetrics(elapsed_s=elapsed)
+    seen_stages: set[int] = set()
     for jid in tracker.getJobIdsForGroup(group):
         info = tracker.getJobInfo(jid)
         if info is None:
@@ -70,6 +71,14 @@ def run_with_metrics(spark: SparkSession, action):
         m.num_jobs += 1
         m.job_ids.append(jid)
         for sid in info.stageIds:
+            if sid in seen_stages:
+                # A stage shared between jobs (AQE reuses shuffle
+                # stages; later jobs list them as skipped) reports its
+                # ONE real execution's counts in every listing job —
+                # summing per job double-counted tasks and halved the
+                # derived avg latency.
+                continue
+            seen_stages.add(sid)
             sinfo = tracker.getStageInfo(sid)
             if sinfo is None:
                 continue

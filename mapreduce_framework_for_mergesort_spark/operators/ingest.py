@@ -67,12 +67,26 @@ def write_ints_text(
     a globally-sorted DataFrame yields part files that are sorted within
     and across files (part file numbering follows range-partition order)
     — the reference's sorted final file, in its idiomatic N-ordered-files
-    form.  Never ``coalesce(1)`` at scale — ``num_files`` exists only for
-    tiny demo outputs (applied *before* the pack so it cannot collapse an
-    upstream sort's parallelism is still the caller's concern; see
-    pitfall note in ``plans/``).
+    form.
+
+    ``num_files`` is for tiny demo outputs ONLY, and be clear about what
+    it costs: ``coalesce(n)`` PROPAGATES upstream (it is a non-shuffle
+    repartition), so ``num_files=1`` over a fresh sort collapses the
+    sort's own reduce stage to one task — the whole dataset sorted by a
+    single task.  (``repartition`` would preserve upstream parallelism
+    but round-robins rows, destroying the sorted output this sink
+    exists to write.)  At scale leave it ``None``: one file per range
+    partition, globally ordered by filename, is the correct shape.
+
+    NULL values are dropped (the reference's sink never sees them
+    either — its parser discards invalid records upstream,
+    ``NodeHandler.java:113-116``); without the filter a single NULL
+    reaching the packer would kill the job with an executor-side
+    TypeError from ``str.join``.
     """
-    packed = df.select(F.col(value_col).cast("string").alias("v"))
+    packed = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("string").alias("v")
+    )
     if num_files:
         packed = packed.coalesce(num_files)
 

@@ -87,7 +87,7 @@ def hourly_event_agg(events: DataFrame) -> DataFrame:
         F.col("event_type"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        dec_sum("value", alias="sum_value"),
     )
 
 
@@ -138,8 +138,21 @@ def salted_agg(
     partial sums are DECIMAL so the two-stage result is bit-identical to
     the single-stage one.
 
+    REQUIREMENT: ``salt_col`` must be high-cardinality WITHIN each hot
+    key (a row id, event id — anything per-row unique works; the hash
+    is deterministic for oracle parity, which is why this is a column
+    hash and not rand()).  Salting by a column that is constant per key
+    — worst case a key column itself — hashes every row of the hot key
+    to ONE salt and silently provides no skew mitigation at all.
+
     Returns columns ``keys + [n, sum_value]``.
     """
+    if salt_col in keys:
+        raise ValueError(
+            f"salt_col {salt_col!r} is a grouping key: every row of a"
+            " key would get the same salt and the skew split would do"
+            " nothing — salt by a per-row-unique column instead"
+        )
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salts))
     )

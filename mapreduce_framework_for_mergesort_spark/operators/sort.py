@@ -38,6 +38,14 @@ _MID = "__msfs_mid"
 def _order_cols(cols, ascending):
     if ascending is None:
         ascending = [True] * len(cols)
+    if len(ascending) != len(cols):
+        # zip would silently truncate — dropping a trailing tiebreak
+        # column breaks the documented total-order precondition with no
+        # error, so ranks among equal keys go nondeterministic.
+        raise ValueError(
+            f"ascending has {len(ascending)} entries for {len(cols)} sort"
+            f" columns {cols!r}; lengths must match"
+        )
     return [
         F.col(c).asc() if asc else F.col(c).desc()
         for c, asc in zip(cols, ascending)

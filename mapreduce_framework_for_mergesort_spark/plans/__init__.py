@@ -49,12 +49,27 @@ class PlanAudit:
         )
 
 
-def audit(df: DataFrame) -> PlanAudit:
-    """Parse the executed plan into scale-relevant counts."""
+def audit(df: DataFrame, final: bool = False) -> PlanAudit:
+    """Parse the executed plan into scale-relevant counts.
+
+    Under AQE (the session default) the un-executed plan prints
+    ``AdaptiveSparkPlan isFinalPlan=false`` — the speculative initial
+    strategy, which AQE may re-plan at runtime (broadcast switches,
+    skew splits).  That is the right thing for *shape* pins (the
+    initial plan reflects what the operator declared); pass
+    ``final=True`` to force execution first (noop sink) so the audit
+    reads the runtime-final plan instead."""
+    if final:
+        df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return PlanAudit(
-        # shuffle exchanges only — BroadcastExchange is counted separately
-        exchanges=len(re.findall(r"Exchange (?:range|hash|Single)", plan)),
+        # every shuffle exchange; the (?!Broadcast) guard keeps
+        # BroadcastExchange in its own counter.  Spelled as a negative
+        # match, not an allowlist: the round-1 allowlist (range|hash|
+        # Single) silently missed RoundRobinPartitioning — a stray
+        # repartition() was invisible to the exact tests that exist to
+        # catch stray exchanges.
+        exchanges=len(re.findall(r"(?<!Broadcast)Exchange ", plan)),
         broadcasts=plan.count("BroadcastExchange"),
         file_scans=plan.count("FileScan"),
         codegen_spans=plan.count("WholeStageCodegen"),

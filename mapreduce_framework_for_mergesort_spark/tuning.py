@@ -58,14 +58,23 @@ def shuffle_partitions(
     shuffle_bytes: int,
     profile: ClusterProfile,
     round_to: int = 16,
+    headroom: int = 2,
 ) -> int:
     """Pre-AQE shuffle partition count: each partition's share of the
     shuffled bytes must fit in its memory budget; at least 2× cores so
     stragglers overlap; rounded up for stable conf values.  AQE coalesces
     downward at runtime, so erring high is cheap and erring low spills.
-    """
+
+    ``headroom`` multiplies the memory-derived count: without it the
+    AVERAGE partition exactly fills the no-spill budget, so any skew at
+    all pushes half the partitions over — and AQE can merge small
+    partitions but cannot split oversized non-skew-join ones.  2×
+    headroom means average occupancy is half the budget; the claim
+    'erring high is cheap' is only true because this factor exists."""
     budget = int(profile.executor_mem_per_core * profile.shuffle_mem_fraction)
-    by_memory = -(-shuffle_bytes // budget) if shuffle_bytes else 1
+    by_memory = (
+        -(-shuffle_bytes * headroom // budget) if shuffle_bytes else 1
+    )
     floor = profile.total_cores * 2
     n = max(by_memory, floor)
     return -(-n // round_to) * round_to
