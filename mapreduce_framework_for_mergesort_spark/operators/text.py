@@ -240,18 +240,49 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
 # (same discipline as doc_profile's bundle): email, international-ish
 # phone, 16-digit card, US SSN.  Order matters — longer/more-specific
 # patterns run first so a card number isn't half-eaten by the phone rule.
+#
+# Digit-run patterns are wrapped in BOUNDARY GUARDS at apply time (see
+# ``_guarded`` below): a bare ``[0-9]{3}-[0-9]{2}-[0-9]{4}`` also
+# matches *inside* a longer digit run ('91234-5678-9012-34567' would
+# half-redact — round-3 advisory), so the guarded form requires a
+# non-digit (or string edge) on both sides.  Lookarounds are the
+# textbook fix but RE2 (the DuckDB oracle engine) has none, so the
+# guards are capture-group alternations ``(^|[^0-9])pat([^0-9]|$)``
+# with the boundary chars restored by ``$1``/``$3`` in the replacement
+# — valid and identical in Java regex and RE2.
+#
+# Residual coverage limits (deliberate): bare 10-digit runs are NOT
+# redacted (indistinguishable from ids/order numbers — a rule that eats
+# every 10-digit integer destroys non-PII data); international formats
+# beyond the +N-NNN-NNN(N)-NNNN shape and letters-for-digits vanity
+# numbers are out of scope.  Email keeps no digit guards: its own
+# char classes are its boundaries.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", "<CARD>"),
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     # 4-group international form first, then the common US 3-group
-    # forms (dash and parenthesized area code).  SSN can't collide with
-    # the 3-group dash form: {3}-{2}-{4} and {3}-{3}-{4} differ in the
-    # middle-run length at every alignment.
+    # forms (dash, space, and parenthesized area code).  SSN can't
+    # collide with the 3-group dash form: {3}-{2}-{4} and {3}-{3}-{4}
+    # differ in the middle-run length at every alignment.
     (r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}", "<PHONE>"),
     (r"[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    (r"[0-9]{3} [0-9]{3} [0-9]{4}", "<PHONE>"),
     (r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}", "<PHONE>"),
 )
+
+_NO_GUARD = frozenset({"<EMAIL>"})
+
+
+def _guarded(pat: str, repl: str) -> tuple[str, str]:
+    """Wrap a digit-run pattern in RE2-compatible digit-boundary guards
+    (identity for patterns whose own classes already bound them)."""
+    if repl in _NO_GUARD:
+        return pat, repl
+    # the pattern rides in CAPTURING group 2 so the guards are always
+    # groups 1 and 3 (none of PII_PATTERNS contain their own groups;
+    # any added later shift numbering past 3, which stays unreferenced)
+    return rf"(^|[^0-9])({pat})([^0-9]|$)", rf"$1{repl}$3"
 
 
 def redact_pii(documents: DataFrame, col: str = "text") -> DataFrame:
@@ -260,11 +291,38 @@ def redact_pii(documents: DataFrame, col: str = "text") -> DataFrame:
     chained ``regexp_replace`` (one codegen projection, zero Python,
     no shuffle); patterns are deterministic cross-engine so the
     operator is exactly oracle-able with DuckDB ``regexp_replace(...,
-    'g')``."""
+    'g')`` (replacement syntax translates mechanically, ``$n`` → ``\\n``).
+
+    Each guarded pattern is applied TWICE: a guard consumes the
+    boundary character, so of two PII matches separated by exactly one
+    non-digit char ('111-22-3333,444-55-6666') the first replace can
+    only catch one — the second pass catches the neighbor.  Guards
+    consume at most one boundary char per match, so two passes reach
+    the fixpoint for any such chain (alternating separators included);
+    pinned by the idempotence test."""
     out = F.col(col)
     for pat, repl in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, repl)
+        gpat, grepl = _guarded(pat, repl)
+        passes = 1 if (gpat, grepl) == (pat, repl) else 2
+        for _ in range(passes):
+            out = F.regexp_replace(out, gpat, grepl)
     return documents.withColumn(col, out)
+
+
+def duckdb_redact_sql(col: str = "text") -> str:
+    """The oracle half of ``redact_pii``: the identical chain of
+    replaces as a DuckDB expression (RE2 runs the same guarded
+    patterns; only the replacement backref syntax differs, ``$n`` →
+    ``\\n``).  Pinned equal to the Spark operator row-for-row in
+    tests, which is what makes the 'exactly oracle-able' claim real."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        gpat, grepl = _guarded(pat, repl)
+        passes = 1 if (gpat, grepl) == (pat, repl) else 2
+        grepl = grepl.replace("$1", r"\1").replace("$3", r"\3")
+        for _ in range(passes):
+            out = f"regexp_replace({out}, '{gpat}', '{grepl}', 'g')"
+    return out
 
 
 def fingerprints(documents: DataFrame) -> DataFrame:

@@ -11,8 +11,12 @@ actually runs, built from the engine's operators in their 100 TB shapes.
 Each stage is the scale-correct form established elsewhere in the repo:
 the feature pass is a single scan with zero Python; dedup never
 compares all pairs (LSH-blocked, cluster state sized by the candidate
-graph); the split is a pure function of doc_id so reruns and engines
-agree row-for-row.  No stage collects data to the driver.
+graph); the split keys on md5 of the TEXT ITSELF — not doc_id — so any
+near-miss duplicate the LSH tier lets through still cannot straddle a
+train/test boundary when its text is byte-identical (an id-keyed split
+would rely entirely on dedup having caught it first — round-3
+advisory).  Reruns and engines agree row-for-row.  No stage collects
+data to the driver.
 """
 
 from __future__ import annotations
@@ -62,10 +66,18 @@ def curate_documents(
     langs: tuple[str, ...] = ("en",),
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
     redact: bool = True,
+    split_on: str = "text",
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
     filter so the dedup/split stages don't carry them through shuffles).
+
+    ``split_on`` is the split key column — default ``text`` (true
+    content addressing: exact duplicates can never straddle splits even
+    if a dedup tier misses them).  Pass ``doc_id`` to key on identity
+    instead, e.g. when documents are re-crawled with drifting whitespace
+    and split stability across crawls matters more than the exact-dup
+    guarantee.
 
     Redaction runs FIRST (before features and dedup) so documents that
     differ only in embedded PII become exact duplicates and collapse,
@@ -86,4 +98,4 @@ def curate_documents(
         )
         .drop("quality", "pred_lang")
     )
-    return sampling.hash_split(D.near_dedup_documents(kept), "doc_id", splits)
+    return sampling.hash_split(D.near_dedup_documents(kept), split_on, splits)

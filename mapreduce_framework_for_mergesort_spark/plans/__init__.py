@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 class PlanAudit:
     exchanges: int = 0
     broadcasts: int = 0
+    reused_exchanges: int = 0
     file_scans: int = 0
     codegen_spans: int = 0
     python_evals: int = 0
@@ -57,20 +58,35 @@ def audit(df: DataFrame, final: bool = False) -> PlanAudit:
     strategy, which AQE may re-plan at runtime (broadcast switches,
     skew splits).  That is the right thing for *shape* pins (the
     initial plan reflects what the operator declared); pass
-    ``final=True`` to force execution first (noop sink) so the audit
-    reads the runtime-final plan instead."""
+    ``final=True`` to read the runtime-final plan instead.
+
+    ``final=True`` executes THIS DataFrame's own QueryExecution
+    (``executedPlan().execute()`` — for an ``AdaptiveSparkPlanExec``
+    that materializes every query stage and fixes the final plan,
+    without collecting result rows to the driver).  A noop-sink
+    ``df.write`` does NOT work here: the write plans a *separate*
+    QueryExecution, so the original ``df``'s plan stays
+    ``isFinalPlan=false`` — a round-3 advisory verified empirically."""
     if final:
-        df.write.format("noop").mode("overwrite").save()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+        df._jdf.queryExecution().executedPlan().execute()
+    return parse_plan(df._jdf.queryExecution().executedPlan().toString())
+
+
+def parse_plan(plan: str) -> PlanAudit:
+    """The parsing half of ``audit``, separated so the counters are
+    unit-testable against plan text directly."""
     return PlanAudit(
-        # every shuffle exchange; the (?!Broadcast) guard keeps
-        # BroadcastExchange in its own counter.  Spelled as a negative
-        # match, not an allowlist: the round-1 allowlist (range|hash|
-        # Single) silently missed RoundRobinPartitioning — a stray
-        # repartition() was invisible to the exact tests that exist to
-        # catch stray exchanges.
-        exchanges=len(re.findall(r"(?<!Broadcast)Exchange ", plan)),
+        # every shuffle exchange; the lookbehind guards keep
+        # BroadcastExchange in its own counter and keep ReusedExchange
+        # (a cached result REUSE — often of a broadcast — not a new
+        # shuffle) out of both.  Spelled as negative matches, not an
+        # allowlist: the round-1 allowlist (range|hash|Single) silently
+        # missed RoundRobinPartitioning — a stray repartition() was
+        # invisible to the exact tests that exist to catch stray
+        # exchanges.
+        exchanges=len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan)),
         broadcasts=plan.count("BroadcastExchange"),
+        reused_exchanges=plan.count("ReusedExchange"),
         file_scans=plan.count("FileScan"),
         codegen_spans=plan.count("WholeStageCodegen"),
         python_evals=plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),

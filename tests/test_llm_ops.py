@@ -278,6 +278,47 @@ def test_redact_pii_replaces_and_is_idempotent(spark):
     assert again == got
 
 
+def test_redact_pii_digit_boundaries_and_duckdb_parity(spark):
+    """Round-3 advisory: digit-run patterns must not half-match inside
+    longer digit runs, must cover the space-separated US phone form, and
+    adjacent matches sharing one boundary char must all redact.  The
+    DuckDB mirror (``duckdb_redact_sql``) is pinned equal row-for-row —
+    the 'exactly oracle-able' claim, executed."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    rows = [
+        (1, "id 91234-5678-9012-34567 stays"),  # longer run: no partial hit
+        (2, "phones 555 123 4567 and 555-123-4567"),
+        (3, "chain 111-22-3333,444-55-6666"),  # shared boundary char
+        (4, "x123-45-67890 untouched"),  # trailing extra digit
+        (5, "edge 123-45-6789"),  # match ends at $
+        (6, "123-45-6789 at start"),  # match begins at ^
+        (7, "run 1111-2222-3333-44445 kept"),  # card + trailing digit
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in T.redact_pii(docs).collect()}
+    assert got[1] == "id 91234-5678-9012-34567 stays"
+    assert got[2] == "phones <PHONE> and <PHONE>"
+    assert got[3] == "chain <SSN>,<SSN>"
+    assert got[4] == "x123-45-67890 untouched"
+    assert got[5] == "edge <SSN>"
+    assert got[6] == "<SSN> at start"
+    assert got[7] == "run 1111-2222-3333-44445 kept"
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    oracle = dict(
+        con.execute(
+            f"SELECT doc_id, {T.duckdb_redact_sql('text')} FROM docs"
+        ).fetchall()
+    )
+    assert oracle == got
+
+
 def test_hash_split_is_deterministic_and_partition_proof(spark, sf_oracle):
     """Split membership must be a pure function of the key: identical
     across reruns AND across repartitionings (the randomSplit failure
