@@ -144,6 +144,8 @@ def cluster_pairs(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 25,
+    algorithm: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list → one row per
     node with ``cluster`` = the smallest node id reachable from it (the
@@ -153,21 +155,36 @@ def cluster_pairs(
     survives (A~B and B~C must collapse to one survivor even when A~C
     was never emitted as a pair).
 
-    Algorithm: hash-min label propagation — labels start as each node's
-    own id; each round every node takes the min of its label and its
-    neighbors' labels; converged when a round changes nothing.  Rounds
-    needed = the longest min-label propagation path (graph diameter
-    bound); dedup similarity graphs are dense clique-ish clusters with
-    tiny diameters, so this settles in a handful of rounds.  Per round
-    the cluster work is one equi-join (labels × edges) + one min
-    aggregation — both shuffle on node id, partial-aggregated map-side;
-    state is materialized per round (lineage cut — iterative plans
-    otherwise re-execute the whole prefix each round and the plan tree
-    grows without bound).  The convergence probe is a ``limit(1)`` run,
-    not a full count.  At 100 TB the edge list is the (tiny) candidate
-    graph, not the corpus; for adversarially long chains switch to
-    large-star/small-star (Kiveris '14), which contracts in
-    O(log diameter) rounds with the same join+min building blocks.
+    Two algorithms, both returning the identical fixpoint (pinned
+    against each other and a union-find reference in property tests):
+
+    * ``hash_min`` — label propagation: labels start as each node's own
+      id; each round every node takes the min of its label and its
+      neighbors' labels.  Rounds needed = min-label propagation
+      diameter — ideal for dedup graphs, which are dense clique-ish
+      clusters with tiny diameters; one equi-join + one map-side-partial
+      min aggregation per round.  Raises after ``max_iters`` when chosen
+      explicitly (returning a non-fixpoint would silently under-dedup).
+    * ``star`` — alternating large-star/small-star contraction
+      (Kiveris et al. '14): each round rewires every node's strictly
+      larger neighbors to its neighborhood min (large-star), then its
+      smaller neighbors and itself (small-star).  Converges in
+      O(log² n) rounds — ~7 for a diameter-100 path where hash-min
+      needs ~100 — at the price of two join+agg+distinct passes per
+      round.  The round-4 answer to the round-3 failure mode where a
+      chain-shaped candidate graph exhausted hash-min's budget.
+    * ``auto`` (default) — hash-min first with a capped budget
+      (min(max_iters, 8) rounds: clique-ish dedup graphs settle in
+      ≤ ~4; a graph still moving after 8 has a long diameter, exactly
+      star's territory); on exhaustion, fall back to star contraction
+      on the same edges instead of raising.  Long-diameter graphs get a
+      guaranteed answer; typical dedup graphs never pay star's extra
+      per-round cost.
+
+    Per round both algorithms materialize their state (lineage cut —
+    iterative plans otherwise re-execute the whole prefix each round)
+    and state is sized by the CANDIDATE GRAPH, never the corpus.  The
+    convergence probes are ``limit(1)`` runs, not full counts.
 
     ``nodes`` (optional, one id column): the full vertex set — nodes
     with no pairs become singleton clusters of themselves, which is what
@@ -179,20 +196,55 @@ def cluster_pairs(
     100 TB — per-round state is sized by the CANDIDATE GRAPH, never the
     corpus; without it every round would checkpoint a corpus-sized
     label table.  Default ``nodes``: only nodes appearing in ``pairs``.
+
+    ``stats`` (optional dict): observability — gets ``algorithm`` (the
+    one that produced the answer) and ``rounds`` written into it.
     """
+    if algorithm not in ("auto", "hash_min", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
-    edges = _materialize(
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Self-loops carry no connectivity: the algorithms run on the
+    # loop-free graph (star contraction would otherwise DROP a node
+    # whose only pair is (x, x) — its edge set empties after round 1),
+    # and loop-only nodes rejoin through the singleton union below.
+    edges = _materialize(sym.where(F.col("u") != F.col("v")))
     verts = edges.select(F.col("u").alias("node")).distinct()
-    singletons = None
-    if nodes is not None:
-        allv = nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
-        singletons = allv.join(verts, "node", "left_anti").select(
-            "node", F.col("node").alias("cluster")
-        )
+    base = (
+        nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        if nodes is not None
+        else sym.select(F.col("u").alias("node")).distinct()
+    )
+    singletons = base.join(verts, "node", "left_anti").select(
+        "node", F.col("node").alias("cluster")
+    )
+    if stats is None:
+        stats = {}
+    if algorithm == "star":
+        labels = _star_labels(edges, max_iters, stats)
+    else:
+        budget = min(max_iters, 8) if algorithm == "auto" else max_iters
+        labels = _hashmin_labels(edges, budget, stats)
+        if labels is None:
+            if algorithm == "hash_min":
+                raise RuntimeError(
+                    f"cluster_pairs did not converge within max_iters="
+                    f"{max_iters} rounds (graph min-label diameter exceeds"
+                    " the budget); raise max_iters or use algorithm='star'"
+                )
+            labels = _star_labels(edges, max(max_iters, 40), stats)
+    return labels.unionByName(singletons)
+
+
+def _hashmin_labels(
+    edges: DataFrame, max_iters: int, stats: dict
+) -> DataFrame | None:
+    """Hash-min propagation over a symmetric edge list → (node, cluster)
+    at the fixpoint, or ``None`` when ``max_iters`` rounds weren't
+    enough (caller decides: raise, or fall back to star contraction)."""
+    stats["algorithm"] = "hash_min"
     # Fused round 0: starting from identity labels, the first
     # propagation yields exactly min(node, min(neighbors)) — computable
     # straight from the edge list with one aggregation, no identity
@@ -205,6 +257,7 @@ def cluster_pairs(
             F.least(F.col("u"), F.col("mv")).alias("cluster"),
         )
     )
+    stats["rounds"] = 1
     changed = 1
     for _ in range(max_iters):
         prop = edges.join(
@@ -223,23 +276,104 @@ def cluster_pairs(
             .count()
         )
         labels = new
+        stats["rounds"] += 1
         if changed == 0:
-            break
-    if changed != 0:
-        # Exhausting the round budget means the labels are NOT a
-        # fixpoint — returning them would silently under-deduplicate
-        # (one component reported as several clusters, extra
-        # "survivors" kept).  Loud failure; callers with genuinely
-        # long-diameter graphs raise max_iters or switch to
-        # large-star/small-star.
-        raise RuntimeError(
-            f"cluster_pairs did not converge within max_iters={max_iters}"
-            " rounds (graph min-label diameter exceeds the budget);"
-            " raise max_iters or use a star-contraction variant"
+            return labels
+    return None
+
+
+def _sym_edges(directed: DataFrame) -> DataFrame:
+    """(a, b) rows → distinct symmetric (u, v) edge set, self-loops
+    dropped."""
+    e = directed.where(F.col("a") != F.col("b"))
+    return (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .union(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+    )
+
+
+def _star_labels(edges: DataFrame, max_iters: int, stats: dict) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond', SoCC '14) over a
+    symmetric edge list → (node, cluster) labels.
+
+    Per round, with m(u) = min of u's closed neighborhood Γ(u) ∪ {u}:
+
+    * large-star rewires every STRICTLY LARGER neighbor of u to m(u):
+      emit (v, m(u)) for v ∈ Γ(u), v > u.  Each undirected edge is
+      processed from its smaller endpoint's side only, so the output
+      never exceeds the input edge count.
+    * small-star rewires every smaller-or-equal neighbor AND u itself:
+      emit (v, m(u)) for v ∈ Γ(u), v < u, plus (u, m(u)).
+
+    Both emit only (node, smaller-id) edges, so ids monotonically
+    contract toward component minima; the paper proves each component
+    converges to a star centered at its minimum in O(log² n) rounds
+    (observed ~log₂ diameter for paths — the property test pins a
+    diameter-400 path at ≤ 10 rounds).  Convergence = the edge set is
+    a fixpoint of the large+small round, checked with two anti-join
+    ``limit(1)`` probes.  At the fixpoint every component is a star, so
+    labels fall out of one aggregation: min neighbor (the center), or
+    the node itself for centers.
+
+    Shapes at 100 TB match hash-min's discipline: per round two
+    groupBy-min aggregations (map-side partials) + two equi-joins on
+    node id + the distincts that keep the edge set a set, all sized by
+    the candidate graph; state materialized per round (lineage cut).
+    """
+    stats["algorithm"] = "star"
+    stats["rounds"] = 0
+    if edges.limit(1).count() == 0:
+        return edges.select(
+            F.col("u").alias("node"), F.col("v").alias("cluster")
         )
-    if singletons is not None:
-        labels = labels.unionByName(singletons)
-    return labels
+    E = edges
+    for _ in range(max_iters):
+        # large-star: neighbors v > u rewired to m(u)
+        mins = (
+            E.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        ls = (
+            E.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        E1 = _materialize(_sym_edges(ls))
+        # small-star: neighbors v < u, and u itself, rewired to m(u)
+        mins2 = (
+            E1.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        ss = (
+            E1.join(mins2, "u")
+            .where(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(
+                mins2.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        )
+        E2 = _materialize(_sym_edges(ss))
+        stats["rounds"] += 1
+        changed = (
+            E2.join(E, ["u", "v"], "left_anti").limit(1).count()
+            + E.join(E2, ["u", "v"], "left_anti").limit(1).count()
+        )
+        E = E2
+        if changed == 0:
+            # fixpoint: every component is a star around its minimum
+            return E.groupBy("u").agg(F.min("v").alias("mv")).select(
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("mv")).alias("cluster"),
+            )
+    raise RuntimeError(
+        f"star contraction did not converge within max_iters={max_iters}"
+        " rounds — not expected below 2^(sqrt(max_iters)) nodes; raise"
+        " max_iters"
+    )
 
 
 def near_dedup_documents(documents: DataFrame, key: str = "doc_id") -> DataFrame:
