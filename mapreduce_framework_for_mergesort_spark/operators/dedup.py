@@ -376,17 +376,95 @@ def _star_labels(edges: DataFrame, max_iters: int, stats: dict) -> DataFrame:
     )
 
 
-def near_dedup_documents(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+DEFAULT_EMBED_TAU = 0.9  # paraphrase-grade cosine for the semantic tier
+
+
+def near_dup_pair_tiers(
+    documents: DataFrame,
+    tiers: tuple[str, ...] = ("minhash",),
+    embeddings: DataFrame | None = None,
+    embed_tau: float = DEFAULT_EMBED_TAU,
+    num_centroids: int = 8,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Union of candidate near-dup pairs from the selected tiers, as
+    distinct (doc_a, doc_b) rows — the pluggable candidate-generation
+    front of the dedup pipeline:
+
+    * ``minhash``   — LSH band collisions (lexical near-dups);
+    * ``simhash``   — hamming-near banded signatures (lexical, exact
+                      for r ≤ 3);
+    * ``embedding`` — IVF-cell-blocked cosine ≥ ``embed_tau``
+                      (SEMANTIC near-dups: paraphrases MinHash's
+                      shingle overlap can't see).  Requires
+                      ``embeddings`` (vec_id, embedding) keyed by the
+                      same id space as ``documents.key``; vectors for
+                      documents not in ``documents`` are semi-joined
+                      away FIRST, so a pair can never resurrect a
+                      filtered-out document (or hand the cluster
+                      survivor role to one).
+
+    Every tier is blocked (bands / cells) — unioning them unions
+    candidate sets, never changes any tier's shape, so the composition
+    scales exactly as its worst member."""
+    known = {"minhash", "simhash", "embedding"}
+    bad = set(tiers) - known
+    if bad:
+        raise ValueError(f"unknown dedup tiers {sorted(bad)}; known: {sorted(known)}")
+    frames: list[DataFrame] = []
+    if "minhash" in tiers:
+        frames.append(
+            lsh_candidate_pairs(minhash_bands(documents)).select(
+                "doc_a", "doc_b"
+            )
+        )
+    if "simhash" in tiers:
+        frames.append(simhash_candidate_pairs(documents).select("doc_a", "doc_b"))
+    if "embedding" in tiers:
+        if embeddings is None:
+            raise ValueError("the 'embedding' tier requires an embeddings table")
+        emb = embeddings.join(
+            documents.select(F.col(key).alias("vec_id")), "vec_id", "semi"
+        )
+        frames.append(
+            embedding_near_dup_pairs(emb, embed_tau, num_centroids).select(
+                F.col("vec_a").alias("doc_a"),
+                F.col("vec_b").alias("doc_b"),
+            )
+        )
+    if not frames:
+        raise ValueError("at least one dedup tier is required")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct() if len(frames) > 1 else out
+
+
+def near_dedup_documents(
+    documents: DataFrame,
+    key: str = "doc_id",
+    tiers: tuple[str, ...] = ("minhash",),
+    embeddings: DataFrame | None = None,
+    embed_tau: float = DEFAULT_EMBED_TAU,
+    embed_cells: int = 8,
+) -> DataFrame:
     """End-to-end near-dedup: keep exactly ONE document per near-dup
     cluster (the smallest ``key`` in the component) and every document
     with no near-dups.  Exact duplicates collapse too — identical text
     yields identical bands, so exact-dup pairs are always candidates.
 
-    Composition of the tiered pipeline in its scale shapes: LSH
+    ``tiers``/``embeddings`` select the candidate generators
+    (``near_dup_pair_tiers``) — pairs from all tiers feed ONE
+    clustering, so a doc lexically near A and semantically near B
+    collapses all three into one survivor.
+
+    Composition of the tiered pipeline in its scale shapes: blocked
     candidates (no all-pairs), connected components (candidate-graph-
     sized state), then a semi-join of the corpus against the survivor
     ids — the corpus itself is never shuffled by the clustering."""
-    pairs = lsh_candidate_pairs(minhash_bands(documents))
+    pairs = near_dup_pair_tiers(
+        documents, tiers, embeddings, embed_tau, embed_cells, key=key
+    )
     clusters = cluster_pairs(pairs, nodes=documents.select(key))
     keep = cluster_survivors(clusters).select(
         F.col("keep_doc_id").alias(key)
@@ -411,6 +489,89 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         H.simhash_udf()(F.col("text")).alias("simhash"),
+    )
+
+
+# 16-bit signature split into 4 bands of 4 bits.  Pigeonhole: two
+# signatures at hamming distance ≤ SIMHASH_NUM_BANDS − 1 MUST agree on
+# at least one whole band, so the banded equi-join below is a COMPLETE
+# candidate generator for r ≤ 3 — unlike MinHash banding, which is
+# probabilistic, this tier is exact end-to-end and carries a full
+# value oracle.
+SIMHASH_NUM_BANDS = 4
+SIMHASH_BAND_BITS = H.SIMHASH_BITS // SIMHASH_NUM_BANDS
+SIMHASH_R = SIMHASH_NUM_BANDS - 1  # largest r the banding is complete for
+
+
+def simhash_bands(signatures: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → one (doc_id, band_id, band_val) row per band:
+    band b is bits [b·4, b·4+4) of the signature, extracted with shift
+    and mask — pure codegen arithmetic, no Python, no shuffle."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band_id"),
+                F.expr(
+                    f"(simhash >> {b * SIMHASH_BAND_BITS}) & {mask}"
+                ).alias("band_val"),
+            )
+            for b in range(SIMHASH_NUM_BANDS)
+        ]
+    )
+    return signatures.select(
+        "doc_id", "simhash", F.explode(bands).alias("__b")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("__b.band_id").alias("band_id"),
+        F.col("__b.band_val").alias("band_val"),
+    )
+
+
+def simhash_candidate_pairs(
+    documents: DataFrame, r: int = SIMHASH_R
+) -> DataFrame:
+    """Hamming-near simhash pairs (doc_a < doc_b, hamming ≤ r) via the
+    banded join: docs sharing any 4-bit band are candidates; the exact
+    hamming distance (``bit_count(a XOR b)`` — one codegen instruction)
+    verifies.  For r ≤ 3 the result is EXACTLY the set of all pairs at
+    hamming ≤ r (banding completeness above), so no all-pairs comparison
+    is ever needed and the operator stays value-oracle-able.
+
+    Scale shape mirrors ``lsh_candidate_pairs``: one explode (4 rows per
+    doc) + one equi-join on (band_id, band_val); band_id rides the join
+    key, hot band values are AQE-skew-split.  Only 16 distinct band
+    values exist per band here, so at corpus scale this tier is run
+    AFTER a coarser blocker (or on a wider signature) — the 16-bit demo
+    keeps the arithmetic exactly replicable in both engines.
+
+    The signature rides the band rows (4·8 bytes/doc) so the verify step
+    needs no join back to the signature table.
+    """
+    if r > SIMHASH_R:
+        raise ValueError(
+            f"banded join is only complete for r <= {SIMHASH_R}"
+            f" with {SIMHASH_NUM_BANDS} bands; got r={r}"
+        )
+    bands = _materialize(simhash_bands(simhash_signatures(documents)))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)")
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= r)
+        .distinct()
     )
 
 

@@ -162,7 +162,7 @@ def duckdb_kmeans_cte(
       SELECT vec_id, xq FROM kxq WHERE vec_id < {sample}),
     kc0 AS (
       SELECT vec_id AS cid, xq AS cq FROM ksmp
-      WHERE vec_id < {num_centroids})"""
+      ORDER BY vec_id LIMIT {num_centroids})"""
     ]
     prev = "kc0"
     for t in range(1, iters + 1):
@@ -354,9 +354,14 @@ def _kmeans_train_np(ids, Xq, num_centroids: int, iters: int) -> Cents:
     """
     order = np.argsort(ids)
     ids, Xq = ids[order], Xq[order]
-    init = ids < num_centroids
+    # init = the FIRST num_centroids sample vectors by vec_id (round 4:
+    # was ``ids < num_centroids``, which silently yielded fewer — or
+    # zero — seeds whenever the id space isn't dense from 0, e.g. a
+    # filtered corpus; identical on the driver tables, where ids are
+    # dense).  The DuckDB CTE (kc0) applies the same ORDER BY/LIMIT.
     cents: Cents = [
-        (int(i), [int(v) for v in row]) for i, row in zip(ids[init], Xq[init])
+        (int(i), [int(v) for v in row])
+        for i, row in zip(ids[:num_centroids], Xq[:num_centroids])
     ]
     for _ in range(iters):
         if not cents:
@@ -390,9 +395,10 @@ def _kmeans_train(xqv: DataFrame, num_centroids: int, iters: int) -> Cents:
     all members drop out (deterministically, on both engines).
     """
     init = (
-        xqv.where(F.col("vec_id") < num_centroids)
+        xqv.orderBy("vec_id")
+        .limit(num_centroids)  # first C sample vectors by id (TakeOrdered
         .select(F.col("vec_id").alias("cid"), F.col("xq").alias("cq"))
-        .collect()
+        .collect()  # — xqv is already the bounded training sample)
     )
     cents: Cents = sorted((r["cid"], list(r["cq"])) for r in init)
     for _ in range(iters):
@@ -486,46 +492,72 @@ def _trained_cents(
     return _kmeans_train_np(ids, _quantize_np(X), num_centroids, iters)
 
 
+def nearest_cells(qe, cents: Cents, nprobe: int) -> list[int]:
+    """The ``nprobe`` nearest cell ids for a raw query embedding, in
+    deterministic centroid-distance order (exact int64 squared-L2 on the
+    quantized query, ties to the lowest cid — the identical arithmetic
+    and tie-break as ``_argmin_np``, so ``nearest_cells(qe, cents, 1)``
+    IS the cell the corpus-assignment kernel would pick).  Driver-side
+    over the C-element centroid list: probing is an index-metadata
+    decision, never a cluster job."""
+    Xq = _quantize_np(np.array([list(qe)], dtype=np.float64))[0]
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    Q = np.array([cq for _, cq in cents], dtype=np.int64)
+    d = ((Q - Xq[None, :]) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d))  # by distance, ties by cid
+    return [int(ids[i]) for i in order[:nprobe]]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
     k: int,
     num_centroids: int = 8,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: probe only the query's cell, exact cosine rerank inside.
+    """IVF ANN: probe the query's ``nprobe`` nearest cells, exact cosine
+    rerank inside.
 
-    nprobe=1 keeps the demo deterministic and oracle-checkable (the
-    assignment and rerank are exact arithmetic; only *recall* is
-    approximate, bounded in tests against the brute-force baseline).
+    ``nprobe`` is the recall knob (Jégou et al., 'Product Quantization
+    for Nearest Neighbor Search', §IVFADC probing): cells are probed in
+    deterministic centroid-distance order (``nearest_cells`` — exact
+    integer arithmetic, ties to lowest cid), so every setting stays
+    deterministic and oracle-checkable; candidate sets are NESTED in
+    ``nprobe``, which with the total (score, vec_id) rerank order makes
+    recall@k non-decreasing in ``nprobe`` and exactly 1.0 at
+    ``nprobe = C`` (pinned in tests against ``brute_force_topk``).
+    nprobe=1 remains the default — and the registered query's oracle
+    contract.
 
     After training (bounded-sample jobs, see ``_trained_cents``) the
-    probe needs NO JOIN: the query row (its embedding and cell) is
-    looked up first — ``vec_id = query`` pushes down to the parquet
-    scan, so quantize+assign runs on one row — and the candidate pass is
-    then a single filter ``cell = <literal>`` + cosine against the
-    (64-element, exactly round-tripped) literal query vector.  This is
-    exactly the shape a 100 TB probe wants: prune to one cell of an
-    index written partitioned by ``cell`` (see ``ivf_cells``).  The
+    probe needs NO JOIN: the query row's embedding is looked up first —
+    ``vec_id = query`` pushes down to the parquet scan — the probe
+    cells are a driver-side index-metadata decision, and the candidate
+    pass is a single ``cell IN (<literals>)`` filter + cosine against
+    the (64-element, exactly round-tripped) literal query vector.  This
+    is exactly the shape a 100 TB probe wants: prune to nprobe cells of
+    an index written partitioned by ``cell`` (see ``ivf_cells``).  The
     round-2/3 alternative — checkpointing the whole cell index per
     query to share it between the lookup and candidate branches — paid
     a corpus write+read to save this one-row lookup.
     """
     cents = _trained_cents(embeddings, num_centroids)
-    udf = _argmin_cell_udf(cents, from_embedding=True)
     q = (
         embeddings.where(F.col("vec_id") == query_vec_id)
-        .select("embedding", udf(F.col("embedding")).alias("cell"))
+        .select("embedding")
         .collect()
     )
-    if not q:
+    if not q or not cents:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id: bigint, score: double"
         )
-    qe, qcell = q[0]["embedding"], q[0]["cell"]
+    qe = q[0]["embedding"]
+    probe = nearest_cells(qe, cents, nprobe)
+    udf = _argmin_cell_udf(cents, from_embedding=True)
     cells = embeddings.select(
         "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
     )
-    scored = cells.where(F.col("cell") == F.lit(qcell)).select(
+    scored = cells.where(F.col("cell").isin(probe)).select(
         "vec_id", F.expr(V.spark_cosine("embedding", _qe_lit(qe))).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
@@ -570,24 +602,30 @@ def probe_ivf_index(
     cents: Cents,
     query_embedding: list[float],
     k: int,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Top-k probe of a persisted IVF index for an ARBITRARY query
     vector (need not exist in the corpus).
 
-    The query is quantized and assigned through the SAME kernel the
-    index build used (on a one-row LocalRelation), so the cell decision
-    is bit-identical to the build.  The scan then prunes to the query's
-    cell directory (``PartitionFilters`` in the plan) and reranks by
-    exact cosine against the round-tripped literal query vector."""
+    The query is quantized and assigned with the SAME integer arithmetic
+    the index build used (``nearest_cells`` — pinned equal to the build
+    kernel), so the cell decision is bit-identical to the build.  The
+    scan then prunes to the query's ``nprobe`` nearest cell directories
+    (``PartitionFilters`` in the plan — an IN-filter on the partition
+    column prunes exactly like equality) and reranks by exact cosine
+    against the round-tripped literal query vector.
+
+    The float32→float64 round-trip matters: the query must go through a
+    one-row DataFrame with the index's ``array<float>`` schema so it is
+    narrowed exactly as a stored vector would be — quantizing the raw
+    float64 list could land a boundary component one quantum off the
+    build's assignment."""
     qdf = spark.createDataFrame(
         [(0, query_embedding)], "vec_id: bigint, embedding: array<float>"
     )
-    udf = _argmin_cell_udf(cents, from_embedding=True)
-    q = qdf.select(
-        "embedding", udf(F.col("embedding")).alias("cell")
-    ).collect()
-    qe, qcell = q[0]["embedding"], q[0]["cell"]
-    idx = spark.read.parquet(path).where(F.col("cell") == F.lit(qcell))
+    qe = qdf.collect()[0]["embedding"]
+    probe = nearest_cells(qe, cents, nprobe)
+    idx = spark.read.parquet(path).where(F.col("cell").isin(probe))
     scored = idx.select(
         "vec_id", F.expr(V.spark_cosine("embedding", _qe_lit(qe))).alias("score")
     )

@@ -67,6 +67,10 @@ def curate_documents(
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
     redact: bool = True,
     split_on: str = "text",
+    dedup_tiers: tuple[str, ...] = ("minhash",),
+    embeddings: DataFrame | None = None,
+    embed_tau: float = D.DEFAULT_EMBED_TAU,
+    embed_cells: int = 8,
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
@@ -78,6 +82,15 @@ def curate_documents(
     instead, e.g. when documents are re-crawled with drifting whitespace
     and split stability across crawls matters more than the exact-dup
     guarantee.
+
+    ``dedup_tiers`` selects the candidate generators (see
+    ``operators/dedup.near_dup_pair_tiers``): add ``"embedding"`` (with
+    an ``embeddings`` table keyed by doc_id) to also collapse SEMANTIC
+    duplicates — paraphrases whose shingle overlap is too low for the
+    MinHash tier — into the same clustering, and ``"simhash"`` for the
+    hamming-near lexical tier.  All tiers feed one connected-components
+    pass, so mixed lexical/semantic duplicate chains still collapse to
+    a single survivor.
 
     Redaction runs FIRST (before features and dedup) so documents that
     differ only in embedded PII become exact duplicates and collapse,
@@ -98,4 +111,11 @@ def curate_documents(
         )
         .drop("quality", "pred_lang")
     )
-    return sampling.hash_split(D.near_dedup_documents(kept), split_on, splits)
+    deduped = D.near_dedup_documents(
+        kept,
+        tiers=dedup_tiers,
+        embeddings=embeddings,
+        embed_tau=embed_tau,
+        embed_cells=embed_cells,
+    )
+    return sampling.hash_split(deduped, split_on, splits)

@@ -163,14 +163,59 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_simhash",
-    oracle=(
-        "SELECT doc_id, "
-        + H.duckdb_simhash(H.duckdb_tokens("text"))
-        + " AS simhash FROM documents"
-    ),
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {H.duckdb_simhash(H.duckdb_tokens("text"))} AS simhash
+      FROM documents),
+    sbands AS (
+      SELECT doc_id, simhash, b.band_id,
+             (simhash >> (b.band_id * {D.SIMHASH_BAND_BITS}))
+               & {(1 << D.SIMHASH_BAND_BITS) - 1} AS band_val
+      FROM sigs CROSS JOIN
+           (SELECT unnest(range(0, {D.SIMHASH_NUM_BANDS})) AS band_id) b),
+    spairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sbands a
+      JOIN sbands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_R})
+    SELECT 'sig' AS part, doc_id AS doc_a, doc_id AS doc_b, simhash AS val
+    FROM sigs
+    UNION ALL
+    SELECT 'pair' AS part, doc_a, doc_b, hamming AS val FROM spairs
+    """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_signatures(load_table(spark, sf_dir, "documents"))
+    """SimHash tier as a tagged union (round 4 added the pair tier —
+    signatures alone generate no candidates):
+
+    * ``sig``  — per-doc 16-bit signature (doc_a = doc_b = doc_id,
+                 val = simhash), as in rounds 1-3;
+    * ``pair`` — hamming-near pairs via the banded join
+                 (val = exact hamming distance ≤ {r}).  4 bands × 4 bits
+                 make the banding COMPLETE for r ≤ 3 (pigeonhole), so
+                 unlike MinHash this candidate generator is exact and the
+                 oracle replicates the whole tier value-for-value.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.simhash_signatures(docs)
+    pairs = D.simhash_candidate_pairs(docs)
+    lit = F.lit
+    return sigs.select(
+        lit("sig").alias("part"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("val"),
+    ).unionByName(
+        pairs.select(
+            lit("pair").alias("part"),
+            "doc_a",
+            "doc_b",
+            F.col("hamming").alias("val"),
+        )
+    )
 
 
 @query(

@@ -136,6 +136,102 @@ def test_near_dedup_documents_keeps_one_per_cluster(corpus_with_dups):
     assert kept == [1, 4, 5]
 
 
+@pytest.fixture(scope="module")
+def paraphrase_corpus(spark):
+    """Docs 2/3 are lexical near-dups of each other; doc 2 is a
+    PARAPHRASE of doc 1 — zero shingle overlap (MinHash can't pair
+    them) but near-identical embeddings.  The full duplicate chain
+    1~2~3 is only visible when the lexical and semantic tiers feed one
+    clustering."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat by the door this morning ok"),
+            (2, "a feline rested upon a rug near an entrance at dawn"),
+            (3, "a feline rested upon a rug near an entrance at dusk"),
+            (4, "completely unrelated text about spark shuffle mechanics"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.1]),
+            (2, [0.99, 0.01, 0.0, 0.1]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    return docs, emb
+
+
+def test_embedding_tier_collapses_paraphrase_chain(paraphrase_corpus):
+    docs, emb = paraphrase_corpus
+    # MinHash alone: only the lexical pair (2,3) collapses
+    lex_only = sorted(
+        r["doc_id"] for r in D.near_dedup_documents(docs).collect()
+    )
+    assert lex_only == [1, 2, 4]
+    # + embedding tier: the semantic pair (1,2) joins the chain → one
+    # survivor for {1,2,3}
+    both = sorted(
+        r["doc_id"]
+        for r in D.near_dedup_documents(
+            docs,
+            tiers=("minhash", "embedding"),
+            embeddings=emb,
+            embed_cells=1,
+        ).collect()
+    )
+    assert both == [1, 4]
+
+
+def test_near_dup_pair_tiers_validation(paraphrase_corpus):
+    docs, _ = paraphrase_corpus
+    with pytest.raises(ValueError):
+        D.near_dup_pair_tiers(docs, tiers=("minhash", "bogus"))
+    with pytest.raises(ValueError):
+        D.near_dup_pair_tiers(docs, tiers=("embedding",))  # no embeddings
+    with pytest.raises(ValueError):
+        D.near_dup_pair_tiers(docs, tiers=())
+
+
+def test_embedding_tier_cannot_resurrect_filtered_doc(paraphrase_corpus):
+    """A vector whose document was filtered out upstream must not
+    produce pairs (or become a cluster survivor): the tier semi-joins
+    embeddings against the surviving documents first."""
+    docs, emb = paraphrase_corpus
+    no1 = docs.where("doc_id != 1")  # doc 1 filtered upstream
+    kept = sorted(
+        r["doc_id"]
+        for r in D.near_dedup_documents(
+            no1, tiers=("minhash", "embedding"), embeddings=emb,
+            embed_cells=1,
+        ).collect()
+    )
+    # 2~3 lexical collapse → 2 survives; had vec 1 leaked in, the
+    # cluster min (=1) would be a doc absent from the corpus and the
+    # whole cluster would vanish
+    assert kept == [2, 4]
+
+
+def test_curation_pipeline_with_embedding_tier(paraphrase_corpus):
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs, emb = paraphrase_corpus
+    out = pipelines.curate_documents(
+        docs,
+        min_quality=0.0,
+        langs=("en", "und"),
+        redact=False,
+        dedup_tiers=("minhash", "embedding"),
+        embeddings=emb,
+        embed_cells=1,
+    )
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 4]
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
 def test_curation_pipeline_end_to_end(spark, sf_oracle):
     """The composed pipeline must (a) run scale-shaped end-to-end on
     real documents, (b) only keep docs passing the filters, (c) emit
@@ -402,6 +498,35 @@ def test_simhash_close_for_near_dups(corpus_with_dups):
     assert ham <= ham_far
 
 
+def test_simhash_banded_pairs_complete_vs_brute_force(spark, sf_oracle):
+    """The 4×4-bit banding must find EVERY pair at hamming ≤ 3
+    (pigeonhole completeness) — checked against a literal all-pairs
+    hamming computation over the real corpus signatures."""
+    docs = load_table(spark, sf_oracle, "documents")
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures(docs).collect()
+    }
+    ids = sorted(sig)
+    want = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= D.SIMHASH_R
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_candidate_pairs(docs).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus should contain at least one near pair"
+
+
+def test_simhash_candidate_pairs_rejects_incomplete_r():
+    with pytest.raises(ValueError):
+        D.simhash_candidate_pairs(None, r=D.SIMHASH_R + 1)
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_oracle):
     emb = load_table(spark, sf_oracle, "embeddings")
     exact = [r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()]
@@ -423,6 +548,43 @@ def test_ivf_recall_vs_brute_force(spark, sf_oracle):
     # 7/10 at sf0.01; random near-orthogonal embeddings cap what any
     # partitioner can do)
     assert len(set(ivf) & set(exact)) >= 5
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_oracle):
+    """Multi-probe IVF: recall@k vs brute force must be non-decreasing
+    in nprobe (candidate sets are nested and the rerank order is a total
+    order) and EXACTLY 1.0 at nprobe = C, where probing every cell
+    degenerates to the brute-force scan with the identical
+    (score desc, vec_id) tie-break."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    C, k = 8, 10
+    exact = [(r["vec_id"], r["score"])
+             for r in S.brute_force_topk(emb, 17, k).collect()]
+    exact_ids = {v for v, _ in exact}
+    recalls = []
+    for nprobe in (1, 2, 4, C):
+        got = S.ivf_topk(emb, 17, k, C, nprobe=nprobe).collect()
+        recalls.append(len({r["vec_id"] for r in got} & exact_ids) / k)
+        if nprobe == C:
+            assert [(r["vec_id"], r["score"]) for r in got] == exact
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+
+
+def test_nearest_cells_nprobe1_matches_assignment_kernel(spark, sf_oracle):
+    """nearest_cells(·, ·, 1) must agree with the corpus-assignment
+    kernel's cell decision for every vector — the probe and the index
+    build share one arithmetic."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    cents = S._trained_cents(emb, 8)
+    cells = {
+        r["vec_id"]: r["cell"] for r in S.ivf_cells(emb, 8).collect()
+    }
+    rows = emb.select("vec_id", "embedding").limit(50).collect()
+    for r in rows:
+        assert S.nearest_cells(r["embedding"], cents, 1)[0] == cells[
+            r["vec_id"]
+        ], r["vec_id"]
 
 
 def test_kmeans_training_reduces_objective(spark, sf_oracle):
@@ -598,6 +760,19 @@ def test_persisted_ivf_index_probe(spark, sf_oracle, tmp_path):
         for r in S.ivf_topk(emb, 17, 10, 8).collect()
     ]
     assert got == want
+
+    # multi-probe against the persisted index agrees with the in-memory
+    # operator at the same nprobe (IN-filter pruning, same rerank)
+    got2 = [
+        (r["vec_id"], r["score"])
+        for r in S.probe_ivf_index(spark, path, cents, qvec, 10, nprobe=2)
+        .collect()
+    ]
+    want2 = [
+        (r["vec_id"], r["score"])
+        for r in S.ivf_topk(emb, 17, 10, 8, nprobe=2).collect()
+    ]
+    assert got2 == want2
 
 
 def test_multimodal_feature_pipeline(spark, sf_smoke):
