@@ -73,7 +73,9 @@ def _with_shingles(documents: DataFrame) -> DataFrame:
     )
 
 
-def minhash_bands(documents: DataFrame) -> DataFrame:
+def minhash_bands(
+    documents: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """doc_id → (band_id, band_val) rows: the LSH index.
 
     Signature k = min over shingles of the Carter–Wegman affine hash
@@ -88,11 +90,17 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     ``spark_band_structs`` SQL expression in tests).  Per-row,
     shuffle-free; the only shuffle in the dedup pipeline is the
     downstream band-value join.
+
+    ``carry`` columns ride each band row untouched (e.g. the event-time
+    column the streaming form watermarks on).
     """
     return documents.select(
-        "doc_id", F.explode(H.band_structs_udf()(F.col("text"))).alias("__band")
+        "doc_id",
+        *carry,
+        F.explode(H.band_structs_udf()(F.col("text"))).alias("__band"),
     ).select(
         "doc_id",
+        *carry,
         F.col("__band.band_id").alias("band_id"),
         F.col("__band.band_val").alias("band_val"),
     )

@@ -43,7 +43,11 @@ def dedup_stream_within_watermark(
     )
 
 
-def near_dup_pairs_stream(documents: DataFrame) -> DataFrame:
+def near_dup_pairs_stream(
+    documents: DataFrame,
+    ts_col: str | None = None,
+    horizon: str = "1 hour",
+) -> DataFrame:
     """Streaming NEAR-dup detection: emit LSH candidate pairs
     incrementally as documents arrive — the ingestion-time form of
     ``operators/dedup.lsh_candidate_pairs``.  A pair (a, b) surfaces in
@@ -60,14 +64,29 @@ def near_dup_pairs_stream(documents: DataFrame) -> DataFrame:
     operator's output exactly (pinned in tests), because pair
     membership depends only on band collisions, not timing.
 
-    State discipline: one row per distinct band value, growing with the
-    corpus — same asymptotics as the batch index, sharded by the
-    groupBy hash.  Hot bands (boilerplate) concentrate both state and
-    pair fan-out; production caps docs-per-band (any cap turns the band
-    into 'emit against the first K representatives', the standard
-    guardrail) — uncapped here to keep exact batch parity.  Callers
-    wanting distinct pairs across bands apply ``.dropDuplicates()`` (or
-    DISTINCT on the sink), exactly as batch does after its band join.
+    State discipline — the two modes:
+
+    * ``ts_col=None`` (default): one state row per distinct band value,
+      growing with the corpus — same asymptotics as the batch index,
+      exact batch parity, viable only for bounded corpora.
+    * ``ts_col`` given: the UNBOUNDED-stream scale path.  The input is
+      watermarked on ``ts_col`` by ``horizon`` and each band's state
+      carries an event-time TTL: the band is DROPPED once the watermark
+      passes its newest document's event time + ``horizon`` (idle
+      timeout — any new arrival in the band re-arms it).  State is then
+      bounded by the docs arriving within one horizon, at the price of
+      re-admitting a duplicate that arrives more than ``horizon`` after
+      every earlier copy's band activity — the only trade available on
+      an infinite stream, same as ``dedup_stream_within_watermark``.
+      Within the horizon the pair set still equals the batch operator
+      (pinned in tests).
+
+    Hot bands (boilerplate) concentrate both state and pair fan-out;
+    production caps docs-per-band (any cap turns the band into 'emit
+    against the first K representatives', the standard guardrail) —
+    uncapped here to keep exact batch parity.  Callers wanting distinct
+    pairs across bands apply ``.dropDuplicates()`` (or DISTINCT on the
+    sink), exactly as batch does after its band join.
     """
     import pandas as pd
 
@@ -76,33 +95,74 @@ def near_dup_pairs_stream(documents: DataFrame) -> DataFrame:
     from mapreduce_framework_for_mergesort_spark.operators.dedup import (
         minhash_bands,
     )
+    from mapreduce_framework_for_mergesort_spark.streaming.stateful import (
+        _gap_to_us,
+    )
+
+    horizon_ms = _gap_to_us(horizon) // 1000 if ts_col else 0
+    if ts_col:
+        documents = documents.withWatermark(ts_col, horizon)
 
     # The batch band projection runs unchanged on a streaming DataFrame
     # (pure per-row Arrow kernel) — one definition for both modes, so
-    # the 'drained set equals batch' contract can't drift.
-    bands = minhash_bands(documents)
+    # the 'drained set equals batch' contract can't drift.  The event
+    # time column (if any) rides the band rows so the watermark
+    # propagates into the stateful operator.
+    bands = minhash_bands(documents, carry=(ts_col,) if ts_col else ())
 
     def fn(key, pdfs, state):
-        seen: list[int] = list(state.get[0]) if state.exists else []
-        incoming = sorted(
-            {int(d) for pdf in pdfs for d in pdf["doc_id"]} - set(seen)
+        if state.hasTimedOut:
+            # idle band: watermark passed its newest doc + horizon —
+            # physically evict the state row
+            state.remove()
+            return
+        seen: list[int]
+        last_ms: int
+        seen, last_ms = (
+            (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
         )
+        wm = state.getCurrentWatermarkMs() if ts_col else 0
+        if ts_col and seen and wm > last_ms + horizon_ms:
+            # the band's TTL expired but new data arrived in the very
+            # trigger that would have timed it out — Spark only delivers
+            # hasTimedOut to DATA-LESS keys, so the horizon must also be
+            # enforced here: start from empty state (logical eviction),
+            # re-admitting the new arrivals
+            seen = []
+        incoming: set[int] = set()
+        max_ts_ms = 0
+        for pdf in pdfs:
+            incoming.update(int(d) for d in pdf["doc_id"])
+            if ts_col:
+                m = pd.to_datetime(pdf[ts_col]).max()
+                max_ts_ms = max(max_ts_ms, m.value // 1_000_000)
         out_a: list[int] = []
         out_b: list[int] = []
-        for d in incoming:
+        for d in sorted(incoming - set(seen)):
             out_a.extend(min(s, d) for s in seen)
             out_b.extend(max(s, d) for s in seen)
             seen.append(d)
-        state.update((seen,))
+        state.update((seen, max(last_ms, max_ts_ms)))
+        if ts_col:
+            # idle TTL from the band's newest event time; a band fed
+            # only late data (behind the watermark) gets the minimum
+            # legal timeout and evicts on the next batch
+            state.setTimeoutTimestamp(
+                max(max(last_ms, max_ts_ms) + horizon_ms, wm + 1)
+            )
         if out_a:
             yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
     return bands.groupBy("band_id", "band_val").applyInPandasWithState(
         fn,
         outputStructType="doc_a long, doc_b long",
-        stateStructType="seen array<bigint>",
+        stateStructType="seen array<bigint>, last_ms bigint",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if ts_col
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -97,3 +97,22 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_to_memory_with_progress(
+    stream_df: DataFrame, name: str, output_mode: str = "update"
+) -> tuple[DataFrame, list]:
+    """``run_to_memory`` that ALSO returns the query's per-microbatch
+    progress dicts — the observability hook for state-store assertions
+    (``stateOperators[].numRowsTotal`` is how a test proves an
+    eviction policy actually bounds state)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    prog = list(q.recentProgress)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}"), prog

@@ -203,3 +203,94 @@ def test_near_dup_pairs_stream_equals_batch(spark, sf_smoke, tmp_path):
     }
     assert got_pairs == want_pairs
     assert (1, 2) in got_pairs  # the cross-microbatch pair
+
+
+def _write_ts_batches(spark, d, batches):
+    """Write each batch as one parquet file with strictly increasing
+    mtimes so FileStreamSource (which orders by file timestamp) replays
+    them as distinct microbatches in this exact order."""
+    import glob
+    import os
+
+    seen: set = set()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, ts timestamp"
+        )
+        df.coalesce(1).write.mode("append").parquet(d)
+        new = set(glob.glob(d + "/part-*")) - seen
+        for f in new:
+            os.utime(f, (1_000_000 + i * 100, 1_000_000 + i * 100))
+        seen |= new
+
+
+def test_near_dup_stream_ttl_evicts_and_bounds_state(spark, tmp_path):
+    """The watermark/TTL mode must (a) DROP band state once the
+    watermark passes a band's last activity + horizon — a duplicate
+    arriving a full watermark era later is re-admitted, not paired —
+    (b) still pair duplicates within the horizon, and (c) keep the
+    state store strictly smaller than the TTL-less run over the same
+    3-horizon stream."""
+    from datetime import datetime, timedelta
+
+    from mapreduce_framework_for_mergesort_spark.streaming.dedup import (
+        near_dup_pairs_stream,
+    )
+    from mapreduce_framework_for_mergesort_spark.streaming.sources import (
+        run_to_memory_with_progress,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    filler = "some totally different filler text about warehouse engines ok"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    h = timedelta(hours=1)
+    unique = "ancient manuscript fragments catalogued by monastery scholars"
+    batches = [
+        # doc 5's bands never recur → they can only leave the store via
+        # the PHYSICAL timeout path (idle key); doc 1's bands recur in
+        # batch 3 → they exercise the LOGICAL data-path eviction
+        [(1, base, t0), (5, unique, t0)],
+        # 3 h later: pushes the watermark past batch 1's TTL before the
+        # next batch (watermark lags one batch, so an intermediate
+        # batch is what makes the eviction observable)
+        [(10, filler, t0 + 3 * h)],
+        # within one horizon of batch 2: (10,11) must pair; doc 2 is an
+        # exact dup of doc 1 whose band state has been evicted
+        [(2, base, t0 + 3 * h + timedelta(minutes=2)),
+         (11, filler, t0 + 3 * h + timedelta(minutes=2))],
+    ]
+    d = str(tmp_path / "ttl_docs")
+    _write_ts_batches(spark, d, batches)
+    schema = spark.read.parquet(d).schema
+    mk = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    ttl_df, ttl_prog = run_to_memory_with_progress(
+        near_dup_pairs_stream(mk(), ts_col="ts", horizon="1 hour"),
+        "t_ttl_pairs",
+    )
+    ttl_pairs = {(r["doc_a"], r["doc_b"]) for r in ttl_df.collect()}
+    assert ttl_pairs == {(10, 11)}  # (1,2) suppressed by eviction
+
+    nottl_df, nottl_prog = run_to_memory_with_progress(
+        near_dup_pairs_stream(mk()), "t_nottl_pairs"
+    )
+    nottl_pairs = {(r["doc_a"], r["doc_b"]) for r in nottl_df.collect()}
+    assert nottl_pairs == {(1, 2), (10, 11)}
+
+    def final_state_rows(prog):
+        rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in prog
+            if p.get("stateOperators")
+        ]
+        assert rows, prog
+        return rows[-1]
+
+    # doc 1's bands were evicted in the TTL run (then base's bands were
+    # re-admitted by doc 2) while the TTL-less run retains every band
+    # ever seen — strict inequality proves rows actually left the store
+    assert final_state_rows(ttl_prog) < final_state_rows(nottl_prog)
