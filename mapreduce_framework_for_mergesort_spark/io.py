@@ -9,6 +9,7 @@ goes, and a projection that reaches the parquet footer (``ReadSchema`` in
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,7 +57,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
        exactly that), so the session-factory conf in ``session.py``
        cannot be relied on.  UTC pins hour()/window() semantics of the
        normalized TIMESTAMP_LTZ to match the timezone-naive DuckDB
-       oracle.
+       oracle.  Library users who fully consume the DataFrame at a
+       known point can avoid the lasting mutation with
+       ``scoped_session_confs`` (which restores prior values on exit).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -68,15 +71,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# The runtime confs the events read depends on (see the ``load_table``
+# warning).  Exposed as data so callers can scope them explicitly.
+EVENTS_READ_CONFS: tuple[tuple[str, str], ...] = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
 def set_events_read_confs(spark: SparkSession) -> None:
     """Runtime confs the events read depends on, set idempotently (see
     the ``load_table`` warning about the deliberate global mutation)."""
-    for k, v in (
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.session.timeZone", "UTC"),
-    ):
+    for k, v in EVENTS_READ_CONFS:
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
+
+
+@contextmanager
+def scoped_session_confs(
+    spark: SparkSession,
+    confs: tuple[tuple[str, str], ...] = EVENTS_READ_CONFS,
+):
+    """Set session confs for the scope of a ``with`` block and restore
+    the previous values (or unset, if a key was unset) on exit — the
+    library-polite alternative to ``load_table``'s global mutation::
+
+        with scoped_session_confs(spark):
+            rows = load_table(spark, sf_dir, "events").collect()
+
+    .. warning:: only safe when every DataFrame whose read depends on
+       these confs is FULLY EXECUTED inside the block.  Spark consults
+       session confs at *execution* time, not plan time, so a lazy
+       DataFrame that escapes the scope executes under the RESTORED
+       confs — for the events table that means a rejected
+       TIMESTAMP(NANOS) read or hour()/window() results shifted by the
+       local timezone.  That execution-time semantics is exactly why
+       ``load_table`` cannot scope the confs itself: it returns a lazy
+       DataFrame, so the narrow setting would silently corrupt later
+       runs.  Use this helper when you control the consumption point;
+       let ``load_table`` mutate globally when you don't.
+    """
+    prev = {k: spark.conf.get(k, None) for k, _ in confs}
+    try:
+        for k, v in confs:
+            spark.conf.set(k, v)
+        yield spark
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -57,3 +57,48 @@ def test_every_query_runs_under_vanilla_session_smoke(vanilla_spark, sf_smoke):
     for key, fn in QUERIES.items():
         df = fn(vanilla_spark, sf_smoke)
         assert df.schema is not None, key
+
+
+def test_scoped_session_confs_restores_on_exit(spark, sf_smoke):
+    """The scoped alternative to load_table's global mutation: events
+    read+collect works inside the block; on exit every conf returns to
+    its prior value (including 'was unset')."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        load_table,
+        scoped_session_confs,
+    )
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    with scoped_session_confs(spark):
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        rows = load_table(spark, sf_smoke, "events").limit(5).collect()
+        assert len(rows) == 5
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    assert spark.conf.get("spark.sql.session.timeZone", None) == tz_before
+    # restore the suite's expected conf state (other tests load events)
+    from mapreduce_framework_for_mergesort_spark.io import (
+        set_events_read_confs,
+    )
+
+    set_events_read_confs(spark)
+
+
+def test_scoped_session_confs_restores_on_error(spark):
+    from mapreduce_framework_for_mergesort_spark.io import (
+        scoped_session_confs,
+        set_events_read_confs,
+    )
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone", None)
+    with pytest.raises(RuntimeError):
+        with scoped_session_confs(
+            spark, (("spark.sql.session.timeZone", "America/New_York"),)
+        ):
+            assert (
+                spark.conf.get("spark.sql.session.timeZone")
+                == "America/New_York"
+            )
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.session.timeZone", None) == tz_before
+    set_events_read_confs(spark)
