@@ -79,45 +79,52 @@ def _warm(spark, sf_dir: str) -> None:
 
 def _timed_sweep(
     spark, sf_dir: str, names, runs: int = 1
-) -> dict[str, float]:
-    """Force each query ``runs`` times and keep the per-key MINIMUM
-    (steady-state time: the min is the run least disturbed by GC/JIT/OS
-    noise, which on single-run local[32] sweeps produced spurious ±0.5 s
-    round-over-round 'regressions' two rounds straight).  q_bucketed_join
-    is split into its one-time bucketed-table build and the
-    zero-exchange join probe so the round-over-round join timing is
-    comparable (round-2 bench folded the two writes into the join
-    number)."""
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Force each query ``runs`` times; returns ``(best, first)`` —
+    the per-key MINIMUM (steady-state time: the min is the run least
+    disturbed by GC/JIT/OS noise, which on single-run local[32] sweeps
+    produced spurious ±0.5 s round-over-round 'regressions' two rounds
+    straight) AND the per-key FIRST-run time, so cold-start costs
+    (Python worker pool spawn, codegen compilation, shuffle-file page
+    cache) stay visible in the headline artifact instead of only in the
+    single-run scale sweep (round-3 advisory).  q_bucketed_join is
+    split into its one-time bucketed-table build and the zero-exchange
+    join probe so the round-over-round join timing is comparable
+    (round-2 bench folded the two writes into the join number)."""
     from mapreduce_framework_for_mergesort_spark.queries.relational_ext import (
         bucketed_join_probe,
         bucketed_tables_build,
     )
 
-    def best(fn) -> float:
-        return round(min(_once(fn) for _ in range(runs)), 3)
+    times: dict[str, float] = {}
+    first: dict[str, float] = {}
+
+    def record(name: str, fn) -> None:
+        ts = [_once(fn) for _ in range(runs)]
+        first[name] = round(ts[0], 3)
+        times[name] = round(min(ts), 3)
 
     def _once(fn) -> float:
         t0 = time.perf_counter()
         fn()
         return time.perf_counter() - t0
 
-    times: dict[str, float] = {}
     for name in names:
         if name == "q_bucketed_join":
             built = {}
-            times["q_bucketed_join_build"] = best(
+            record(
+                "q_bucketed_join_build",
                 lambda: built.__setitem__(
                     "t", bucketed_tables_build(spark, sf_dir)
-                )
+                ),
             )
             t_orders, t_cust = built["t"]
-            times[name] = best(
-                lambda: force(bucketed_join_probe(spark, t_orders, t_cust))
+            record(
+                name,
+                lambda: force(bucketed_join_probe(spark, t_orders, t_cust)),
             )
         else:
-            times[name] = best(
-                lambda: force(QUERIES[name](spark, sf_dir))
-            )
+            record(name, lambda: force(QUERIES[name](spark, sf_dir)))
         # Drop the py4j references so the ContextCleaner reclaims this
         # key's localCheckpoint/broadcast blocks before the next key runs
         # — otherwise block accumulation across a 50-key sweep distorts
@@ -126,12 +133,38 @@ def _timed_sweep(
         import gc
 
         gc.collect()
-    return times
+    return times, first
 
 
-# ----- 10x key-shifted scale sweep (bench.py --scale) -----------------
+# ----- 10x key-shifted scale sweep (bench.py --scale [--skew]) --------
 
 SCALE_DIR = "/tmp/msfs_scale_sf1"
+SKEW_DIR = "/tmp/msfs_scale_sf1_skew"
+
+# Power-law skew knobs (--skew): same 10x volume as the plain scale dir,
+# but the DISTRIBUTION turns adversarial — the stress AQE skew-join,
+# salting, and the banded dedup joins must absorb at 100 TB, where key
+# popularity is always zipfian, never uniform:
+#   * events: the upper half of the copies fold user_id onto 50 hot
+#     users → those users carry ~half the stream (sessionize / windowed
+#     aggs / salted agg get genuinely hot groups);
+#   * lineitem: same fold of l_suppkey onto 10 hot suppliers (join +
+#     group keys);
+#   * orders: o_custkey folds onto 100 hot customers (the probe side of
+#     the broadcast/bucketed joins);
+#   * documents: 1% of ALL copies become one identical boilerplate text
+#     → one white-hot LSH band bucket (~500 docs → ~125k candidate
+#     pairs through a single (band_id, band_val) key) — the classic
+#     boilerplate pathology for near-dedup.
+_SKEW_FOLD = {
+    "events": {"user_id": 50},
+    "lineitem": {"l_suppkey": 10},
+    "orders": {"o_custkey": 100},
+}
+_SKEW_BOILERPLATE = (
+    "standard legal disclaimer text repeated verbatim across the corpus"
+    " please read carefully before proceeding with anything at all"
+)
 
 # fact tables replicate 10x with their PRIMARY keys shifted to stay
 # unique while JOIN keys (custkey, partkey, suppkey, user_id) and
@@ -148,12 +181,15 @@ _FACT_SHIFT = {
 _DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def ensure_scale_dir(replication: int = 10) -> str:
+def ensure_scale_dir(replication: int = 10, skew: bool = False) -> str:
     """Generate the 10x key-shifted replication of sf0.1 (idempotent) —
     the method behind SCALE_NOTES.md, now checked in.  pyarrow, not a
     SQL engine: the copies must keep the EXACT physical schema
     (events.ts is timestamp[ns]; a DuckDB COPY would silently rewrite
-    it as micros and change what the readers exercise)."""
+    it as micros and change what the readers exercise).  With
+    ``skew=True``, the copies additionally get the power-law treatment
+    described at ``_SKEW_FOLD`` (same volume, adversarial
+    distribution)."""
     import shutil
 
     import pyarrow as pa
@@ -161,21 +197,23 @@ def ensure_scale_dir(replication: int = 10) -> str:
     import pyarrow.parquet as pq
 
     src = "/root/testdata/sf0.1"
+    out_dir = SKEW_DIR if skew else SCALE_DIR
+    tag = f"{replication}{'+skew' if skew else ''}"
     # Completion marker written LAST, carrying the replication factor: a
     # bare file-count check accepted a crash-truncated directory (and a
     # dir built at a different replication) as complete, silently
     # feeding later sweeps wrong data.
-    marker = os.path.join(SCALE_DIR, "_COMPLETE")
-    if os.path.isdir(SCALE_DIR):
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.isdir(out_dir):
         try:
-            if open(marker).read().strip() == str(replication):
-                return SCALE_DIR
+            if open(marker).read().strip() == tag:
+                return out_dir
         except OSError:
             pass
-        shutil.rmtree(SCALE_DIR)
-    os.makedirs(SCALE_DIR, exist_ok=True)
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     for t in _DIMS:
-        shutil.copyfile(f"{src}/{t}.parquet", f"{SCALE_DIR}/{t}.parquet")
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
     for t, keys in _FACT_SHIFT.items():
         tab = pq.read_table(f"{src}/{t}.parquet")
         shift = {
@@ -183,49 +221,100 @@ def ensure_scale_dir(replication: int = 10) -> str:
         }
         copies = []
         for i in range(replication):
-            cols = [
-                pc.add(tab[c], i * shift[c]) if c in keys else tab[c]
-                for c in tab.column_names
-            ]
-            copies.append(
-                pa.table(dict(zip(tab.column_names, cols)))
-            )
+            cols = []
+            for c in tab.column_names:
+                col = tab[c]
+                if c in keys:
+                    col = pc.add(col, i * shift[c])
+                elif (
+                    skew
+                    and i >= replication // 2
+                    and c in _SKEW_FOLD.get(t, {})
+                ):
+                    # upper-half copies fold the key onto a small hot
+                    # set (power-law head); lower half keeps the
+                    # original distribution (the tail)
+                    col = pc.add(
+                        pc.mod(col, _SKEW_FOLD[t][c]), 1
+                    ).cast(col.type)
+                cols.append(col)
+            copy = pa.table(dict(zip(tab.column_names, cols)))
+            if skew and t == "documents":
+                # 1% of every copy becomes one identical boilerplate
+                # text — a single white-hot LSH band bucket
+                hot = pc.equal(pc.mod(tab["doc_id"], 100), 0)
+                copy = copy.set_column(
+                    copy.column_names.index("text"),
+                    "text",
+                    pc.if_else(
+                        hot,
+                        pa.scalar(_SKEW_BOILERPLATE),
+                        copy["text"],
+                    ).cast(tab.schema.field("text").type),
+                )
+            copies.append(copy)
         out = pa.concat_tables(copies).cast(tab.schema.remove_metadata())
-        pq.write_table(out, f"{SCALE_DIR}/{t}.parquet")
+        pq.write_table(out, f"{out_dir}/{t}.parquet")
     with open(marker, "w") as f:
-        f.write(str(replication))
-    return SCALE_DIR
+        f.write(tag)
+    return out_dir
 
 
-def scale_main(out_path: str) -> None:
+def scale_main(out_path: str, skew: bool = False) -> None:
     """Per-key sf0.1 vs 10x sweep over the FULL registry, written as a
     diffable JSON artifact (round-2 verdict item 8: promote the
-    SCALE_NOTES.md prose numbers to something CI-comparable)."""
+    SCALE_NOTES.md prose numbers to something CI-comparable).  With
+    ``skew=True`` a third sweep runs over the power-law 10x dir;
+    ``skew_ratio`` (skewed / uniform at the SAME volume) isolates the
+    cost of the distribution from the cost of the data — the number
+    that must stay near 1 for the skew-handling claims to hold."""
     ten = ensure_scale_dir()
     spark = get_spark(app_name="msfs-scale")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, "/root/testdata/sf0.1")
-    base = _timed_sweep(spark, "/root/testdata/sf0.1", sorted(QUERIES))
-    tenx = _timed_sweep(spark, ten, sorted(QUERIES))
+    base, _ = _timed_sweep(spark, "/root/testdata/sf0.1", sorted(QUERIES))
+    tenx, _ = _timed_sweep(spark, ten, sorted(QUERIES))
+    skewx: dict[str, float] = {}
+    if skew:
+        skew_dir = ensure_scale_dir(skew=True)
+        skewx, _ = _timed_sweep(spark, skew_dir, sorted(QUERIES))
     doc = {
         "metric": "scale_sweep",
         "replication": 10,
+        "skew": skew,
         "keys": {
             k: {
                 "sf0.1_sec": base[k],
                 "x10_sec": tenx[k],
                 "ratio": round(tenx[k] / base[k], 2) if base[k] else None,
+                **(
+                    {
+                        "x10_skew_sec": skewx[k],
+                        "skew_ratio": (
+                            round(skewx[k] / tenx[k], 2) if tenx[k] else None
+                        ),
+                    }
+                    if skew
+                    else {}
+                ),
             }
             for k in base
         },
         "total_sf0.1_sec": round(sum(base.values()), 3),
         "total_x10_sec": round(sum(tenx.values()), 3),
+        **(
+            {"total_x10_skew_sec": round(sum(skewx.values()), 3)}
+            if skew
+            else {}
+        ),
     }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps({"metric": "scale_sweep_written", "out": out_path,
                       "total_sf0.1_sec": doc["total_sf0.1_sec"],
-                      "total_x10_sec": doc["total_x10_sec"]}))
+                      "total_x10_sec": doc["total_x10_sec"],
+                      **({"total_x10_skew_sec": doc["total_x10_skew_sec"]}
+                         if skew else {})}))
 
 
 def main() -> None:
@@ -234,9 +323,9 @@ def main() -> None:
         out = (
             sys.argv[i + 1]
             if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else "SCALE_r03.json"
+            else "SCALE_r04.json"
         )
-        scale_main(out)
+        scale_main(out, skew="--skew" in sys.argv)
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -244,7 +333,7 @@ def main() -> None:
     spark = get_spark(app_name="msfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
-    times = _timed_sweep(spark, sf_dir, HEADLINE, runs=2)
+    times, first = _timed_sweep(spark, sf_dir, HEADLINE, runs=2)
 
     total = round(sum(times.values()), 3)
     print(
@@ -254,6 +343,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # first-of-2 per key: cold-start (worker pool, codegen)
+                # visibility next to the steady-state min (round-3
+                # advisory — cold regressions were invisible here)
+                "queries_first_run": first,
+                "first_run_total": round(sum(first.values()), 3),
                 "runs_per_key": 2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
