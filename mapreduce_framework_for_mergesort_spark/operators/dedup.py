@@ -583,6 +583,68 @@ def simhash_candidate_pairs(
     )
 
 
+# Benchmark decontamination: the published practice is long-n-gram
+# overlap removal (e.g. the 13-gram filtering described in Brown et al.
+# 2020 §C, and 8-grams in later replications) — long enough that a
+# collision is evidence of copied eval text, not common phrasing.
+DECONTAM_N = 8
+
+
+def contaminated_doc_ids(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_N,
+    key: str = "doc_id",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Ids of documents sharing at least one word ``n``-gram with any
+    benchmark text — the detection half of eval-set decontamination.
+
+    Scale shape (the part that matters at 100 TB): the benchmark side —
+    eval suites are MBs, not TBs — collapses to its DISTINCT shingle
+    set and ships as a broadcast, so the corpus pays exactly one
+    map-side scan with a broadcast semi-join (no corpus shuffle); the
+    returned id set is at most corpus-cardinality but in practice tiny.
+    Tokenizer and shingler are the engine's canonical expressions
+    (``functions/hashing.py``), already pinned across engines, with the
+    window widened to ``n`` — a doc or benchmark text shorter than
+    ``n`` tokens contributes no shingles and can never match."""
+    doc_sh = documents.select(
+        key,
+        F.explode(
+            F.expr(H.spark_shingles(H.spark_tokens("text"), n))
+        ).alias("s"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.expr(H.spark_shingles(H.spark_tokens(bench_text), n))
+            ).alias("s")
+        )
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "s", "semi")
+        .select(key)
+        .distinct()
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_N,
+    key: str = "doc_id",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Drop every document sharing an ``n``-gram with the benchmark —
+    the removal half of eval-set decontamination.  The flagged id set is
+    tiny, so the anti-join broadcasts it back against the corpus: the
+    corpus is scanned, never shuffled."""
+    bad = contaminated_doc_ids(documents, benchmark, n, key, bench_text)
+    return documents.join(F.broadcast(bad), key, "anti")
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, tau: float, candidates: DataFrame | None = None
 ) -> DataFrame:

@@ -82,3 +82,104 @@ def duckdb_split_case(key_sql: str, splits: Weights = DEFAULT_SPLITS) -> str:
     )
     null_guard = f"WHEN {key_sql} IS NULL THEN '{bounds[0][0]}'"
     return f"CASE {null_guard} {whens} ELSE '{bounds[-1][0]}' END"
+
+
+def pack_documents(
+    documents: DataFrame,
+    budget: int,
+    key: str = "doc_id",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign every document the
+    (``pack_id``, ``pack_offset``) where its first token lands when the
+    corpus is concatenated in ``key`` order and cut into fixed
+    ``budget``-token training sequences — the standard LM pre-training
+    batch layout (documents straddle pack boundaries; nothing is padded
+    or dropped).  Output adds ``n_tokens``, ``pack_id``, ``pack_offset``.
+
+    The core is a GLOBAL EXCLUSIVE PREFIX SUM of per-doc token counts —
+    the same 'never one task sees all rows' discipline as
+    ``sort.with_global_rank``, extended from counting to summing:
+
+    1. range-partition + sort by ``key`` (globally ordered partitions,
+       sampled boundaries);
+    2. per-partition token totals reduce map-side to ONE row per
+       partition; a window over those #partitions rows (never data
+       rows) cumulates them into partition start offsets,
+       broadcast-joined back;
+    3. the within-partition running sum runs in ``mapInPandas`` — the
+       partition's Arrow batches arrive in partition order, so a
+       NumPy ``cumsum`` carried across batches is exact and
+       shuffle-free (a ``Window.partitionBy(pid)`` here would force a
+       full extra hash exchange of every data row — the same trap the
+       rank operator documents).
+
+    All arithmetic is int64 (token counts), so the result is
+    partitioning-independent and exactly replicable in SQL — the parity
+    test pins it against a DuckDB window formulation.
+
+    ``count_col``: use an existing per-doc length column instead of the
+    canonical tokenizer (e.g. real tokenizer counts computed upstream).
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from mapreduce_framework_for_mergesort_spark.functions import (
+        hashing as H,
+    )
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if count_col is None:
+        sized = documents.withColumn(
+            "n_tokens",
+            F.expr(f"size({H.spark_tokens('text')})").cast("long"),
+        )
+        count_col = "n_tokens"
+    else:
+        sized = documents.withColumn(
+            "n_tokens", F.col(count_col).cast("long")
+        )
+
+    pid, mid = "__pack_pid", "__pack_mid"
+    ranged = (
+        sized.repartitionByRange(F.col(key))
+        .sortWithinPartitions(key)
+        .withColumn(mid, F.monotonically_increasing_id())
+        .withColumn(pid, F.shiftrightunsigned(F.col(mid), 33).cast("int"))
+        .drop(mid)
+    )
+
+    totals = ranged.groupBy(pid).agg(F.sum("n_tokens").alias("__t"))
+    offset_w = Window.orderBy(pid).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "__start", F.coalesce(F.sum("__t").over(offset_w), F.lit(0))
+    ).select(pid, "__start")
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema
+    ) + ", __local_excl bigint"
+
+    def local_cumsum(pdfs):
+        import numpy as np
+
+        running = 0
+        for pdf in pdfs:
+            n = pdf["n_tokens"].to_numpy(dtype="int64")
+            excl = running + np.concatenate(([0], np.cumsum(n)[:-1]))
+            running += int(n.sum())
+            out = pdf.copy()
+            out["__local_excl"] = pd.Series(excl, index=pdf.index)
+            yield out
+
+    local = ranged.mapInPandas(local_cumsum, out_schema)
+    return (
+        local.join(F.broadcast(offsets), pid)
+        .withColumn("__excl", F.col("__start") + F.col("__local_excl"))
+        .withColumn("pack_id", F.expr(f"__excl div {budget}"))
+        .withColumn("pack_offset", F.expr(f"__excl % {budget}"))
+        .drop(pid, "__local_excl", "__start", "__excl")
+    )

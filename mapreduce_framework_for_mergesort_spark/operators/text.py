@@ -192,6 +192,83 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_profile(documents: DataFrame) -> DataFrame:
+    """Per-document repetition metrics in the style of the Gopher/
+    MassiveText quality rules (Rae et al. 2021, table A1): heavily
+    repetitive documents (boilerplate, keyword stuffing, generation
+    loops) are low-value training data even when their token counts and
+    punctuation look fine, so repetition is its own filter axis.
+
+    * ``n_tokens``          — total tokens;
+    * ``dup_token_frac``    — 1 − distinct/total tokens (the fraction
+                              of the doc that is repeats of earlier
+                              words); 0.0 for empty docs;
+    * ``top_bigram``        — the most frequent token bigram
+                              (lexicographically smallest on count
+                              ties; NULL when < 2 tokens);
+    * ``top_bigram_frac``   — that bigram's share of all bigrams (the
+                              'most common 2-gram mass' rule).
+
+    Shapes: token/distinct counts are one codegen projection; the
+    bigram mode needs a per-(doc, bigram) count — explode + two
+    aggregations, both map-side-combinable, partitioned by doc_id
+    (never global).  All counts are exact integers; the one division
+    per metric is a deterministic double op, so the operator carries a
+    DuckDB-parity test."""
+    toks = H.spark_tokens("text")
+    base = documents.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN size({toks}) = 0 THEN CAST(0 AS DOUBLE) ELSE "
+            f"CAST(1 AS DOUBLE) - CAST(size(array_distinct({toks})) AS DOUBLE)"
+            f" / size({toks}) END"
+        ).alias("dup_token_frac"),
+        F.expr(
+            f"CASE WHEN size({toks}) >= 2 THEN "
+            f"transform(sequence(1, size({toks}) - 1), "
+            f"i -> concat_ws(' ', element_at({toks}, i), "
+            f"element_at({toks}, i + 1))) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("__bigrams"),
+    )
+    counts = (
+        base.select(
+            "doc_id", F.explode("__bigrams").alias("bigram")
+        )
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram")
+    )
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").alias("__top_cnt"),
+        )
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            "top_bigram",
+            F.expr(
+                "CASE WHEN size(__bigrams) > 0 THEN "
+                "CAST(__top_cnt AS DOUBLE) / size(__bigrams) "
+                "ELSE CAST(0 AS DOUBLE) END"
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     """Per-document top-n terms by tf-idf (linear-idf variant:
     ``tf · N / df`` — no logarithm, so the score is exact integer

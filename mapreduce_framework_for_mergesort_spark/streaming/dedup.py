@@ -47,6 +47,7 @@ def near_dup_pairs_stream(
     documents: DataFrame,
     ts_col: str | None = None,
     horizon: str = "1 hour",
+    max_docs_per_band: int | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup detection: emit LSH candidate pairs
     incrementally as documents arrive — the ingestion-time form of
@@ -82,11 +83,15 @@ def near_dup_pairs_stream(
       (pinned in tests).
 
     Hot bands (boilerplate) concentrate both state and pair fan-out;
-    production caps docs-per-band (any cap turns the band into 'emit
-    against the first K representatives', the standard guardrail) —
-    uncapped here to keep exact batch parity.  Callers wanting distinct
-    pairs across bands apply ``.dropDuplicates()`` (or DISTINCT on the
-    sink), exactly as batch does after its band join.
+    ``max_docs_per_band`` is the guardrail: a band keeps only its first
+    K arrivals as REPRESENTATIVES — later docs still pair against those
+    K (so membership in the hot cluster is still detected and each can
+    still be routed to the same survivor) but stop growing state or
+    fan-out, bounding a band's state at K rows and its per-arrival
+    emission at K pairs instead of the unbounded new×seen product.
+    Default ``None`` keeps exact batch parity.  Callers wanting
+    distinct pairs across bands apply ``.dropDuplicates()`` (or
+    DISTINCT on the sink), exactly as batch does after its band join.
     """
     import pandas as pd
 
@@ -141,7 +146,11 @@ def near_dup_pairs_stream(
         for d in sorted(incoming - set(seen)):
             out_a.extend(min(s, d) for s in seen)
             out_b.extend(max(s, d) for s in seen)
-            seen.append(d)
+            if (
+                max_docs_per_band is None
+                or len(seen) < max_docs_per_band
+            ):
+                seen.append(d)
         state.update((seen, max(last_ms, max_ts_ms)))
         if ts_col:
             # idle TTL from the band's newest event time; a band fed

@@ -875,3 +875,235 @@ def test_multimodal_unknown_modality_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         M.extract_features(df).collect()
+
+
+def test_decontaminate_matches_brute_force(spark, sf_oracle):
+    """contaminated_doc_ids must equal a literal Python n-gram overlap
+    computation over the real corpus: benchmark = two verbatim fixture
+    docs (must flag at least themselves) + one unrelated text (must
+    flag nothing)."""
+    from mapreduce_framework_for_mergesort_spark.functions.hashing import (
+        TOKEN_RE,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    picked = docs.where(F.col("doc_id").isin(3, 44)).collect()
+    bench_rows = [(r["text"],) for r in picked] + [
+        ("benchmark question with no overlap whatsoever in this corpus",)
+    ]
+    bench = spark.createDataFrame(bench_rows, "text: string")
+
+    n = 8
+
+    def grams(text):
+        toks = TOKEN_RE.findall(text)
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_grams = set().union(*(grams(t) for (t,) in bench_rows))
+    want = {
+        r["doc_id"]
+        for r in docs.select("doc_id", "text").collect()
+        if grams(r["text"]) & bench_grams
+    }
+    assert {3, 44} <= want
+
+    got = {
+        r["doc_id"]
+        for r in D.contaminated_doc_ids(docs, bench, n=n).collect()
+    }
+    assert got == want
+
+    clean = D.decontaminate(docs, bench, n=n)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - want
+
+
+def test_decontaminate_short_benchmark_flags_nothing(spark, sf_oracle):
+    """A benchmark text shorter than n tokens has no n-grams and can
+    never flag anything (no degenerate substring matching)."""
+    docs = load_table(spark, sf_oracle, "documents")
+    bench = spark.createDataFrame([("too short",)], "text: string")
+    assert D.contaminated_doc_ids(docs, bench, n=8).count() == 0
+
+
+def test_repetition_profile_matches_duckdb(spark, sf_oracle):
+    """The Gopher-style repetition metrics must agree value-for-value
+    with a DuckDB replication of the same algebra over the real
+    corpus."""
+    from mapreduce_framework_for_mergesort_spark.functions import (
+        hashing as H,
+    )
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        repetition_profile,
+    )
+    from tests.oracle import run_oracle
+
+    toks = H.duckdb_tokens("text")
+    sql = f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+           CASE WHEN len(toks) >= 2 THEN
+             list_transform(range(1, len(toks)),
+                            i -> concat_ws(' ', toks[i], toks[i + 1]))
+           ELSE [] END AS bigrams FROM t),
+    e AS (SELECT doc_id, unnest(bigrams) AS bigram FROM bg),
+    c AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+    top AS (SELECT doc_id, bigram, cnt,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, bigram) AS rn FROM c)
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           CASE WHEN len(t.toks) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(1 AS DOUBLE)
+                     - CAST(len(list_distinct(t.toks)) AS DOUBLE)
+                       / len(t.toks) END AS dup_token_frac,
+           top.bigram AS top_bigram,
+           CASE WHEN len(bg.bigrams) > 0
+                THEN CAST(top.cnt AS DOUBLE) / len(bg.bigrams)
+                ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac
+    FROM t JOIN bg USING (doc_id)
+    LEFT JOIN top ON top.doc_id = t.doc_id AND top.rn = 1
+    """
+    docs = load_table(spark, sf_oracle, "documents")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            round(r["dup_token_frac"], 12),
+            r["top_bigram"],
+            round(r["top_bigram_frac"], 12),
+        )
+        for r in repetition_profile(docs).collect()
+    }
+    cols, rows = run_oracle(sql, sf_oracle)
+    idx = {c: i for i, c in enumerate(cols)}
+    want = {
+        r[idx["doc_id"]]: (
+            r[idx["n_tokens"]],
+            round(r[idx["dup_token_frac"]], 12),
+            r[idx["top_bigram"]],
+            round(r[idx["top_bigram_frac"]], 12),
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_repetition_profile_edge_cases(spark):
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        repetition_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),                       # no tokens
+            (2, "solo"),                   # 1 token → no bigrams
+            (3, "a a a"),                  # pure repetition
+            (4, "alpha beta alpha beta"),  # repeating bigram chain
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()}
+    assert got[1]["n_tokens"] == 0 and got[1]["dup_token_frac"] == 0.0
+    assert got[1]["top_bigram"] is None and got[1]["top_bigram_frac"] == 0.0
+    assert got[2]["top_bigram"] is None and got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["dup_token_frac"] == pytest.approx(2 / 3)
+    assert got[3]["top_bigram"] == "a a" and got[3]["top_bigram_frac"] == 1.0
+    # bigrams: 'alpha beta' x2, 'beta alpha' x1 → top 'alpha beta' 2/3
+    assert got[4]["top_bigram"] == "alpha beta"
+    assert got[4]["top_bigram_frac"] == pytest.approx(2 / 3)
+
+
+def test_pack_documents_matches_duckdb_window(spark, sf_oracle):
+    """The distributed prefix-sum packing must equal the single-window
+    SQL formulation value-for-value (partitioning independence), and
+    satisfy the packing invariants: offsets in [0, budget), pack_ids
+    contiguous from 0, and each document starting exactly where the
+    previous one ends in concat space."""
+    from mapreduce_framework_for_mergesort_spark.functions import (
+        hashing as H,
+    )
+    from mapreduce_framework_for_mergesort_spark.operators.sampling import (
+        pack_documents,
+    )
+    from tests.oracle import run_oracle
+
+    budget = 256
+    docs = load_table(spark, sf_oracle, "documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"], r["pack_offset"])
+        for r in pack_documents(docs, budget).collect()
+    }
+
+    sql = f"""
+    WITH t AS (SELECT doc_id,
+                      len({H.duckdb_tokens('text')}) AS n FROM documents),
+    c AS (SELECT doc_id, n,
+          COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS excl
+          FROM t)
+    SELECT doc_id, n AS n_tokens,
+           excl // {budget} AS pack_id,
+           excl % {budget} AS pack_offset
+    FROM c
+    """
+    cols, rows = run_oracle(sql, sf_oracle)
+    idx = {c: i for i, c in enumerate(cols)}
+    want = {
+        r[idx["doc_id"]]: (
+            r[idx["n_tokens"]],
+            r[idx["pack_id"]],
+            r[idx["pack_offset"]],
+        )
+        for r in rows
+    }
+    assert got == want
+
+    # invariants
+    assert all(0 <= off < budget for (_, _, off) in got.values())
+    pack_ids = {p for (_, p, _) in got.values()}
+    assert pack_ids == set(range(max(pack_ids) + 1))
+    # concat-space continuity: sorted by key, each start = prev start + n
+    order = sorted(got)
+    starts = [got[k][1] * budget + got[k][2] for k in order]
+    for i in range(1, len(order)):
+        assert starts[i] == starts[i - 1] + got[order[i - 1]][0]
+
+
+def test_pack_documents_partitioning_proof(spark, sf_oracle):
+    """Same answer at 1 and 16 input partitions (the distributed prefix
+    sum may not depend on the physical layout), and count_col override
+    works."""
+    from mapreduce_framework_for_mergesort_spark.operators.sampling import (
+        pack_documents,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    a = {
+        tuple(r)
+        for r in pack_documents(docs.coalesce(1), 100)
+        .select("doc_id", "pack_id", "pack_offset")
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in pack_documents(docs.repartition(16), 100)
+        .select("doc_id", "pack_id", "pack_offset")
+        .collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError):
+        pack_documents(docs, 0)
+
+    fixed = docs.withColumn("toklen", F.lit(10))
+    packed = pack_documents(fixed, 25, count_col="toklen").collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    ids = sorted(by_id)
+    # doc i starts at 10*i in concat space
+    for i, k in enumerate(ids):
+        assert by_id[k]["pack_id"] == (10 * i) // 25
+        assert by_id[k]["pack_offset"] == (10 * i) % 25

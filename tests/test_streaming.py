@@ -294,3 +294,34 @@ def test_near_dup_stream_ttl_evicts_and_bounds_state(spark, tmp_path):
     # re-admitted by doc 2) while the TTL-less run retains every band
     # ever seen — strict inequality proves rows actually left the store
     assert final_state_rows(ttl_prog) < final_state_rows(nottl_prog)
+
+
+def test_near_dup_stream_band_cap_bounds_fanout(spark, tmp_path):
+    """max_docs_per_band keeps only the first K arrivals as
+    representatives: later docs pair against those K (hot-cluster
+    membership still detected) but fan-out stops growing — K pairs per
+    arrival instead of new x seen."""
+    from mapreduce_framework_for_mergesort_spark.streaming.dedup import (
+        near_dup_pairs_stream,
+    )
+
+    text = "the exact same boilerplate text repeated by every document ok"
+    rows = [(i, text) for i in range(1, 6)]
+    d = str(tmp_path / "cap_docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    schema = spark.read.parquet(d).schema
+    mk = lambda: spark.readStream.schema(schema).parquet(d)  # noqa: E731
+
+    capped = run_to_memory(
+        near_dup_pairs_stream(mk(), max_docs_per_band=2), "t_cap_pairs"
+    ).dropDuplicates()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # reps are docs 1 and 2; every later doc pairs against exactly them
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (1, 5), (2, 5)}
+
+    full = run_to_memory(
+        near_dup_pairs_stream(mk()), "t_uncap_pairs"
+    ).dropDuplicates()
+    assert len(full.collect()) == 10  # C(5,2): the uncapped product
