@@ -233,16 +233,28 @@ def ensure_scale_dir(replication: int = 10, skew: bool = False) -> str:
                 ):
                     # upper-half copies fold the key onto a small hot
                     # set (power-law head); lower half keeps the
-                    # original distribution (the tail)
+                    # original distribution (the tail).  pyarrow has no
+                    # modulo kernel: x % m == x - (x // m) * m (integer
+                    # divide truncates; keys are non-negative)
+                    m = _SKEW_FOLD[t][c]
                     col = pc.add(
-                        pc.mod(col, _SKEW_FOLD[t][c]), 1
+                        pc.subtract(
+                            col, pc.multiply(pc.divide(col, m), m)
+                        ),
+                        1,
                     ).cast(col.type)
                 cols.append(col)
             copy = pa.table(dict(zip(tab.column_names, cols)))
             if skew and t == "documents":
                 # 1% of every copy becomes one identical boilerplate
                 # text — a single white-hot LSH band bucket
-                hot = pc.equal(pc.mod(tab["doc_id"], 100), 0)
+                ids = tab["doc_id"]
+                hot = pc.equal(
+                    pc.subtract(
+                        ids, pc.multiply(pc.divide(ids, 100), 100)
+                    ),
+                    0,
+                )
                 copy = copy.set_column(
                     copy.column_names.index("text"),
                     "text",
