@@ -63,12 +63,18 @@ def text_feature_exprs(text_col: str = "text") -> dict[str, str]:
         f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length({text_col})) "
         f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
     )
+    dup_token_frac = (
+        f"CASE WHEN {n_tokens} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        f"CAST(1 AS DOUBLE) - "
+        f"CAST(size(array_distinct({toks})) AS DOUBLE) / {n_tokens} END"
+    )
     return {
         "toks": toks,
         "n_tokens": n_tokens,
         "punct": punct,
         "stop_hits": stop_hits,
         "quality": quality,
+        "dup_token_frac": dup_token_frac,
     }
 
 
@@ -215,15 +221,12 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
     (never global).  All counts are exact integers; the one division
     per metric is a deterministic double op, so the operator carries a
     DuckDB-parity test."""
-    toks = H.spark_tokens("text")
+    e = text_feature_exprs()
+    toks = e["toks"]
     base = documents.select(
         "doc_id",
         F.expr(f"size({toks})").alias("n_tokens"),
-        F.expr(
-            f"CASE WHEN size({toks}) = 0 THEN CAST(0 AS DOUBLE) ELSE "
-            f"CAST(1 AS DOUBLE) - CAST(size(array_distinct({toks})) AS DOUBLE)"
-            f" / size({toks}) END"
-        ).alias("dup_token_frac"),
+        F.expr(e["dup_token_frac"]).alias("dup_token_frac"),
         F.expr(
             f"CASE WHEN size({toks}) >= 2 THEN "
             f"transform(sequence(1, size({toks}) - 1), "

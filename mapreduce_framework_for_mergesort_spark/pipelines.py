@@ -56,13 +56,18 @@ def with_curation_features(documents: DataFrame) -> DataFrame:
         branches.append(f"WHEN {cond} THEN '{lang}'")
     pred = f"CASE {' '.join(branches)} ELSE 'und' END"
     return documents.withColumns(
-        {"quality": F.expr(e["quality"]), "pred_lang": F.expr(pred)}
+        {
+            "quality": F.expr(e["quality"]),
+            "pred_lang": F.expr(pred),
+            "dup_token_frac": F.expr(e["dup_token_frac"]),
+        }
     )
 
 
 def curate_documents(
     documents: DataFrame,
     min_quality: float = 0.5,
+    max_dup_token_frac: float | None = None,
     langs: tuple[str, ...] = ("en",),
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
     redact: bool = True,
@@ -103,13 +108,19 @@ def curate_documents(
 
     if redact:
         documents = redact_pii(documents)
+    keep = (F.col("quality") >= min_quality) & F.col("pred_lang").isin(
+        *langs
+    )
+    if max_dup_token_frac is not None:
+        # Gopher-style repetition floor: heavily repetitive docs
+        # (boilerplate, generation loops) are filtered in the SAME
+        # one-scan projection — dup_token_frac shares its definition
+        # with operators/text.repetition_profile (text_feature_exprs)
+        keep = keep & (F.col("dup_token_frac") <= max_dup_token_frac)
     kept = (
         with_curation_features(documents)
-        .where(
-            (F.col("quality") >= min_quality)
-            & F.col("pred_lang").isin(*langs)
-        )
-        .drop("quality", "pred_lang")
+        .where(keep)
+        .drop("quality", "pred_lang", "dup_token_frac")
     )
     deduped = D.near_dedup_documents(
         kept,

@@ -49,33 +49,60 @@ NUM_CENTROIDS = 8
     "q_embed_ivf_topk",
     oracle=f"""
     WITH {S.duckdb_kmeans_cte(DIM, NUM_CENTROIDS)},
+    qc AS (
+      SELECT cid, rn FROM kfin WHERE vec_id = {QUERY_VEC}),
     q AS (
-      SELECT embedding AS qe, cell AS qcell FROM cells
-      WHERE vec_id = {QUERY_VEC}),
-    s AS (
+      SELECT embedding AS qe FROM cells WHERE vec_id = {QUERY_VEC}),
+    s1 AS (
       SELECT vec_id, {V.duckdb_cosine('embedding', 'qe', DIM)} AS score
-      FROM cells, q WHERE cell = qcell)
-    SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank,
-           vec_id, score
-    FROM s
-    ORDER BY score DESC, vec_id
-    LIMIT {TOPK}
+      FROM cells, q
+      WHERE cell IN (SELECT cid FROM qc WHERE rn <= 1)),
+    s2 AS (
+      SELECT vec_id, {V.duckdb_cosine('embedding', 'qe', DIM)} AS score
+      FROM cells, q
+      WHERE cell IN (SELECT cid FROM qc WHERE rn <= 2)),
+    r1 AS (
+      SELECT 'p1' AS part,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+               AS rank,
+             vec_id, score
+      FROM s1 ORDER BY score DESC, vec_id LIMIT {TOPK}),
+    r2 AS (
+      SELECT 'p2' AS part,
+             CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+               AS rank,
+             vec_id, score
+      FROM s2 ORDER BY score DESC, vec_id LIMIT {TOPK})
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
     """,
 )
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (trained integer-k-means cells → single-cell probe →
-    exact rerank).  Unlike the LSH variant, every step — INCLUDING the
-    k-means training, round 3's upgrade from the first-C-vectors
-    stand-in — is exact deterministic arithmetic, so the *whole index +
-    search* is oracle-verified value-for-value; recall vs. brute force
-    is additionally bounded in tests."""
-    top = S.ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_VEC, TOPK, NUM_CENTROIDS
-    )
+    """IVF ANN (trained integer-k-means cells → cell probe → exact
+    rerank) as a tagged union over the recall knob (round 4):
+
+    * ``p1`` — nprobe=1 (single nearest cell), the rounds-1-3 contract;
+    * ``p2`` — nprobe=2 (two nearest cells in deterministic
+      centroid-distance order).
+
+    Unlike the LSH variant, every step — k-means training, probe-cell
+    selection, rerank — is exact deterministic arithmetic, so the
+    *whole index + multi-probe search* is oracle-verified
+    value-for-value (the oracle's ``kfin`` CTE ranks every vector's
+    centroid distances, so the query's nprobe-n cell set is just
+    ``rn <= n``); recall vs. brute force is additionally bounded and
+    proven monotone in nprobe in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
-        "rank", "vec_id", "score"
-    )
+    parts = []
+    for nprobe, tag in ((1, "p1"), (2, "p2")):
+        top = S.ivf_topk(emb, QUERY_VEC, TOPK, NUM_CENTROIDS, nprobe=nprobe)
+        parts.append(
+            top.withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(
+                F.lit(tag).alias("part"), "rank", "vec_id", "score"
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 @query(

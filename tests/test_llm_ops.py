@@ -266,6 +266,43 @@ def test_curation_features_match_operator_outputs(spark, sf_oracle):
     q = {r["doc_id"]: r["quality"] for r in T.quality_scores(docs).collect()}
     l = {r["doc_id"]: r["pred_lang"] for r in T.lang_id(docs).collect()}
     assert fused == {k: (q[k], l[k]) for k in fused}
+    # the fused dup_token_frac shares its definition with the
+    # repetition operator (single-sourced in text_feature_exprs)
+    fused_dup = {
+        r["doc_id"]: r["dup_token_frac"]
+        for r in pipelines.with_curation_features(docs).collect()
+    }
+    rep = {
+        r["doc_id"]: r["dup_token_frac"]
+        for r in T.repetition_profile(docs).collect()
+    }
+    assert fused_dup == {k: rep[k] for k in fused_dup}
+
+
+def test_curation_repetition_filter(spark):
+    """max_dup_token_frac drops heavily repetitive docs in the same
+    one-scan filter stage."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog met near a tree while it was light"),
+            (2, "spam spam spam spam spam spam spam spam spam spam the"),
+        ],
+        ["doc_id", "text"],
+    )
+    base = pipelines.curate_documents(
+        docs, min_quality=0.0, langs=("en", "und"), redact=False
+    )
+    assert {r["doc_id"] for r in base.collect()} == {1, 2}
+    strict = pipelines.curate_documents(
+        docs,
+        min_quality=0.0,
+        max_dup_token_frac=0.5,
+        langs=("en", "und"),
+        redact=False,
+    )
+    assert {r["doc_id"] for r in strict.collect()} == {1}
 
 
 def test_tokenizer_agrees_across_engines_on_exotic_whitespace(spark):
