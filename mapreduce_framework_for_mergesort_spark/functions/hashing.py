@@ -32,7 +32,16 @@ import pandas as pd
 NUM_MINHASHES = 12
 BAND_ROWS = 3  # signatures per LSH band
 NUM_BANDS = NUM_MINHASHES // BAND_ROWS
-SIMHASH_BITS = 16
+# 48 bits = ALL FOUR bits of the first 12 md5 hex digits (round 4: the
+# original 16-bit signature — top bit of 16 digits — made the banded
+# hamming join quadratic at corpus scale: 50 K docs over a 2^16 space
+# is ~760 docs per 4-bit band bucket, and the 10× sweep measured the
+# pair tier at 841 s.  At 48 bits each 12-bit band has 4096 buckets, so
+# only genuinely hamming-near docs collide and the tier is linear;
+# SCALE_r04.json holds the before/after).  48, not 64: bit weights sum
+# below 2^48, comfortably inside signed int64 on every engine.
+SIMHASH_BITS = 48
+SIMHASH_HEX_DIGITS = SIMHASH_BITS // 4
 SHINGLE_N = 3  # word n-gram width
 
 
@@ -272,20 +281,40 @@ def duckdb_band(sig_cols: list[str]) -> str:
 
 
 # --- simhash ---------------------------------------------------------------
-# 16-bit simhash: bit i is the majority vote over tokens of the i-th md5
-# hex digit's top bit (digit >= '8'; hex digits sort bytewise identically
-# in both engines).  Ties (2*hi == n) vote 0.
+# 48-bit simhash: bit b is the majority vote over tokens of bit (b % 4)
+# (MSB first) of md5 hex digit (b // 4 + 1).  Digit value is decoded via
+# position in '0123456789abcdef' (md5 hex is lowercase on every engine;
+# instr/strpos are 1-based, identical in Spark and DuckDB).  Ties
+# (2*hi == n) vote 0.
+
+_HEXPOS = "'0123456789abcdef'"
+
+
+def _simhash_bits_sql(hi_of_bit, n_expr: str) -> list[str]:
+    """The 48 per-bit CASE terms, shared by both engines: ``hi_of_bit(d,
+    mask)`` renders the count-of-tokens-with-bit-set expression for hex
+    digit ``d`` (1-based) and bit ``mask``."""
+    bits = []
+    for b in range(SIMHASH_BITS):
+        d, mask = b // 4 + 1, 8 >> (b % 4)
+        hi = hi_of_bit(d, mask)
+        bits.append(
+            f"(CASE WHEN 2 * {hi} > {n_expr} THEN "
+            f"{1 << (SIMHASH_BITS - 1 - b)} ELSE 0 END)"
+        )
+    return bits
+
 
 def spark_simhash(toks: str) -> str:
-    # The per-token md5 list is referenced twice per bit (filter + size)
-    # — let-bound so tokens are hashed exactly once per document.
-    bits = []
-    for i in range(1, SIMHASH_BITS + 1):
-        hi = f"size(filter(hs, h -> substring(h, {i}, 1) >= '8'))"
-        bits.append(
-            f"(CASE WHEN 2 * {hi} > size(hs) THEN "
-            f"{1 << (SIMHASH_BITS - i)} ELSE 0 END)"
+    # The per-token md5 list is referenced in every bit term — let-bound
+    # so tokens are hashed exactly once per document.
+    def hi(d: int, mask: int) -> str:
+        return (
+            f"size(filter(hs, h -> "
+            f"((instr({_HEXPOS}, substring(h, {d}, 1)) - 1) & {mask}) > 0))"
         )
+
+    bits = _simhash_bits_sql(hi, "size(hs)")
     return let(
         f"transform({toks}, t -> md5(t))",
         "hs",
@@ -295,29 +324,30 @@ def spark_simhash(toks: str) -> str:
 
 def duckdb_simhash(toks: str) -> str:
     hashes = f"list_transform({toks}, t -> md5(t))"
-    bits = []
-    for i in range(1, SIMHASH_BITS + 1):
-        hi = f"len(list_filter({hashes}, h -> substring(h, {i}, 1) >= '8'))"
-        bits.append(
-            f"(CASE WHEN 2 * {hi} > len({toks}) THEN "
-            f"{1 << (SIMHASH_BITS - i)} ELSE 0 END)"
+
+    def hi(d: int, mask: int) -> str:
+        return (
+            f"len(list_filter({hashes}, h -> "
+            f"((strpos({_HEXPOS}, substring(h, {d}, 1)) - 1) & {mask}) > 0))"
         )
+
+    bits = _simhash_bits_sql(hi, f"len({toks})")
     return f"CAST({' + '.join(bits)} AS BIGINT)"
 
 
 def simhash_udf():
     """Arrow-batched simhash with the IDENTICAL definition as
-    ``spark_simhash`` (one md5 per token, majority vote over the top bit
-    of each of the first ``SIMHASH_BITS`` hex digits; hex chars ≥ '8'
-    have the top bit set, ties vote 0).  The SQL expression makes
-    SIMHASH_BITS interpreted passes over the per-token hash list; the
-    kernel makes one and is pinned to the expression in tests."""
+    ``spark_simhash`` (one md5 per token; majority vote over each of the
+    48 bits of the first 12 hex digits, ties vote 0).  The SQL
+    expression makes SIMHASH_BITS interpreted passes over the per-token
+    hash list; the kernel makes one and is pinned to the expression in
+    tests."""
     import hashlib
-    import re
 
     from pyspark.sql.functions import pandas_udf
 
     weights = (1 << np.arange(SIMHASH_BITS - 1, -1, -1)).astype(np.int64)
+    shifts = np.array([3, 2, 1, 0], dtype=np.uint8)
 
     @pandas_udf("long")
     def sim(text: pd.Series) -> pd.Series:
@@ -327,13 +357,17 @@ def simhash_udf():
             if not toks:
                 continue  # no tokens → every vote fails → 0, like the SQL
             digs = "".join(
-                hashlib.md5(t.encode()).hexdigest()[:SIMHASH_BITS]
+                hashlib.md5(t.encode()).hexdigest()[:SIMHASH_HEX_DIGITS]
                 for t in toks
             )
             M = np.frombuffer(digs.encode(), dtype=np.uint8).reshape(
-                len(toks), SIMHASH_BITS
+                len(toks), SIMHASH_HEX_DIGITS
             )
-            votes = (M >= ord("8")).sum(axis=0)
+            # hex char → value: '0'-'9' are 48-57, 'a'-'f' are 97-102
+            V = (M - 48 - (M >= 97) * 39).astype(np.uint8)
+            # (tokens, digits, 4) bit planes, MSB first → (tokens, 48)
+            B = (V[:, :, None] >> shifts[None, None, :]) & 1
+            votes = B.reshape(len(toks), SIMHASH_BITS).sum(axis=0)
             out[ix] = int(((2 * votes > len(toks)) * weights).sum())
         return pd.Series(out)
 

@@ -491,7 +491,7 @@ def cluster_survivors(clusters: DataFrame) -> DataFrame:
 
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """Per-doc 16-bit simhash (majority vote over token-md5 bit
+    """Per-doc 48-bit simhash (majority vote over token-md5 bit
     columns), via the Arrow kernel (``simhash_udf`` — identical
     definition as the canonical SQL expression it is pinned to)."""
     return documents.select(
@@ -500,12 +500,14 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-# 16-bit signature split into 4 bands of 4 bits.  Pigeonhole: two
+# 48-bit signature split into 4 bands of 12 bits.  Pigeonhole: two
 # signatures at hamming distance ≤ SIMHASH_NUM_BANDS − 1 MUST agree on
 # at least one whole band, so the banded equi-join below is a COMPLETE
 # candidate generator for r ≤ 3 — unlike MinHash banding, which is
 # probabilistic, this tier is exact end-to-end and carries a full
-# value oracle.
+# value oracle.  12-bit bands give 4096 buckets per band, so random
+# 50 K-doc corpora don't collide (the 10× sweep measured the original
+# 4-bit bands at 841 s — quadratic in bucket occupancy).
 SIMHASH_NUM_BANDS = 4
 SIMHASH_BAND_BITS = H.SIMHASH_BITS // SIMHASH_NUM_BANDS
 SIMHASH_R = SIMHASH_NUM_BANDS - 1  # largest r the banding is complete for
@@ -513,8 +515,8 @@ SIMHASH_R = SIMHASH_NUM_BANDS - 1  # largest r the banding is complete for
 
 def simhash_bands(signatures: DataFrame) -> DataFrame:
     """(doc_id, simhash) → one (doc_id, band_id, band_val) row per band:
-    band b is bits [b·4, b·4+4) of the signature, extracted with shift
-    and mask — pure codegen arithmetic, no Python, no shuffle."""
+    band b is the b-th 12-bit slice of the signature, extracted with
+    shift and mask — pure codegen arithmetic, no Python, no shuffle."""
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = F.array(
         *[
@@ -538,10 +540,12 @@ def simhash_bands(signatures: DataFrame) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    documents: DataFrame, r: int = SIMHASH_R
+    documents: DataFrame,
+    r: int = SIMHASH_R,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming-near simhash pairs (doc_a < doc_b, hamming ≤ r) via the
-    banded join: docs sharing any 4-bit band are candidates; the exact
+    banded join: docs sharing any 12-bit band are candidates; the exact
     hamming distance (``bit_count(a XOR b)`` — one codegen instruction)
     verifies.  For r ≤ 3 the result is EXACTLY the set of all pairs at
     hamming ≤ r (banding completeness above), so no all-pairs comparison
@@ -549,20 +553,28 @@ def simhash_candidate_pairs(
 
     Scale shape mirrors ``lsh_candidate_pairs``: one explode (4 rows per
     doc) + one equi-join on (band_id, band_val); band_id rides the join
-    key, hot band values are AQE-skew-split.  Only 16 distinct band
-    values exist per band here, so at corpus scale this tier is run
-    AFTER a coarser blocker (or on a wider signature) — the 16-bit demo
-    keeps the arithmetic exactly replicable in both engines.
+    key, hot band values are AQE-skew-split.  4096 distinct values per
+    band keep random corpora collision-free (only near-dups and exact
+    replicas share a 12-bit slice), so the tier is linear in the corpus
+    plus quadratic only in true duplication — the same bound as MinHash
+    banding — while every bit stays exactly replicable in both engines.
 
     The signature rides the band rows (4·8 bytes/doc) so the verify step
     needs no join back to the signature table.
+
+    ``signatures``: reuse an existing (doc_id, simhash) table (e.g. one
+    the caller already materialized for its own output) instead of
+    running the signature kernel again — the band projection on top is
+    pure shift/mask.
     """
     if r > SIMHASH_R:
         raise ValueError(
             f"banded join is only complete for r <= {SIMHASH_R}"
             f" with {SIMHASH_NUM_BANDS} bands; got r={r}"
         )
-    bands = _materialize(simhash_bands(simhash_signatures(documents)))
+    if signatures is None:
+        signatures = simhash_signatures(documents)
+    bands = _materialize(simhash_bands(signatures))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -227,12 +227,20 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(f"size({toks})").alias("n_tokens"),
         F.expr(e["dup_token_frac"]).alias("dup_token_frac"),
+        # let-bound: the tokenizer runs ONCE per doc — referenced bare
+        # inside the transform lambda it would re-run per bigram,
+        # turning the projection O(n_tokens²) in regex evals (the trap
+        # functions/hashing.let documents)
         F.expr(
-            f"CASE WHEN size({toks}) >= 2 THEN "
-            f"transform(sequence(1, size({toks}) - 1), "
-            f"i -> concat_ws(' ', element_at({toks}, i), "
-            f"element_at({toks}, i + 1))) "
-            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+            H.let(
+                toks,
+                "ts",
+                "CASE WHEN size(ts) >= 2 THEN "
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> concat_ws(' ', element_at(ts, i), "
+                "element_at(ts, i + 1))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END",
+            )
         ).alias("__bigrams"),
     )
     counts = (

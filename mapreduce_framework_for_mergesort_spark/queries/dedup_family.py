@@ -191,17 +191,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash tier as a tagged union (round 4 added the pair tier —
     signatures alone generate no candidates):
 
-    * ``sig``  — per-doc 16-bit signature (doc_a = doc_b = doc_id,
-                 val = simhash), as in rounds 1-3;
+    * ``sig``  — per-doc 48-bit signature (doc_a = doc_b = doc_id,
+                 val = simhash; 16-bit through round 3 — widened because
+                 the 10× sweep measured the 2^16 space quadratic);
     * ``pair`` — hamming-near pairs via the banded join
-                 (val = exact hamming distance ≤ {r}).  4 bands × 4 bits
+                 (val = exact hamming distance ≤ 3).  4 bands × 12 bits
                  make the banding COMPLETE for r ≤ 3 (pigeonhole), so
                  unlike MinHash this candidate generator is exact and the
                  oracle replicates the whole tier value-for-value.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.simhash_signatures(docs)
-    pairs = D.simhash_candidate_pairs(docs)
+    # ONE signature-kernel pass: the materialized (doc_id, simhash)
+    # table feeds both the sig branch and the pair tier's band build
+    sigs = materialize(D.simhash_signatures(docs))
+    pairs = D.simhash_candidate_pairs(docs, signatures=sigs)
     lit = F.lit
     return sigs.select(
         lit("sig").alias("part"),

@@ -137,6 +137,8 @@ def near_dup_pairs_stream(
         incoming: set[int] = set()
         max_ts_ms = 0
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue  # empty chunk: .max() would yield NaT
             incoming.update(int(d) for d in pdf["doc_id"])
             if ts_col:
                 m = pd.to_datetime(pdf[ts_col]).max()

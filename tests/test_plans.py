@@ -46,3 +46,45 @@ def test_audit_final_reads_runtime_final_plan(spark):
     assert "isFinalPlan=true" in ran.text, ran.text[:500]
     # and the speculative read didn't lie about shape: still one shuffle
     assert ran.exchanges >= 1
+
+
+def test_decontaminate_plan_is_broadcast_semi(spark, sf_oracle):
+    """The corpus side of decontamination must never shuffle: the
+    benchmark's distinct shingles broadcast, the doc-shingle semi-join
+    is a BroadcastHashJoin, and the only exchanges in the plan belong
+    to the tiny flagged-id distinct — never to corpus rows."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    bench = docs.where("doc_id = 7").select("text")
+    a = audit(decontaminate(docs, bench))
+    assert a.broadcasts >= 2, a  # bench shingles + flagged ids
+    assert "BroadcastHashJoin" in a.text
+    # the distinct over flagged doc ids is the only legitimate shuffle
+    assert a.exchanges <= 2, a
+
+
+def test_pack_documents_plan_has_no_global_stage(spark, sf_oracle):
+    """Sequence packing must keep the 'no task sees all rows'
+    discipline: range exchange for the order, a tiny aggregate for the
+    partition offsets (broadcast back), and NO single-partition window
+    over data rows."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators.sampling import (
+        pack_documents,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    a = audit(pack_documents(docs, 256))
+    assert a.broadcasts >= 1, a  # partition offsets join
+    # at most ONE SinglePartition exchange is legitimate — the
+    # running-total window over per-partition TOTALS (#partitions rows,
+    # not data rows); a second would mean data rows pass through it
+    assert a.text.count("Exchange SinglePartition") <= 1, a.text
+    # data-row operators: range partitioning present, mapInPandas Arrow
+    assert "rangepartitioning" in a.text.lower(), a.text[:2000]
+    assert a.python_evals == 0  # mapInPandas is MapInPandas, not *EvalPython
+    assert "MapInPandas" in a.text
