@@ -763,3 +763,56 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= tau)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# --- incremental dedup against a persisted LSH index ----------------------
+
+def write_lsh_index(
+    documents: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist the MinHash band index (doc_id, band_id, band_val) —
+    the write-once half of INCREMENTAL dedup: at 100 TB you band the
+    corpus exactly once, then every ingest batch joins its (tiny) band
+    set against the stored index instead of re-banding petabytes
+    (the same amortization ``similarity.write_ivf_index`` provides for
+    ANN).  Partitioned by ``band_id`` so an incremental probe scans
+    band-aligned files; at real scale write it as a BUCKETED table on
+    (band_id, band_val) (``operators/bucketing.py``) and the probe join
+    needs no shuffle at all.  ``mode='append'`` adds an ingest batch's
+    bands to the index after its pairs have been emitted."""
+    minhash_bands(documents).write.mode(mode).partitionBy(
+        "band_id"
+    ).parquet(path)
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """Candidate near-dup pairs introduced by an ingest batch: new×new
+    pairs PLUS new×indexed pairs, as canonical (doc_a < doc_b) rows —
+    exactly the NEW pairs a full re-run over corpus ∪ batch would add
+    (old×old pairs are already known; the equality is pinned in tests).
+
+    Scale shape: the batch's band set is tiny (built once,
+    materialized); the stored index is scanned once for the equi-join
+    on (band_id, band_val) — no re-banding of the corpus, no all-pairs
+    anywhere.  Feed the result into ``cluster_pairs`` with the prior
+    survivor set to decide which new docs to keep, then
+    ``write_lsh_index(new_docs, path, mode='append')`` to absorb the
+    batch into the index."""
+    nb = _materialize(minhash_bands(new_docs))
+    new_new = lsh_candidate_pairs(nb, materialize=False)
+    n, o = nb.alias("n"), index_bands.alias("o")
+    cross = (
+        n.join(
+            o,
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_val") == F.col("o.band_val"))
+            & (F.col("n.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+    )
+    return new_new.unionByName(cross).distinct()

@@ -183,3 +183,86 @@ def pack_documents(
         .withColumn("pack_offset", F.expr(f"__excl % {budget}"))
         .drop(pid, "__local_excl", "__start", "__excl")
     )
+
+
+# --- deterministic hash sampling ------------------------------------------
+
+SAMPLE_HEX = 8  # 16^8 ≈ 4.3e9 buckets — rate resolution ~2.3e-10
+
+
+def sample_threshold(rate: float) -> str:
+    """Fixed-width lowercase hex threshold for ``rate`` — shared by the
+    Spark predicate and the DuckDB mirror so both engines derive the cut
+    from the same arithmetic (lexical compare on fixed-width lowercase
+    hex is bytewise identical everywhere).
+
+    rate 1.0 returns the sentinel ``'g'`` — ``format(16^8, '08x')`` is
+    the NINE-char ``'100000000'``, and an 8-char hash compares against
+    it char-by-char, keeping only hashes starting '0' (the same
+    fixed-width overflow ``split_boundaries`` documents); ``'g'`` sorts
+    after every hex char, so every hash passes."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = int(round(rate * 16**SAMPLE_HEX))
+    if n >= 16**SAMPLE_HEX:
+        return "g"
+    return format(n, f"0{SAMPLE_HEX}x")
+
+
+def hash_sample(df: DataFrame, rate: float, key: str = "doc_id") -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 8 hex
+    chars of ``md5(key)`` fall below the rate threshold.
+
+    The same contract as ``hash_split``, for the same reason
+    ``df.sample`` is wrong at scale: ``sample``'s membership depends on
+    partitioning and seed plumbing, so a rerun after a repartition
+    selects DIFFERENT rows — poison for reproducible corpus curation.
+    Here membership is a pure function of the key: any engine, any
+    layout, any rerun agrees row for row, equal keys travel together,
+    and the filter is map-only codegen (no shuffle, no RNG state).
+
+    NULL keys are never sampled (md5(NULL) is NULL → predicate NULL →
+    row dropped), mirrored exactly by the DuckDB predicate.
+    """
+    h = F.substring(
+        F.md5(F.col(key).cast("string").cast("binary")), 1, SAMPLE_HEX
+    )
+    return df.where(h < sample_threshold(rate))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. keep 100% of high-quality strata, 10% of a boilerplate-heavy
+    domain): each row's keep-threshold comes from its ``stratum_col``
+    value via ``rates``; strata not listed get ``default_rate``.
+
+    One map-only codegen filter: the per-stratum thresholds compile to
+    a CASE over literal hex cuts against the same md5(key) prefix as
+    ``hash_sample`` — membership stays a pure function of (key,
+    stratum), so re-mixing with different rates REUSES prior decisions
+    (a row kept at 10% is a subset of the rows kept at 20%; raising a
+    stratum's rate only ADDS rows — nested samples by construction).
+    """
+    h = F.substring(
+        F.md5(F.col(key).cast("string").cast("binary")), 1, SAMPLE_HEX
+    )
+    cut = F.lit(sample_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        cut = F.when(
+            F.col(stratum_col) == value, F.lit(sample_threshold(rate))
+        ).otherwise(cut)
+    return df.where(h < cut)
+
+
+def duckdb_sample_predicate(rate: float, key_sql: str) -> str:
+    """Oracle-side WHERE predicate replicating ``hash_sample``."""
+    return (
+        f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, {SAMPLE_HEX})"
+        f" < '{sample_threshold(rate)}'"
+    )

@@ -2,9 +2,13 @@
 actually runs, built from the engine's operators in their 100 TB shapes.
 
     raw documents
-      → per-doc features (ONE codegen projection: quality + language)
-      → filter (quality floor, language allowlist)
-      → near-dedup (MinHash/LSH candidates → connected components →
+      → PII redaction (first, so PII never feeds features or survives)
+      → per-doc features (ONE codegen projection: quality + language +
+        duplicate-token fraction)
+      → filter (quality floor, language allowlist, optional
+        repetition ceiling)
+      → near-dedup (pluggable candidate tiers — MinHash/LSH, SimHash,
+        embedding-semantic — into one connected-components pass →
         one deterministic survivor per cluster)
       → content-hash train/val/test split
 

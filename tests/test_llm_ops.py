@@ -1144,3 +1144,104 @@ def test_pack_documents_partitioning_proof(spark, sf_oracle):
     for i, k in enumerate(ids):
         assert by_id[k]["pack_id"] == (10 * i) // 25
         assert by_id[k]["pack_offset"] == (10 * i) % 25
+
+
+def test_hash_sample_deterministic_and_duckdb_exact(spark, sf_oracle):
+    """hash_sample must select the IDENTICAL id set as the DuckDB
+    predicate built from the same threshold, be partitioning-proof, and
+    be nested across rates (kept@0.1 ⊆ kept@0.3)."""
+    from mapreduce_framework_for_mergesort_spark.operators.sampling import (
+        duckdb_sample_predicate,
+        hash_sample,
+    )
+    from tests.oracle import run_oracle
+
+    docs = load_table(spark, sf_oracle, "documents")
+    got = {
+        r["doc_id"]
+        for r in hash_sample(docs, 0.3).select("doc_id").collect()
+    }
+    _, rows = run_oracle(
+        "SELECT doc_id FROM documents WHERE "
+        + duckdb_sample_predicate(0.3, "doc_id"),
+        sf_oracle,
+    )
+    assert got == {r[0] for r in rows}
+    assert got, "0.3 of 500 docs must select something"
+    # partitioning-proof
+    again = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(16), 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert again == got
+    # nested: smaller rate is a subset
+    small = {
+        r["doc_id"]
+        for r in hash_sample(docs, 0.1).select("doc_id").collect()
+    }
+    assert small <= got
+    # rate roughly honored (binomial tolerance)
+    n = docs.count()
+    assert 0.15 * n < len(got) < 0.45 * n
+
+
+def test_stratified_hash_sample_rates_and_nesting(spark, sf_oracle):
+    from mapreduce_framework_for_mergesort_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    a, b = sorted(langs)[:2]
+    out = stratified_hash_sample(
+        docs, {a: 1.0, b: 0.0}, "lang", default_rate=0.5
+    )
+    rows = out.select("doc_id", "lang").collect()
+    got_a = {r["doc_id"] for r in rows if r["lang"] == a}
+    all_a = {
+        r["doc_id"] for r in docs.where(F.col("lang") == a).collect()
+    }
+    assert got_a == all_a          # rate 1.0 keeps everything
+    assert not any(r["lang"] == b for r in rows)  # rate 0.0 drops all
+    # non-listed strata follow default_rate — and the per-stratum
+    # decisions coincide with plain hash_sample at the same rate
+    others = {r["doc_id"] for r in rows if r["lang"] not in (a, b)}
+    plain = {
+        r["doc_id"]
+        for r in hash_sample(
+            docs.where(~F.col("lang").isin(a, b)), 0.5
+        ).collect()
+    }
+    assert others == plain
+
+
+def test_incremental_lsh_index_equals_batch(spark, sf_oracle, tmp_path):
+    """Incremental dedup contract: pairs(batch over corpus∪new) =
+    pairs(corpus alone) ∪ incremental(new vs index) — nothing lost,
+    nothing double-counted, old×old never recomputed."""
+    docs = load_table(spark, sf_oracle, "documents")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+
+    path = str(tmp_path / "lsh_index")
+    D.write_lsh_index(old, path)
+    index = spark.read.parquet(path)
+
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(new, index).collect()
+    }
+    old_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(D.minhash_bands(old)).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(D.minhash_bands(docs)).collect()
+    }
+    assert old_pairs | inc == full
+    assert old_pairs.isdisjoint(inc)
+    assert inc, "fixture corpus must produce cross-half candidates"
