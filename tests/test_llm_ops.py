@@ -1245,3 +1245,41 @@ def test_incremental_lsh_index_equals_batch(spark, sf_oracle, tmp_path):
     assert old_pairs | inc == full
     assert old_pairs.isdisjoint(inc)
     assert inc, "fixture corpus must produce cross-half candidates"
+
+
+def test_near_dedup_collapse_exact_identical_kept_set(spark, sf_oracle):
+    """Exact-first collapse must keep the IDENTICAL doc set as the
+    uncollapsed pipeline on a replica-heavy corpus, for minhash and for
+    minhash+simhash tiers; with the embedding tier the default resolves
+    to uncollapsed."""
+    docs = load_table(spark, sf_oracle, "documents").limit(100)
+    extra = docs.selectExpr("doc_id + 100000 AS doc_id", "text")
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+
+    plain = {
+        r["doc_id"]
+        for r in D.near_dedup_documents(
+            corpus, collapse_exact=False
+        ).collect()
+    }
+    auto = {r["doc_id"] for r in D.near_dedup_documents(corpus).collect()}
+    assert auto == plain  # lexical-only default resolves to collapsed
+    both_tiers = {
+        r["doc_id"]
+        for r in D.near_dedup_documents(
+            corpus,
+            tiers=("minhash", "simhash"),
+            collapse_exact=True,
+        ).collect()
+    }
+    want_both = {
+        r["doc_id"]
+        for r in D.near_dedup_documents(
+            corpus,
+            tiers=("minhash", "simhash"),
+            collapse_exact=False,
+        ).collect()
+    }
+    assert both_tiers == want_both
+    # replicas never survive alongside their original
+    assert not (plain & {d + 100000 for d in plain})
