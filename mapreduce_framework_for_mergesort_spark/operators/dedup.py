@@ -419,15 +419,27 @@ def near_dup_pair_tiers(
     bad = set(tiers) - known
     if bad:
         raise ValueError(f"unknown dedup tiers {sorted(bad)}; known: {sorted(known)}")
+    # The lexical tiers emit ids from a 'doc_id' column; a custom ``key``
+    # is aliased onto that name FIRST (and any unrelated doc_id column
+    # dropped with it) so every tier's pairs live in ``key`` space —
+    # round-4 review: the silent alternative pairs in doc_id space while
+    # clustering and survivors run in key space.
+    lex_docs = (
+        documents
+        if key == "doc_id"
+        else documents.select(F.col(key).alias("doc_id"), "text")
+    )
     frames: list[DataFrame] = []
     if "minhash" in tiers:
         frames.append(
-            lsh_candidate_pairs(minhash_bands(documents)).select(
+            lsh_candidate_pairs(minhash_bands(lex_docs)).select(
                 "doc_a", "doc_b"
             )
         )
     if "simhash" in tiers:
-        frames.append(simhash_candidate_pairs(documents).select("doc_a", "doc_b"))
+        frames.append(
+            simhash_candidate_pairs(lex_docs).select("doc_a", "doc_b")
+        )
     if "embedding" in tiers:
         if embeddings is None:
             raise ValueError("the 'embedding' tier requires an embeddings table")
@@ -683,11 +695,14 @@ def decontaminate(
     bench_text: str = "text",
 ) -> DataFrame:
     """Drop every document sharing an ``n``-gram with the benchmark —
-    the removal half of eval-set decontamination.  The flagged id set is
-    tiny, so the anti-join broadcasts it back against the corpus: the
-    corpus is scanned, never shuffled."""
+    the removal half of eval-set decontamination.  No broadcast hint on
+    the anti-join: the flagged id set is usually tiny but its
+    cardinality is bounded only by the corpus (one boilerplate 8-gram
+    in the benchmark can flag a large fraction of it — round-4 review),
+    so AQE decides; small sets still broadcast under the threshold,
+    pathological ones degrade safely to a shuffle anti-join on the id."""
     bad = contaminated_doc_ids(documents, benchmark, n, key, bench_text)
-    return documents.join(F.broadcast(bad), key, "anti")
+    return documents.join(bad, key, "anti")
 
 
 def ngram_jaccard_pairs(

@@ -142,8 +142,18 @@ def pack_documents(
             "n_tokens", F.col(count_col).cast("long")
         )
 
+    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+        materialize as _materialize,
+    )
+
     pid, mid = "__pack_pid", "__pack_mid"
-    ranged = (
+    # Materialized: the totals branch and the mapInPandas branch below
+    # would otherwise EACH re-execute the range shuffle + sort (2× the
+    # dominant cost), and with duplicate keys the two executions could
+    # order ties differently — offsets computed against one order,
+    # local cumsums against another (round-4 review).  The lineage cut
+    # makes both branches read the same physical rows.
+    ranged = _materialize(
         sized.repartitionByRange(F.col(key))
         .sortWithinPartitions(key)
         .withColumn(mid, F.monotonically_increasing_id())
@@ -189,6 +199,14 @@ def pack_documents(
 
 SAMPLE_HEX = 8  # 16^8 ≈ 4.3e9 buckets — rate resolution ~2.3e-10
 
+# Sampling hashes a SALTED key (key || SAMPLE_SALT): hash_split keys on
+# the leading bits of the same md5(key), so an unsalted sample would be
+# maximally CORRELATED with split assignment — hash_sample(rate ≤ 0.8)
+# on a corpus split with DEFAULT_SPLITS would return only train rows
+# (review finding, round 4).  The salt makes the two decisions
+# independent functions of the key.
+SAMPLE_SALT = "#sample"
+
 
 def sample_threshold(rate: float) -> str:
     """Fixed-width lowercase hex threshold for ``rate`` — shared by the
@@ -224,10 +242,19 @@ def hash_sample(df: DataFrame, rate: float, key: str = "doc_id") -> DataFrame:
     NULL keys are never sampled (md5(NULL) is NULL → predicate NULL →
     row dropped), mirrored exactly by the DuckDB predicate.
     """
-    h = F.substring(
-        F.md5(F.col(key).cast("string").cast("binary")), 1, SAMPLE_HEX
+    return df.where(_sample_hash(key) < sample_threshold(rate))
+
+
+def _sample_hash(key: str) -> Column:
+    return F.substring(
+        F.md5(
+            F.concat(F.col(key).cast("string"), F.lit(SAMPLE_SALT)).cast(
+                "binary"
+            )
+        ),
+        1,
+        SAMPLE_HEX,
     )
-    return df.where(h < sample_threshold(rate))
 
 
 def stratified_hash_sample(
@@ -249,9 +276,7 @@ def stratified_hash_sample(
     (a row kept at 10% is a subset of the rows kept at 20%; raising a
     stratum's rate only ADDS rows — nested samples by construction).
     """
-    h = F.substring(
-        F.md5(F.col(key).cast("string").cast("binary")), 1, SAMPLE_HEX
-    )
+    h = _sample_hash(key)
     cut = F.lit(sample_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         cut = F.when(
@@ -261,8 +286,9 @@ def stratified_hash_sample(
 
 
 def duckdb_sample_predicate(rate: float, key_sql: str) -> str:
-    """Oracle-side WHERE predicate replicating ``hash_sample``."""
+    """Oracle-side WHERE predicate replicating ``hash_sample`` (same
+    salt, same threshold arithmetic)."""
     return (
-        f"substring(md5(CAST({key_sql} AS VARCHAR)), 1, {SAMPLE_HEX})"
-        f" < '{sample_threshold(rate)}'"
+        f"substring(md5(CAST({key_sql} AS VARCHAR) || '{SAMPLE_SALT}'),"
+        f" 1, {SAMPLE_HEX}) < '{sample_threshold(rate)}'"
     )

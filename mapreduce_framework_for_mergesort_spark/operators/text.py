@@ -226,6 +226,10 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
     base = documents.select(
         "doc_id",
         F.expr(f"size({toks})").alias("n_tokens"),
+        # bigram count derived arithmetically so the final projection
+        # never touches the array — carrying __bigrams through the join
+        # below would shuffle a corpus-sized payload just for size()
+        F.expr(f"greatest(size({toks}) - 1, 0)").alias("n_bigrams"),
         F.expr(e["dup_token_frac"]).alias("dup_token_frac"),
         # let-bound: the tokenizer runs ONCE per doc — referenced bare
         # inside the transform lambda it would re-run per bigram,
@@ -265,15 +269,16 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
         )
     )
     return (
-        base.join(top, "doc_id", "left")
+        base.drop("__bigrams")
+        .join(top, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
             "dup_token_frac",
             "top_bigram",
             F.expr(
-                "CASE WHEN size(__bigrams) > 0 THEN "
-                "CAST(__top_cnt AS DOUBLE) / size(__bigrams) "
+                "CASE WHEN n_bigrams > 0 THEN "
+                "CAST(__top_cnt AS DOUBLE) / n_bigrams "
                 "ELSE CAST(0 AS DOUBLE) END"
             ).alias("top_bigram_frac"),
         )

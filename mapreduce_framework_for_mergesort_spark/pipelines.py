@@ -37,12 +37,18 @@ from mapreduce_framework_for_mergesort_spark.operators.text import (
 )
 
 
-def with_curation_features(documents: DataFrame) -> DataFrame:
-    """Append ``quality`` and ``pred_lang`` to the document rows in one
+def with_curation_features(
+    documents: DataFrame, with_repetition: bool = True
+) -> DataFrame:
+    """Append ``quality`` and ``pred_lang`` (and, with
+    ``with_repetition``, ``dup_token_frac``) to the document rows in one
     whole-stage-codegen projection (the same expressions
     ``operators/text.py`` uses, composed column-wise so the pipeline
     pays ONE scan — joining the per-doc feature tables back on doc_id
-    would shuffle the corpus twice for no reason)."""
+    would shuffle the corpus twice for no reason).  ``with_repetition``
+    exists because the dup fraction costs an extra O(n_tokens)
+    ``array_distinct`` per document — the pipeline only pays it when a
+    repetition filter is actually requested."""
     e = text_feature_exprs()
     toks = e["toks"]
     langs = list(LANG_STOPWORDS)
@@ -59,13 +65,10 @@ def with_curation_features(documents: DataFrame) -> DataFrame:
         )
         branches.append(f"WHEN {cond} THEN '{lang}'")
     pred = f"CASE {' '.join(branches)} ELSE 'und' END"
-    return documents.withColumns(
-        {
-            "quality": F.expr(e["quality"]),
-            "pred_lang": F.expr(pred),
-            "dup_token_frac": F.expr(e["dup_token_frac"]),
-        }
-    )
+    cols = {"quality": F.expr(e["quality"]), "pred_lang": F.expr(pred)}
+    if with_repetition:
+        cols["dup_token_frac"] = F.expr(e["dup_token_frac"])
+    return documents.withColumns(cols)
 
 
 def curate_documents(
@@ -112,19 +115,19 @@ def curate_documents(
 
     if redact:
         documents = redact_pii(documents)
+    want_rep = max_dup_token_frac is not None
     keep = (F.col("quality") >= min_quality) & F.col("pred_lang").isin(
         *langs
     )
-    if max_dup_token_frac is not None:
-        # Gopher-style repetition floor: heavily repetitive docs
+    if want_rep:
+        # Gopher-style repetition ceiling: heavily repetitive docs
         # (boilerplate, generation loops) are filtered in the SAME
         # one-scan projection — dup_token_frac shares its definition
         # with operators/text.repetition_profile (text_feature_exprs)
         keep = keep & (F.col("dup_token_frac") <= max_dup_token_frac)
-    kept = (
-        with_curation_features(documents)
-        .where(keep)
-        .drop("quality", "pred_lang", "dup_token_frac")
+    feat = with_curation_features(documents, with_repetition=want_rep)
+    kept = feat.where(keep).drop(
+        "quality", "pred_lang", *(["dup_token_frac"] if want_rep else [])
     )
     deduped = D.near_dedup_documents(
         kept,

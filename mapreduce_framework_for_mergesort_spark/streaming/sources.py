@@ -88,15 +88,8 @@ def run_to_memory(
     stops — the deterministic test/CI form of a continuous run.
     Returns the sink contents as a DataFrame (``SELECT * FROM name``).
     """
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    df, _ = run_to_memory_with_progress(stream_df, name, output_mode)
+    return df
 
 
 def run_to_memory_with_progress(
@@ -105,7 +98,8 @@ def run_to_memory_with_progress(
     """``run_to_memory`` that ALSO returns the query's per-microbatch
     progress dicts — the observability hook for state-store assertions
     (``stateOperators[].numRowsTotal`` is how a test proves an
-    eviction policy actually bounds state)."""
+    eviction policy actually bounds state).  ``run_to_memory`` delegates
+    here so the drain mechanics exist exactly once."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)

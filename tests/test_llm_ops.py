@@ -1185,6 +1185,17 @@ def test_hash_sample_deterministic_and_duckdb_exact(spark, sf_oracle):
     # rate roughly honored (binomial tolerance)
     n = docs.count()
     assert 0.15 * n < len(got) < 0.45 * n
+    # independence from hash_split (round-4 review: an unsalted sample
+    # hash made every rate ≤ 0.8 sample a subset of the train split)
+    from mapreduce_framework_for_mergesort_spark.operators.sampling import (
+        hash_split,
+    )
+
+    splits = {
+        r["split"]
+        for r in hash_split(hash_sample(docs, 0.3), "doc_id").collect()
+    }
+    assert splits == {"train", "val", "test"}
 
 
 def test_stratified_hash_sample_rates_and_nesting(spark, sf_oracle):

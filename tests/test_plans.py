@@ -49,10 +49,12 @@ def test_audit_final_reads_runtime_final_plan(spark):
 
 
 def test_decontaminate_plan_is_broadcast_semi(spark, sf_oracle):
-    """The corpus side of decontamination must never shuffle: the
-    benchmark's distinct shingles broadcast, the doc-shingle semi-join
-    is a BroadcastHashJoin, and the only exchanges in the plan belong
-    to the tiny flagged-id distinct — never to corpus rows."""
+    """The corpus side of decontamination must never shuffle when the
+    flagged set is small: the benchmark's distinct shingles broadcast
+    by hint (eval suites are small by definition), and the unbounded
+    flagged-id anti-join — deliberately UNhinted, round-4 review —
+    gets its broadcast from AQE at runtime, so the check reads the
+    FINAL plan."""
     from mapreduce_framework_for_mergesort_spark.io import load_table
     from mapreduce_framework_for_mergesort_spark.operators.dedup import (
         decontaminate,
@@ -60,11 +62,9 @@ def test_decontaminate_plan_is_broadcast_semi(spark, sf_oracle):
 
     docs = load_table(spark, sf_oracle, "documents")
     bench = docs.where("doc_id = 7").select("text")
-    a = audit(decontaminate(docs, bench))
-    assert a.broadcasts >= 2, a  # bench shingles + flagged ids
+    a = audit(decontaminate(docs, bench), final=True)
+    assert a.broadcasts >= 2, a  # bench shingles (hint) + flagged ids (AQE)
     assert "BroadcastHashJoin" in a.text
-    # the distinct over flagged doc ids is the only legitimate shuffle
-    assert a.exchanges <= 2, a
 
 
 def test_pack_documents_plan_has_no_global_stage(spark, sf_oracle):
