@@ -15,12 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import sampling
 from mapreduce_framework_for_mergesort_spark.operators.relational import dec_sum
 from mapreduce_framework_for_mergesort_spark.queries import query
 
 _SPLIT_CASE = sampling.duckdb_split_case("o_orderkey")
+_SAMPLE_RATE = 0.25  # deterministic hash-sample audit rate
+PACK_BUDGET = 512  # tokens per training sequence in the packing audit
 
 
 def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
@@ -124,14 +127,43 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
       UNION ALL
       SELECT 'split_sum_price', {split_case},
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-      FROM orders GROUP BY 2)
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'hsample_n', {split_case},
+             CAST(COUNT(*) FILTER (WHERE {sample_pred}) AS DOUBLE)
+      FROM orders GROUP BY 2),
+    pk0 AS (
+      SELECT doc_id, len({doc_tokens}) AS n FROM documents),
+    pk1 AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS excl
+      FROM pk0),
+    pack_rows AS (
+      SELECT 'pack_n' AS metric,
+             CAST(excl // {pack_budget} AS VARCHAR) AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS value
+      FROM pk1 GROUP BY 2
+      UNION ALL
+      SELECT 'pack_tokens', CAST(excl // {pack_budget} AS VARCHAR),
+             CAST(SUM(n) AS DOUBLE)
+      FROM pk1 GROUP BY 2)
     SELECT * FROM corr_rows
     UNION ALL SELECT * FROM pct_rows
     UNION ALL SELECT * FROM uniq_rows
     UNION ALL SELECT * FROM hist_rows
     UNION ALL SELECT * FROM sample_rows
     UNION ALL SELECT * FROM split_rows
-    """.format(split_case=_SPLIT_CASE),
+    UNION ALL SELECT * FROM pack_rows
+    """.format(
+        split_case=_SPLIT_CASE,
+        sample_pred=sampling.duckdb_sample_predicate(
+            _SAMPLE_RATE, "o_orderkey"
+        ),
+        doc_tokens=H.duckdb_tokens("text"),
+        pack_budget=PACK_BUDGET,
+    ),
 )
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The profiling audit pass.  Correlation avoids the built-in
@@ -234,21 +266,49 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment is a pure function of the key (operators/sampling.py),
     # so these counts are reproducible across engines/partitionings —
     # the property the oracle check proves.
+    # hsample_n rides the same orders pass as the split grain via
+    # conditional aggregation — and, because the sample hash is SALTED
+    # (round-4 review), the driver check itself proves sample×split
+    # independence: every split shows a ~rate-sized sampled count.
+    in_sample = sampling._sample_hash("o_orderkey") < sampling.sample_threshold(
+        _SAMPLE_RATE
+    )
     spl = (
         sampling.hash_split(orders, "o_orderkey")
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("sn"),
             dec_sum("o_totalprice", alias="ssum"),
+            F.count(F.when(in_sample, 1)).alias("hsn"),
         )
     )
     split_rows = _long(
         spl, F.col("split"),
-        [("split_n", F.col("sn")), ("split_sum_price", F.col("ssum"))],
+        [("split_n", F.col("sn")), ("split_sum_price", F.col("ssum")),
+         ("hsample_n", F.col("hsn"))],
+    )
+
+    # Sequence-packing audit: the distributed exclusive prefix sum
+    # (range partition + mapInPandas running sums + broadcast offsets,
+    # operators/sampling.pack_documents) must reproduce the oracle's
+    # single-window formulation value-for-value — the driver
+    # hash-checks a partitioning-dependent-looking algorithm is in fact
+    # partitioning-independent.
+    packed = sampling.pack_documents(
+        load_table(spark, sf_dir, "documents"), PACK_BUDGET
+    )
+    pk = packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("n_tokens").alias("ptok"),
+    )
+    pack_rows = _long(
+        pk, F.col("pack_id"),
+        [("pack_n", F.col("pn")), ("pack_tokens", F.col("ptok"))],
     )
 
     return (
         li_rows.unionByName(uniq_rows)
         .unionByName(hist_rows)
         .unionByName(split_rows)
+        .unionByName(pack_rows)
     )

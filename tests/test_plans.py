@@ -84,7 +84,10 @@ def test_pack_documents_plan_has_no_global_stage(spark, sf_oracle):
     # running-total window over per-partition TOTALS (#partitions rows,
     # not data rows); a second would mean data rows pass through it
     assert a.text.count("Exchange SinglePartition") <= 1, a.text
-    # data-row operators: range partitioning present, mapInPandas Arrow
-    assert "rangepartitioning" in a.text.lower(), a.text[:2000]
+    # the range exchange lives in the materialization job (the ranged
+    # input is checkpointed so the offsets and cumsum branches read the
+    # SAME physical rows — round-4 review); this query's own plan reads
+    # the checkpoint and runs the Arrow cumsum + the offsets broadcast
+    assert "Scan ExistingRDD" in a.text, a.text[:2000]
     assert a.python_evals == 0  # mapInPandas is MapInPandas, not *EvalPython
     assert "MapInPandas" in a.text
