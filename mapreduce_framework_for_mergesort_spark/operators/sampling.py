@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+    materialize as _materialize,
+)
+
 Weights = list[tuple[str, float]]
 
 DEFAULT_SPLITS: Weights = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
@@ -120,6 +124,10 @@ def pack_documents(
 
     ``count_col``: use an existing per-doc length column instead of the
     canonical tokenizer (e.g. real tokenizer counts computed upstream).
+
+    ``key`` must be UNIQUE: it is the concatenation order, and duplicate
+    keys leave tie order engine-/run-defined — the same total-order
+    contract ``sort.with_global_rank`` documents for its rank column.
     """
     import pandas as pd
 
@@ -142,10 +150,6 @@ def pack_documents(
             "n_tokens", F.col(count_col).cast("long")
         )
 
-    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
-        materialize as _materialize,
-    )
-
     pid, mid = "__pack_pid", "__pack_mid"
     # Materialized: the totals branch and the mapInPandas branch below
     # would otherwise EACH re-execute the range shuffle + sort (2× the
@@ -153,12 +157,17 @@ def pack_documents(
     # order ties differently — offsets computed against one order,
     # local cumsums against another (round-4 review).  The lineage cut
     # makes both branches read the same physical rows.
+    # eager=False: the checkpoint materializes on the FIRST action over
+    # the returned plan instead of at DataFrame-construction time (a
+    # registered query must stay lazy until the driver forces it); both
+    # branches still read the same physical rows once it exists.
     ranged = _materialize(
         sized.repartitionByRange(F.col(key))
         .sortWithinPartitions(key)
         .withColumn(mid, F.monotonically_increasing_id())
         .withColumn(pid, F.shiftrightunsigned(F.col(mid), 33).cast("int"))
-        .drop(mid)
+        .drop(mid),
+        eager=False,
     )
 
     totals = ranged.groupBy(pid).agg(F.sum("n_tokens").alias("__t"))
@@ -239,10 +248,22 @@ def hash_sample(df: DataFrame, rate: float, key: str = "doc_id") -> DataFrame:
     layout, any rerun agrees row for row, equal keys travel together,
     and the filter is map-only codegen (no shuffle, no RNG state).
 
+    The predicate (exactly, for third-engine mirrors): keep iff
+    ``substring(md5(CAST(key AS VARCHAR) || '#sample'), 1, 8) <
+    threshold`` — note the SALT; an unsalted md5(key) would share its
+    leading bits with ``hash_split``'s decision (see ``SAMPLE_SALT``).
     NULL keys are never sampled (md5(NULL) is NULL → predicate NULL →
     row dropped), mirrored exactly by the DuckDB predicate.
     """
-    return df.where(_sample_hash(key) < sample_threshold(rate))
+    return df.where(sample_predicate(key, rate))
+
+
+def sample_predicate(key: str, rate: float) -> Column:
+    """The boolean sample-membership column for ``key`` at ``rate`` —
+    the ONE definition ``hash_sample``, ``stratified_hash_sample``'s
+    default, and the profiling audit all share (and
+    ``duckdb_sample_predicate`` mirrors)."""
+    return _sample_hash(key) < sample_threshold(rate)
 
 
 def _sample_hash(key: str) -> Column:

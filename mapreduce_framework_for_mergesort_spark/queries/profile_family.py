@@ -188,8 +188,10 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates, the sample via conditional (filtered) aggregation.
     # A second lineitem pass covers the whole-table key-uniqueness
     # distinct-count; orders takes one pass per grain (global, bucket,
-    # split).  5 scans total instead of round 1's seven across five
-    # queries — at 100 TB the scan count IS the audit's cost.
+    # split — the hash-sample audit rides the split pass as a
+    # conditional aggregate).  5 parquet scans in this plan, plus ONE
+    # documents scan inside the packing audit's (lazy) checkpoint job —
+    # at 100 TB the scan count IS the audit's cost.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -270,9 +272,7 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional aggregation — and, because the sample hash is SALTED
     # (round-4 review), the driver check itself proves sample×split
     # independence: every split shows a ~rate-sized sampled count.
-    in_sample = sampling._sample_hash("o_orderkey") < sampling.sample_threshold(
-        _SAMPLE_RATE
-    )
+    in_sample = sampling.sample_predicate("o_orderkey", _SAMPLE_RATE)
     spl = (
         sampling.hash_split(orders, "o_orderkey")
         .groupBy("split")

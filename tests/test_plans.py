@@ -63,8 +63,13 @@ def test_decontaminate_plan_is_broadcast_semi(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     bench = docs.where("doc_id = 7").select("text")
     a = audit(decontaminate(docs, bench), final=True)
-    assert a.broadcasts >= 2, a  # bench shingles (hint) + flagged ids (AQE)
-    assert "BroadcastHashJoin" in a.text
+    # both corpus-facing joins must BE broadcast joins (counting
+    # BroadcastExchange alone is weaker: a ReusedExchange label also
+    # matches, and the anti-join could silently regress to a
+    # SortMergeJoin while a stray broadcast keeps the count up)
+    assert a.text.count("BroadcastHashJoin") >= 2, a.text[:3000]
+    assert "SortMergeJoin LeftSemi" not in a.text, a.text[:3000]
+    assert "SortMergeJoin LeftAnti" not in a.text, a.text[:3000]
 
 
 def test_pack_documents_plan_has_no_global_stage(spark, sf_oracle):
