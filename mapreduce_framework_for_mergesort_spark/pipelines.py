@@ -83,6 +83,8 @@ def curate_documents(
     embeddings: DataFrame | None = None,
     embed_tau: float = D.DEFAULT_EMBED_TAU,
     embed_cells: int = 8,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = D.DECONTAM_N,
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
@@ -103,6 +105,15 @@ def curate_documents(
     hamming-near lexical tier.  All tiers feed one connected-components
     pass, so mixed lexical/semantic duplicate chains still collapse to
     a single survivor.
+
+    ``benchmark`` (optional, a one-column-of-text DataFrame — see
+    ``decontam_n``/``operators/dedup.decontaminate``) drops every
+    surviving document that shares a long word n-gram with the eval
+    suite.  It runs on the REDACTED text (contamination is judged on
+    the text that would actually ship to training) and BEFORE dedup:
+    if a contaminated document would have been a cluster's survivor,
+    removing it first lets a clean near-duplicate survive instead of
+    silently shipping nothing from that cluster.
 
     Redaction runs FIRST (before features and dedup) so documents that
     differ only in embedded PII become exact duplicates and collapse,
@@ -129,6 +140,8 @@ def curate_documents(
     kept = feat.where(keep).drop(
         "quality", "pred_lang", *(["dup_token_frac"] if want_rep else [])
     )
+    if benchmark is not None:
+        kept = D.decontaminate(kept, benchmark, n=decontam_n)
     deduped = D.near_dedup_documents(
         kept,
         tiers=dedup_tiers,

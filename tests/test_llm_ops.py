@@ -232,6 +232,35 @@ def test_curation_pipeline_with_embedding_tier(paraphrase_corpus):
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
 
 
+def test_curation_pipeline_decontaminates_before_dedup(paraphrase_corpus):
+    """``benchmark=`` drops contaminated docs BEFORE dedup, so when the
+    contaminated doc would have been a cluster's survivor, a clean
+    near-duplicate survives in its place (instead of the whole cluster
+    shipping nothing).  Composition is pinned equal to running
+    ``decontaminate`` manually before the same pipeline."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs, _ = paraphrase_corpus
+    # one 8-gram, unique to doc 2's tail ('...at dawn' vs doc 3's
+    # '...at dusk') — flags doc 2 only, not its near-dup doc 3
+    bench = docs.sparkSession.createDataFrame(
+        [("upon a rug near an entrance at dawn",)], "text: string"
+    )
+    kw = dict(min_quality=0.0, langs=("en", "und"), redact=False)
+    without = pipelines.curate_documents(docs, **kw)
+    assert sorted(r["doc_id"] for r in without.collect()) == [1, 2, 4]
+    with_bench = pipelines.curate_documents(docs, benchmark=bench, **kw)
+    # doc 2 (contaminated, was the 2~3 survivor) is gone; its clean
+    # near-dup doc 3 survives in its place
+    assert sorted(r["doc_id"] for r in with_bench.collect()) == [1, 3, 4]
+    manual = pipelines.curate_documents(
+        D.decontaminate(docs, bench), **kw
+    )
+    assert {(r["doc_id"], r["split"]) for r in with_bench.collect()} == {
+        (r["doc_id"], r["split"]) for r in manual.collect()
+    }
+
+
 def test_curation_pipeline_end_to_end(spark, sf_oracle):
     """The composed pipeline must (a) run scale-shaped end-to-end on
     real documents, (b) only keep docs passing the filters, (c) emit
