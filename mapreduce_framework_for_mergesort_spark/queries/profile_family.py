@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import sampling
+from mapreduce_framework_for_mergesort_spark.operators import sketches
 from mapreduce_framework_for_mergesort_spark.operators.relational import dec_sum
 from mapreduce_framework_for_mergesort_spark.queries import query
 
@@ -100,7 +101,17 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
       SELECT 'n_dup_rows', 'lineitem.(l_orderkey,l_linenumber)',
              CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
                   AS DOUBLE)
-      FROM lineitem),
+      FROM lineitem
+      UNION ALL
+      SELECT 'n_keys', 'orders.o_custkey',
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) FROM orders),
+    kmv AS ({kmv_cte}),
+    kmv_rows AS (
+      SELECT 'kmv_k' AS metric, 'orders.o_custkey' AS grp,
+             CAST(kk AS DOUBLE) AS value FROM kmv
+      UNION ALL
+      SELECT 'kmv_est_distinct', 'orders.o_custkey',
+             CAST(est_distinct AS DOUBLE) FROM kmv),
     hist_rows AS (
       SELECT 'hist_n' AS metric,
              CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR)
@@ -156,6 +167,7 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
     UNION ALL SELECT * FROM sample_rows
     UNION ALL SELECT * FROM split_rows
     UNION ALL SELECT * FROM pack_rows
+    UNION ALL SELECT * FROM kmv_rows
     """.format(
         split_case=_SPLIT_CASE,
         sample_pred=sampling.duckdb_sample_predicate(
@@ -163,6 +175,7 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
         ),
         doc_tokens=H.duckdb_tokens("text"),
         pack_budget=PACK_BUDGET,
+        kmv_cte=sketches.duckdb_kmv_cte("o_custkey", "orders"),
     ),
 )
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,9 +202,14 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A second lineitem pass covers the whole-table key-uniqueness
     # distinct-count; orders takes one pass per grain (global, bucket,
     # split — the hash-sample audit rides the split pass as a
-    # conditional aggregate).  5 parquet scans in this plan, plus ONE
-    # documents scan inside the packing audit's (lazy) checkpoint job —
-    # at 100 TB the scan count IS the audit's cost.
+    # conditional aggregate; the KMV sketch audit adds an orders pass
+    # of its own — distinct-hash top-k is a different grain — and its
+    # exact-truth row another: Catalyst plans multi-column DISTINCT
+    # aggregates as separate single-column scans, so n_cust cannot
+    # actually ride o_uniq's scan).  8 column-pruned parquet scans in
+    # this plan, plus ONE documents scan inside the packing audit's
+    # (lazy) checkpoint job — at 100 TB the scan count IS the audit's
+    # cost.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -232,6 +250,7 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_uniq = orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("o_orderkey").alias("n_keys"),
+        F.count_distinct("o_custkey").alias("n_cust"),
     )
     l_uniq = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -247,6 +266,28 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("n_rows", F.col("n_rows")), ("n_keys", F.col("n_keys")),
              ("n_dup_rows", F.col("n_rows") - F.col("n_keys"))],
         )
+    ).unionByName(
+        # exact truth for the KMV audit target below — rides the same
+        # orders uniqueness pass (one more distinct agg, zero new scans)
+        _long(
+            o_uniq, F.lit("orders.o_custkey"),
+            [("n_keys", F.col("n_cust"))],
+        )
+    )
+
+    # KMV distinct-cardinality sketch audit (round 4+): the
+    # cross-engine-verifiable stand-in for approx_count_distinct —
+    # the driver hash-checks the sketch's integer estimator
+    # value-for-value next to the exact count above, so the audit
+    # carries both the truth and the sketch that would replace it at
+    # 100 TB.  Costs one extra orders scan (distinct-hash top-k is its
+    # own grain; see operators/sketches.py for the prefilter that
+    # bounds its shuffle at scale).
+    kmv_rows = _long(
+        sketches.kmv_estimate(orders, "o_custkey"),
+        F.lit("orders.o_custkey"),
+        [("kmv_k", F.col("kk")),
+         ("kmv_est_distinct", F.col("est_distinct"))],
     )
 
     hist = (
@@ -311,4 +352,5 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hist_rows)
         .unionByName(split_rows)
         .unionByName(pack_rows)
+        .unionByName(kmv_rows)
     )

@@ -150,12 +150,13 @@ def test_scalar_funcs_is_one_narrow_projection(spark, sf_oracle):
 
 def test_profile_stats_bounded_scans(spark, sf_oracle):
     """The consolidated audit must not re-scan per metric: two grouped
-    lineitem passes (stats+sample / uniqueness) + three orders passes
-    (uniqueness / histogram / split+hash-sample audit — a distinct
-    grain each, the sample riding the split pass as a conditional
-    aggregate) + one filtered re-reference, bounded at 6 parquet scans
-    in this plan (round-1's five separate queries cost 7+ for less
-    coverage).  The round-4 packing audit adds ONE documents scan that
+    lineitem passes (stats+sample / uniqueness) + orders passes for
+    uniqueness / histogram / split+hash-sample audit / KMV sketch +
+    exact truth (a distinct grain each; Catalyst splits multi-column
+    DISTINCT aggregates into separate single-column scans) — bounded
+    at 8 column-pruned parquet scans in this plan (round-1's five
+    separate queries cost 7+ for less coverage).  The round-4 packing
+    audit adds ONE documents scan that
     this count cannot see — it runs inside pack_documents' lazy
     checkpoint job and surfaces here as Scan ExistingRDD, asserted so
     the blind spot is at least visible."""
@@ -165,7 +166,7 @@ def test_profile_stats_bounded_scans(spark, sf_oracle):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") <= 6, plan
+    assert plan.count("Scan parquet") <= 8, plan
     assert "Scan ExistingRDD" in plan  # the packing audit's checkpoint
 
 

@@ -1,0 +1,85 @@
+"""KMV distinct-cardinality sketch: accuracy bound, exact-below-k,
+merge identity, NULL handling, and value-level DuckDB parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.operators import sketches as K
+from mapreduce_framework_for_mergesort_spark.io import load_table
+
+
+def test_kmv_accuracy_on_known_cardinality(spark):
+    """5000 distinct keys, each duplicated: the estimate must land
+    within the ~6%-stderr band (generous 4-sigma bound) and be
+    completely insensitive to the duplication."""
+    n = 5000
+    df = spark.range(3 * n).select((F.col("id") % n).alias("k"))
+    est = K.kmv_estimate(df, "k").collect()[0]
+    assert est["kk"] == K.KMV_K
+    assert abs(est["est_distinct"] / n - 1.0) < 0.25
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distinct keys than k: the sketch holds every hash and the
+    estimate is the exact count."""
+    df = spark.range(100).select((F.col("id") % 37).alias("k"))
+    est = K.kmv_estimate(df, "k").collect()[0]
+    assert (est["kk"], est["est_distinct"]) == (37, 37)
+
+
+def test_kmv_null_keys_contribute_nothing(spark):
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(i,) for i in range(10)], "k: bigint"
+    )
+    est = K.kmv_estimate(df, "k").collect()[0]
+    assert (est["kk"], est["est_distinct"]) == (10, 10)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """The distributable/incremental identity: merging per-source
+    sketches gives exactly the union's sketch."""
+    a = spark.range(0, 4000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("k"))
+    merged = sorted(
+        r["h"]
+        for r in K.kmv_merge(
+            [K.kmv_min_hashes(a, "k"), K.kmv_min_hashes(b, "k")]
+        ).collect()
+    )
+    direct = sorted(
+        r["h"] for r in K.kmv_min_hashes(a.unionByName(b), "k").collect()
+    )
+    assert merged == direct and len(direct) == K.KMV_K
+
+
+def test_kmv_matches_duckdb_value_for_value(spark, sf_oracle):
+    """The whole sketch pipeline — salt, hash, min-k, integer
+    estimator — replicated in DuckDB must agree exactly, and the
+    estimate must be within the error band of the true cardinality."""
+    orders = load_table(spark, sf_oracle, "orders")
+    got = K.kmv_estimate(orders, "o_custkey").collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_oracle}/orders.parquet'"
+    )
+    kk, est = con.execute(
+        K.duckdb_kmv_cte("o_custkey", "orders")
+    ).fetchone()
+    assert (got["kk"], got["est_distinct"]) == (kk, est)
+    true = orders.select("o_custkey").distinct().count()
+    if true >= K.KMV_K:
+        assert abs(est / true - 1.0) < 0.25
+    else:
+        assert est == true
+
+
+def test_kmv_plan_is_take_ordered_not_global_sort(spark):
+    """orderBy(h).limit(k) must plan as TakeOrderedAndProject
+    (per-partition top-k) — a global Sort here would shuffle every
+    distinct hash to one task at 100 TB."""
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    plan = K.kmv_min_hashes(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
