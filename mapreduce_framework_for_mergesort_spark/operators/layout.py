@@ -1,0 +1,196 @@
+"""File-layout operators: Z-order clustering and small-file compaction.
+
+At 100 TB the dominant cost of most queries is the scan, and the scan's
+cost is decided *at write time*: parquet readers skip whole files and
+row groups whose column min/max statistics exclude the predicate, but
+only if the writer physically clustered the data so those ranges are
+narrow.  Two standing layout problems:
+
+* **Multi-dimensional clustering.**  Sorting by one column gives
+  perfect pruning on that column and none on any other.  Z-ORDER
+  interleaves the bits of several columns into one clustering key
+  (Morton code), so files cover small hyper-rectangles and range
+  predicates on ANY of the participating columns prune — the same
+  technique behind Delta Lake's ``OPTIMIZE ZORDER BY`` and ClickHouse/
+  Iceberg space-filling-curve layouts, built here from pure codegen
+  bit arithmetic (no UDF, no extra shuffle beyond the one write-time
+  range partition every sorted write pays).
+* **Small files.**  Streaming sinks and fine-grained partition dirs
+  produce files far below the ~128 MB HDFS/columnar sweet spot; at
+  1000 executors the scheduler drowns in file-open overhead (and the
+  NameNode/object-store in metadata calls).  Compaction rewrites a
+  directory at a target file size — read once, one narrow
+  ``repartition``, write once.
+
+The Z-order key is EXACT integer arithmetic on both engines (the same
+cross-engine discipline as ``functions/hashing.py``): clamp each
+column into [0, 2^bits), then interleave bits round-robin.  DuckDB
+replicates the expression verbatim, so layouts — not just query
+results — are oracle-checkable, and the pruning claim itself is
+verified in tests by reading parquet footer statistics (pyarrow) and
+counting which files a range predicate can actually skip.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ZORDER_BITS = 16  # per-column resolution: 65536 buckets
+
+
+def _interleave_terms(cols: list[str], bits: int, shl, shr) -> str:
+    """Shared Morton-code generator: bit b of column j lands at output
+    position ``b * n_cols + j`` (LSB-first round-robin), rendered with
+    engine-specific shift syntax via ``shl(expr, k)`` / ``shr(expr, k)``."""
+    n = len(cols)
+    mask = (1 << bits) - 1
+    terms = []
+    for j, c in enumerate(cols):
+        clamped = f"(CASE WHEN {c} < 0 THEN 0 WHEN {c} > {mask} THEN {mask} ELSE {c} END)"
+        for b in range(bits):
+            terms.append(shl(f"({shr(clamped, b)} & 1)", b * n + j))
+    return " + ".join(terms)
+
+
+def spark_zorder_key(cols: list[str], bits: int = ZORDER_BITS) -> str:
+    """Spark SQL expression for the Morton key of integer columns
+    ``cols`` (clamped into [0, 2^bits)); fits int64 for
+    ``len(cols) * bits <= 63``."""
+    _check(cols, bits)
+    return "CAST({} AS BIGINT)".format(
+        _interleave_terms(
+            cols,
+            bits,
+            lambda e, k: f"shiftleft({e}, {k})",
+            lambda e, k: f"shiftright({e}, {k})",
+        )
+    )
+
+
+def duckdb_zorder_key(cols: list[str], bits: int = ZORDER_BITS) -> str:
+    """The identical key in DuckDB SQL (same clamp, same interleave) —
+    layouts verify cross-engine like every other operator here."""
+    _check(cols, bits)
+    return "CAST({} AS BIGINT)".format(
+        _interleave_terms(
+            cols,
+            bits,
+            lambda e, k: f"({e} << {k})",
+            lambda e, k: f"({e} >> {k})",
+        )
+    )
+
+
+def _check(cols: list[str], bits: int) -> None:
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"{len(cols)} cols x {bits} bits = {len(cols) * bits} key bits"
+            " exceeds int64; lower bits or drop columns"
+        )
+
+
+def python_zorder_key(vals: list[int], bits: int = ZORDER_BITS) -> int:
+    """Reference implementation for tests (same clamp + interleave)."""
+    mask = (1 << bits) - 1
+    out = 0
+    for j, v in enumerate(vals):
+        v = min(max(v, 0), mask)
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (b * len(vals) + j)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``:
+    range-partition on the key (each file owns a contiguous Morton
+    range = a small hyper-rectangle in col-space, so every
+    participating column's per-file min/max is narrow), sort within
+    partitions (narrow row-group stats too), drop the key, write.
+    One shuffle — the same price as any globally sorted write; the
+    multi-column pruning is free after that."""
+    zk = F.expr(spark_zorder_key(cols, bits))
+    ranged = df.withColumn("__zkey", zk)
+    ranged = (
+        ranged.repartitionByRange(num_files, "__zkey")
+        if num_files
+        else ranged.repartitionByRange("__zkey")
+    )
+    ranged.sortWithinPartitions("__zkey").drop("__zkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def parquet_file_ranges(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file (file, min, max) of ``column`` from parquet footer
+    statistics — the exact metadata a reader's file-level skipping
+    consults.  Used by tests to PROVE a layout prunes instead of
+    asserting it does."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, name))
+        idx = md.schema.to_arrow_schema().get_field_index(column)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return []  # no stats -> nothing can be proven
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((name, lo, hi))
+    return out
+
+
+def files_matching(path: str, column: str, lo, hi) -> int:
+    """How many files a ``column BETWEEN lo AND hi`` scan must read
+    under file-level min/max skipping (fewer = better layout)."""
+    ranges = parquet_file_ranges(path, column)
+    return sum(1 for _, mn, mx in ranges if not (mx < lo or mn > hi))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite the parquet directory ``src`` into ``dest`` at
+    ~``target_file_bytes`` per file.  File count is sized from the
+    SOURCE's physical bytes (the only size signal that exists before
+    reading); ``coalesce`` (narrow, no shuffle — compaction's cost
+    should be one read + one write, not a redistribution of 100 TB)
+    merges whole input files per task.  Returns
+    ``{files_before, files_after, bytes}``.  ``dest`` must differ from
+    ``src``: overwriting a directory while reading it is undefined —
+    swap directories (or table-format pointers) after the write.
+    Partitioned tables: compact per partition directory, preserving
+    the layout."""
+    if os.path.abspath(src) == os.path.abspath(dest):
+        raise ValueError("compact_parquet: dest must differ from src")
+    files = [
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dest)
+    after = sum(
+        1 for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    return {"files_before": len(files), "files_after": after, "bytes": total}

@@ -1,0 +1,133 @@
+"""Layout operators: Z-order key exactness (Python + DuckDB parity),
+measured multi-column file pruning from real parquet footers, and
+small-file compaction."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import layout as L
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535), (-3, 70000)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    got = df.select(
+        "x", "y", F.expr(L.spark_zorder_key(["x", "y"])).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == L.python_zorder_key([r["x"], r["y"]])
+    # interleave sanity: (1,0) -> bit 0, (0,1) -> bit 1
+    z = {(r["x"], r["y"]): r["z"] for r in got}
+    assert z[(1, 0)] == 1 and z[(0, 1)] == 2 and z[(0, 0)] == 0
+
+
+def test_zorder_key_matches_duckdb(spark, sf_oracle):
+    """The full interleave expression agrees value-for-value across
+    engines on real data (the property that lets layouts be
+    oracle-checked like any query)."""
+    # floor() before the int cast: DuckDB CAST(double AS BIGINT) rounds
+    # half-away while Spark truncates — floor agrees everywhere
+    cols = ["o_custkey", "CAST(floor(o_totalprice) AS BIGINT)"]
+    orders = load_table(spark, sf_oracle, "orders")
+    got = dict(
+        orders.select(
+            "o_orderkey", F.expr(L.spark_zorder_key(cols)).alias("z")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_oracle}/orders.parquet'"
+    )
+    want = dict(
+        con.execute(
+            f"SELECT o_orderkey, {L.duckdb_zorder_key(cols)} FROM orders"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_key_validation():
+    with pytest.raises(ValueError):
+        L.spark_zorder_key([])
+    with pytest.raises(ValueError):
+        L.spark_zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits
+
+
+def test_zordered_layout_prunes_on_both_dimensions(spark, sf_oracle, tmp_path):
+    """The measurable claim behind Z-order: after write_zordered on
+    (custkey, totalprice), a range predicate on EITHER column skips
+    most files by footer min/max alone; the same data written
+    hash-scattered skips nothing.  Measured from real parquet footers,
+    not asserted from theory."""
+    orders = load_table(spark, sf_oracle, "orders").withColumn(
+        "o_price_int", F.col("o_totalprice").cast("bigint")
+    )
+    n_files = 16
+    zpath, upath = str(tmp_path / "z"), str(tmp_path / "u")
+    L.write_zordered(
+        orders, zpath, ["o_custkey", "o_price_int"], num_files=n_files
+    )
+    orders.repartition(n_files).write.parquet(upath)
+
+    lo_c, hi_c = 10, 110  # ~7% of custkey space
+    lo_p, hi_p = 1000, 21000  # low slice of totalprice
+    z_cust = L.files_matching(zpath, "o_custkey", lo_c, hi_c)
+    u_cust = L.files_matching(upath, "o_custkey", lo_c, hi_c)
+    z_price = L.files_matching(zpath, "o_price_int", lo_p, hi_p)
+    u_price = L.files_matching(upath, "o_price_int", lo_p, hi_p)
+    # hash-scattered: every file spans the whole range -> zero skipping
+    assert u_cust == n_files and u_price == n_files
+    # z-ordered: BOTH dimensions prune (the single-sort layout can't)
+    assert z_cust <= n_files // 2, (z_cust, n_files)
+    assert z_price <= n_files // 2, (z_price, n_files)
+    # row fidelity
+    assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_zorder_beats_single_column_sort_on_second_dim(
+    spark, sf_oracle, tmp_path
+):
+    """Sorting by custkey alone leaves totalprice unpruned — the gap
+    Z-order exists to close."""
+    orders = load_table(spark, sf_oracle, "orders").withColumn(
+        "o_price_int", F.col("o_totalprice").cast("bigint")
+    )
+    n_files = 16
+    spath = str(tmp_path / "s")
+    orders.repartitionByRange(n_files, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.parquet(spath)
+    zpath = str(tmp_path / "z2")
+    L.write_zordered(
+        orders, zpath, ["o_custkey", "o_price_int"], num_files=n_files
+    )
+    lo_p, hi_p = 1000, 21000
+    s_price = L.files_matching(spath, "o_price_int", lo_p, hi_p)
+    z_price = L.files_matching(zpath, "o_price_int", lo_p, hi_p)
+    assert z_price < s_price, (z_price, s_price)
+
+
+def test_compact_parquet(spark, sf_oracle, tmp_path):
+    """64 tiny files -> few files near the target size; rows and
+    values preserved; in-place compaction refused."""
+    orders = load_table(spark, sf_oracle, "orders")
+    frag = str(tmp_path / "frag")
+    orders.repartition(64).write.parquet(frag)
+    dest = str(tmp_path / "compact")
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    stats = L.compact_parquet(spark, frag, dest, target_file_bytes=total // 3)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] <= 4
+    assert spark.read.parquet(dest).count() == orders.count()
+    with pytest.raises(ValueError):
+        L.compact_parquet(spark, frag, frag)
