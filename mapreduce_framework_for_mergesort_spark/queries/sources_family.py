@@ -26,6 +26,7 @@ from pyspark.sql.types import (
 )
 
 from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import layout
 from mapreduce_framework_for_mergesort_spark.operators.relational import dec_sum
 from mapreduce_framework_for_mergesort_spark.queries import query
 from mapreduce_framework_for_mergesort_spark.sources import formats
@@ -126,6 +127,39 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order clustering columns for the layout round-trip branch: floor()
+# before the int cast (DuckDB CAST(double AS BIGINT) rounds, Spark
+# truncates; floor agrees everywhere)
+_ZCOLS = ["o_custkey", "CAST(floor(o_totalprice) AS BIGINT)"]
+
+
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → Z-order clustered parquet (``operators/layout.py``) →
+    read back filtered to a custkey range → aggregate per coarse Morton
+    bucket, carrying an exact int64 SUM of the recomputed Z-keys.  The
+    oracle recomputes the identical interleave from the original
+    parquet, so the check proves (a) the clustered write is lossless
+    and (b) the Morton bit arithmetic agrees across engines
+    value-for-value.  The custkey filter is the predicate the layout
+    exists to serve — on the clustered files it prunes at file/row-group
+    level via footer min/max (measured in tests/test_layout.py)."""
+    path = _workdir(sf_dir, "zorder_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    layout.write_zordered(orders, path, _ZCOLS, num_files=8)
+    back = spark.read.parquet(path)
+    zk = F.expr(layout.spark_zorder_key(_ZCOLS))
+    return (
+        back.where(F.col("o_custkey").between(100, 600))
+        .withColumn("zb", F.shiftright(zk, 26))
+        .groupBy("zb")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice", alias="sum_price"),
+            F.sum(zk).alias("sum_zkey"),
+        )
+    )
+
+
 @query(
     "q_source_roundtrips",
     oracle="""
@@ -149,7 +183,13 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
            CAST(NULL AS BIGINT) AS sum_k
     FROM part WHERE p_size >= 25 GROUP BY p_size
-    """,
+    UNION ALL
+    SELECT 'zorder' AS fmt, CAST((__ZKEY__ >> 26) AS VARCHAR) AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
+           CAST(SUM(__ZKEY__) AS BIGINT) AS sum_k
+    FROM orders WHERE o_custkey BETWEEN 100 AND 600 GROUP BY 2
+    """.replace("__ZKEY__", layout.duckdb_zorder_key(_ZCOLS)),
 )
 def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three serialization round-trips in one tagged union (registry
@@ -161,7 +201,16 @@ def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ORIGINAL parquet, so any loss in any text/partition hop would
     hash-mismatch.  The partitioned-parquet branch additionally proves
     directory-level partition pruning (PartitionFilters pinned in
-    tests/test_sources.py)."""
+    tests/test_sources.py); the zorder branch proves the Z-order
+    clustered write (operators/layout.py) is lossless and its Morton
+    arithmetic cross-engine exact."""
+    zorder = q_zorder_roundtrip(spark, sf_dir).select(
+        F.lit("zorder").alias("fmt"),
+        F.col("zb").cast("string").alias("grp"),
+        "n",
+        F.col("sum_price").alias("sum_metric"),
+        F.col("sum_zkey").alias("sum_k"),
+    )
     csv = q_csv_roundtrip(spark, sf_dir).select(
         F.lit("csv").alias("fmt"),
         F.col("c_mktsegment").alias("grp"),
@@ -190,4 +239,9 @@ def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").alias("sum_metric"),
         F.lit(None).cast("long").alias("sum_k"),
     )
-    return csv.unionByName(jsonl).unionByName(pq).unionByName(orc)
+    return (
+        csv.unionByName(jsonl)
+        .unionByName(pq)
+        .unionByName(orc)
+        .unionByName(zorder)
+    )
