@@ -1,0 +1,300 @@
+"""Product quantization (PQ) ANN: compressed-domain candidate search.
+
+IVF (``operators/similarity.py``) prunes WHICH vectors a query touches;
+PQ compresses WHAT is stored per vector — the other half of the
+classical IVFADC design (Jégou et al., 'Product Quantization for
+Nearest Neighbor Search', TPAMI '11).  The embedding is split into M
+subvectors; each subspace gets its own small codebook (k-means over the
+subvectors), and a vector is stored as M one-byte-ish codes.  At the
+default M=4 × 16 codes, a 64-float embedding becomes 4 small ints —
+at 100 TB the candidate scan reads ~2% of the raw vector bytes, and
+query scoring is M table lookups per vector (ADC: asymmetric distance
+computation) instead of a 64-term float fold.
+
+Exactness discipline (what makes this oracle-checkable, unlike stock
+PQ): all arithmetic inherits the integer quantization of the IVF
+family — codebooks train with the same exact-int64 Lloyd
+(``similarity._kmeans_train_np``) per subspace on the same
+deterministic prefix sample, encoding is exact int64 argmin (ties to
+lowest seed id), and the ADC score is an int64 sum of int64 squared-L2
+table entries.  Every step is replicated CTE-for-CTE in
+``duckdb_pq_cte``, so candidate sets — and therefore the final
+exact-cosine-reranked top-k — agree across engines value-for-value.
+Recall vs. brute force is bounded separately in tests (approximation
+quality and cross-engine exactness are different properties; this
+module pins both).
+
+Scale shape: training touches only the bounded prefix sample (driver
+metadata, one pushed-down collect); the corpus pays ONE map-only Arrow
+pass to encode (the codebooks ride the UDF closure — M·K·subdim ints);
+ADC scoring is a pure-codegen expression over the code array (the
+distance tables are literal arrays baked into the plan — no join, no
+Python); candidates reduce via TakeOrderedAndProject; only ``r_cand``
+rows are ever re-scored with the exact cosine.  No shuffle anywhere
+except the final top-k merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.functions import vector as V
+from mapreduce_framework_for_mergesort_spark.operators import similarity as S
+
+PQ_M = 4  # subspaces (64-dim -> 16-dim subvectors)
+PQ_K = 16  # codewords per subspace
+PQ_ITERS = 2  # Lloyd iterations per subspace (same role as KM_ITERS)
+
+Codebooks = list[S.Cents]  # [m] -> [(seed_id, subvector int64)] sorted
+
+
+def train_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> Codebooks:
+    """Per-subspace integer k-means codebooks from the deterministic
+    prefix sample ``vec_id < k_codes * KM_SAMPLE_FACTOR`` (same sample
+    rule as IVF training; the collect is bounded index metadata).  Each
+    subspace trains independently on its slice with the exact trainer
+    the IVF cells use — one sample, M small Lloyd runs."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    sample = k_codes * S.KM_SAMPLE_FACTOR
+    rows = (
+        embeddings.where(F.col("vec_id") < sample)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not rows:
+        return [[] for _ in range(m)]
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    Xq = S._quantize_np(
+        np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    )
+    return [
+        S._kmeans_train_np(
+            ids, Xq[:, j * sub : (j + 1) * sub], k_codes, iters
+        )
+        for j in range(m)
+    ]
+
+
+def _encode_np(Xq, books: Codebooks):
+    """(n, dim) quantized rows -> (n, M) int64 code POSITIONS (index
+    into the cid-sorted codebook; ``_argmin_np``'s lowest-cid tie-break
+    maps 1:1 onto positions because each book is sorted by cid)."""
+    m = len(books)
+    sub = Xq.shape[1] // m
+    out = np.empty((Xq.shape[0], m), dtype=np.int64)
+    for j, book in enumerate(books):
+        ids = np.array([cid for cid, _ in book], dtype=np.int64)
+        pos = {int(c): i for i, c in enumerate(ids)}
+        cids = S._argmin_np(Xq[:, j * sub : (j + 1) * sub], book)
+        out[:, j] = [pos[int(c)] for c in cids]
+    return out
+
+
+def pq_encode(embeddings: DataFrame, books: Codebooks) -> DataFrame:
+    """Add ``code: array<bigint>`` (M positions) — ONE map-only Arrow
+    pass; quantization happens in-batch (``_quantize_np``, pinned to
+    the canonical SQL expression) so the interpreted per-component
+    quantize never runs over the corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def code(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="object")
+        Xq = S._quantize_np(np.array(col.tolist(), dtype=np.float64))
+        return pd.Series(list(_encode_np(Xq, books)))
+
+    return embeddings.withColumn("code", code(F.col("embedding")))
+
+
+def _adc_tables(qe, books: Codebooks, dim: int):
+    """Int64 distance tables T[m][pos] = ||q_sub_m - codeword||² for a
+    raw query embedding — M·K ints of driver-side metadata."""
+    m = len(books)
+    sub = dim // m
+    Q = S._quantize_np(np.array([list(qe)], dtype=np.float64))[0]
+    tables = []
+    for j, book in enumerate(books):
+        qs = Q[j * sub : (j + 1) * sub]
+        tables.append(
+            [int(((np.array(cq, dtype=np.int64) - qs) ** 2).sum())
+             for _, cq in book]
+        )
+    return tables
+
+
+def _adc_expr(tables) -> str:
+    """The pure-codegen ADC score: sum over subspaces of a literal-array
+    lookup by code position — no join, no Python, whole-stage codegen."""
+    terms = []
+    for j, t in enumerate(tables):
+        arr = ", ".join(f"CAST({v} AS BIGINT)" for v in t)
+        terms.append(
+            f"element_at(array({arr}),"
+            f" CAST(element_at(code, {j + 1}) AS INT) + 1)"
+        )
+    return " + ".join(terms)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int,
+    dim: int,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    r_cand: int | None = None,
+) -> DataFrame:
+    """PQ/ADC ANN top-k: encode once, score every vector in the
+    compressed domain (int64 table lookups), take the ``r_cand``
+    best-ADC candidates deterministically (ADC asc, vec_id), then
+    exact-cosine rerank only those.  ``r_cand`` (default 4k) is the
+    recall knob — the PQ analogue of IVF's nprobe: larger = more exact
+    rescoring, recall -> 1 as r_cand -> corpus."""
+    r_cand = r_cand if r_cand is not None else 4 * k
+    books = train_codebooks(embeddings, dim, m, k_codes, iters)
+    q = (
+        embeddings.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .collect()
+    )
+    if not q or not any(books):
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id: bigint, score: double"
+        )
+    qe = q[0]["embedding"]
+    tables = _adc_tables(qe, books, dim)
+    coded = pq_encode(embeddings, books)
+    cand = (
+        coded.select(
+            "vec_id", "embedding", F.expr(_adc_expr(tables)).alias("adc")
+        )
+        .orderBy(F.col("adc").asc(), F.col("vec_id"))
+        .limit(r_cand)
+    )
+    scored = cand.select(
+        "vec_id",
+        F.expr(V.spark_cosine("embedding", S._qe_lit(qe))).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+def duckdb_pq_cte(
+    dim: int,
+    query_vec: int,
+    k: int,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    r_cand: int | None = None,
+    table: str = "embeddings",
+) -> str:
+    """CTE chain replicating the WHOLE PQ pipeline — quantization,
+    per-subspace prefix-sample Lloyd training, encoding, int64 ADC,
+    deterministic candidate cut, exact-cosine rerank — ending in
+    ``ptop(rank, vec_id, score)``.  Same generated-SQL discipline as
+    ``similarity.duckdb_kmeans_cte``; every intermediate is int64 or
+    one correctly-rounded double division, so both engines pick
+    identical candidates and the reranked top-k matches bit-for-bit."""
+    r_cand = r_cand if r_cand is not None else 4 * k
+    sub = dim // m
+    sample = k_codes * S.KM_SAMPLE_FACTOR
+    nrm = f"sqrt({V.duckdb_dot('embedding', 'embedding', dim)})"
+    dist = (
+        f"list_sum(list_transform(range(1, {sub + 1}), "
+        "i -> (x.sq[i] - c.cq[i]) * (x.sq[i] - c.cq[i])))"
+    )
+    slices = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {j} AS m, xq[{j * sub + 1}:{(j + 1) * sub}] AS sq"
+        " FROM pxq"
+        for j in range(m)
+    )
+    parts = [
+        f"""pnorm AS (
+      SELECT vec_id, embedding,
+             CASE WHEN {nrm} = CAST(0 AS DOUBLE)
+                  THEN CAST(1 AS DOUBLE) ELSE {nrm} END AS nrm
+      FROM {table}),
+    pxq AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding, v ->
+               CAST(round(CAST(v AS DOUBLE) / nrm
+                          * CAST({S.QUANT} AS DOUBLE)) AS BIGINT)) AS xq
+      FROM pnorm),
+    psub AS (
+      {slices}),
+    psmp AS (
+      SELECT vec_id, m, sq FROM psub WHERE vec_id < {sample}),
+    pc0 AS (
+      SELECT m, vec_id AS cid, sq AS cq FROM (
+        SELECT m, vec_id, sq,
+               row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        FROM psmp)
+      WHERE rn <= {k_codes})"""
+    ]
+    prev = "pc0"
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pa{t} AS (
+      SELECT x.vec_id, x.m, c.cid,
+             row_number() OVER (PARTITION BY x.vec_id, x.m
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM psmp x JOIN {prev} c ON c.m = x.m),
+    pu{t} AS (
+      SELECT a.m, a.cid, ki.i,
+             CAST(round(CAST(SUM(x.sq[ki.i]) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cq_i
+      FROM pa{t} a
+      JOIN psmp x ON x.vec_id = a.vec_id AND x.m = a.m
+      CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) ki
+      WHERE a.rn = 1
+      GROUP BY a.m, a.cid, ki.i),
+    pc{t} AS (
+      SELECT m, cid, list(cq_i ORDER BY i) AS cq
+      FROM pu{t} GROUP BY m, cid)"""
+        )
+        prev = f"pc{t}"
+    parts.append(
+        f"""pcode AS (
+      SELECT x.vec_id, x.m, c.cid,
+             row_number() OVER (PARTITION BY x.vec_id, x.m
+                                ORDER BY {dist}, c.cid) AS rn
+      FROM psub x JOIN {prev} c ON c.m = x.m),
+    pq_q AS (
+      SELECT m, sq FROM psub WHERE vec_id = {query_vec}),
+    padc AS (
+      SELECT pc.vec_id,
+             SUM(list_sum(list_transform(range(1, {sub + 1}),
+                 i -> (q.sq[i] - c.cq[i]) * (q.sq[i] - c.cq[i])))) AS adc
+      FROM pcode pc
+      JOIN {prev} c ON c.m = pc.m AND c.cid = pc.cid
+      JOIN pq_q q ON q.m = pc.m
+      WHERE pc.rn = 1
+      GROUP BY pc.vec_id),
+    pcand AS (
+      SELECT vec_id FROM padc ORDER BY adc, vec_id LIMIT {r_cand}),
+    pqv AS (
+      SELECT embedding AS qe FROM {table} WHERE vec_id = {query_vec}),
+    pscored AS (
+      SELECT e.vec_id,
+             {V.duckdb_cosine('e.embedding', 'qe', dim)} AS score
+      FROM {table} e JOIN pcand USING (vec_id) CROSS JOIN pqv),
+    ptop AS (
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank,
+             vec_id, score
+      FROM pscored ORDER BY score DESC, vec_id LIMIT {k})"""
+    )
+    return ",\n    ".join(parts)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
 from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import pq as PQ
 from mapreduce_framework_for_mergesort_spark.operators import similarity as S
 from mapreduce_framework_for_mergesort_spark.queries import query
 
@@ -72,8 +73,12 @@ NUM_CENTROIDS = 8
              CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
                AS rank,
              vec_id, score
-      FROM s2 ORDER BY score DESC, vec_id LIMIT {TOPK})
+      FROM s2 ORDER BY score DESC, vec_id LIMIT {TOPK}),
+    {PQ.duckdb_pq_cte(DIM, QUERY_VEC, TOPK)},
+    rpq AS (
+      SELECT 'pq' AS part, rank, vec_id, score FROM ptop)
     SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    UNION ALL SELECT * FROM rpq
     """,
 )
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,7 +87,12 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * ``p1`` — nprobe=1 (single nearest cell), the rounds-1-3 contract;
     * ``p2`` — nprobe=2 (two nearest cells in deterministic
-      centroid-distance order).
+      centroid-distance order);
+    * ``pq`` — product-quantization ADC search (``operators/pq.py``):
+      per-subspace integer codebooks, compressed-domain int64 scoring,
+      deterministic candidate cut, exact-cosine rerank — the
+      memory-bound ANN tier, with training/encoding/ADC all replicated
+      in the oracle's CTE chain.
 
     Unlike the LSH variant, every step — k-means training, probe-cell
     selection, rerank — is exact deterministic arithmetic, so the
@@ -94,15 +104,21 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
     parts = []
-    for nprobe, tag in ((1, "p1"), (2, "p2")):
-        top = S.ivf_topk(emb, QUERY_VEC, TOPK, NUM_CENTROIDS, nprobe=nprobe)
+    for tag, top in (
+        ("p1", S.ivf_topk(emb, QUERY_VEC, TOPK, NUM_CENTROIDS, nprobe=1)),
+        ("p2", S.ivf_topk(emb, QUERY_VEC, TOPK, NUM_CENTROIDS, nprobe=2)),
+        ("pq", PQ.pq_adc_topk(emb, QUERY_VEC, TOPK, DIM)),
+    ):
         parts.append(
             top.withColumn("rank", F.row_number().over(w).cast("long"))
             .select(
                 F.lit(tag).alias("part"), "rank", "vec_id", "score"
             )
         )
-    return parts[0].unionByName(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @query(

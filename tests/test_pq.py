@@ -1,0 +1,105 @@
+"""Product-quantization ANN: cross-engine exactness of the full
+train/encode/ADC/rerank pipeline, recall bounds vs brute force, and
+the compressed-domain shapes."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import pq as P
+from mapreduce_framework_for_mergesort_spark.operators import similarity as S
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_oracle):
+    return load_table(spark, sf_oracle, "embeddings")
+
+
+def test_pq_matches_duckdb_value_for_value(spark, sf_oracle, emb):
+    """Training, encoding, int64 ADC, the deterministic candidate cut,
+    and the exact-cosine rerank must all agree across engines — the
+    final (vec_id, score) list matches bit-for-bit."""
+    got = [
+        (r["vec_id"], r["score"])
+        for r in P.pq_adc_topk(emb, 0, 10, DIM).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{sf_oracle}/embeddings.parquet'"
+    )
+    want = con.execute(
+        "WITH " + P.duckdb_pq_cte(DIM, 0, 10)
+        + " SELECT vec_id, score FROM ptop ORDER BY rank"
+    ).fetchall()
+    assert got == [(v, s) for v, s in want]
+
+
+def test_pq_recall_monotone_and_exact_at_full(spark, emb):
+    """r_cand is the recall knob: candidate sets are nested (ADC order
+    is total), so recall@10 vs brute force is non-decreasing in r_cand
+    and exactly 1.0 when every vector is reranked."""
+    n = emb.count()
+    bf = {r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()}
+    last = -1.0
+    for rc in (40, 100, n):
+        got = {
+            r["vec_id"]
+            for r in P.pq_adc_topk(emb, 0, 10, DIM, r_cand=rc).collect()
+        }
+        recall = len(bf & got) / 10
+        assert recall >= last, (rc, recall, last)
+        last = recall
+    assert last == 1.0
+    # and the engine's default r_cand is useful on real embeddings
+    got = {r["vec_id"] for r in P.pq_adc_topk(emb, 0, 10, DIM).collect()}
+    assert len(bf & got) / 10 >= 0.4
+
+
+def test_pq_codebook_and_code_shapes(spark, emb):
+    """M books of <= K codewords of subdim width; codes are M positions
+    each in [0, len(book)) — the 64-float embedding compresses to 4
+    small ints (the 100 TB memory story)."""
+    books = P.train_codebooks(emb, DIM)
+    assert len(books) == P.PQ_M
+    for book in books:
+        assert 0 < len(book) <= P.PQ_K
+        assert all(len(cq) == DIM // P.PQ_M for _, cq in book)
+    rows = P.pq_encode(emb, books).select("code").limit(50).collect()
+    for r in rows:
+        assert len(r["code"]) == P.PQ_M
+        for j, c in enumerate(r["code"]):
+            assert 0 <= c < len(books[j])
+
+
+def test_pq_validation():
+    with pytest.raises(ValueError):
+        P.train_codebooks(None, dim=65, m=4)  # not divisible
+
+
+def test_pq_adc_plan_is_codegen_take_ordered(spark, emb):
+    """The compressed-domain scan must stay JVM-side: one Arrow encode
+    pass (ArrowEvalPython), ADC as a literal-array projection (no join,
+    no second Python stage), TakeOrderedAndProject for the candidate
+    cut."""
+    books = P.train_codebooks(emb, DIM)
+    tables = P._adc_tables(
+        emb.where(F.col("vec_id") == 0).collect()[0]["embedding"],
+        books,
+        DIM,
+    )
+    cand = (
+        P.pq_encode(emb, books)
+        .select("vec_id", F.expr(P._adc_expr(tables)).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id"))
+        .limit(40)
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Join" not in plan
