@@ -191,6 +191,89 @@ def pq_adc_topk(
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
 
 
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    m: int = PQ_M,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> Codebooks:
+    """Encode the corpus ONCE and persist the compressed index —
+    ``<path>/codes`` holds (vec_id, code) rows (M small ints per
+    vector: ~2% of the raw embedding bytes), ``<path>/books`` the
+    codebooks (M·K·subdim ints of metadata).  Returns the codebooks.
+
+    The 100 TB serving amortization, same pattern as
+    ``similarity.write_ivf_index``: the corpus pays one
+    quantize+encode+write; every later ``probe_pq_index`` call scans
+    only the compressed codes (no raw vectors until the rerank, which
+    reads ``r_cand`` rows by key)."""
+    books = train_codebooks(embeddings, dim, m, k_codes, iters)
+    pq_encode(embeddings, books).select("vec_id", "code").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    rows = [
+        (j, int(cid), [int(v) for v in cq])
+        for j, book in enumerate(books)
+        for cid, cq in book
+    ]
+    embeddings.sparkSession.createDataFrame(
+        rows, "m: int, cid: bigint, cq: array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    return books
+
+
+def read_codebooks(spark, path: str) -> Codebooks:
+    """Load persisted codebooks back into the driver-side structure
+    (index metadata — M·K rows)."""
+    rows = spark.read.parquet(f"{path}/books").collect()
+    m = max(r["m"] for r in rows) + 1 if rows else 0
+    books: Codebooks = [[] for _ in range(m)]
+    for r in rows:
+        books[r["m"]].append((int(r["cid"]), [int(v) for v in r["cq"]]))
+    return [sorted(b) for b in books]
+
+
+def probe_pq_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_embedding: list[float],
+    k: int,
+    dim: int,
+    r_cand: int | None = None,
+) -> DataFrame:
+    """Top-k probe of a persisted PQ index for an ARBITRARY query
+    vector: ADC over the compressed codes (literal distance tables —
+    the scan reads only (vec_id, code)), deterministic candidate cut,
+    then exact-cosine rerank by joining the ``r_cand`` candidate ids
+    back to the raw ``embeddings`` table (AQE broadcasts the tiny
+    candidate side).  The query goes through a one-row DataFrame with
+    the corpus's ``array<float>`` schema so it is narrowed exactly as
+    a stored vector would be (same float32 round-trip rule as
+    ``similarity.probe_ivf_index``)."""
+    r_cand = r_cand if r_cand is not None else 4 * k
+    books = read_codebooks(spark, path)
+    qdf = spark.createDataFrame(
+        [(0, query_embedding)], "vec_id: bigint, embedding: array<float>"
+    )
+    qe = qdf.collect()[0]["embedding"]
+    tables = _adc_tables(qe, books, dim)
+    cand = (
+        spark.read.parquet(f"{path}/codes")
+        .select("vec_id", F.expr(_adc_expr(tables)).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("vec_id"))
+        .limit(r_cand)
+        .select("vec_id")
+    )
+    scored = embeddings.join(cand, "vec_id").select(
+        "vec_id",
+        F.expr(V.spark_cosine("embedding", S._qe_lit(qe))).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
 def duckdb_pq_cte(
     dim: int,
     query_vec: int,
