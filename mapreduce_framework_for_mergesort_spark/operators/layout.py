@@ -50,7 +50,16 @@ def _interleave_terms(cols: list[str], bits: int, shl, shr) -> str:
     mask = (1 << bits) - 1
     terms = []
     for j, c in enumerate(cols):
-        clamped = f"(CASE WHEN {c} < 0 THEN 0 WHEN {c} > {mask} THEN {mask} ELSE {c} END)"
+        # The CAST TO BIGINT is load-bearing: on an IntegerType column
+        # Spark's shiftleft does 32-BIT arithmetic (shift counts wrap
+        # mod 32), which silently scrambles every bit position >= 32 —
+        # measured: (65535, 65535) keyed to -1 instead of 2^32-1
+        # (round-4+ review).  Clamping first keeps the cast safe for
+        # any integral input.
+        clamped = (
+            f"CAST((CASE WHEN {c} < 0 THEN 0 WHEN {c} > {mask}"
+            f" THEN {mask} ELSE {c} END) AS BIGINT)"
+        )
         for b in range(bits):
             terms.append(shl(f"({shr(clamped, b)} & 1)", b * n + j))
     return " + ".join(terms)
@@ -120,11 +129,13 @@ def write_zordered(
     partitions (narrow row-group stats too), drop the key, write.
     One shuffle — the same price as any globally sorted write; the
     multi-column pruning is free after that."""
+    if num_files is not None and num_files <= 0:
+        raise ValueError(f"num_files must be positive, got {num_files}")
     zk = F.expr(spark_zorder_key(cols, bits))
     ranged = df.withColumn("__zkey", zk)
     ranged = (
         ranged.repartitionByRange(num_files, "__zkey")
-        if num_files
+        if num_files is not None
         else ranged.repartitionByRange("__zkey")
     )
     ranged.sortWithinPartitions("__zkey").drop("__zkey").write.mode(
@@ -136,7 +147,9 @@ def parquet_file_ranges(path: str, column: str) -> list[tuple[str, object, objec
     """Per-file (file, min, max) of ``column`` from parquet footer
     statistics — the exact metadata a reader's file-level skipping
     consults.  Used by tests to PROVE a layout prunes instead of
-    asserting it does."""
+    asserting it does.  Raises when any row group lacks min/max stats
+    (nothing can be proven then, and silently returning "everything
+    prunes" would invert the conservative direction)."""
     import pyarrow.parquet as pq
 
     out = []
@@ -149,7 +162,15 @@ def parquet_file_ranges(path: str, column: str) -> list[tuple[str, object, objec
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
-                return []  # no stats -> nothing can be proven
+                # loud, not an empty list: [] would read as "0 files
+                # match" — missing statistics masquerading as PERFECT
+                # pruning, the inverted-conservative direction
+                # (round-4+ review)
+                raise ValueError(
+                    f"{name} row group {rg} has no min/max statistics"
+                    f" for {column!r}; file-level pruning cannot be"
+                    " proven"
+                )
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         out.append((name, lo, hi))

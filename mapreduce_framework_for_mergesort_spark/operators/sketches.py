@@ -84,6 +84,8 @@ def kmv_merge(sketches: list[DataFrame], k: int = KMV_K) -> DataFrame:
     distinct, keep the k smallest — the identity that lets 1000
     executors (or 1000 daily increments) each sketch locally and
     combine without touching raw data again."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)

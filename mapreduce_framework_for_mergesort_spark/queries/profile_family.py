@@ -202,11 +202,10 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A second lineitem pass covers the whole-table key-uniqueness
     # distinct-count; orders takes one pass per grain (global, bucket,
     # split — the hash-sample audit rides the split pass as a
-    # conditional aggregate; the KMV sketch audit adds an orders pass
-    # of its own — distinct-hash top-k is a different grain — and its
-    # exact-truth row another: Catalyst plans multi-column DISTINCT
-    # aggregates as separate single-column scans, so n_cust cannot
-    # actually ride o_uniq's scan).  8 column-pruned parquet scans in
+    # conditional aggregate; the KMV sketch audit adds one orders pass
+    # of its own, distinct-hash top-k being a different grain, while
+    # its exact-truth count rides o_uniq's Expand-rewritten multi-
+    # distinct aggregate for free).  7 column-pruned parquet scans in
     # this plan, plus ONE documents scan inside the packing audit's
     # (lazy) checkpoint job — at 100 TB the scan count IS the audit's
     # cost.
@@ -256,22 +255,44 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("l_orderkey", "l_linenumber").alias("n_keys"),
     )
-    uniq_rows = _long(
-        o_uniq, F.lit("orders.o_orderkey"),
-        [("n_rows", F.col("n_rows")), ("n_keys", F.col("n_keys")),
-         ("n_dup_rows", F.col("n_rows") - F.col("n_keys"))],
-    ).unionByName(
-        _long(
-            l_uniq, F.lit("lineitem.(l_orderkey,l_linenumber)"),
-            [("n_rows", F.col("n_rows")), ("n_keys", F.col("n_keys")),
-             ("n_dup_rows", F.col("n_rows") - F.col("n_keys"))],
+    # The orders uniqueness rows carry TWO grp labels (o_orderkey and
+    # the KMV audit target o_custkey), so the long projection inlines
+    # per-entry grp literals in ONE explode — projecting o_uniq through
+    # a second union branch would duplicate the whole aggregate subtree
+    # and re-scan orders (exactly the anti-pattern _long exists to
+    # avoid; caught by the round-4+ review after a first cut did it).
+    o_kvs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.lit(g).alias("grp"),
+                v.cast("double").alias("value"),
+            )
+            for m, g, v in [
+                ("n_rows", "orders.o_orderkey", F.col("n_rows")),
+                ("n_keys", "orders.o_orderkey", F.col("n_keys")),
+                (
+                    "n_dup_rows",
+                    "orders.o_orderkey",
+                    F.col("n_rows") - F.col("n_keys"),
+                ),
+                ("n_keys", "orders.o_custkey", F.col("n_cust")),
+            ]
+        ]
+    )
+    uniq_rows = (
+        o_uniq.select(F.explode(o_kvs).alias("kv"))
+        .select(
+            F.col("kv.metric").alias("metric"),
+            F.col("kv.grp").alias("grp"),
+            F.col("kv.value").alias("value"),
         )
-    ).unionByName(
-        # exact truth for the KMV audit target below — rides the same
-        # orders uniqueness pass (one more distinct agg, zero new scans)
-        _long(
-            o_uniq, F.lit("orders.o_custkey"),
-            [("n_keys", F.col("n_cust"))],
+        .unionByName(
+            _long(
+                l_uniq, F.lit("lineitem.(l_orderkey,l_linenumber)"),
+                [("n_rows", F.col("n_rows")), ("n_keys", F.col("n_keys")),
+                 ("n_dup_rows", F.col("n_rows") - F.col("n_keys"))],
+            )
         )
     )
 

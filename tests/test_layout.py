@@ -59,6 +59,31 @@ def test_zorder_key_validation():
         L.spark_zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits
 
 
+def test_zorder_key_correct_on_int32_columns(spark):
+    """IntegerType inputs must produce the same keys as LongType:
+    without the in-expression BIGINT cast, Spark's shiftleft does
+    32-bit arithmetic on INT operands (shift counts wrap mod 32) and
+    (65535, 65535) keys to -1 instead of 2^32-1 (round-4+ review)."""
+    rows = [(65535, 65535), (65535, 0), (1, 1)]
+    df = spark.createDataFrame(rows, "x: int, y: int")
+    got = df.select(
+        "x", "y", F.expr(L.spark_zorder_key(["x", "y"])).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == L.python_zorder_key([r["x"], r["y"]]), r
+    assert {r["z"] for r in got} == {
+        (1 << 32) - 1,
+        L.python_zorder_key([65535, 0]),
+        3,
+    }
+
+
+def test_write_zordered_rejects_zero_files(spark, sf_oracle, tmp_path):
+    orders = load_table(spark, sf_oracle, "orders")
+    with pytest.raises(ValueError):
+        L.write_zordered(orders, str(tmp_path / "x"), ["o_custkey"], num_files=0)
+
+
 def test_zordered_layout_prunes_on_both_dimensions(spark, sf_oracle, tmp_path):
     """The measurable claim behind Z-order: after write_zordered on
     (custkey, totalprice), a range predicate on EITHER column skips

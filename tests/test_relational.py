@@ -151,11 +151,11 @@ def test_scalar_funcs_is_one_narrow_projection(spark, sf_oracle):
 def test_profile_stats_bounded_scans(spark, sf_oracle):
     """The consolidated audit must not re-scan per metric: two grouped
     lineitem passes (stats+sample / uniqueness) + orders passes for
-    uniqueness / histogram / split+hash-sample audit / KMV sketch +
-    exact truth (a distinct grain each; Catalyst splits multi-column
-    DISTINCT aggregates into separate single-column scans) — bounded
-    at 8 column-pruned parquet scans in this plan (round-1's five
-    separate queries cost 7+ for less coverage).  The round-4 packing
+    uniqueness (incl. the KMV exact-truth distinct, riding the same
+    Expand-rewritten multi-distinct aggregate) / histogram /
+    split+hash-sample audit / KMV sketch — bounded at 7 column-pruned
+    parquet scans in this plan (round-1's five separate queries cost
+    7+ for less coverage).  The round-4 packing
     audit adds ONE documents scan that
     this count cannot see — it runs inside pack_documents' lazy
     checkpoint job and surfaces here as Scan ExistingRDD, asserted so
@@ -166,7 +166,7 @@ def test_profile_stats_bounded_scans(spark, sf_oracle):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") <= 8, plan
+    assert plan.count("Scan parquet") <= 7, plan
     assert "Scan ExistingRDD" in plan  # the packing audit's checkpoint
 
 

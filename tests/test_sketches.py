@@ -55,6 +55,11 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     assert merged == direct and len(direct) == K.KMV_K
 
 
+def test_kmv_merge_empty_list_raises(spark):
+    with pytest.raises(ValueError):
+        K.kmv_merge([])
+
+
 def test_kmv_matches_duckdb_value_for_value(spark, sf_oracle):
     """The whole sketch pipeline — salt, hash, min-k, integer
     estimator — replicated in DuckDB must agree exactly, and the
