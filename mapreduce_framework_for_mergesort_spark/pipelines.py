@@ -150,3 +150,66 @@ def curate_documents(
         embed_cells=embed_cells,
     )
     return sampling.hash_split(deduped, split_on, splits)
+
+
+def prepare_training_shards(
+    documents: DataFrame,
+    out_dir: str,
+    budget: int = 2048,
+    shards_per_split: int = 4,
+    splits: sampling.Weights = sampling.DEFAULT_SPLITS,
+    **curate_kwargs,
+) -> dict:
+    """The last mile: curated corpus → on-disk training shards.
+
+    Composes ``curate_documents`` (redact → filter → [decontaminate] →
+    near-dedup → split) with per-split sequence packing
+    (``sampling.pack_documents``) and a layout-aware shard write, then
+    returns a small manifest dict — the artifact a training job
+    consumes directly:
+
+    * packing runs WITHIN each split (a training sequence must never
+      straddle a train/test boundary — packing the whole corpus first
+      would concatenate across splits);
+    * each split writes to ``<out_dir>/<split>/`` range-partitioned by
+      ``pack_id`` and sorted by (pack_id, pack_offset): every shard
+      file owns a contiguous pack range in order, so a data loader
+      streams shard files sequentially with zero shuffling at read
+      time, and pack_id range predicates prune at file level (footer
+      min/max — the same mechanism ``operators/layout.py`` measures);
+    * the manifest carries per-split docs / tokens / packs / shards —
+      all Spark-side aggregates (counts and int64 sums; nothing
+      data-sized ever reaches the driver).
+
+    Determinism end to end: every stage is a pure function of content
+    (hash split, hash dedup survivors, key-ordered packing), so a
+    rerun writes byte-identical shard contents — the property that
+    makes 100 TB pipeline re-runs diffable.  ``pack_id`` is scoped per
+    split directory (each split packs its own token stream from 0).
+    """
+    curated = curate_documents(documents, splits=splits, **curate_kwargs)
+    manifest: dict = {"budget": budget, "splits": {}}
+    for split, _w in splits:
+        sub = curated.where(F.col("split") == split).drop("split")
+        packed = sampling.pack_documents(sub, budget)
+        (
+            packed.repartitionByRange(shards_per_split, "pack_id")
+            .sortWithinPartitions("pack_id", "pack_offset")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/{split}")
+        )
+        agg = packed.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+        ).collect()[0]
+        tokens = int(agg["tokens"])
+        manifest["splits"][split] = {
+            "docs": agg["docs"],
+            "tokens": tokens,
+            # ceil(tokens/budget), NOT max(pack_id)+1: pack_id is where
+            # a document STARTS, and a last document that straddles into
+            # the final (partial) pack would undercount it
+            "packs": -(-tokens // budget),
+            "path": f"{out_dir}/{split}",
+        }
+    return manifest

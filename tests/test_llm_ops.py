@@ -261,6 +261,49 @@ def test_curation_pipeline_decontaminates_before_dedup(paraphrase_corpus):
     }
 
 
+def test_prepare_training_shards_end_to_end(spark, sf_oracle, tmp_path):
+    """Corpus → shards: split-scoped packing (no sequence straddles a
+    split), in-order shard layout, token-conserving manifest, and a
+    bit-identical rerun."""
+    import math
+
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = str(tmp_path / "shards")
+    man = pipelines.prepare_training_shards(
+        docs, out, budget=512, shards_per_split=2, min_quality=0.3
+    )
+    assert set(man["splits"]) == {"train", "val", "test"}
+    seen_ids: set[int] = set()
+    for split, info in man["splits"].items():
+        back = spark.read.parquet(info["path"])
+        rows = back.select("doc_id", "n_tokens", "pack_id", "pack_offset").collect()
+        assert len(rows) == info["docs"] > 0
+        assert sum(r["n_tokens"] for r in rows) == info["tokens"]
+        # packs = ceil(tokens / budget); the last doc may merely
+        # STRADDLE into the final pack without starting there, so
+        # max(pack_id) is allowed to be one less
+        assert info["packs"] == math.ceil(info["tokens"] / 512)
+        assert max(r["pack_id"] for r in rows) + 1 in (
+            info["packs"], info["packs"] - 1,
+        )
+        ids = {r["doc_id"] for r in rows}
+        assert not (ids & seen_ids)  # splits are disjoint
+        seen_ids |= ids
+        # every pack_offset is a real concatenation offset
+        assert all(0 <= r["pack_offset"] < 512 for r in rows)
+    # rerun is identical end to end (deterministic pipeline)
+    again = pipelines.prepare_training_shards(
+        docs, str(tmp_path / "shards2"), budget=512, shards_per_split=2,
+        min_quality=0.3,
+    )
+    assert {s: {k: v for k, v in i.items() if k != "path"}
+            for s, i in again["splits"].items()} == \
+           {s: {k: v for k, v in i.items() if k != "path"}
+            for s, i in man["splits"].items()}
+
+
 def test_curation_pipeline_end_to_end(spark, sf_oracle):
     """The composed pipeline must (a) run scale-shaped end-to-end on
     real documents, (b) only keep docs passing the filters, (c) emit
