@@ -183,11 +183,23 @@ def prepare_training_shards(
 
     Determinism end to end: every stage is a pure function of content
     (hash split, hash dedup survivors, key-ordered packing), so a
-    rerun writes byte-identical shard contents — the property that
-    makes 100 TB pipeline re-runs diffable.  ``pack_id`` is scoped per
-    split directory (each split packs its own token stream from 0).
+    rerun writes the same rows in the same order to the same shard
+    layout — the property that makes 100 TB pipeline re-runs
+    diffable.  ``pack_id`` is scoped per split directory (each split
+    packs its own token stream from 0).
     """
-    curated = curate_documents(documents, splits=splits, **curate_kwargs)
+    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+        materialize,
+    )
+
+    # One curation run, not one per split: each split's pack+write
+    # branch consumes the SAME materialized survivors (lineage cut) —
+    # without this the redact→features→dedup pipeline re-executes per
+    # split, tripling the dominant cost at any scale.
+    curated = materialize(
+        curate_documents(documents, splits=splits, **curate_kwargs),
+        eager=False,
+    )
     manifest: dict = {"budget": budget, "splits": {}}
     for split, _w in splits:
         sub = curated.where(F.col("split") == split).drop("split")

@@ -130,6 +130,10 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
       UNION ALL
       SELECT 'sample_sum_qty', l_returnflag,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'p50_qty_sampled', l_returnflag,
+             quantile_cont(l_quantity, 0.50)
       FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_returnflag),
     split_rows AS (
       SELECT 'split_n' AS metric, {split_case} AS grp,
@@ -221,6 +225,15 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.75)").alias("p75"),
         F.count(F.when(sampled, 1)).alias("sn"),
         F.sum(F.when(sampled, x)).cast("double").alias("ssum"),
+        # sampled-quantile: the exact percentile of the DETERMINISTIC
+        # systematic sample — unlike approx_percentile's KLL sketch
+        # this scale substitute is cross-engine verifiable, because
+        # sample membership is a pure function of the key (same
+        # argument as the KMV grain); rides the same scan/agg
+        F.expr(
+            "percentile(CASE WHEN l_orderkey % 50 = 0"
+            " THEN l_quantity END, 0.5)"
+        ).alias("p50s"),
     )
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -242,7 +255,8 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never sees — drop them to keep the surfaces identical
         _long(
             m.where(F.col("sn") > 0), F.col("l_returnflag"),
-            [("sample_n", F.col("sn")), ("sample_sum_qty", F.col("ssum"))],
+            [("sample_n", F.col("sn")), ("sample_sum_qty", F.col("ssum")),
+             ("p50_qty_sampled", F.col("p50s"))],
         )
     )
 
