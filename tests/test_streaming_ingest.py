@@ -1,0 +1,89 @@
+"""Continuous ingestion with incremental near-dedup: first-arrival
+representative, cross-batch rejection via the persisted index, and
+stream/batch-backfill equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_framework_for_mergesort_spark.streaming import ingest as I
+
+BASE = "the quick brown fox jumps over the lazy dog again and again ok"
+NEAR = "the quick brown fox jumps over the lazy dog again and again yes"
+OTHER = "completely different content about spark shuffles and sorting"
+THIRD = "yet another unrelated document mentioning window functions only"
+
+BATCH_A = [(1, BASE), (7, BASE), (4, OTHER)]  # 7 = exact dup of 1
+BATCH_B = [(2, BASE), (3, NEAR), (5, THIRD)]  # 2/3 near-dup accepted 1
+
+
+def _drain(spark, tmp_path, tag: str):
+    d = str(tmp_path / f"stream_{tag}")
+    a = spark.createDataFrame(BATCH_A, ["doc_id", "text"])
+    b = spark.createDataFrame(BATCH_B, ["doc_id", "text"])
+    a.coalesce(1).write.mode("overwrite").parquet(d)
+    b.coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = str(tmp_path / f"out_{tag}")
+    idx = str(tmp_path / f"idx_{tag}")
+    q = I.ingest_documents_stream(
+        stream, idx, out, str(tmp_path / f"ck_{tag}")
+    )
+    q.awaitTermination()
+    return out, idx
+
+
+def test_ingest_stream_first_arrival_wins(spark, tmp_path):
+    """Batch A: {1,7} collapse to 1 (within-batch min-id), 4 accepted.
+    Batch B: 2 (exact dup of accepted 1) and 3 (near-dup) rejected via
+    the index; 5 accepted.  The index holds exactly the accepted docs'
+    bands."""
+    out, idx = _drain(spark, tmp_path, "main")
+    accepted = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert accepted == [1, 4, 5]
+    idx_docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    )
+    assert idx_docs == [1, 4, 5]
+
+
+def test_ingest_stream_equals_batch_backfill(spark, tmp_path):
+    """Draining the stream equals calling accept_batch per batch in
+    arrival order — the streaming wrapper adds delivery, not
+    semantics (so a backfill and a live feed agree)."""
+    out_s, _ = _drain(spark, tmp_path, "s")
+    out_b = str(tmp_path / "out_b")
+    idx_b = str(tmp_path / "idx_b")
+    for rows in (BATCH_A, BATCH_B):
+        I.accept_batch(
+            spark.createDataFrame(rows, ["doc_id", "text"]), idx_b, out_b
+        )
+    got_s = {r["doc_id"] for r in spark.read.parquet(out_s).collect()}
+    got_b = {r["doc_id"] for r in spark.read.parquet(out_b).collect()}
+    assert got_s == got_b == {1, 4, 5}
+
+
+def test_ingest_rejected_doc_cannot_evict_earlier_representative(
+    spark, tmp_path
+):
+    """doc 2 has a SMALLER id than nothing here, but doc 0 in a later
+    batch has a smaller id than accepted doc 1 — first-arrival must
+    still win (the batch min-id rule applies only WITHIN a batch): an
+    ingest pipeline never revokes shipped documents."""
+    out = str(tmp_path / "out_r")
+    idx = str(tmp_path / "idx_r")
+    I.accept_batch(
+        spark.createDataFrame([(1, BASE)], ["doc_id", "text"]), idx, out
+    )
+    I.accept_batch(
+        spark.createDataFrame([(0, BASE)], ["doc_id", "text"]), idx, out
+    )
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
