@@ -183,10 +183,13 @@ def prepare_training_shards(
 
     Determinism end to end: every stage is a pure function of content
     (hash split, hash dedup survivors, key-ordered packing), so a
-    rerun writes the same rows in the same order to the same shard
-    layout — the property that makes 100 TB pipeline re-runs
-    diffable.  ``pack_id`` is scoped per split directory (each split
-    packs its own token stream from 0).
+    rerun produces the same rows with the same (pack_id, pack_offset)
+    assignments — the property that makes 100 TB pipeline re-runs
+    diffable at the ROW level.  Which pack ranges land in which shard
+    FILE is not pinned (``repartitionByRange`` samples its boundaries
+    per run), so diff re-runs on rows, not file bytes.  ``pack_id`` is
+    scoped per split directory (each split packs its own token stream
+    from 0).
     """
     from mapreduce_framework_for_mergesort_spark.operators.materialize import (
         materialize,
@@ -203,7 +206,13 @@ def prepare_training_shards(
     manifest: dict = {"budget": budget, "splits": {}}
     for split, _w in splits:
         sub = curated.where(F.col("split") == split).drop("split")
-        packed = sampling.pack_documents(sub, budget)
+        # materialized: the shard write and the manifest aggregate
+        # below would otherwise EACH run the packing passes (cumsum
+        # mapInPandas + offsets window + broadcast join) over the
+        # split (round-4+ review)
+        packed = materialize(
+            sampling.pack_documents(sub, budget), eager=False
+        )
         (
             packed.repartitionByRange(shards_per_split, "pack_id")
             .sortWithinPartitions("pack_id", "pack_offset")
@@ -222,6 +231,7 @@ def prepare_training_shards(
             # a document STARTS, and a last document that straddles into
             # the final (partial) pack would undercount it
             "packs": -(-tokens // budget),
+            "shards": shards_per_split,
             "path": f"{out_dir}/{split}",
         }
     return manifest

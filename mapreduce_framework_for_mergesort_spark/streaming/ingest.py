@@ -3,42 +3,54 @@
 The batch pipeline (``pipelines.curate_documents``) answers "dedup this
 corpus"; a production corpus is not a corpus but a FEED.  This module
 is the streaming composition: documents arrive in microbatches, each
-batch is near-deduped against everything ACCEPTED SO FAR via the
-persisted LSH band index (``operators/dedup.write_lsh_index``), novel
-documents are appended to the output table and their bands to the
-index — so the corpus and its dedup index grow together and no batch
-ever re-bands history.
+batch is deduped against everything ACCEPTED SO FAR via a persisted
+two-tier index — content hashes (exact tier: catches every byte-dup,
+including documents too short to shingle) and LSH bands (near tier) —
+novel documents are appended to the output table and their hash+band
+rows to the index.  The corpus and its dedup index grow together; no
+batch ever re-bands history.
 
-Semantics (first-arrival-wins): the representative of a near-dup
-cluster is the first accepted document; later arrivals that collide
-with the index are REJECTED.  This differs deliberately from the batch
-operator's min-id survivor — an ingest pipeline must not revoke a
-document it already shipped downstream.  Within one microbatch, ties
-fall back to the batch rule (min doc_id), keeping the whole history
-deterministic for a given batch sequence.
+Semantics (first-arrival-wins): the representative of a duplicate
+cluster is the first accepted document; later arrivals that match the
+index are REJECTED — including TRANSITIVELY: the batch's candidate
+pairs are closed into clusters (``dedup.cluster_pairs``) and a cluster
+containing ANY index hit is rejected whole, so a document that only
+chains to shipped history through a rejected batch-mate cannot slip in
+(the same transitive-closure semantics as the batch operator).  This
+differs deliberately from the batch operator's min-id survivor — an
+ingest pipeline must not revoke a document it already shipped
+downstream.  Within one microbatch, ties fall back to the batch rule
+(min doc_id), keeping the whole history deterministic for a given
+batch sequence.
 
-Per microbatch (``foreachBatch``):
+Per microbatch (``foreachBatch``), with ONE banding pass:
 
-1. within-batch near-dedup (``near_dedup_documents`` — exact collapse
-   first, then the LSH tier);
-2. one equi-join of the batch's bands against the stored index
-   (band-partitioned scan; the batch side is tiny) → survivors whose
-   band collides with an indexed doc are dropped;
-3. append accepted rows to ``out_path`` and their bands to the index.
+1. exact tier: collapse the batch per md5(text) (min doc_id), then
+   drop representatives whose hash is already indexed;
+2. band the remainder once (materialized);
+3. within-batch LSH pairs from those bands + index-collision hits from
+   the same bands; cluster the pairs; reject every cluster containing
+   a hit; accept the remaining cluster labels (= min-id survivors);
+4. append accepted rows to ``out_path``, their (doc_id, text_md5)
+   rows to ``<index>/hashes``, and their band rows (reused from step
+   2, not re-banded) to ``<index>/bands`` partitioned by band_id.
 
 Scale shape: the stored corpus is NEVER re-banded or re-scanned — each
-batch pays O(batch) banding + one index equi-join + two appends; the
-index is partitioned by band_id so the join prunes band-aligned files.
+batch pays O(batch) banding + one hash anti-join + one band equi-join
++ three appends; the band index is partitioned by band_id so the join
+prunes band-aligned files.  (``<index>/bands`` is readable as the
+``index_bands`` input of ``dedup.incremental_candidate_pairs`` for ad
+hoc pair queries against the same index.)
 
 Delivery honesty: ``foreachBatch`` parquet appends are NOT
 transactional across epoch retries — a batch that fails mid-append and
 retries can duplicate accepted rows (at-least-once).  The streaming
 file SINK (``sources.run_to_parquet``) gets exactly-once from its
 manifest; this composition trades that for the index side effect.  In
-production put both appends behind a transactional table format, or
+production put the appends behind a transactional table format, or
 make the retry idempotent by keying the output on doc_id and
-deduplicating readers.  Tested here with availableNow drains (no
-failure injection), where the sequence is exact.
+deduplicating readers.  Tested with availableNow drains (no failure
+injection), where the sequence is exact.
 """
 
 from __future__ import annotations
@@ -47,49 +59,102 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.operators.dedup import (
+    cluster_pairs,
+    lsh_candidate_pairs,
     minhash_bands,
-    near_dedup_documents,
-    write_lsh_index,
+)
+from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+    materialize,
 )
 
 
-def _read_index(spark, index_path: str) -> DataFrame | None:
+def _read_optional(spark, path: str) -> DataFrame | None:
+    """Read a parquet dir that legitimately may not exist yet (first
+    batch).  Only the path-not-found analysis error maps to None — any
+    other failure (storage outage, corrupt footer, permissions) must
+    FAIL the batch so streaming retries it; swallowing it would
+    silently disable cross-batch dedup and pollute the corpus."""
+    from pyspark.errors import AnalysisException
+
     try:
-        return spark.read.parquet(index_path)
-    except Exception:
-        return None  # first batch: no index yet
+        df = spark.read.parquet(path)
+    except AnalysisException as ex:
+        msg = str(ex)
+        # UNABLE_TO_INFER_SCHEMA: the dir exists but holds no parquet
+        # footers — an all-empty append (e.g. a first batch of only
+        # shingle-less docs wrote zero band rows) left a schemaless
+        # dir, which genuinely means "nothing indexed yet"
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+    return df
 
 
 def accept_batch(
     batch: DataFrame, index_path: str, out_path: str
 ) -> None:
     """One ingest step (the ``foreachBatch`` body, callable directly
-    for batch backfills): near-dedup ``batch`` within itself and
-    against the index, append the accepted docs + their bands."""
+    for batch backfills): dedup ``batch`` within itself and against
+    the two-tier index, append the accepted docs + their index rows."""
     spark = batch.sparkSession
-    survivors = near_dedup_documents(batch)
-    idx = _read_index(spark, index_path)
-    if idx is not None:
-        nb = minhash_bands(survivors).select("doc_id", "band_id", "band_val")
+    hashed = batch.withColumn(
+        "__h", F.md5(F.col("text").cast("binary"))
+    )
+    # exact tier, within batch: one representative per distinct text
+    # (min doc_id) — catches shingle-less short docs the band tier
+    # cannot see
+    reps = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
+    pool = hashed.join(reps, ["doc_id", "__h"], "semi")
+    # exact tier, against history
+    idx_hashes = _read_optional(spark, f"{index_path}/hashes")
+    if idx_hashes is not None:
+        pool = pool.join(idx_hashes.select("__h"), "__h", "anti")
+
+    # ONE banding pass serves the within-batch pair tier, the index
+    # probe, and the index append below
+    bands = materialize(minhash_bands(pool))
+    idx_bands = _read_optional(spark, f"{index_path}/bands")
+    if idx_bands is not None:
         hit = (
-            nb.join(
-                idx.select("band_id", "band_val"),
+            bands.join(
+                idx_bands.select("band_id", "band_val"),
                 ["band_id", "band_val"],
                 "semi",
             )
-            .select("doc_id")
+            .select(F.col("doc_id").alias("node"))
             .distinct()
         )
-        accepted = survivors.join(hit, "doc_id", "anti")
     else:
-        accepted = survivors
-    # Materialize the accept decision ONCE (localCheckpoint would also
-    # work; count() is the foreachBatch idiom) so the two appends below
-    # cannot diverge: writing rows from one evaluation and bands from a
-    # re-evaluation would corrupt the index on any nondeterminism.
-    accepted = accepted.localCheckpoint()
-    accepted.write.mode("append").parquet(out_path)
-    write_lsh_index(accepted, index_path, mode="append")
+        hit = spark.createDataFrame([], "node: bigint")
+    pairs = lsh_candidate_pairs(bands, materialize=False)
+    clusters = cluster_pairs(pairs, nodes=pool.select("doc_id"))
+    # transitive rejection: a cluster containing ANY index hit is
+    # dropped whole — its members are (chains of) near-dups of shipped
+    # documents
+    bad = (
+        clusters.join(hit, "node", "semi").select("cluster").distinct()
+    )
+    accepted_ids = (
+        clusters.select("cluster").distinct()
+        .join(bad, "cluster", "anti")
+        .select(F.col("cluster").alias("doc_id"))
+    )
+    # Materialize the accept decision ONCE (repo materialization
+    # policy: reliable checkpoint when the session has a checkpoint
+    # dir) so the three appends below cannot diverge across
+    # re-evaluations.
+    accepted = materialize(pool.join(accepted_ids, "doc_id", "semi"))
+    accepted.drop("__h").write.mode("append").parquet(out_path)
+    accepted.select("doc_id", "__h").write.mode("append").parquet(
+        f"{index_path}/hashes"
+    )
+    bands.join(accepted_ids, "doc_id", "semi").write.mode(
+        "append"
+    ).partitionBy("band_id").parquet(f"{index_path}/bands")
 
 
 def ingest_documents_stream(
@@ -97,17 +162,23 @@ def ingest_documents_stream(
     index_path: str,
     out_path: str,
     checkpoint: str,
+    trigger: dict | None = None,
 ):
-    """Start the continuous ingestion query (``availableNow``-drainable
-    in tests; drop the trigger for a long-running feed).  Returns the
-    ``StreamingQuery``."""
+    """Start the ingestion query; returns the ``StreamingQuery``.
+
+    ``trigger``: keyword args for ``DataStreamWriter.trigger``.  The
+    default ``None`` means ``{"availableNow": True}`` — drain what's
+    there and stop (tests, scheduled catch-up runs).  For a live feed
+    pass e.g. ``{"processingTime": "30 seconds"}``, or ``{}`` for
+    default as-fast-as-possible microbatches."""
 
     def step(batch: DataFrame, _epoch: int) -> None:
         accept_batch(batch, index_path, out_path)
 
-    return (
-        docs_stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    writer = docs_stream.writeStream.foreachBatch(step).option(
+        "checkpointLocation", checkpoint
     )
+    trig = {"availableNow": True} if trigger is None else trigger
+    if trig:
+        writer = writer.trigger(**trig)
+    return writer.start()

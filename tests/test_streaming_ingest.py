@@ -48,11 +48,15 @@ def test_ingest_stream_first_arrival_wins(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(out).collect()
     )
     assert accepted == [1, 4, 5]
-    idx_docs = sorted(
-        r["doc_id"]
-        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
-    )
-    assert idx_docs == [1, 4, 5]
+    for tier in ("bands", "hashes"):
+        idx_docs = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{idx}/{tier}")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        )
+        assert idx_docs == [1, 4, 5], tier
 
 
 def test_ingest_stream_equals_batch_backfill(spark, tmp_path):
@@ -69,6 +73,62 @@ def test_ingest_stream_equals_batch_backfill(spark, tmp_path):
     got_s = {r["doc_id"] for r in spark.read.parquet(out_s).collect()}
     got_b = {r["doc_id"] for r in spark.read.parquet(out_b).collect()}
     assert got_s == got_b == {1, 4, 5}
+
+
+def test_ingest_short_doc_exact_dups_rejected_cross_batch(spark, tmp_path):
+    """Docs too short to shingle produce no bands; the exact (hash)
+    tier of the index must still reject their byte-identical copies in
+    later batches (round-4+ review: the band-only index re-accepted
+    them forever)."""
+    out = str(tmp_path / "out_sh")
+    idx = str(tmp_path / "idx_sh")
+    I.accept_batch(
+        spark.createDataFrame([(10, "ok thanks")], ["doc_id", "text"]),
+        idx, out,
+    )
+    I.accept_batch(
+        spark.createDataFrame(
+            [(20, "ok thanks"), (21, "different tiny")], ["doc_id", "text"]
+        ),
+        idx, out,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [10, 21]
+
+
+def test_ingest_rejects_transitive_chain_to_history(spark, tmp_path):
+    """A batch doc with NO direct index collision whose cluster-mate
+    collides must be rejected too (transitive closure — round-4+
+    review: the survivor-only index probe accepted it).  doc 31 is an
+    exact copy of shipped doc 30 (guaranteed collision, min-id batch
+    survivor would be 31's cluster-mate 29); 29 pairs with 31 within
+    the batch.  Both must be rejected: 29 only chains to history
+    through 31."""
+    from mapreduce_framework_for_mergesort_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = "the quick brown fox jumps over the lazy dog again and again no"
+    out = str(tmp_path / "out_tr")
+    idx = str(tmp_path / "idx_tr")
+    I.accept_batch(
+        spark.createDataFrame([(30, base)], ["doc_id", "text"]), idx, out
+    )
+    batch2 = spark.createDataFrame(
+        [(29, near), (31, base)], ["doc_id", "text"]
+    )
+    # precondition: 29 and 31 are within-batch LSH candidates (else
+    # this test exercises nothing)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_bands(batch2)).collect()
+    }
+    assert (29, 31) in pairs
+    I.accept_batch(batch2, idx, out)
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [30]
 
 
 def test_ingest_rejected_doc_cannot_evict_earlier_representative(
