@@ -1,0 +1,167 @@
+"""Byte-pair-encoding tokenizer: corpus-trained merges, distributed apply.
+
+The engine's other token counters (``text.token_counts``) are
+whitespace and regex proxies; real LM pipelines budget in TOKENIZER
+tokens — so packing (``sampling.pack_documents``), corpus token
+accounting, and mixture math all want an actual trained subword
+vocabulary.  This is the classic BPE of Sennrich et al. '16
+("Neural Machine Translation of Rare Words with Subword Units"),
+split along the engine's standard scale seam:
+
+* **Training** is driver-side over bounded metadata: ONE distributed
+  word-count aggregation (the only corpus-sized step — a groupBy with
+  map-side partials), then the top ``top_words`` (by count desc, word
+  asc — total order, deterministic) are collected as the frequency
+  dict the greedy merge loop runs on.  This is the same
+  bounded-sample-to-driver pattern as the IVF/PQ k-means trainers:
+  the collect is O(top_words), fixed by the index definition, never
+  corpus-sized.  Merge selection is deterministic: max pair count,
+  ties to the lexicographically smallest pair.
+* **Application** is one map-only Arrow pass: the merge ranks ride the
+  UDF closure (vocab-sized metadata), each batch segments its words
+  against a per-batch memo (Zipf makes word types collapse hard, so
+  the memo hit rate is the compression ratio of the batch).
+
+Determinism end to end: training input is a totally-ordered top-K,
+the merge loop breaks ties lexicographically, and application is a
+pure function of (text, merges) — two engines or two runs agree
+token-for-token, which is what lets token budgets be reproduced.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+DEFAULT_NUM_MERGES = 200
+DEFAULT_TOP_WORDS = 10_000
+
+Merges = list[tuple[str, str]]
+
+
+def word_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) corpus frequencies — the one distributed step of BPE
+    training.  Uses the engine's canonical tokenizer so BPE words are
+    exactly the tokens every other text operator sees."""
+    return (
+        documents.select(
+            F.explode(F.expr(H.spark_tokens(text_col))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i, a, b = 0, pair[0], pair[1]
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    documents: DataFrame,
+    num_merges: int = DEFAULT_NUM_MERGES,
+    top_words: int = DEFAULT_TOP_WORDS,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> Merges:
+    """Learn ``num_merges`` merge rules from the corpus → ordered merge
+    list (the tokenizer model; persist it as you would any index
+    metadata).  Stops early when no symbol pair reaches
+    ``min_pair_count`` weighted occurrences."""
+    rows = (
+        word_counts(documents, text_col)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(top_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]): r["n"] for r in rows
+    }
+    merges: Merges = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        # deterministic: max count, ties to lexicographically smallest
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        merges.append(best[0])
+        vocab = {
+            _merge_word(sym, best[0]): n for sym, n in vocab.items()
+        }
+    return merges
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word in rank order (the standard greedy BPE
+    apply): repeatedly merge the lowest-rank adjacent pair present.
+    Pure function — the Python reference the Arrow kernel and any
+    future port are pinned against."""
+    sym = tuple(word)
+    while len(sym) > 1:
+        ranked = [
+            (ranks[p], i)
+            for i, p in enumerate(zip(sym, sym[1:]))
+            if p in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        sym = sym[:i] + (sym[i] + sym[i + 1],) + sym[i + 2 :]
+    return list(sym)
+
+
+def bpe_segment_udf(merges: Merges):
+    """Arrow-batched text → subword-token array.  The merge ranks ride
+    the closure; a per-batch word memo collapses repeated word types
+    (Zipf: most of a batch is the same few thousand words)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    token_re = H.TOKEN_RE
+
+    @pandas_udf("array<string>")
+    def seg(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def one(text: str) -> list[str]:
+            out: list[str] = []
+            for w in token_re.findall(text or ""):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = segment_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return texts.map(one)
+
+    return seg
+
+
+def bpe_token_counts(
+    documents: DataFrame, merges: Merges, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens) under the trained vocabulary — the count
+    ``sampling.pack_documents(count_col=...)`` wants for
+    tokenizer-true packing."""
+    seg = bpe_segment_udf(merges)
+    return documents.select(
+        "doc_id",
+        F.size(seg(F.col(text_col))).cast("long").alias("n_bpe_tokens"),
+    )

@@ -1,0 +1,116 @@
+"""BPE tokenizer: the textbook merge sequence, greedy application,
+determinism, and the distributed apply plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import bpe as B
+
+
+def _toy_corpus(spark):
+    # the Sennrich et al. example frequencies: low*5 lower*2 newest*6
+    # widest*3 — one word per doc is fine, counts weight the pairs
+    rows, i = [], 0
+    for w, n in (("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)):
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_train_bpe_textbook_merge_sequence(spark):
+    """Weighted pair counts: es(9) -> est(9) -> lo(7) -> low(7) ->
+    ew(6, lexicographic among the 6-count ties) — the classic example,
+    with the deterministic tie rule made observable."""
+    merges = B.train_bpe(_toy_corpus(spark), num_merges=5)
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"),
+    ]
+
+
+def test_segment_word_greedy_by_rank(spark):
+    merges = B.train_bpe(_toy_corpus(spark), num_merges=4)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert B.segment_word("lowest", ranks) == ["low", "est"]
+    assert B.segment_word("lower", ranks) == ["low", "e", "r"]
+    assert B.segment_word("newest", ranks) == ["n", "e", "w", "est"]
+    assert B.segment_word("", ranks) == []
+    assert B.segment_word("zz", {}) == ["z", "z"]
+
+
+def test_bpe_distributed_apply_matches_reference(spark):
+    """The Arrow kernel over a multi-word corpus must equal the pure
+    segment_word reference applied word-by-word (plumbing: tokenizer
+    split, memoization, empty docs)."""
+    merges = B.train_bpe(_toy_corpus(spark), num_merges=4)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = spark.createDataFrame(
+        [(1, "lowest newest"), (2, "low low widest"), (3, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select(
+            "doc_id", B.bpe_segment_udf(merges)(F.col("text")).alias("toks")
+        ).collect()
+    }
+    from mapreduce_framework_for_mergesort_spark.functions.hashing import (
+        TOKEN_RE,
+    )
+
+    for doc_id, text in [(1, "lowest newest"), (2, "low low widest"), (3, "")]:
+        want = [
+            s for w in TOKEN_RE.findall(text)
+            for s in B.segment_word(w, ranks)
+        ]
+        assert got[doc_id] == want, doc_id
+
+
+def test_bpe_train_deterministic_and_counts_compress(spark, sf_oracle):
+    """Training on the real corpus is run-to-run deterministic, and the
+    trained vocabulary compresses: per-doc BPE token counts sit between
+    the word count (every merge can only join, not split, within a
+    word) and the character count."""
+    docs = load_table(spark, sf_oracle, "documents").limit(200)
+    m1 = B.train_bpe(docs, num_merges=30, top_words=2000)
+    m2 = B.train_bpe(docs, num_merges=30, top_words=2000)
+    assert m1 == m2 and len(m1) == 30
+    joined = (
+        B.bpe_token_counts(docs, m1)
+        .join(
+            docs.select(
+                "doc_id",
+                F.expr(
+                    "size(filter(split(text, '[ \\t\\n\\f\\r]+'),"
+                    " t -> t != ''))"
+                ).alias("n_words"),
+                F.length(F.regexp_replace("text", r"[ \t\n\f\r]", ""))
+                .alias("n_nonspace_chars"),
+            ),
+            "doc_id",
+        )
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_nonspace_chars"], r
+
+
+def test_bpe_counts_feed_sequence_packing(spark):
+    """bpe_token_counts composes with pack_documents(count_col=...) —
+    tokenizer-true packing, token-conserving."""
+    from mapreduce_framework_for_mergesort_spark.operators import sampling
+
+    docs = _toy_corpus(spark)
+    merges = B.train_bpe(docs, num_merges=4)
+    counted = docs.join(B.bpe_token_counts(docs, merges), "doc_id")
+    packed = sampling.pack_documents(
+        counted, budget=4, count_col="n_bpe_tokens"
+    )
+    rows = packed.collect()
+    assert sum(r["n_tokens"] for r in rows) == sum(
+        r["n_bpe_tokens"] for r in counted.collect()
+    )
+    assert all(0 <= r["pack_offset"] < 4 for r in rows)
