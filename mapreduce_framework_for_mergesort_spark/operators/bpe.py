@@ -88,13 +88,38 @@ def train_bpe(
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["word"]): r["n"] for r in rows
     }
+    # Incremental pair bookkeeping (the standard learn-BPE shape): a
+    # merge touches only the words CONTAINING the merged pair, so each
+    # iteration costs O(affected words × their length) instead of
+    # recomputing every pair count from the whole vocab — the
+    # difference between seconds and hours at realistic (32k-merge)
+    # vocab sizes.  Keys are symbol tuples; distinct words can never
+    # collide (a tuple's concatenation is the original word).
+    pairs: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+
+    def _account(sym: tuple[str, ...], n: int) -> None:
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            c = pairs.get(p, 0) + n
+            if c:
+                pairs[p] = c
+            else:
+                pairs.pop(p, None)
+            if n > 0:
+                where.setdefault(p, set()).add(sym)
+            else:
+                s = where.get(p)
+                if s is not None:
+                    s.discard(sym)
+                    if not s:
+                        del where[p]
+
+    for sym, n in vocab.items():
+        _account(sym, n)
+
     merges: Merges = []
     for _ in range(num_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, n in vocab.items():
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
         if not pairs:
             break
         # deterministic: max count, ties to lexicographically smallest
@@ -102,9 +127,12 @@ def train_bpe(
         if best[1] < min_pair_count:
             break
         merges.append(best[0])
-        vocab = {
-            _merge_word(sym, best[0]): n for sym, n in vocab.items()
-        }
+        for sym in list(where.get(best[0], ())):
+            n = vocab.pop(sym)
+            _account(sym, -n)
+            new = _merge_word(sym, best[0])
+            vocab[new] = n
+            _account(new, n)
     return merges
 
 
@@ -159,9 +187,29 @@ def bpe_token_counts(
 ) -> DataFrame:
     """(doc_id, n_bpe_tokens) under the trained vocabulary — the count
     ``sampling.pack_documents(count_col=...)`` wants for
-    tokenizer-true packing."""
-    seg = bpe_segment_udf(merges)
+    tokenizer-true packing.  A dedicated count kernel: shipping the
+    full subword array through Arrow just to ``size()`` it would move
+    the corpus's text volume again for an 8-byte answer per doc."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    token_re = H.TOKEN_RE
+
+    @pandas_udf("long")
+    def count(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def one(text: str) -> int:
+            total = 0
+            for w in token_re.findall(text or ""):
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = len(segment_word(w, ranks))
+                total += got
+            return total
+
+        return texts.map(one)
+
     return documents.select(
-        "doc_id",
-        F.size(seg(F.col(text_col))).cast("long").alias("n_bpe_tokens"),
+        "doc_id", count(F.col(text_col)).alias("n_bpe_tokens")
     )

@@ -73,7 +73,9 @@ def test_bpe_train_deterministic_and_counts_compress(spark, sf_oracle):
     trained vocabulary compresses: per-doc BPE token counts sit between
     the word count (every merge can only join, not split, within a
     word) and the character count."""
-    docs = load_table(spark, sf_oracle, "documents").limit(200)
+    # orderBy before limit: an unordered LIMIT is not contractually
+    # deterministic across re-executions
+    docs = load_table(spark, sf_oracle, "documents").orderBy("doc_id").limit(200)
     m1 = B.train_bpe(docs, num_merges=30, top_words=2000)
     m2 = B.train_bpe(docs, num_merges=30, top_words=2000)
     assert m1 == m2 and len(m1) == 30
@@ -96,6 +98,37 @@ def test_bpe_train_deterministic_and_counts_compress(spark, sf_oracle):
     assert joined
     for r in joined:
         assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_nonspace_chars"], r
+
+
+def test_incremental_trainer_equals_naive_recompute(spark, sf_oracle):
+    """The incremental pair bookkeeping must reproduce the naive
+    recompute-everything trainer merge-for-merge on real data (guards
+    the add/remove accounting)."""
+    docs = load_table(spark, sf_oracle, "documents").orderBy("doc_id").limit(80)
+    got = B.train_bpe(docs, num_merges=25, top_words=500)
+
+    rows = (
+        B.word_counts(docs)
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(500)
+        .collect()
+    )
+    vocab = {tuple(r["word"]): r["n"] for r in rows}
+    want = []
+    for _ in range(25):
+        pairs: dict = {}
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        want.append(best[0])
+        vocab = {B._merge_word(s, best[0]): n for s, n in vocab.items()}
+    assert got == want
 
 
 def test_bpe_counts_feed_sequence_packing(spark):
