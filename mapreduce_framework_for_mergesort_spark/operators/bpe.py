@@ -182,14 +182,11 @@ def bpe_segment_udf(merges: Merges):
     return seg
 
 
-def bpe_token_counts(
-    documents: DataFrame, merges: Merges, text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, n_bpe_tokens) under the trained vocabulary — the count
-    ``sampling.pack_documents(count_col=...)`` wants for
-    tokenizer-true packing.  A dedicated count kernel: shipping the
-    full subword array through Arrow just to ``size()`` it would move
-    the corpus's text volume again for an 8-byte answer per doc."""
+def bpe_count_udf(merges: Merges):
+    """Arrow-batched text → BPE token COUNT.  A dedicated count kernel:
+    shipping the full subword array through Arrow just to ``size()``
+    it would move the corpus's text volume again for an 8-byte answer
+    per doc."""
     from pyspark.sql.functions import pandas_udf
 
     ranks = {p: i for i, p in enumerate(merges)}
@@ -210,6 +207,31 @@ def bpe_token_counts(
 
         return texts.map(one)
 
+    return count
+
+
+def bpe_token_counts(
+    documents: DataFrame, merges: Merges, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens) under the trained vocabulary — the count
+    ``sampling.pack_documents(count_col=...)`` wants for
+    tokenizer-true packing."""
     return documents.select(
-        "doc_id", count(F.col(text_col)).alias("n_bpe_tokens")
+        "doc_id",
+        bpe_count_udf(merges)(F.col(text_col)).alias("n_bpe_tokens"),
     )
+
+
+def save_merges(spark, merges: Merges, path: str) -> None:
+    """Persist the tokenizer model as (rank, a, b) parquet — the same
+    write-once index-metadata discipline as the IVF/PQ codebooks."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank: int, a: string, b: string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> Merges:
+    """Load a persisted model back into rank order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

@@ -158,6 +158,7 @@ def prepare_training_shards(
     budget: int = 2048,
     shards_per_split: int = 4,
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
+    bpe_merges: list[tuple[str, str]] | None = None,
     **curate_kwargs,
 ) -> dict:
     """The last mile: curated corpus → on-disk training shards.
@@ -179,7 +180,12 @@ def prepare_training_shards(
       min/max — the same mechanism ``operators/layout.py`` measures);
     * the manifest carries per-split docs / tokens / packs / shards —
       all Spark-side aggregates (counts and int64 sums; nothing
-      data-sized ever reaches the driver).
+      data-sized ever reaches the driver);
+    * ``bpe_merges`` (a trained ``operators/bpe.py`` model) switches
+      every token budget — packing AND manifest — from whitespace
+      tokens to the trained subword vocabulary (``token_unit`` in the
+      manifest records which); the count is one extra Arrow column in
+      the curation pass, no join, no extra scan.
 
     Determinism end to end: every stage is a pure function of content
     (hash split, hash dedup survivors, key-ordered packing), so a
@@ -199,11 +205,25 @@ def prepare_training_shards(
     # branch consumes the SAME materialized survivors (lineage cut) —
     # without this the redact→features→dedup pipeline re-executes per
     # split, tripling the dominant cost at any scale.
-    curated = materialize(
-        curate_documents(documents, splits=splits, **curate_kwargs),
-        eager=False,
-    )
-    manifest: dict = {"budget": budget, "splits": {}}
+    curated = curate_documents(documents, splits=splits, **curate_kwargs)
+    count_col = None
+    if bpe_merges is not None:
+        # tokenizer-true budgets: count under the trained vocabulary
+        # (one extra column in the same pass — no join, no extra scan)
+        from mapreduce_framework_for_mergesort_spark.operators.bpe import (
+            bpe_count_udf,
+        )
+
+        curated = curated.withColumn(
+            "n_bpe_tokens", bpe_count_udf(bpe_merges)(F.col("text"))
+        )
+        count_col = "n_bpe_tokens"
+    curated = materialize(curated, eager=False)
+    manifest: dict = {
+        "budget": budget,
+        "token_unit": "bpe" if bpe_merges is not None else "whitespace",
+        "splits": {},
+    }
     for split, _w in splits:
         sub = curated.where(F.col("split") == split).drop("split")
         # materialized: the shard write and the manifest aggregate
@@ -211,7 +231,8 @@ def prepare_training_shards(
         # mapInPandas + offsets window + broadcast join) over the
         # split (round-4+ review)
         packed = materialize(
-            sampling.pack_documents(sub, budget), eager=False
+            sampling.pack_documents(sub, budget, count_col=count_col),
+            eager=False,
         )
         (
             packed.repartitionByRange(shards_per_split, "pack_id")

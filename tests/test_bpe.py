@@ -131,6 +131,32 @@ def test_incremental_trainer_equals_naive_recompute(spark, sf_oracle):
     assert got == want
 
 
+def test_save_load_merges_roundtrip(spark, tmp_path):
+    merges = B.train_bpe(_toy_corpus(spark), num_merges=5)
+    B.save_merges(spark, merges, str(tmp_path / "model"))
+    assert B.load_merges(spark, str(tmp_path / "model")) == merges
+
+
+def test_bpe_shards_tokenizer_true_budgets(spark, sf_oracle, tmp_path):
+    """prepare_training_shards(bpe_merges=...) packs and accounts in
+    trained-subword tokens: the manifest token totals equal the BPE
+    counts of the surviving docs, not the whitespace counts."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs = load_table(spark, sf_oracle, "documents").orderBy("doc_id").limit(120)
+    merges = B.train_bpe(docs, num_merges=20, top_words=1000)
+    man = pipelines.prepare_training_shards(
+        docs, str(tmp_path / "sh"), budget=256, shards_per_split=2,
+        min_quality=0.3, bpe_merges=merges,
+    )
+    assert man["token_unit"] == "bpe"
+    for split, info in man["splits"].items():
+        back = spark.read.parquet(info["path"])
+        rows = back.select("n_tokens", "n_bpe_tokens").collect()
+        assert all(r["n_tokens"] == r["n_bpe_tokens"] for r in rows)
+        assert info["tokens"] == sum(r["n_bpe_tokens"] for r in rows)
+
+
 def test_bpe_counts_feed_sequence_packing(spark):
     """bpe_token_counts composes with pack_documents(count_col=...) —
     tokenizer-true packing, token-conserving."""
