@@ -89,15 +89,42 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> unicode(substr(text, i, 1))) AS ch
         FROM documents
     )
+    UNION ALL
+    SELECT doc_id,
+           'image' AS modality,
+           CAST({M.IMG_HEADER} + {3 * M.IMG_WIDTH}
+                * ((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH})
+                AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               {M.IMG_WIDTH},
+               (strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH},
+               {M.IMG_WIDTH}
+                 * ((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH}),
+               ch[1],
+               CASE WHEN strlen(text) % {M.IMG_WIDTH} = 0
+                    THEN ch[strlen(text)] ELSE 0 END,
+               list_max(ch),
+               CAST(list_sum(ch) % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(len(list_filter(ch, c -> c = 32)) AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch
+        FROM documents
+    )
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature vectors,
-    over TWO modalities: the closed-form text featurizer AND a real
-    stdlib WAV/PCM audio parse (payloads synthesized from the same text
-    bytes, so the oracle recomputes both branches from source — the
-    audio n_bytes check even pins the 44-byte RIFF header the container
-    must produce).
+    over THREE modalities: the closed-form text featurizer, a real
+    stdlib WAV/PCM audio parse, and a real stdlib BMP image parse
+    (payloads synthesized from the same text bytes, so the oracle
+    recomputes every branch from source — the n_bytes checks even pin
+    the 44-byte RIFF and 54-byte BMP headers the containers must
+    produce, and the BMP branch's row math pins the 4-aligned
+    bottom-up pixel layout).
 
     The feature array is projected to a CSV string because the driver's
     canonicalizer cannot hash array cells (round-1 `unhashable type:
@@ -105,8 +132,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long cast is exact (audio features < 2^24, exact in float32).
     """
     docs = load_table(spark, sf_dir, "documents")
-    b = M.binarize_documents(docs).unionByName(
-        M.binarize_audio_documents(docs)
+    b = (
+        M.binarize_documents(docs)
+        .unionByName(M.binarize_audio_documents(docs))
+        .unionByName(M.binarize_image_documents(docs))
     )
     feats = M.extract_features(b)
     return feats.select(

@@ -137,19 +137,124 @@ def decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+IMG_WIDTH = 16  # 16 px × 3 bytes = 48-byte rows: already 4-aligned, no pad
+IMG_HEADER = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def synthesize_bmp(data: bytes, width: int = IMG_WIDTH) -> bytes:
+    """Deterministic grayscale 24-bit BMP from source bytes: pixel i
+    (row-major, top-down logically) has B=G=R=``data[i]``; the last
+    row zero-pads past ``len(data)``.  A REAL Windows BMP — 'BM'
+    magic, BITMAPINFOHEADER, bottom-up row order as positive-height
+    BMPs store — so the decode side exercises an actual image
+    container parse; the pixel mapping is closed-form so SQL oracles
+    recompute features from the source text."""
+    import struct
+
+    h = -(-len(data) // width) if data else 0
+    row_size = (3 * width + 3) // 4 * 4
+    img_size = h * row_size
+    header = struct.pack(
+        "<2sIHHI", b"BM", IMG_HEADER + img_size, 0, 0, IMG_HEADER
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            i = y * width + x
+            v = data[i] if i < len(data) else 0
+            row += bytes((v, v, v))
+        rows.append(bytes(row).ljust(row_size, b"\x00"))
+    return header + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> list[float]:
+    """Stdlib BMP decode → FEATURE_DIM floats.  Parses the container
+    for real (magic/offset/bpp/compression validation, bottom-up row
+    unflip, per-pixel grayscale check); features are integral and
+    closed-form over the logical pixel sequence:
+    [width, height, n_pixels, first, last, max, Σ mod 9973, #space
+    (value 32) pixels] — all < 2^24, exact in float32."""
+    import struct
+
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP: magic {magic!r}")
+    hsz, width, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hsz != 40 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"expected uncompressed 24-bit BITMAPINFOHEADER, got "
+            f"header={hsz} bpp={bpp} compression={comp}"
+        )
+    row_size = (3 * width + 3) // 4 * 4
+    px: list[int] = []
+    for y in range(h):  # logical top-down row y is stored row h-1-y
+        base = off + (h - 1 - y) * row_size
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            if not (b == g == r):
+                raise ValueError(f"non-grayscale pixel at ({x}, {y})")
+            px.append(b)
+    if not px:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(width),
+        float(h),
+        float(len(px)),
+        float(px[0]),
+        float(px[-1]),
+        float(max(px)),
+        float(sum(px) % AUDIO_SUM_MOD),
+        float(sum(1 for v in px if v == 32)),
+    ]
+
+
+def binarize_image_documents(documents: DataFrame) -> DataFrame:
+    """Manufacture an image-modality table: each document's text bytes
+    become a real grayscale BMP payload (``synthesize_bmp``) via
+    Arrow-batched ``mapInPandas`` — same ingestion shape as the audio
+    twin."""
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_bmp(t.encode("utf-8")) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "image",
+                    "payload": payloads,
+                    "meta_mime": "image/bmp",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth_batches, MODALITY_SCHEMA
+    )
+
+
 def decode_stub(payload: bytes, modality: str) -> list[float]:
     """The real decode seam.  'text' uses the closed-form byte
-    featurizer; 'audio' is a REAL stdlib WAV/PCM parse (round-3 upgrade
-    — one non-text modality exercisable end-to-end with no external
-    codec).  Image/video codecs are not available in this container —
-    those paths are an explicit error, not a silent fake."""
+    featurizer; 'audio' is a REAL stdlib WAV/PCM parse (round 3);
+    'image' is a REAL stdlib BMP parse (round 4+) — two non-text
+    modalities exercisable end-to-end with no external codec.  Video
+    codecs are not available in this container — that path is an
+    explicit error, not a silent fake."""
     if modality == "text":
         return fake_decode(payload)
     if modality == "audio":
         return decode_wav(payload)
+    if modality == "image":
+        return decode_bmp(payload)
     raise NotImplementedError(
         f"decoder for modality {modality!r} requires codec libraries "
-        "(PIL/decord) not present in this environment"
+        "(decord/ffmpeg) not present in this environment"
     )
 
 

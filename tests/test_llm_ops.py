@@ -909,6 +909,45 @@ def test_documents_fixture_is_ascii(spark, sf_smoke, sf_oracle):
         assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII documents"
 
 
+def test_bmp_synthesis_roundtrip():
+    """The image seam is a REAL Windows BMP: 'BM' magic, 54-byte
+    header, 24-bit 4-aligned BOTTOM-UP rows, and decode inverts
+    synthesis (including the zero-padded last row and the stored-row
+    flip)."""
+    data = b"hello world this is a longer test string with spaces!!"
+    bmp = M.synthesize_bmp(data)
+    h = -(-len(data) // M.IMG_WIDTH)
+    assert bmp[:2] == b"BM"
+    assert len(bmp) == M.IMG_HEADER + 3 * M.IMG_WIDTH * h
+    feats = M.decode_bmp(bmp)
+    assert feats == [
+        float(M.IMG_WIDTH),
+        float(h),
+        float(M.IMG_WIDTH * h),
+        float(data[0]),
+        float(data[-1] if len(data) % M.IMG_WIDTH == 0 else 0),
+        float(max(data)),
+        float(sum(data) % M.AUDIO_SUM_MOD),
+        float(data.count(32)),
+    ]
+    # exact-multiple width: the last logical pixel is the last byte
+    full = bytes(range(64, 64 + 2 * M.IMG_WIDTH))
+    assert M.decode_bmp(M.synthesize_bmp(full))[4] == float(full[-1])
+    assert M.decode_bmp(M.synthesize_bmp(b"")) == [0.0] * M.FEATURE_DIM
+    with pytest.raises(ValueError):
+        M.decode_bmp(b"PNG?" + bytes(60))  # wrong magic
+    with pytest.raises(ValueError):
+        # valid header claiming 8-bit depth must be rejected
+        import struct
+
+        bad = struct.pack(
+            "<2sIHHI", b"BM", 54, 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0
+        ) + bytes(4)
+        M.decode_bmp(bad)
+
+
 def test_wav_synthesis_roundtrip():
     """The audio seam is a REAL RIFF/WAVE container: canonical 44-byte
     header, PCM16 mono frames, and decode inverts synthesis."""
@@ -978,12 +1017,22 @@ def test_multimodal_frame_sampling_fans_out(spark, sf_smoke):
 
 
 def test_multimodal_unknown_modality_raises(spark):
+    # video remains the honest NotImplementedError seam (image became
+    # a real BMP parse in round 4+)
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"xx"), "image/png", 2)],
+        [(1, "video", bytearray(b"xx"), "video/mp4", 2)],
         "doc_id long, modality string, payload binary, meta_mime string, meta_n_bytes long",
     )
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         M.extract_features(df).collect()
+    # a malformed image payload fails LOUDLY in the real parser, never
+    # silently featurizes
+    bad = spark.createDataFrame(
+        [(1, "image", bytearray(b"notabmp"), "image/bmp", 7)],
+        "doc_id long, modality string, payload binary, meta_mime string, meta_n_bytes long",
+    )
+    with pytest.raises(Exception):
+        M.extract_features(bad).collect()
 
 
 def test_decontaminate_matches_brute_force(spark, sf_oracle):
