@@ -177,28 +177,7 @@ def decode_bmp(payload: bytes) -> list[float]:
     closed-form over the logical pixel sequence:
     [width, height, n_pixels, first, last, max, Σ mod 9973, #space
     (value 32) pixels] — all < 2^24, exact in float32."""
-    import struct
-
-    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
-    if magic != b"BM":
-        raise ValueError(f"not a BMP: magic {magic!r}")
-    hsz, width, h, _planes, bpp, comp = struct.unpack_from(
-        "<IiiHHI", payload, 14
-    )
-    if hsz != 40 or bpp != 24 or comp != 0:
-        raise ValueError(
-            f"expected uncompressed 24-bit BITMAPINFOHEADER, got "
-            f"header={hsz} bpp={bpp} compression={comp}"
-        )
-    row_size = (3 * width + 3) // 4 * 4
-    px: list[int] = []
-    for y in range(h):  # logical top-down row y is stored row h-1-y
-        base = off + (h - 1 - y) * row_size
-        for x in range(width):
-            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-            if not (b == g == r):
-                raise ValueError(f"non-grayscale pixel at ({x}, {y})")
-            px.append(b)
+    width, h, px = _bmp_pixels(payload)
     if not px:
         return [0.0] * FEATURE_DIM
     return [
@@ -237,6 +216,95 @@ def binarize_image_documents(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         synth_batches, MODALITY_SCHEMA
     )
+
+
+def _bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Shared BMP parse → (width, height, logical top-down grayscale
+    pixels); validation identical to ``decode_bmp``."""
+    import struct
+
+    magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP: magic {magic!r}")
+    hsz, width, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hsz != 40 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"expected uncompressed 24-bit BITMAPINFOHEADER, got "
+            f"header={hsz} bpp={bpp} compression={comp}"
+        )
+    row_size = (3 * width + 3) // 4 * 4
+    px: list[int] = []
+    for y in range(h):
+        base = off + (h - 1 - y) * row_size
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            if not (b == g == r):
+                raise ValueError(f"non-grayscale pixel at ({x}, {y})")
+            px.append(b)
+    return width, h, px
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor BMP resize (pure integer arithmetic):
+    output pixel (x, y) samples source (x·w_in // w_out,
+    y·h_in // h_out).  Parse → sample → re-encode through the same
+    synthesis/parse pair as the decode path, so a resized payload is
+    itself a valid input to ``decode_bmp``/``resize_bmp``."""
+    import struct
+
+    w, h, px = _bmp_pixels(payload)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"cannot resize empty {w}x{h} image")
+    row_size = (3 * out_w + 3) // 4 * 4
+    rows = []
+    for y in range(out_h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        sy = y * h // out_h
+        for x in range(out_w):
+            v = px[sy * w + (x * w // out_w)]
+            row += bytes((v, v, v))
+        rows.append(bytes(row).ljust(row_size, b"\x00"))
+    img_size = out_h * row_size
+    header = struct.pack(
+        "<2sIHHI", b"BM", IMG_HEADER + img_size, 0, 0, IMG_HEADER
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    return bytes(header) + b"".join(rows)
+
+
+def resize_image_payloads(
+    binarized: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """The image-modality resize seam, FOR REAL: every payload becomes
+    a ``out_w`` × ``out_h`` BMP via nearest-neighbor sampling (the
+    uniform-shape normalization a vision batch needs — downstream
+    Arrow batches turn rectangular).  Same mapInPandas shape as
+    ``resize_payload``; metadata recomputed in the same pass."""
+
+    def rz_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                if m != "image":
+                    raise ValueError(
+                        f"resize_image_payloads got modality {m!r}"
+                    )
+                resized.append(resize_bmp(p, out_w, out_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": resized,
+                    "meta_mime": pdf["meta_mime"],
+                    "meta_n_bytes": [len(p) for p in resized],
+                }
+            )
+
+    return binarized.mapInPandas(rz_batches, MODALITY_SCHEMA)
 
 
 def decode_stub(payload: bytes, modality: str) -> list[float]:

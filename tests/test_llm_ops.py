@@ -948,6 +948,34 @@ def test_bmp_synthesis_roundtrip():
         M.decode_bmp(bad)
 
 
+def test_bmp_resize_nearest_neighbor(spark):
+    """Real image resize: output is itself a valid BMP whose pixels are
+    the nearest-neighbor samples of the source, and the distributed
+    seam normalizes every payload to the target shape."""
+    data = bytes(range(32, 32 + 64))  # 4 full 16-px rows
+    bmp = M.synthesize_bmp(data)
+    small = M.resize_bmp(bmp, 8, 2)
+    w, h, px = M._bmp_pixels(small)
+    assert (w, h) == (8, 2)
+    # nearest neighbor: (x, y) samples source (x*16//8, y*4//2)
+    want = [data[(y * 4 // 2) * 16 + (x * 16 // 8)] for y in range(2) for x in range(8)]
+    assert px == want
+    # upscale also works and stays decodable end-to-end
+    up = M.resize_bmp(small, 16, 16)
+    assert M.decode_bmp(up)[0:3] == [16.0, 16.0, 256.0]
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, "y" * 7)], ["doc_id", "text"]
+    )
+    out = M.resize_image_payloads(
+        M.binarize_image_documents(docs), 4, 4
+    ).collect()
+    for r in out:
+        ww, hh, _ = M._bmp_pixels(bytes(r["payload"]))
+        assert (ww, hh) == (4, 4)
+        assert r["meta_n_bytes"] == len(r["payload"])
+
+
 def test_wav_synthesis_roundtrip():
     """The audio seam is a REAL RIFF/WAVE container: canonical 44-byte
     header, PCM16 mono frames, and decode inverts synthesis."""
