@@ -141,17 +141,13 @@ IMG_WIDTH = 16  # 16 px × 3 bytes = 48-byte rows: already 4-aligned, no pad
 IMG_HEADER = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 
 
-def synthesize_bmp(data: bytes, width: int = IMG_WIDTH) -> bytes:
-    """Deterministic grayscale 24-bit BMP from source bytes: pixel i
-    (row-major, top-down logically) has B=G=R=``data[i]``; the last
-    row zero-pads past ``len(data)``.  A REAL Windows BMP — 'BM'
-    magic, BITMAPINFOHEADER, bottom-up row order as positive-height
-    BMPs store — so the decode side exercises an actual image
-    container parse; the pixel mapping is closed-form so SQL oracles
-    recompute features from the source text."""
+def _encode_bmp(px: list[int], width: int, h: int) -> bytes:
+    """The ONE BMP encoder (shared by synthesis and resize so header
+    constants and row layout can never drift): logical top-down
+    grayscale pixels → 'BM' + BITMAPINFOHEADER + 24-bit 4-aligned
+    bottom-up rows."""
     import struct
 
-    h = -(-len(data) // width) if data else 0
     row_size = (3 * width + 3) // 4 * 4
     img_size = h * row_size
     header = struct.pack(
@@ -163,11 +159,23 @@ def synthesize_bmp(data: bytes, width: int = IMG_WIDTH) -> bytes:
     for y in range(h - 1, -1, -1):  # bottom-up storage
         row = bytearray()
         for x in range(width):
-            i = y * width + x
-            v = data[i] if i < len(data) else 0
+            v = px[y * width + x]
             row += bytes((v, v, v))
         rows.append(bytes(row).ljust(row_size, b"\x00"))
     return header + b"".join(rows)
+
+
+def synthesize_bmp(data: bytes, width: int = IMG_WIDTH) -> bytes:
+    """Deterministic grayscale 24-bit BMP from source bytes: pixel i
+    (row-major, top-down logically) has B=G=R=``data[i]``; the last
+    row zero-pads past ``len(data)``.  A REAL Windows BMP — 'BM'
+    magic, BITMAPINFOHEADER, bottom-up row order as positive-height
+    BMPs store — so the decode side exercises an actual image
+    container parse; the pixel mapping is closed-form so SQL oracles
+    recompute features from the source text."""
+    h = -(-len(data) // width) if data else 0
+    px = [data[i] if i < len(data) else 0 for i in range(width * h)]
+    return _encode_bmp(px, width, h)
 
 
 def decode_bmp(payload: bytes) -> list[float]:
@@ -234,46 +242,43 @@ def _bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
             f"expected uncompressed 24-bit BITMAPINFOHEADER, got "
             f"header={hsz} bpp={bpp} compression={comp}"
         )
+    if width <= 0 or h < 0:
+        # negative height = top-down variant (unsupported here), and a
+        # non-positive width is degenerate — both must fail LOUDLY, not
+        # decode to an empty pixel list that features as all-zeros
+        raise ValueError(f"unsupported BMP dimensions {width}x{h}")
     row_size = (3 * width + 3) // 4 * 4
     px: list[int] = []
     for y in range(h):
+        # stride views instead of a per-pixel slice loop: one row is
+        # three interleaved byte planes, equal iff grayscale
         base = off + (h - 1 - y) * row_size
-        for x in range(width):
-            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
-            if not (b == g == r):
-                raise ValueError(f"non-grayscale pixel at ({x}, {y})")
-            px.append(b)
+        row = payload[base : base + 3 * width]
+        if not (row[0::3] == row[1::3] == row[2::3]):
+            raise ValueError(f"non-grayscale pixel in row {y}")
+        px.extend(row[0::3])
     return width, h, px
 
 
 def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL nearest-neighbor BMP resize (pure integer arithmetic):
     output pixel (x, y) samples source (x·w_in // w_out,
-    y·h_in // h_out).  Parse → sample → re-encode through the same
-    synthesis/parse pair as the decode path, so a resized payload is
-    itself a valid input to ``decode_bmp``/``resize_bmp``."""
-    import struct
-
+    y·h_in // h_out).  Parse → sample → re-encode through the shared
+    encoder, so a resized payload is itself a valid input to
+    ``decode_bmp``/``resize_bmp``.  An EMPTY source (the height-0 BMP
+    an empty document synthesizes to) resizes to an all-zero target —
+    the seam stays total over everything ``synthesize_bmp`` emits."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"target dimensions must be positive, got {out_w}x{out_h}")
     w, h, px = _bmp_pixels(payload)
-    if w <= 0 or h <= 0:
-        raise ValueError(f"cannot resize empty {w}x{h} image")
-    row_size = (3 * out_w + 3) // 4 * 4
-    rows = []
-    for y in range(out_h - 1, -1, -1):  # bottom-up storage
-        row = bytearray()
-        sy = y * h // out_h
-        for x in range(out_w):
-            v = px[sy * w + (x * w // out_w)]
-            row += bytes((v, v, v))
-        rows.append(bytes(row).ljust(row_size, b"\x00"))
-    img_size = out_h * row_size
-    header = struct.pack(
-        "<2sIHHI", b"BM", IMG_HEADER + img_size, 0, 0, IMG_HEADER
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, img_size,
-        2835, 2835, 0, 0,
-    )
-    return bytes(header) + b"".join(rows)
+    if not px:
+        return _encode_bmp([0] * (out_w * out_h), out_w, out_h)
+    out = [
+        px[(y * h // out_h) * w + (x * w // out_w)]
+        for y in range(out_h)
+        for x in range(out_w)
+    ]
+    return _encode_bmp(out, out_w, out_h)
 
 
 def resize_image_payloads(

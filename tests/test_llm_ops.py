@@ -936,16 +936,30 @@ def test_bmp_synthesis_roundtrip():
     assert M.decode_bmp(M.synthesize_bmp(b"")) == [0.0] * M.FEATURE_DIM
     with pytest.raises(ValueError):
         M.decode_bmp(b"PNG?" + bytes(60))  # wrong magic
-    with pytest.raises(ValueError):
-        # valid header claiming 8-bit depth must be rejected
-        import struct
+    # constructed OUTSIDE the raises blocks so a construction error
+    # can't satisfy them without exercising decode_bmp
+    import struct
 
-        bad = struct.pack(
-            "<2sIHHI", b"BM", 54, 0, 0, 54
-        ) + struct.pack(
-            "<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0
-        ) + bytes(4)
-        M.decode_bmp(bad)
+    def mk(width, height, bpp, npx):
+        return (
+            struct.pack("<2sIHHI", b"BM", 54 + 3 * npx, 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                3 * npx, 0, 0, 0, 0,
+            )
+            + bytes(3 * npx)
+        )
+
+    bad_depth = mk(1, 1, 8, 1)
+    top_down = mk(16, -1, 24, 16)  # negative height = top-down variant
+    zero_width = mk(0, 1, 24, 0)
+    with pytest.raises(ValueError):
+        M.decode_bmp(bad_depth)
+    with pytest.raises(ValueError):
+        # must fail LOUDLY, not silently featurize zero pixels
+        M.decode_bmp(top_down)
+    with pytest.raises(ValueError):
+        M.decode_bmp(zero_width)
 
 
 def test_bmp_resize_nearest_neighbor(spark):
@@ -963,6 +977,14 @@ def test_bmp_resize_nearest_neighbor(spark):
     # upscale also works and stays decodable end-to-end
     up = M.resize_bmp(small, 16, 16)
     assert M.decode_bmp(up)[0:3] == [16.0, 16.0, 256.0]
+    # empty source resizes to an all-zero target (the seam is total
+    # over synthesize_bmp's range); bad target dims fail loudly
+    empty_rz = M.resize_bmp(M.synthesize_bmp(b""), 4, 4)
+    assert M.decode_bmp(empty_rz) == [4.0, 4.0, 16.0, 0, 0, 0, 0, 0]
+    with pytest.raises(ValueError):
+        M.resize_bmp(bmp, 0, 4)
+    with pytest.raises(ValueError):
+        M.resize_bmp(bmp, 4, -1)
 
     docs = spark.createDataFrame(
         [(1, "x" * 40), (2, "y" * 7)], ["doc_id", "text"]
