@@ -153,21 +153,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_multimodal_frames",
     oracle=f"""
     SELECT doc_id,
+           'text' AS modality,
            CAST((((strlen(text) + {M.FRAME_BYTES - 1}) // {M.FRAME_BYTES}) + 1) // 2
                 AS BIGINT) AS n_frames,
            CAST(least(strlen(text), {M.FRAME_BYTES}) AS BIGINT) AS first_frame_bytes
     FROM documents
     WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
+           'image' AS modality,
+           CAST(((((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH})
+                  + {M.IMG_BAND_ROWS - 1}) // {M.IMG_BAND_ROWS} + 1) // 2
+                AS BIGINT) AS n_frames,
+           CAST({M.IMG_HEADER} + {3 * M.IMG_WIDTH}
+                * least((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH},
+                        {M.IMG_BAND_ROWS})
+                AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out, then a per-doc reduction the oracle can
-    derive in closed form from payload length (every 2nd 64-byte frame):
-    the mapInPandas 1→N plumbing is exercised for real, and its row
-    arithmetic is still exactly verified."""
-    b = M.binarize_documents(load_table(spark, sf_dir, "documents"))
+    """Frame-sampling fan-out, then a per-(doc, modality) reduction the
+    oracle derives in closed form from payload length: the text branch
+    samples every 2nd 64-byte window; the image branch TILES the real
+    BMP into 4-row band BMPs (the vision patching op) and samples every
+    2nd band — its first_frame_bytes pins the band re-encode's full
+    54-byte-header + 48-byte-row layout.  The mapInPandas 1→N plumbing
+    is exercised for real, and its row arithmetic is exactly
+    verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = M.binarize_documents(docs).unionByName(
+        M.binarize_image_documents(docs)
+    )
     frames = M.sample_frames(b, every_n=2)
-    return frames.groupBy("doc_id").agg(
+    return frames.groupBy("doc_id", "modality").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.max(
             F.when(F.col("frame_idx") == 0, F.col("frame_n_bytes"))

@@ -365,15 +365,32 @@ FRAME_SCHEMA = (
 )
 
 
+IMG_BAND_ROWS = 4  # image "frames" = row bands of 4 (the patching op)
+
+
 def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[bytes]:
     """Frame-decode seam.  For the deterministic 'text' stand-in, frames
     are fixed-width byte windows (a proxy for GOP/keyframe decode — same
-    1→N shape, same batch mechanics).  Real video needs a codec library
-    and is an explicit error, mirroring ``decode_stub``."""
+    1→N shape, same batch mechanics).  For 'image' the op is REAL:
+    the BMP is tiled into ``IMG_BAND_ROWS``-row bands, each re-encoded
+    through the shared encoder as a standalone BMP — the vision-training
+    patching operation, and every emitted frame is itself decodable.
+    Real video needs a codec library and is an explicit error,
+    mirroring ``decode_stub``."""
     if modality == "text":
         if not payload:
             return []
         return [payload[i : i + chunk] for i in range(0, len(payload), chunk)]
+    if modality == "image":
+        w, h, px = _bmp_pixels(payload)
+        return [
+            _encode_bmp(
+                px[y * w : (y + min(IMG_BAND_ROWS, h - y)) * w],
+                w,
+                min(IMG_BAND_ROWS, h - y),
+            )
+            for y in range(0, h, IMG_BAND_ROWS)
+        ]
     raise NotImplementedError(
         f"frame decoder for modality {modality!r} requires codec libraries "
         "not present in this environment"

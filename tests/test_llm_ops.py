@@ -1066,6 +1066,22 @@ def test_multimodal_frame_sampling_fans_out(spark, sf_smoke):
     )
 
 
+def test_image_frame_tiling_is_real(spark):
+    """Image frames are 4-row band BMPs (the vision patching op): each
+    band is itself a valid BMP, bands reassemble the source pixels, and
+    the last band carries the remainder rows."""
+    data = bytes(range(32, 32 + 16 * 10))  # 10 rows of 16 px
+    frames = M.frame_stub(M.synthesize_bmp(data), "image")
+    assert len(frames) == 3  # rows 0-3, 4-7, 8-9
+    reassembled: list[int] = []
+    for f in frames:
+        w, h, px = M._bmp_pixels(f)
+        assert w == M.IMG_WIDTH and h in (M.IMG_BAND_ROWS, 2)
+        reassembled.extend(px)
+    assert reassembled == list(data)
+    assert M.frame_stub(M.synthesize_bmp(b""), "image") == []
+
+
 def test_multimodal_unknown_modality_raises(spark):
     # video remains the honest NotImplementedError seam (image became
     # a real BMP parse in round 4+)
