@@ -248,6 +248,16 @@ def _bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
         # decode to an empty pixel list that features as all-zeros
         raise ValueError(f"unsupported BMP dimensions {width}x{h}")
     row_size = (3 * width + 3) // 4 * 4
+    if len(payload) < off + h * row_size:
+        # checked up front so a truncated payload reports TRUNCATION —
+        # the stride comparison below would otherwise either silently
+        # accept equal-length short slices (all-zero features from a
+        # header-only payload) or blame "non-grayscale pixels" for
+        # missing bytes (round-4+ review)
+        raise ValueError(
+            f"truncated BMP: need {off + h * row_size} bytes for"
+            f" {width}x{h}, got {len(payload)}"
+        )
     px: list[int] = []
     for y in range(h):
         # stride views instead of a per-pixel slice loop: one row is

@@ -960,6 +960,13 @@ def test_bmp_synthesis_roundtrip():
         M.decode_bmp(top_down)
     with pytest.raises(ValueError):
         M.decode_bmp(zero_width)
+    # truncation must report truncation, loudly — a header claiming
+    # pixels it doesn't carry must not featurize as zeros, and a
+    # byte-short payload must not be blamed on "non-grayscale pixels"
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp(mk(16, 1, 24, 0))  # header-only, claims 16x1
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp(bmp[:-1])
 
 
 def test_bmp_resize_nearest_neighbor(spark):
@@ -1066,7 +1073,7 @@ def test_multimodal_frame_sampling_fans_out(spark, sf_smoke):
     )
 
 
-def test_image_frame_tiling_is_real(spark):
+def test_image_frame_tiling_is_real():
     """Image frames are 4-row band BMPs (the vision patching op): each
     band is itself a valid BMP, bands reassemble the source pixels, and
     the last band carries the remainder rows."""
