@@ -864,3 +864,173 @@ def incremental_candidate_pairs(
         )
     )
     return new_new.unionByName(cross).distinct()
+
+
+# --- duplicate-substring spans (tier 6: position-level dedup) --------------
+# Document-level tiers (2-5) decide KEEP/DROP per doc; training corpora
+# also need the finer grain of Lee et al. '21 ("Deduplicating Training
+# Data Makes Language Models Better"): a long boilerplate block repeated
+# across otherwise-distinct pages should be *measured* (and filtered on)
+# even though no whole document is a near-dup.  The suffix-array pass of
+# the paper does not distribute; the standard scalable reformulation is
+# positional k-gram matching — a k-token window repeated anywhere in the
+# corpus marks all its occurrences as duplicated span material.
+
+DUP_SPAN_K = 8  # span granularity: repeated runs of >= k tokens
+
+
+def positional_ngrams(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """(doc_id, pos, g): every k-token window with its 1-based token
+    position; ``g`` is md5 of the space-joined window (md5, not
+    xxhash64, so the DuckDB oracle computes the identical key), so the
+    corpus-wide shuffle moves 32-byte digests, never the window text.
+
+    Unlike ``spark_shingles`` this keeps positions and duplicates —
+    set semantics would erase exactly the repetition being measured.
+    """
+    toks = H.spark_tokens("text")
+    parts = ", ".join(f"element_at(ts, i + {j})" for j in range(k))
+    grams = H.let(
+        toks,
+        "ts",
+        f"CASE WHEN size(ts) >= {k} THEN "
+        f"transform(sequence(1, size(ts) - {k - 1}), "
+        f"i -> md5(concat_ws(' ', {parts}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END",
+    )
+    return documents.select(
+        "doc_id", F.posexplode(F.expr(grams)).alias("pos0", "g")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+
+
+def dup_spans(
+    documents: DataFrame, k: int = DUP_SPAN_K, min_count: int = 2
+) -> DataFrame:
+    """Merged duplicate-substring spans: (doc_id, span_start, span_end,
+    n_dup_pos) token ranges (1-based, inclusive) covered by k-gram
+    windows that occur >= ``min_count`` times corpus-wide, with
+    overlapping/adjacent windows fused (gaps-and-islands: a window
+    starting inside-or-at the running max end of previous windows + 1
+    extends the current span).
+
+    Scale shape (100 TB): one groupBy on the 16-byte digest with
+    map-side partial counts, one shuffle join of positions against the
+    (much smaller) duplicated-gram set, then a per-doc window — state
+    is bounded by tokens-per-doc, never the corpus, and the join key is
+    uniform md5 output so no hot key survives un-split.
+    """
+    grams = positional_ngrams(documents, k)
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("g")
+    )
+    dup_pos = grams.join(dup_grams, "g").select("doc_id", "pos")
+
+    from pyspark.sql import Window
+
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_island = (
+        dup_pos.withColumn(
+            "__new",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("pos").over(prev) + (k - 1), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("__island", F.sum("__new").over(run))
+    )
+    return with_island.groupBy("doc_id", "__island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_pos"),
+    ).select("doc_id", "span_start", "span_end", "n_dup_pos")
+
+
+def dup_span_profile(
+    documents: DataFrame, k: int = DUP_SPAN_K, min_count: int = 2
+) -> DataFrame:
+    """Per-doc duplicate-substring stats over ALL docs (zero-filled):
+    (doc_id, n_tokens, dup_span_count, dup_token_cover,
+    dup_token_frac).  ``dup_token_frac`` is the curation signal —
+    filter docs whose boilerplate fraction exceeds a threshold, the
+    position-level analogue of ``quality_scores``."""
+    toks = H.spark_tokens("text")
+    base = documents.select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
+    )
+    per_doc = dup_spans(documents, k, min_count).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_span_count"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_token_cover"
+        ),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("dup_span_count", F.lit(0)).cast("bigint").alias(
+            "dup_span_count"
+        ),
+        F.coalesce("dup_token_cover", F.lit(0)).cast("bigint").alias(
+            "dup_token_cover"
+        ),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) "
+            "ELSE CAST(coalesce(dup_token_cover, 0) AS DOUBLE) / n_tokens END"
+        ).alias("dup_token_frac"),
+    )
+
+
+def duckdb_dup_spans_cte(
+    k: int = DUP_SPAN_K, min_count: int = 2, table: str = "documents"
+) -> str:
+    """The oracle half of ``dup_spans``: DuckDB CTEs ending in
+    ``spans(doc_id, span_start, span_end, n_dup_pos)`` — the identical
+    positional-k-gram → count → gaps-and-islands chain (same md5 gram
+    key, same merge condition), so span boundaries compare
+    value-for-value across engines."""
+    toks = H.duckdb_tokens("text")
+    parts = ", ".join(f"ts[i + {j}]" for j in range(k))
+    return f"""
+    dsp_toks AS (SELECT doc_id, {toks} AS ts FROM {table}),
+    dsp_pos AS (
+      SELECT doc_id, unnest(range(1, len(ts) - {k - 2})) AS i, ts
+      FROM dsp_toks WHERE len(ts) >= {k}),
+    dsp_grams AS (
+      SELECT doc_id, i AS pos, md5(concat_ws(' ', {parts})) AS g
+      FROM dsp_pos),
+    dsp_dup AS (
+      SELECT g FROM dsp_grams GROUP BY g HAVING COUNT(*) >= {min_count}),
+    dsp_dp AS (
+      SELECT doc_id, pos FROM dsp_grams JOIN dsp_dup USING (g)),
+    dsp_isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 + {k - 1}, -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM dsp_dp),
+    dsp_isl2 AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+      FROM dsp_isl),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) + {k - 1} AS span_end,
+             COUNT(*) AS n_dup_pos
+      FROM dsp_isl2 GROUP BY doc_id, island)
+    """

@@ -241,20 +241,51 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand c
       JOIN e a ON a.doc_id = c.doc_a
       JOIN e b ON b.doc_id = c.doc_b AND a.s = b.s
-      GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+      GROUP BY 1, 2),
+    {D.duckdb_dup_spans_cte()}
+    SELECT 'pair' AS part, doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS val,
+           CAST(NULL AS DOUBLE) AS val2
     FROM p
     WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_TAU}
+    UNION ALL
+    SELECT 'span' AS part, doc_id AS doc_a,
+           CAST(span_start AS BIGINT) AS doc_b,
+           CAST(span_end AS DOUBLE) AS val,
+           CAST(n_dup_pos AS DOUBLE) AS val2
+    FROM spans
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tiered near-dup pipeline: LSH band candidates → exact 3-gram
-    Jaccard verification ≥ τ.  The oracle replicates both tiers in SQL,
-    so the blocked pipeline stays value-exact end-to-end."""
-    return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), JACCARD_TAU
+    """Lexical near-dup as a tagged union (round 4 added the ``span``
+    tier):
+
+    * ``pair`` — LSH band candidates → exact 3-gram Jaccard
+      verification ≥ τ (doc_a/doc_b = the pair, val = jaccard);
+    * ``span`` — position-level duplicate-substring spans (Lee et
+      al. '21 reformulated as positional k-gram matching, k=8):
+      doc_a = doc_id, doc_b = span start (token index), val = span
+      end, val2 = duplicated-window count inside the span.
+
+    Both tiers replicate fully in the oracle's SQL — the driver
+    hash-checks every span boundary value-for-value."""
+    docs = load_table(spark, sf_dir, "documents")
+    lit = F.lit
+    pairs = D.ngram_jaccard_pairs(docs, JACCARD_TAU).select(
+        lit("pair").alias("part"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("val"),
+        lit(None).cast("double").alias("val2"),
     )
+    spans = D.dup_spans(docs).select(
+        lit("span").alias("part"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("span_start").cast("bigint").alias("doc_b"),
+        F.col("span_end").cast("double").alias("val"),
+        F.col("n_dup_pos").cast("double").alias("val2"),
+    )
+    return pairs.unionByName(spans)
 
 
 NUM_CELLS = 8

@@ -1488,3 +1488,81 @@ def test_near_dedup_collapse_exact_identical_kept_set(spark, sf_oracle):
     assert both_tiers == want_both
     # replicas never survive alongside their original
     assert not (plain & {d + 100000 for d in plain})
+
+
+# --- duplicate-substring spans (tier 6) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus_with_spans(spark):
+    """Known span structure, k=4: docs 1/2 share one 6-token block
+    (→ one merged span each, 3 dup windows), doc 3 repeats a 4-token
+    block INSIDE itself twice (within-doc duplication also counts),
+    doc 4 is clean, doc 5 is shorter than k."""
+    boiler = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one unique lead {boiler} tail one"),
+        (2, f"two other start {boiler} two finish here"),
+        (3, "p q r s filler words p q r s"),
+        (4, "completely clean text with no repeats at all"),
+        (5, "too short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dup_spans_known_structure(corpus_with_spans):
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_pos"])
+        for r in D.dup_spans(corpus_with_spans, k=4).collect()
+    }
+    # docs 1 and 2: the shared 6-token block yields 3 overlapping dup
+    # windows merged into ONE span covering exactly the block.
+    # doc 1: boiler at token positions 4-9; doc 2: positions 4-9.
+    assert spans[1] == (4, 9, 3)
+    assert spans[2] == (4, 9, 3)
+    # doc 3: "p q r s" at positions 1-4 and 7-10 — two spans, far
+    # enough apart (gap > k-1) not to merge.
+    all_rows = D.dup_spans(corpus_with_spans, k=4).collect()
+    doc3 = sorted(
+        (r["span_start"], r["span_end"], r["n_dup_pos"])
+        for r in all_rows
+        if r["doc_id"] == 3
+    )
+    assert doc3 == [(1, 4, 1), (7, 10, 1)]
+    # clean/short docs emit no spans
+    assert not [r for r in all_rows if r["doc_id"] in (4, 5)]
+
+
+def test_dup_spans_adjacent_windows_merge(spark):
+    """Two dup windows overlapping by k-1 tokens fuse into one span;
+    the same windows separated by a clean gap do not."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h i j"),  # whole doc duplicated
+        ],
+        ["doc_id", "text"],
+    )
+    rows = D.dup_spans(docs, k=4).collect()
+    per_doc = {(r["doc_id"]): (r["span_start"], r["span_end"]) for r in rows}
+    assert len(rows) == 2  # ONE merged span per doc
+    assert per_doc[1] == (1, 10) and per_doc[2] == (1, 10)
+
+
+def test_dup_span_profile_zero_fill_and_frac(corpus_with_spans):
+    prof = {
+        r["doc_id"]: r for r in D.dup_span_profile(
+            corpus_with_spans, k=4
+        ).collect()
+    }
+    assert set(prof) == {1, 2, 3, 4, 5}  # ALL docs, affected or not
+    assert prof[4]["dup_span_count"] == 0
+    assert prof[4]["dup_token_cover"] == 0
+    assert prof[4]["dup_token_frac"] == 0.0
+    assert prof[5]["dup_span_count"] == 0
+    # doc 1: 6 covered tokens of 10 total
+    assert prof[1]["dup_token_cover"] == 6
+    assert prof[1]["dup_token_frac"] == 6 / prof[1]["n_tokens"]
+    # doc 3: two 4-token spans of 10 tokens
+    assert prof[3]["dup_token_cover"] == 8
+    assert prof[3]["dup_token_frac"] == 0.8
