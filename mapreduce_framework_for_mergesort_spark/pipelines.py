@@ -75,6 +75,8 @@ def curate_documents(
     documents: DataFrame,
     min_quality: float = 0.5,
     max_dup_token_frac: float | None = None,
+    max_dup_span_frac: float | None = None,
+    dup_span_k: int = D.DUP_SPAN_K,
     langs: tuple[str, ...] = ("en",),
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
     redact: bool = True,
@@ -105,6 +107,12 @@ def curate_documents(
     hamming-near lexical tier.  All tiers feed one connected-components
     pass, so mixed lexical/semantic duplicate chains still collapse to
     a single survivor.
+
+    ``max_dup_span_frac`` (optional) is the CORPUS-relative boilerplate
+    ceiling: drop documents whose tier-6 duplicate-substring span
+    coverage (``operators/dedup.dup_span_profile``, window size
+    ``dup_span_k``) exceeds the threshold — repetition shared ACROSS
+    pages, which the within-doc ``max_dup_token_frac`` cannot see.
 
     ``benchmark`` (optional, a one-column-of-text DataFrame — see
     ``decontam_n``/``operators/dedup.decontaminate``) drops every
@@ -140,6 +148,21 @@ def curate_documents(
     kept = feat.where(keep).drop(
         "quality", "pred_lang", *(["dup_token_frac"] if want_rep else [])
     )
+    if max_dup_span_frac is not None:
+        # Position-level boilerplate ceiling (tier-6 spans): unlike the
+        # WITHIN-doc dup_token_frac above, this one is corpus-relative
+        # — a k-token window repeated in any OTHER document counts — so
+        # it cannot live in the one-scan projection; it costs the
+        # gram-count shuffle of dup_spans.  Runs after the cheap
+        # filters (smaller corpus feeds the gram pass) as an anti-join
+        # on the offending doc_ids — the flagged set is the small side,
+        # so AQE turns the anti-join into a broadcast at runtime.
+        flagged = (
+            D.dup_span_profile(kept, k=dup_span_k)
+            .where(F.col("dup_token_frac") > max_dup_span_frac)
+            .select("doc_id")
+        )
+        kept = kept.join(flagged, "doc_id", "left_anti")
     if benchmark is not None:
         kept = D.decontaminate(kept, benchmark, n=decontam_n)
     deduped = D.near_dedup_documents(

@@ -1566,3 +1566,48 @@ def test_dup_span_profile_zero_fill_and_frac(corpus_with_spans):
     # doc 3: two 4-token spans of 10 tokens
     assert prof[3]["dup_token_cover"] == 8
     assert prof[3]["dup_token_frac"] == 0.8
+
+
+def test_curation_span_frac_filter(spark):
+    """max_dup_span_frac drops docs whose CORPUS-relative boilerplate
+    coverage exceeds the ceiling, while docs sharing no k-gram with any
+    other doc survive — the cross-page repetition max_dup_token_frac
+    (within-doc) cannot see."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    boiler = "click here to subscribe to our newsletter today"
+    rows = [
+        # docs 1/2: short text mostly made of the shared block → high
+        # span coverage (8 of 10 tokens = 0.8)
+        (1, f"first page {boiler}"),
+        (2, f"other site {boiler}"),
+        # doc 3: long unique text plus the same block → low coverage
+        # (filler must not self-repeat: repeated filler would create
+        # its own within-doc duplicate windows)
+        (3, " ".join(f"w{i}" for i in range(40)) + " " + boiler),
+        # doc 4: entirely unique
+        (4, "entirely original content with no shared window at all ok"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"]
+        for r in pipelines.curate_documents(
+            docs,
+            min_quality=0.0,
+            langs=("en", "und"),
+            redact=False,
+            max_dup_span_frac=0.5,
+        ).collect()
+    )
+    assert kept == [3, 4]
+    # Without the knob the near-dup tier collapses 1/2 (8 of their 10
+    # tokens are the shared block) but still SHIPS one boilerplate
+    # survivor; the span ceiling is what removes the content class
+    # entirely while keeping doc 3, whose coverage is low.
+    base = sorted(
+        r["doc_id"]
+        for r in pipelines.curate_documents(
+            docs, min_quality=0.0, langs=("en", "und"), redact=False
+        ).collect()
+    )
+    assert base == [1, 3, 4]
