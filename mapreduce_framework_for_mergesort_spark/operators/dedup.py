@@ -927,7 +927,14 @@ def dup_spans(
         .select("g")
     )
     dup_pos = grams.join(dup_grams, "g").select("doc_id", "pos")
+    return _merge_windows(dup_pos, k)
 
+
+def _merge_windows(positions: DataFrame, k: int) -> DataFrame:
+    """Fuse k-wide windows at (doc_id, pos) into maximal token spans
+    (gaps-and-islands over window starts): (doc_id, span_start,
+    span_end, n_dup_pos).  Per-doc window — state bounded by
+    windows-per-doc, never the corpus."""
     from pyspark.sql import Window
 
     prev = (
@@ -941,7 +948,7 @@ def dup_spans(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     with_island = (
-        dup_pos.withColumn(
+        positions.withColumn(
             "__new",
             (
                 F.col("pos")
@@ -1033,4 +1040,138 @@ def duckdb_dup_spans_cte(
              MAX(pos) + {k - 1} AS span_end,
              COUNT(*) AS n_dup_pos
       FROM dsp_isl2 GROUP BY doc_id, island)
+    """
+
+
+def strip_dup_spans(
+    documents: DataFrame, k: int = DUP_SPAN_K, min_count: int = 2
+) -> DataFrame:
+    """Span REMOVAL, first-occurrence-wins (the Lee et al. '21 step
+    after detection): rewrite each document keeping only tokens covered
+    by a *protecting* window — one that is either unique corpus-wide or
+    the globally-first occurrence (min (doc_id, pos)) of its k-gram.
+    An exact duplicate of an earlier document strips to the empty
+    string; a repeated block inside otherwise-novel text loses its
+    interior while up to k-1 fringe tokens survive on each edge (they
+    sit under windows straddling into unique context — the documented
+    resolution limit of the k-gram reformulation).
+
+    Output: original columns + ``stripped_text`` (kept tokens joined
+    with single spaces — canonical whitespace, NOT the original
+    spacing), ``n_tokens``, ``n_kept_tokens``.  Deterministic under
+    rerun/partitioning (the winner is an order-free struct-min).
+
+    Scale shape: the per-gram reduction composes map-side (count +
+    struct-min), the corpus-sized grams table is shuffled once into the
+    join, and the interval rebuild is pure codegen over per-doc arrays
+    (no Python, no explode of covered indices).
+    """
+    grams = positional_ngrams(documents, k)
+    per_g = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("__first"),
+    )
+    protecting = (
+        grams.join(per_g, "g")
+        .where(
+            (F.col("__cnt") < min_count)
+            | (
+                (F.col("doc_id") == F.col("__first.doc_id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    iv = (
+        _merge_windows(protecting, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("__iv")
+        )
+    )
+    toks = H.spark_tokens("text")
+    empty_iv = F.expr("array()").cast("array<struct<s:int,e:int>>")
+    joined = documents.join(iv, "doc_id", "left").withColumn(
+        "__iv", F.coalesce(F.col("__iv"), empty_iv)
+    )
+    stripped = H.let(
+        toks,
+        "ts",
+        f"CASE WHEN size(ts) < {k} THEN concat_ws(' ', ts) ELSE "
+        "concat_ws(' ', transform(filter("
+        "transform(ts, (t, i) -> struct(t AS t, i + 1 AS p)), "
+        "x -> exists(__iv, v -> x.p >= v.s AND x.p <= v.e)), "
+        "x -> x.t)) END",
+    )
+    n_tokens = H.let(toks, "ts", "size(ts)")
+    return (
+        joined.withColumn("stripped_text", F.expr(stripped))
+        .withColumn("n_tokens", F.expr(n_tokens).cast("bigint"))
+        .withColumn(
+            "n_kept_tokens",
+            F.expr(
+                f"size({H.spark_tokens('stripped_text')})"
+            ).cast("bigint"),
+        )
+        .drop("__iv")
+    )
+
+
+def duckdb_strip_cte(k: int = DUP_SPAN_K, min_count: int = 2) -> str:
+    """The oracle half of ``strip_dup_spans``, continuing the CTE chain
+    of ``duckdb_dup_spans_cte`` (reuses its ``dsp_toks``/``dsp_grams``):
+    ends in ``stripped(doc_id, stripped_text, n_tokens,
+    n_kept_tokens)``.  First-occurrence choice is expressed as
+    row_number over (doc_id, pos) — identical to the struct-min."""
+    return f"""
+    stp_flag AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY g) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos)
+               AS rn
+      FROM dsp_grams),
+    stp_prot AS (
+      SELECT doc_id, pos FROM stp_flag
+      WHERE cnt < {min_count} OR rn = 1),
+    stp_isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 + {k - 1}, -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM stp_prot),
+    stp_isl2 AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+      FROM stp_isl),
+    stp_spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+      FROM stp_isl2 GROUP BY doc_id, island),
+    stp_iv AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS iv
+      FROM stp_spans GROUP BY doc_id),
+    stripped AS (
+      -- COALESCE(..., ''): DuckDB's array_to_string([]) is NULL where
+      -- Spark's concat_ws is '' — a fully-stripped (or empty/NULL-text)
+      -- doc must compare equal as '' on both engines
+      SELECT t.doc_id,
+             COALESCE(
+               CASE WHEN len(ts) < {k} THEN array_to_string(ts, ' ')
+               ELSE array_to_string(list_transform(list_filter(
+                 list_transform(range(1, len(ts) + 1),
+                                i -> {{'t': ts[i], 'p': i}}),
+                 x -> len(list_filter(
+                   COALESCE(iv, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                   v -> x.p >= v.s AND x.p <= v.e)) > 0),
+                 x -> x.t), ' ') END, '') AS stripped_text,
+             len(ts) AS n_tokens
+      FROM dsp_toks t LEFT JOIN stp_iv USING (doc_id))
     """

@@ -242,7 +242,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e a ON a.doc_id = c.doc_a
       JOIN e b ON b.doc_id = c.doc_b AND a.s = b.s
       GROUP BY 1, 2),
-    {D.duckdb_dup_spans_cte()}
+    {D.duckdb_dup_spans_cte()},
+    {D.duckdb_strip_cte()},
+    strip_rows AS (
+      SELECT doc_id, stripped_text, n_tokens,
+             len(regexp_extract_all(stripped_text,
+                 '{H.TOKEN_CLASS_DUCKDB}')) AS n_kept
+      FROM stripped)
     SELECT 'pair' AS part, doc_a, doc_b,
            CAST(inter AS DOUBLE) / (na + nb - inter) AS val,
            CAST(NULL AS DOUBLE) AS val2
@@ -254,6 +260,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(span_end AS DOUBLE) AS val,
            CAST(n_dup_pos AS DOUBLE) AS val2
     FROM spans
+    UNION ALL
+    SELECT 'strip' AS part, doc_id AS doc_a,
+           {H.duckdb_base_hash('stripped_text')} AS doc_b,
+           CAST(n_kept AS DOUBLE) AS val,
+           CAST(n_tokens - n_kept AS DOUBLE) AS val2
+    FROM strip_rows
+    WHERE n_kept < n_tokens
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,10 +278,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``span`` — position-level duplicate-substring spans (Lee et
       al. '21 reformulated as positional k-gram matching, k=8):
       doc_a = doc_id, doc_b = span start (token index), val = span
-      end, val2 = duplicated-window count inside the span.
+      end, val2 = duplicated-window count inside the span;
+    * ``strip`` — the REMOVAL step (first-occurrence-wins rewrite,
+      ``dedup.strip_dup_spans``), one row per doc that lost tokens:
+      doc_b = 32-bit md5 fingerprint of the rewritten text (pins the
+      exact post-strip content), val = kept tokens, val2 = removed.
 
-    Both tiers replicate fully in the oracle's SQL — the driver
-    hash-checks every span boundary value-for-value."""
+    All tiers replicate fully in the oracle's SQL — the driver
+    hash-checks every span boundary and rewritten-content fingerprint
+    value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
     lit = F.lit
     pairs = D.ngram_jaccard_pairs(docs, JACCARD_TAU).select(
@@ -285,7 +303,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("double").alias("val"),
         F.col("n_dup_pos").cast("double").alias("val2"),
     )
-    return pairs.unionByName(spans)
+    strips = (
+        D.strip_dup_spans(docs)
+        .where(F.col("n_kept_tokens") < F.col("n_tokens"))
+        .select(
+            lit("strip").alias("part"),
+            F.col("doc_id").alias("doc_a"),
+            F.expr(H.spark_base_hash("stripped_text")).alias("doc_b"),
+            F.col("n_kept_tokens").cast("double").alias("val"),
+            (F.col("n_tokens") - F.col("n_kept_tokens"))
+            .cast("double")
+            .alias("val2"),
+        )
+    )
+    return pairs.unionByName(spans).unionByName(strips)
 
 
 NUM_CELLS = 8

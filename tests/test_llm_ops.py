@@ -1611,3 +1611,52 @@ def test_curation_span_frac_filter(spark):
         ).collect()
     )
     assert base == [1, 3, 4]
+
+
+def test_strip_dup_spans_first_occurrence_wins(spark):
+    """An exact later duplicate strips to '' while the first copy is
+    untouched; a shared interior block loses its middle but keeps up to
+    k-1 fringe tokens under windows straddling into unique context."""
+    block = " ".join(f"b{i}" for i in range(20))  # 20-token shared block
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z w v u t s"),          # 8 tokens, n == k
+            (2, "x y z w v u t s"),          # exact dup of 1
+            (3, f"p1 p2 p3 {block} q1 q2 q3"),
+            (4, f"r1 r2 r3 {block} s1 s2 s3"),
+            (5, "short doc"),                # n < k: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in D.strip_dup_spans(docs, k=4).collect()}
+    assert out[1]["stripped_text"] == "x y z w v u t s"
+    assert out[2]["stripped_text"] == "" and out[2]["n_kept_tokens"] == 0
+    # doc 3 holds the first occurrence of every block window → intact
+    assert out[3]["stripped_text"] == docs.where("doc_id=3").collect()[0]["text"]
+    # doc 4: block interior removed, k-1=3 fringe tokens survive on
+    # each edge (plus the unique 3-token prefix/suffix)
+    got4 = out[4]["stripped_text"].split(" ")
+    assert got4[:6] == ["r1", "r2", "r3", "b0", "b1", "b2"]
+    assert got4[-6:] == ["b17", "b18", "b19", "s1", "s2", "s3"]
+    assert out[4]["n_kept_tokens"] == 12 and out[4]["n_tokens"] == 26
+    assert out[5]["stripped_text"] == "short doc"
+
+
+def test_strip_dup_spans_deterministic_across_input_order(spark):
+    """The winner is min (doc_id, pos) — reversing input row order must
+    not change which copy survives."""
+    rows = [(2, "m n o p q r s t"), (1, "m n o p q r s t")]
+    fwd = {
+        r["doc_id"]: r["stripped_text"]
+        for r in D.strip_dup_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=4
+        ).collect()
+    }
+    rev = {
+        r["doc_id"]: r["stripped_text"]
+        for r in D.strip_dup_spans(
+            spark.createDataFrame(rows[::-1], ["doc_id", "text"]), k=4
+        ).collect()
+    }
+    assert fwd == rev
+    assert fwd[1] == "m n o p q r s t" and fwd[2] == ""
