@@ -2,13 +2,16 @@
 
 The reference deduplicates only *task results* (redundant speculative
 copies racing, ``Server.java:262,444-446``) — data-level dedup is a
-north-star extension (``BASELINE.json``).  Five tiers, cheapest first:
+north-star extension (``BASELINE.json``).  Six tiers, cheapest first:
 
 1. exact           — hash groupBy on content (one shuffle on the key)
 2. minhash + LSH   — near-dup *candidates* without any pairwise compare
 3. simhash         — per-doc bit signature; hamming-near pairs
 4. n-gram jaccard  — exact set similarity for candidate verification
 5. embedding cos   — semantic near-dup (exact small-N; LSH path at scale)
+6. substring spans — position-level: repeated k-token windows → merged
+   spans (profile/filter) + first-occurrence-wins removal; tiers 1-5
+   decide KEEP/DROP per doc, tier 6 rewrites within docs
 
 Scale posture (100 TB): the only all-pairs computation here
 (``embedding_near_dup_pairs``) is the *verification* tier — at scale you
@@ -904,7 +907,10 @@ def positional_ngrams(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
 
 
 def dup_spans(
-    documents: DataFrame, k: int = DUP_SPAN_K, min_count: int = 2
+    documents: DataFrame,
+    k: int = DUP_SPAN_K,
+    min_count: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Merged duplicate-substring spans: (doc_id, span_start, span_end,
     n_dup_pos) token ranges (1-based, inclusive) covered by k-gram
@@ -918,8 +924,14 @@ def dup_spans(
     (much smaller) duplicated-gram set, then a per-doc window — state
     is bounded by tokens-per-doc, never the corpus, and the join key is
     uniform md5 output so no hot key survives un-split.
+
+    ``grams`` overrides the positional-n-gram build — pass a
+    materialized ``positional_ngrams(documents, k)`` when another
+    consumer (``strip_dup_spans``) shares it, so the
+    tokenize→window→md5 pass runs once, not per consumer.
     """
-    grams = positional_ngrams(documents, k)
+    if grams is None:
+        grams = positional_ngrams(documents, k)
     dup_grams = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -1044,7 +1056,10 @@ def duckdb_dup_spans_cte(
 
 
 def strip_dup_spans(
-    documents: DataFrame, k: int = DUP_SPAN_K, min_count: int = 2
+    documents: DataFrame,
+    k: int = DUP_SPAN_K,
+    min_count: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Span REMOVAL, first-occurrence-wins (the Lee et al. '21 step
     after detection): rewrite each document keeping only tokens covered
@@ -1064,9 +1079,12 @@ def strip_dup_spans(
     Scale shape: the per-gram reduction composes map-side (count +
     struct-min), the corpus-sized grams table is shuffled once into the
     join, and the interval rebuild is pure codegen over per-doc arrays
-    (no Python, no explode of covered indices).
+    (no Python, no explode of covered indices).  ``grams`` as in
+    ``dup_spans`` — pass the shared materialized n-gram table when both
+    run over the same corpus.
     """
-    grams = positional_ngrams(documents, k)
+    if grams is None:
+        grams = positional_ngrams(documents, k)
     per_g = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct("doc_id", "pos")).alias("__first"),

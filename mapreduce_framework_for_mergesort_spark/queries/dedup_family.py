@@ -296,7 +296,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("val"),
         lit(None).cast("double").alias("val2"),
     )
-    spans = D.dup_spans(docs).select(
+    # one tokenize→window→md5 pass feeds both span branches (each
+    # consumes it twice: gram-count side + position side)
+    grams = materialize(D.positional_ngrams(docs))
+    spans = D.dup_spans(docs, grams=grams).select(
         lit("span").alias("part"),
         F.col("doc_id").alias("doc_a"),
         F.col("span_start").cast("bigint").alias("doc_b"),
@@ -304,7 +307,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_pos").cast("double").alias("val2"),
     )
     strips = (
-        D.strip_dup_spans(docs)
+        D.strip_dup_spans(docs, grams=grams)
         .where(F.col("n_kept_tokens") < F.col("n_tokens"))
         .select(
             lit("strip").alias("part"),
