@@ -313,3 +313,181 @@ def duckdb_sample_predicate(rate: float, key_sql: str) -> str:
         f"substring(md5(CAST({key_sql} AS VARCHAR) || '{SAMPLE_SALT}'),"
         f" 1, {SAMPLE_HEX}) < '{sample_threshold(rate)}'"
     )
+
+
+# --- budget-driven source mixing -------------------------------------------
+# The Pile/LLaMA-style mixture mechanic: target mixture WEIGHTS over a
+# stratum column (data domain/source), with small domains allowed to
+# repeat up to max_epochs times — the knob real pretraining mixes turn
+# (web 1 epoch, books/wiki several).  All plan arithmetic is EXACT
+# INTEGER (weights are integer ratios; rates live in 2^-32 units), so
+# the DuckDB oracle reproduces the plan bit-for-bit with HUGEINT math —
+# no cross-engine float rounding anywhere.
+
+MIX_SALT = "#mix"  # decorrelates the fractional-epoch sample from
+#                    hash_sample ('#sample') and hash_split decisions
+_MIX_ONE = 16**SAMPLE_HEX  # rate denominator: 1.0 epoch == 2^32
+
+
+def mix_plan(
+    avails: dict[str, int],
+    weights: dict[str, int],
+    max_epochs: int = 1,
+    total: int | None = None,
+) -> dict[str, tuple[int, int]]:
+    """Exact-integer mixing plan: per-stratum ``(full_epochs, frac)``
+    where the sampling rate is ``full_epochs + frac/2^32`` epochs.
+
+    ``weights`` are integer mixture ratios (5:3:1:1, not floats);
+    ``avails`` the per-stratum available unit counts.  The plan scales
+    the whole mixture to the largest total ``T`` such that no stratum
+    needs more than ``max_epochs`` passes over its data —
+    ``T = min_s floor(avail_s · E · den / w_s)`` — optionally capped by
+    ``total``; each stratum then contributes ``w_s · T // den`` units.
+
+    Every step is floor division on non-negative integers (Python
+    arbitrary-precision here, HUGEINT in the oracle mirror), so two
+    engines computing the plan from the same counts CANNOT disagree.
+
+    Resolution floor: rates are quantized to 2^-32 epochs, so a
+    stratum's planned units can fall short of its exact target by up to
+    ``avail/2^32`` (~0.02 ppm) — property-pinned in tests; raise
+    ``SAMPLE_HEX`` before worrying at < 10^12-unit strata.
+    """
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive integers: {weights}")
+    den = sum(weights.values())
+    if den <= 0:
+        raise ValueError("weights must be non-empty")
+    missing = [s for s in weights if avails.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(
+            f"weighted strata with no available data: {missing} — the "
+            "mixture is unsatisfiable (T would be 0); drop them from "
+            "weights or fix the corpus"
+        )
+    t = min(avails[s] * max_epochs * den // w for s, w in weights.items())
+    if total is not None:
+        t = min(t, total)
+    plan = {}
+    for s, w in weights.items():
+        n = (w * t // den) * _MIX_ONE // avails[s]
+        plan[s] = (n // _MIX_ONE, n % _MIX_ONE)
+    return plan
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, int],
+    stratum_col: str = "source",
+    key: str = "doc_id",
+    max_epochs: int = 1,
+    total: int | None = None,
+    unit_col: str | None = None,
+) -> DataFrame:
+    """Deterministic budget-driven mixing: sample/repeat each stratum so
+    the output approaches the ``weights`` mixture (see ``mix_plan``),
+    appending an ``epoch`` column (0-based; a doc kept twice appears as
+    epoch 0 and 1).  Rows whose stratum has no weight are dropped.
+
+    ``unit_col`` switches the budget unit from documents to a per-row
+    integer column (e.g. a token count) — membership stays per-row, so
+    token-unit targets are met in expectation, exactly like any
+    Bernoulli sampler.
+
+    Scale shape: ONE small aggregate (per-stratum counts — K rows of
+    metadata to the driver, never data), then one map-only
+    explode+filter pass: full epochs replicate unconditionally, the one
+    fractional epoch keeps rows whose salted ``md5(key)`` falls under
+    the stratum's 2^-32-unit threshold.  Membership is a pure function
+    of (key, stratum, counts): rerun-, partitioning-, and engine-proof.
+    """
+    unit = (
+        F.count(F.lit(1)) if unit_col is None else F.sum(unit_col)
+    ).alias("__avail")
+    avails = {
+        r[stratum_col]: int(r["__avail"])
+        for r in df.groupBy(stratum_col).agg(unit).collect()
+    }
+    plan = mix_plan(
+        {s: avails.get(s, 0) for s in weights}, weights, max_epochs, total
+    )
+    strata = sorted(plan)
+    full_col = F.lit(None).cast("int")
+    frac_col = F.lit(None).cast("string")
+    for s in strata:
+        efull, frac = plan[s]
+        full_col = F.when(F.col(stratum_col) == s, F.lit(efull)).otherwise(
+            full_col
+        )
+        frac_col = F.when(
+            F.col(stratum_col) == s,
+            F.lit(format(frac, f"0{SAMPLE_HEX}x")),
+        ).otherwise(frac_col)
+    h = F.substring(
+        F.md5(
+            F.concat(F.col(key).cast("string"), F.lit(MIX_SALT)).cast(
+                "binary"
+            )
+        ),
+        1,
+        SAMPLE_HEX,
+    )
+    return (
+        df.where(F.col(stratum_col).isin(strata))
+        .withColumn("__efull", full_col)
+        .withColumn("__frac", frac_col)
+        .withColumn("epoch", F.explode(F.expr("sequence(0, __efull)")))
+        .where((F.col("epoch") < F.col("__efull")) | (h < F.col("__frac")))
+        .drop("__efull", "__frac")
+    )
+
+
+def duckdb_mix_cte(
+    weights: dict[str, int],
+    stratum_col: str = "source",
+    key_sql: str = "doc_id",
+    max_epochs: int = 1,
+    total: int | None = None,
+    table: str = "documents",
+) -> str:
+    """Oracle half of ``mix_sources`` (document-unit form): CTE chain
+    ending in ``mix`` = the mixed rows (all columns + ``epoch``).  The
+    plan arithmetic is the same floor-division chain in HUGEINT; the
+    fractional-epoch predicate compares the hash prefix numerically
+    (hex-string < fixed-width literal ⟺ int < threshold)."""
+    strata = sorted(weights)
+    in_list = ", ".join(f"'{s}'" for s in strata)
+    w_case = "CASE src " + " ".join(
+        f"WHEN '{s}' THEN {weights[s]}" for s in strata
+    ) + " END"
+    den = sum(weights.values())
+    t_expr = f"MIN(avail * {max_epochs} * {den} // w)"
+    if total is not None:
+        t_expr = f"LEAST({t_expr}, {total})"
+    return f"""
+    mx_avail AS (
+      SELECT {stratum_col} AS src, CAST(COUNT(*) AS HUGEINT) AS avail
+      FROM {table} WHERE {stratum_col} IN ({in_list})
+      GROUP BY 1),
+    mx_w AS (SELECT src, avail, CAST({w_case} AS HUGEINT) AS w
+             FROM mx_avail),
+    mx_t AS (SELECT {t_expr} AS t FROM mx_w),
+    mx_epochs AS (
+      SELECT src,
+             CAST(((w * t // {den}) * {_MIX_ONE} // avail)
+                  // {_MIX_ONE} AS BIGINT) AS efull,
+             CAST(((w * t // {den}) * {_MIX_ONE} // avail)
+                  % {_MIX_ONE} AS BIGINT) AS frac
+      FROM mx_w, mx_t),
+    mx_epochrows AS (
+      SELECT src, efull, frac,
+             unnest(range(0, efull + 1)) AS epoch
+      FROM mx_epochs),
+    mix AS (
+      SELECT d.*, e.epoch
+      FROM {table} d JOIN mx_epochrows e ON d.{stratum_col} = e.src
+      WHERE e.epoch < e.efull
+         OR CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR)
+              || '{MIX_SALT}'), 1, {SAMPLE_HEX}) AS BIGINT) < e.frac)
+    """

@@ -25,6 +25,12 @@ from mapreduce_framework_for_mergesort_spark.queries import query
 _SPLIT_CASE = sampling.duckdb_split_case("o_orderkey")
 _SAMPLE_RATE = 0.25  # deterministic hash-sample audit rate
 PACK_BUDGET = 512  # tokens per training sequence in the packing audit
+# Source-mixing audit: non-uniform integer ratios over a uniform
+# 20×25-doc fixture so the plan exercises all three regimes — full
+# epochs (src0: rate 2.0), a fractional epoch (src1: 1.2), and
+# downsampling (src2/src3: 0.4); unweighted sources must vanish.
+MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 1, "src3": 1}
+MIX_EPOCHS = 2
 
 
 def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
@@ -163,7 +169,20 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
       UNION ALL
       SELECT 'pack_tokens', CAST(excl // {pack_budget} AS VARCHAR),
              CAST(SUM(n) AS DOUBLE)
-      FROM pk1 GROUP BY 2)
+      FROM pk1 GROUP BY 2),
+    {mix_cte},
+    mix_agg AS (
+      SELECT source || ':' || CAST(epoch AS VARCHAR) AS grp,
+             COUNT(*) AS mn, SUM(doc_id) AS msum,
+             SUM(n_chars) AS mchars
+      FROM mix GROUP BY 1),
+    mix_rows AS (
+      SELECT 'mix_n' AS metric, grp, CAST(mn AS DOUBLE) AS value
+      FROM mix_agg
+      UNION ALL SELECT 'mix_sum_id', grp, CAST(msum AS DOUBLE)
+      FROM mix_agg
+      UNION ALL SELECT 'mix_chars', grp, CAST(mchars AS DOUBLE)
+      FROM mix_agg)
     SELECT * FROM corr_rows
     UNION ALL SELECT * FROM pct_rows
     UNION ALL SELECT * FROM uniq_rows
@@ -172,6 +191,7 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
     UNION ALL SELECT * FROM split_rows
     UNION ALL SELECT * FROM pack_rows
     UNION ALL SELECT * FROM kmv_rows
+    UNION ALL SELECT * FROM mix_rows
     """.format(
         split_case=_SPLIT_CASE,
         sample_pred=sampling.duckdb_sample_predicate(
@@ -180,6 +200,9 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
         doc_tokens=H.duckdb_tokens("text"),
         pack_budget=PACK_BUDGET,
         kmv_cte=sketches.duckdb_kmv_cte("o_custkey", "orders"),
+        mix_cte=sampling.duckdb_mix_cte(
+            MIX_WEIGHTS, max_epochs=MIX_EPOCHS
+        ),
     ),
 )
 def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,9 +393,8 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-window formulation value-for-value — the driver
     # hash-checks a partitioning-dependent-looking algorithm is in fact
     # partitioning-independent.
-    packed = sampling.pack_documents(
-        load_table(spark, sf_dir, "documents"), PACK_BUDGET
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    packed = sampling.pack_documents(docs, PACK_BUDGET)
     pk = packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("pn"),
         F.sum("n_tokens").alias("ptok"),
@@ -382,10 +404,32 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("pack_n", F.col("pn")), ("pack_tokens", F.col("ptok"))],
     )
 
+    # Source-mixing audit (round 4+): the budget-driven mixture plan is
+    # exact-integer arithmetic (operators/sampling.mix_plan), so the
+    # oracle recomputes the SAME plan from the same counts in HUGEINT
+    # and the driver hash-checks per-(source, epoch) membership
+    # fingerprints — counts, id-sums, and char-sums of the mixed set.
+    mixed = sampling.mix_sources(docs, MIX_WEIGHTS, max_epochs=MIX_EPOCHS)
+    mx = mixed.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("mn"),
+        F.sum("doc_id").alias("msum"),
+        F.sum("n_chars").alias("mchars"),
+    )
+    mix_rows = _long(
+        mx,
+        F.concat_ws(":", F.col("source"), F.col("epoch")),
+        [
+            ("mix_n", F.col("mn")),
+            ("mix_sum_id", F.col("msum")),
+            ("mix_chars", F.col("mchars")),
+        ],
+    )
+
     return (
         li_rows.unionByName(uniq_rows)
         .unionByName(hist_rows)
         .unionByName(split_rows)
         .unionByName(pack_rows)
         .unionByName(kmv_rows)
+        .unionByName(mix_rows)
     )

@@ -1660,3 +1660,35 @@ def test_strip_dup_spans_deterministic_across_input_order(spark):
     }
     assert fwd == rev
     assert fwd[1] == "m n o p q r s t" and fwd[2] == ""
+
+
+def test_mix_sources_epochs_and_determinism(spark):
+    """Budget-driven mixing: full epochs replicate every row, the
+    fractional epoch is a strict subset, unweighted strata vanish, and
+    membership survives an input repartition (pure function of key)."""
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sampling as SP,
+    )
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(90)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    W = {"s0": 3, "s1": 1}  # s2 unweighted → dropped
+    out = SP.mix_sources(docs, W, max_epochs=2).collect()
+    got = {(r["source"], r["epoch"], r["doc_id"]) for r in out}
+    assert not [g for g in got if g[0] == "s2"]
+    # plan: avail 30 each, T = min(30*2*4//3, 30*2*4//1) = 160,
+    # targets 120/40 → s0 exactly 4/3 epochs... s0 full epoch 0+
+    # fractional; every epoch>0 member is also an epoch-0 member
+    for s, e, d in got:
+        if e > 0:
+            assert (s, 0, d) in got
+    # s0 epoch 0 is complete (rate > 1 keeps every row at least once)
+    assert {d for s, e, d in got if s == "s0" and e == 0} == set(range(0, 90, 3))
+    # determinism across partitioning
+    out2 = {
+        (r["source"], r["epoch"], r["doc_id"])
+        for r in SP.mix_sources(
+            docs.repartition(7, "text"), W, max_epochs=2
+        ).collect()
+    }
+    assert out2 == got
