@@ -67,13 +67,24 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
       FROM lineitem GROUP BY l_returnflag),
     corr_rows AS (
+      -- decimal -> double goes THROUGH VARCHAR: DuckDB's direct
+      -- DECIMAL(38,4) cast double-rounds (scaled HUGEINT -> double,
+      -- then /10^scale), which is 1 ulp off Spark/Java's correctly-
+      -- rounded BigDecimal cast once the scaled integer exceeds 2^53
+      -- (syy at sf0.001 already does); the string route is correctly
+      -- rounded in one step
       SELECT 'corr_qty_price' AS metric, l_returnflag AS grp,
-             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS value
+             (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+                - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)
+                       * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE)
+                         * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS value
       FROM m
       UNION ALL
       SELECT 'group_n', l_returnflag, CAST(n AS DOUBLE) FROM m),
