@@ -182,6 +182,10 @@ def prepare_training_shards(
     shards_per_split: int = 4,
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
     bpe_merges: list[tuple[str, str]] | None = None,
+    mix_weights: dict[str, int] | None = None,
+    mix_epochs: int = 1,
+    mix_stratum: str = "source",
+    mix_total: int | None = None,
     **curate_kwargs,
 ) -> dict:
     """The last mile: curated corpus → on-disk training shards.
@@ -209,6 +213,15 @@ def prepare_training_shards(
       tokens to the trained subword vocabulary (``token_unit`` in the
       manifest records which); the count is one extra Arrow column in
       the curation pass, no join, no extra scan.
+    * ``mix_weights`` (integer mixture ratios over ``mix_stratum``, see
+      ``sampling.mix_sources``) applies the budget-driven source
+      mixture to the curated survivors before packing: small domains
+      repeat up to ``mix_epochs`` times (each replica is a distinct
+      packed row carrying its ``epoch``), and manifest docs/tokens
+      count replicas — the tokens a training run actually consumes.
+      Token counts (including BPE) are computed BEFORE the mix explode
+      so each unique document pays its tokenizer cost once; packing
+      orders by (doc_id, epoch) via a synthesized unique key.
 
     Determinism end to end: every stage is a pure function of content
     (hash split, hash dedup survivors, key-ordered packing), so a
@@ -242,6 +255,25 @@ def prepare_training_shards(
         )
         count_col = "n_bpe_tokens"
     curated = materialize(curated, eager=False)
+    pack_key = "doc_id"
+    if mix_weights is not None:
+        # after the materialize: mix_sources collects per-stratum
+        # counts (one small agg), which becomes the action that fills
+        # the checkpoint — the curation pipeline still runs once
+        curated = sampling.mix_sources(
+            curated,
+            mix_weights,
+            stratum_col=mix_stratum,
+            max_epochs=mix_epochs,
+            total=mix_total,
+        )
+        # unique concatenation key across replicas: injective for
+        # epoch <= mix_epochs, ordered by (doc_id, epoch)
+        curated = curated.withColumn(
+            "__mix_key",
+            F.expr(f"doc_id * {mix_epochs + 1} + epoch"),
+        )
+        pack_key = "__mix_key"
     manifest: dict = {
         "budget": budget,
         "token_unit": "bpe" if bpe_merges is not None else "whitespace",
@@ -254,11 +286,14 @@ def prepare_training_shards(
         # mapInPandas + offsets window + broadcast join) over the
         # split (round-4+ review)
         packed = materialize(
-            sampling.pack_documents(sub, budget, count_col=count_col),
+            sampling.pack_documents(
+                sub, budget, key=pack_key, count_col=count_col
+            ),
             eager=False,
         )
         (
-            packed.repartitionByRange(shards_per_split, "pack_id")
+            packed.drop("__mix_key")
+            .repartitionByRange(shards_per_split, "pack_id")
             .sortWithinPartitions("pack_id", "pack_offset")
             .write.mode("overwrite")
             .parquet(f"{out_dir}/{split}")

@@ -1692,3 +1692,44 @@ def test_mix_sources_epochs_and_determinism(spark):
         ).collect()
     }
     assert out2 == got
+
+
+def test_prepare_training_shards_with_mixture(spark, sf_oracle, tmp_path):
+    """Shard pipeline with mix_weights: replicas appear as distinct
+    packed rows carrying their epoch, manifest tokens count replicas,
+    and a weighted-out source never ships."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs = load_table(spark, sf_oracle, "documents")
+    W = {"src0": 3, "src1": 1}
+    man = pipelines.prepare_training_shards(
+        docs,
+        str(tmp_path / "mixed"),
+        budget=512,
+        shards_per_split=2,
+        min_quality=0.0,
+        langs=("en", "und"),
+        mix_weights=W,
+        mix_epochs=2,
+    )
+    total_epochs = set()
+    for split, info in man["splits"].items():
+        back = spark.read.parquet(info["path"])
+        rows = back.select(
+            "doc_id", "source", "epoch", "n_tokens", "pack_id"
+        ).collect()
+        assert len(rows) == info["docs"]
+        assert sum(r["n_tokens"] for r in rows) == info["tokens"]
+        assert {r["source"] for r in rows} <= set(W)
+        assert "__mix_key" not in back.columns
+        total_epochs |= {r["epoch"] for r in rows}
+        # a replica pair is the same doc at two epochs with equal
+        # token counts
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, rs in by_doc.items():
+            assert len({r["epoch"] for r in rs}) == len(rs)
+            assert len({r["n_tokens"] for r in rs}) == 1
+    # the 3:1 mixture at E=2 must actually use a second epoch for src0
+    assert 1 in total_epochs
