@@ -76,6 +76,7 @@ def curate_documents(
     min_quality: float = 0.5,
     max_dup_token_frac: float | None = None,
     max_dup_span_frac: float | None = None,
+    strip_spans: bool = False,
     dup_span_k: int = D.DUP_SPAN_K,
     langs: tuple[str, ...] = ("en",),
     splits: sampling.Weights = sampling.DEFAULT_SPLITS,
@@ -114,6 +115,16 @@ def curate_documents(
     ``dup_span_k``) exceeds the threshold — repetition shared ACROSS
     pages, which the within-doc ``max_dup_token_frac`` cannot see.
 
+    ``strip_spans`` REWRITES instead of dropping: the tier-6 removal
+    pass (``dedup.strip_dup_spans``, first-occurrence-wins) replaces
+    each document's text with its de-boilerplated form right after
+    redaction — BEFORE features (quality scores the text that actually
+    ships, not boilerplate-inflated input) and BEFORE dedup (a doc
+    that was nothing but repeats strips to empty and is removed here,
+    rather than surviving as a near-dup cluster's representative).
+    Note the rewrite canonicalizes whitespace to single spaces and
+    pays one corpus-wide gram pass up front.
+
     ``benchmark`` (optional, a one-column-of-text DataFrame — see
     ``decontam_n``/``operators/dedup.decontaminate``) drops every
     surviving document that shares a long word n-gram with the eval
@@ -134,6 +145,13 @@ def curate_documents(
 
     if redact:
         documents = redact_pii(documents)
+    if strip_spans:
+        documents = (
+            D.strip_dup_spans(documents, k=dup_span_k)
+            .drop("text", "n_tokens", "n_kept_tokens")
+            .withColumnRenamed("stripped_text", "text")
+            .where(F.col("text") != "")
+        )
     want_rep = max_dup_token_frac is not None
     keep = (F.col("quality") >= min_quality) & F.col("pred_lang").isin(
         *langs

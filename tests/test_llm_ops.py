@@ -1733,3 +1733,38 @@ def test_prepare_training_shards_with_mixture(spark, sf_oracle, tmp_path):
             assert len({r["n_tokens"] for r in rs}) == 1
     # the 3:1 mixture at E=2 must actually use a second epoch for src0
     assert 1 in total_epochs
+
+
+def test_curation_strip_spans_rewrites(spark):
+    """strip_spans=True de-boilerplates survivors instead of dropping
+    them: the repeated block's interior is gone from later copies, an
+    all-boilerplate doc strips to empty and vanishes, and the
+    first-occurrence doc ships intact."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    block = " ".join(f"x{i}" for i in range(20))
+    rows = [
+        (1, f"lead one two {block} tail alpha beta"),
+        (2, f"other open here {block} close gamma delta"),
+        (3, block),  # nothing but the (later) boilerplate
+        (4, "a fully original document with enough words to pass easily"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in pipelines.curate_documents(
+            docs,
+            min_quality=0.0,
+            langs=("en", "und"),
+            redact=False,
+            strip_spans=True,
+            dup_span_k=4,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}  # doc 3 stripped to '' and removed
+    assert out[1] == rows[0][1]  # first occurrence intact
+    # doc 2 keeps its unique prefix/suffix and the k-1 fringe only
+    assert out[2].startswith("other open here x0 x1 x2 ")
+    assert out[2].endswith("x17 x18 x19 close gamma delta")
+    assert "x8 x9 x10" not in out[2]
+    assert out[4] == rows[3][1]

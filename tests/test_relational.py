@@ -153,9 +153,12 @@ def test_profile_stats_bounded_scans(spark, sf_oracle):
     lineitem passes (stats+sample / uniqueness) + orders passes for
     uniqueness (incl. the KMV exact-truth distinct, riding the same
     Expand-rewritten multi-distinct aggregate) / histogram /
-    split+hash-sample audit / KMV sketch — bounded at 7 column-pruned
-    parquet scans in this plan (round-1's five separate queries cost
-    7+ for less coverage).  The round-4 packing
+    split+hash-sample audit / KMV sketch — plus ONE documents scan for
+    the round-4+ source-mixing grain (the mix explode+filter branch;
+    its tiny per-source counts aggregate runs as a separate
+    query-construction-time job, like IVF training) — bounded at 8
+    column-pruned parquet scans in this plan (round-1's five separate
+    queries cost 7+ for less coverage).  The round-4 packing
     audit adds ONE documents scan that
     this count cannot see — it runs inside pack_documents' lazy
     checkpoint job and surfaces here as Scan ExistingRDD, asserted so
@@ -166,7 +169,7 @@ def test_profile_stats_bounded_scans(spark, sf_oracle):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") <= 7, plan
+    assert plan.count("Scan parquet") <= 8, plan
     assert "Scan ExistingRDD" in plan  # the packing audit's checkpoint
 
 
