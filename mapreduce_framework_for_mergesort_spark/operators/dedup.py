@@ -928,10 +928,12 @@ def dup_spans(
     ``grams`` overrides the positional-n-gram build — pass a
     materialized ``positional_ngrams(documents, k)`` when another
     consumer (``strip_dup_spans``) shares it, so the
-    tokenize→window→md5 pass runs once, not per consumer.
+    tokenize→window→md5 pass runs once, not per consumer.  Even alone
+    this function consumes the gram table TWICE (count side + position
+    side), so the default builds it materialized.
     """
     if grams is None:
-        grams = positional_ngrams(documents, k)
+        grams = _materialize(positional_ngrams(documents, k))
     dup_grams = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -977,19 +979,29 @@ def _merge_windows(positions: DataFrame, k: int) -> DataFrame:
 
 
 def dup_span_profile(
-    documents: DataFrame, k: int = DUP_SPAN_K, min_count: int = 2
+    documents: DataFrame,
+    k: int = DUP_SPAN_K,
+    min_count: int = 2,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc duplicate-substring stats over ALL docs (zero-filled):
     (doc_id, n_tokens, dup_span_count, dup_token_cover,
     dup_token_frac).  ``dup_token_frac`` is the curation signal —
     filter docs whose boilerplate fraction exceeds a threshold, the
-    position-level analogue of ``quality_scores``."""
+    position-level analogue of ``quality_scores``.  ``grams`` as in
+    ``dup_spans``: pass a MATERIALIZED ``positional_ngrams`` so the
+    tokenize→window→md5 pass runs once, not once per consuming branch
+    (``dup_spans`` reads it twice — count side + position side)."""
     toks = H.spark_tokens("text")
     base = documents.select(
         "doc_id",
         F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
     )
-    per_doc = dup_spans(documents, k, min_count).groupBy("doc_id").agg(
+    if grams is None:
+        grams = _materialize(positional_ngrams(documents, k))
+    per_doc = dup_spans(documents, k, min_count, grams=grams).groupBy(
+        "doc_id"
+    ).agg(
         F.count(F.lit(1)).alias("dup_span_count"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
             "dup_token_cover"
@@ -1009,6 +1021,36 @@ def dup_span_profile(
             "ELSE CAST(coalesce(dup_token_cover, 0) AS DOUBLE) / n_tokens END"
         ).alias("dup_token_frac"),
     )
+
+
+def _duckdb_islands(prefix: str, src_cte: str, out_cte: str, k: int) -> str:
+    """The ONE SQL spelling of ``_merge_windows`` (gaps-and-islands over
+    (doc_id, pos) window starts), shared by the span and strip oracles —
+    the merge condition must stay bit-identical everywhere or span
+    boundaries and strip coverage silently disagree inside one oracle.
+    Emits ``{prefix}_isl``/``{prefix}_isl2``/``{out_cte}(doc_id,
+    span_start, span_end, n_dup_pos)``."""
+    return f"""
+    {prefix}_isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 + {k - 1}, -1)
+             THEN 1 ELSE 0 END AS ni
+      FROM {src_cte}),
+    {prefix}_isl2 AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+      FROM {prefix}_isl),
+    {out_cte} AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             MAX(pos) + {k - 1} AS span_end,
+             COUNT(*) AS n_dup_pos
+      FROM {prefix}_isl2 GROUP BY doc_id, island)
+    """
 
 
 def duckdb_dup_spans_cte(
@@ -1033,25 +1075,7 @@ def duckdb_dup_spans_cte(
       SELECT g FROM dsp_grams GROUP BY g HAVING COUNT(*) >= {min_count}),
     dsp_dp AS (
       SELECT doc_id, pos FROM dsp_grams JOIN dsp_dup USING (g)),
-    dsp_isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(MAX(pos) OVER (
-                 PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                 + {k - 1}, -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM dsp_dp),
-    dsp_isl2 AS (
-      SELECT doc_id, pos,
-             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS island
-      FROM dsp_isl),
-    spans AS (
-      SELECT doc_id, MIN(pos) AS span_start,
-             MAX(pos) + {k - 1} AS span_end,
-             COUNT(*) AS n_dup_pos
-      FROM dsp_isl2 GROUP BY doc_id, island)
+    {_duckdb_islands("dsp", "dsp_dp", "spans", k)}
     """
 
 
@@ -1081,10 +1105,11 @@ def strip_dup_spans(
     join, and the interval rebuild is pure codegen over per-doc arrays
     (no Python, no explode of covered indices).  ``grams`` as in
     ``dup_spans`` — pass the shared materialized n-gram table when both
-    run over the same corpus.
+    run over the same corpus; alone, the default materializes its own
+    (the per-gram agg side and the protecting-join side both read it).
     """
     if grams is None:
-        grams = positional_ngrams(documents, k)
+        grams = _materialize(positional_ngrams(documents, k))
     per_g = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct("doc_id", "pos")).alias("__first"),
@@ -1156,25 +1181,10 @@ def duckdb_strip_cte(k: int = DUP_SPAN_K, min_count: int = 2) -> str:
     stp_prot AS (
       SELECT doc_id, pos FROM stp_flag
       WHERE cnt < {min_count} OR rn = 1),
-    stp_isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN pos > COALESCE(MAX(pos) OVER (
-                 PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                 + {k - 1}, -1)
-             THEN 1 ELSE 0 END AS ni
-      FROM stp_prot),
-    stp_isl2 AS (
-      SELECT doc_id, pos,
-             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS island
-      FROM stp_isl),
-    stp_spans AS (
-      SELECT doc_id, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
-      FROM stp_isl2 GROUP BY doc_id, island),
+    {_duckdb_islands("stp", "stp_prot", "stp_spans", k)},
     stp_iv AS (
-      SELECT doc_id, list({{'s': s, 'e': e}}) AS iv
+      SELECT doc_id,
+             list({{'s': span_start, 'e': span_end}}) AS iv
       FROM stp_spans GROUP BY doc_id),
     stripped AS (
       -- COALESCE(..., ''): DuckDB's array_to_string([]) is NULL where

@@ -266,15 +266,27 @@ def sample_predicate(key: str, rate: float) -> Column:
     return _sample_hash(key) < sample_threshold(rate)
 
 
-def _sample_hash(key: str) -> Column:
+def _sample_hash(key: str, salt: str = SAMPLE_SALT) -> Column:
+    """The ONE Spark spelling of the salted membership hash — shared by
+    hash_sample/stratified_hash_sample (SAMPLE_SALT) and mix_sources
+    (MIX_SALT); ``_duckdb_hash_int`` is its oracle mirror."""
     return F.substring(
         F.md5(
-            F.concat(F.col(key).cast("string"), F.lit(SAMPLE_SALT)).cast(
+            F.concat(F.col(key).cast("string"), F.lit(salt)).cast(
                 "binary"
             )
         ),
         1,
         SAMPLE_HEX,
+    )
+
+
+def _duckdb_hash_int(key_sql: str, salt: str) -> str:
+    """Oracle mirror of ``_sample_hash`` as an integer (hex-string <
+    fixed-width literal ⟺ int < threshold)."""
+    return (
+        f"CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR) || "
+        f"'{salt}'), 1, {SAMPLE_HEX}) AS BIGINT)"
     )
 
 
@@ -359,6 +371,13 @@ def mix_plan(
     den = sum(weights.values())
     if den <= 0:
         raise ValueError("weights must be non-empty")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    if total is not None and total < 0:
+        # a negative total would floor T negative -> negative full
+        # epochs -> Spark's sequence(0, -1) DESCENDS while the oracle's
+        # range(0, 0) is empty: silent garbage AND divergence
+        raise ValueError(f"total must be >= 0, got {total}")
     missing = [s for s in weights if avails.get(s, 0) <= 0]
     if missing:
         raise ValueError(
@@ -424,15 +443,7 @@ def mix_sources(
             F.col(stratum_col) == s,
             F.lit(format(frac, f"0{SAMPLE_HEX}x")),
         ).otherwise(frac_col)
-    h = F.substring(
-        F.md5(
-            F.concat(F.col(key).cast("string"), F.lit(MIX_SALT)).cast(
-                "binary"
-            )
-        ),
-        1,
-        SAMPLE_HEX,
-    )
+    h = _sample_hash(key, salt=MIX_SALT)
     return (
         df.where(F.col(stratum_col).isin(strata))
         .withColumn("__efull", full_col)
@@ -488,6 +499,5 @@ def duckdb_mix_cte(
       SELECT d.*, e.epoch
       FROM {table} d JOIN mx_epochrows e ON d.{stratum_col} = e.src
       WHERE e.epoch < e.efull
-         OR CAST('0x' || substring(md5(CAST({key_sql} AS VARCHAR)
-              || '{MIX_SALT}'), 1, {SAMPLE_HEX}) AS BIGINT) < e.frac)
+         OR {_duckdb_hash_int(key_sql, MIX_SALT)} < e.frac)
     """

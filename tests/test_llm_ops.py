@@ -1676,14 +1676,25 @@ def test_mix_sources_epochs_and_determinism(spark):
     out = SP.mix_sources(docs, W, max_epochs=2).collect()
     got = {(r["source"], r["epoch"], r["doc_id"]) for r in out}
     assert not [g for g in got if g[0] == "s2"]
-    # plan: avail 30 each, T = min(30*2*4//3, 30*2*4//1) = 160,
-    # targets 120/40 → s0 exactly 4/3 epochs... s0 full epoch 0+
-    # fractional; every epoch>0 member is also an epoch-0 member
+    # plan: avail 30 each, den 4 → T = min(30·2·4//3, 30·2·4//1) =
+    # min(80, 240) = 80; targets 60/20 → s0 rate EXACTLY 2.0 (two
+    # complete epochs, no fractional), s1 rate 2/3 (fractional only)
+    assert SP.mix_plan({"s0": 30, "s1": 30}, W, max_epochs=2) == {
+        "s0": (2, 0),
+        "s1": (0, 2 * SP._MIX_ONE // 3),
+    }
+    # every epoch>0 member is also an epoch-0 member
     for s, e, d in got:
         if e > 0:
             assert (s, 0, d) in got
-    # s0 epoch 0 is complete (rate > 1 keeps every row at least once)
-    assert {d for s, e, d in got if s == "s0" and e == 0} == set(range(0, 90, 3))
+    s0_all = set(range(0, 90, 3))
+    # s0: BOTH epochs complete (rate 2.0 keeps every row twice)
+    assert {d for s, e, d in got if s == "s0" and e == 0} == s0_all
+    assert {d for s, e, d in got if s == "s0" and e == 1} == s0_all
+    # s1: fractional epoch 0 only — a strict nonempty subset
+    s1_kept = {d for s, e, d in got if s == "s1"}
+    assert {e for s, e, d in got if s == "s1"} == {0}
+    assert 0 < len(s1_kept) < 30
     # determinism across partitioning
     out2 = {
         (r["source"], r["epoch"], r["doc_id"])
