@@ -3,8 +3,9 @@
 ``q_multimodal_binary`` proves the binary plumbing end-to-end with full
 oracle parity (payload bytes, lengths, sha256 digests agree across
 engines).  ``q_multimodal_features`` runs the decode/feature seam over
-two modalities — the closed-form text featurizer and a real stdlib
-WAV/PCM parse — both with exact SQL oracles recomputed from the source
+four modalities — the closed-form text featurizer plus real stdlib
+container parses for WAV/PCM audio, 24-bit BMP images, and YUV4MPEG2
+grayscale video — all with exact SQL oracles recomputed from the source
 text (the features are closed-form over the payload bytes by
 construction; the fixture being ASCII — pinned in
 tests/test_llm_ops.py — is what makes char arithmetic equal byte
@@ -114,17 +115,42 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> unicode(substr(text, i, 1))) AS ch
         FROM documents
     )
+    UNION ALL
+    SELECT doc_id,
+           'video' AS modality,
+           CAST({M.VID_HEADER} + {M.VID_FRAME_HDR + M.VID_FRAME_PX}
+                * ((strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX})
+                AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               (strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX},
+               {M.VID_WIDTH},
+               {M.VID_HEIGHT},
+               ch[1],
+               CASE WHEN strlen(text) % {M.VID_FRAME_PX} = 0
+                    THEN ch[strlen(text)] ELSE 0 END,
+               list_max(ch),
+               CAST(list_sum(ch) % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(len(list_filter(ch, c -> c = 32)) AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch
+        FROM documents
+    )
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature vectors,
-    over THREE modalities: the closed-form text featurizer, a real
-    stdlib WAV/PCM audio parse, and a real stdlib BMP image parse
-    (payloads synthesized from the same text bytes, so the oracle
-    recomputes every branch from source — the n_bytes checks even pin
-    the 44-byte RIFF and 54-byte BMP headers the containers must
-    produce, and the BMP branch's row math pins the 4-aligned
-    bottom-up pixel layout).
+    over FOUR modalities: the closed-form text featurizer, a real
+    stdlib WAV/PCM audio parse, a real stdlib BMP image parse, and a
+    real YUV4MPEG2 grayscale video parse (payloads synthesized from
+    the same text bytes, so the oracle recomputes every branch from
+    source — the n_bytes checks even pin the 44-byte RIFF header, the
+    54-byte BMP header + 4-aligned bottom-up rows, and the Y4M
+    stream-header + per-FRAME-marker layout the containers must
+    produce).
 
     The feature array is projected to a CSV string because the driver's
     canonicalizer cannot hash array cells (round-1 `unhashable type:
@@ -136,6 +162,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.binarize_documents(docs)
         .unionByName(M.binarize_audio_documents(docs))
         .unionByName(M.binarize_image_documents(docs))
+        .unionByName(M.binarize_video_documents(docs))
     )
     feats = M.extract_features(b)
     return feats.select(
@@ -171,6 +198,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS first_frame_bytes
     FROM documents
     WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
+           'video' AS modality,
+           CAST((((strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX})
+                 + 1) // 2 AS BIGINT) AS n_frames,
+           CAST({M.VID_HEADER + M.VID_FRAME_HDR + M.VID_FRAME_PX}
+                AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,12 +215,17 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples every 2nd 64-byte window; the image branch TILES the real
     BMP into 4-row band BMPs (the vision patching op) and samples every
     2nd band — its first_frame_bytes pins the band re-encode's full
-    54-byte-header + 48-byte-row layout.  The mapInPandas 1→N plumbing
-    is exercised for real, and its row arithmetic is exactly
-    verified."""
+    54-byte-header + 48-byte-row layout; the video branch extracts
+    every 2nd temporal FRAME from the real Y4M container, each
+    re-encoded as a standalone single-frame clip whose 36-byte header
+    + FRAME marker + 32-byte plane the constant first_frame_bytes
+    pins.  The mapInPandas 1→N plumbing is exercised for real, and its
+    row arithmetic is exactly verified."""
     docs = load_table(spark, sf_dir, "documents")
-    b = M.binarize_documents(docs).unionByName(
-        M.binarize_image_documents(docs)
+    b = (
+        M.binarize_documents(docs)
+        .unionByName(M.binarize_image_documents(docs))
+        .unionByName(M.binarize_video_documents(docs))
     )
     frames = M.sample_frames(b, every_n=2)
     return frames.groupBy("doc_id", "modality").agg(

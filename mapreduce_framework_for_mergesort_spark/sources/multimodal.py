@@ -4,10 +4,11 @@ Design (per the task brief): image/audio/video payloads travel as binary
 columns with a ``modality`` tag and a metadata struct; decode/feature
 steps run as Arrow-batched ``mapInPandas`` over partition-sized batches.
 The Spark-side plumbing — schema, batch shape, UDF signature,
-partitioning — is real and tested; the actual codec calls are STUBBED
-(this container has no image/audio libraries): ``decode_stub`` raises
-``NotImplementedError`` unless given the deterministic fake codec, which
-derives "features" from the payload bytes so tests have stable values.
+partitioning — is real and tested.  Three non-text modalities are REAL
+stdlib container parses (WAV/PCM audio, 24-bit BMP images, YUV4MPEG2
+grayscale video) across synthesize/decode/resize/frame verbs; only
+compressed codecs (mp4/jpeg/mp3 — libraries absent from this container)
+remain an explicit ``NotImplementedError`` seam, never a silent fake.
 
 Scale notes: payloads dominate row width, so (a) never shuffle decoded
 features together with raw bytes — project bytes away first; (b) decode
@@ -322,19 +323,214 @@ def resize_image_payloads(
     return binarized.mapInPandas(rz_batches, MODALITY_SCHEMA)
 
 
+VID_WIDTH = 8
+VID_HEIGHT = 4
+VID_FRAME_PX = VID_WIDTH * VID_HEIGHT  # 32 luma bytes per frame
+VID_FRAME_HDR = 6  # len(b"FRAME\n") — per-frame marker line
+
+
+def _y4m_header(w: int, h: int) -> bytes:
+    """The ONE Y4M stream-header builder (shared by synthesis, frame
+    tiling and resize).  YUV4MPEG2 is a real public uncompressed video
+    container (mjpegtools/ffmpeg interchange): one ASCII parameter
+    line, then ``FRAME\\n`` + raw planes per frame.  ``Cmono`` (luma
+    only) is the spec's grayscale colorspace — one plane per frame, so
+    the pixel mapping stays closed-form for SQL oracles."""
+    return f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode("ascii")
+
+
+VID_HEADER = len(_y4m_header(VID_WIDTH, VID_HEIGHT))  # 36 for W8 H4
+
+
+def _encode_y4m(planes: list[bytes], w: int, h: int) -> bytes:
+    """Shared Y4M encoder: luma planes → stream header + per-frame
+    ``FRAME\\n`` markers.  Validates plane sizes so header/payload can
+    never drift."""
+    for i, p in enumerate(planes):
+        if len(p) != w * h:
+            raise ValueError(
+                f"frame {i}: plane is {len(p)} bytes, need {w * h} for {w}x{h}"
+            )
+    return _y4m_header(w, h) + b"".join(b"FRAME\n" + p for p in planes)
+
+
+def synthesize_y4m(
+    data: bytes, width: int = VID_WIDTH, height: int = VID_HEIGHT
+) -> bytes:
+    """Deterministic grayscale Y4M clip from source bytes: frame f,
+    pixel i (row-major) has luma ``data[f·w·h + i]``; the final frame
+    zero-pads past ``len(data)``; empty input is a header-only,
+    zero-frame stream (the video analog of the height-0 BMP).  A REAL
+    YUV4MPEG2 stream, so the decode side exercises an actual video
+    container parse; the mapping is closed-form so SQL oracles
+    recompute features from the source text."""
+    fp = width * height
+    n = -(-len(data) // fp) if data else 0
+    planes = [data[i * fp : (i + 1) * fp].ljust(fp, b"\x00") for i in range(n)]
+    return _encode_y4m(planes, width, height)
+
+
+def _y4m_planes(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Shared Y4M parse → (width, height, luma planes); validates the
+    magic, the Cmono colorspace, positive dimensions, every FRAME
+    marker, and exact plane lengths — truncation and trailing garbage
+    both fail LOUDLY (the BMP seam's round-4 review lesson)."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("not a Y4M stream: no header line")
+    try:
+        toks = payload[:nl].decode("ascii").split(" ")
+    except UnicodeDecodeError as e:
+        raise ValueError(f"not a Y4M stream: non-ASCII header ({e})") from None
+    if toks[0] != "YUV4MPEG2":
+        raise ValueError(f"not a Y4M stream: magic {toks[0]!r}")
+    params = {t[0]: t[1:] for t in toks[1:] if t}
+    # the Y4M spec defaults a missing C tag to 4:2:0 — chroma planes
+    # this grayscale seam does not model, so demand explicit Cmono
+    if params.get("C", "420") != "mono":
+        raise ValueError(
+            f"expected Cmono (grayscale) Y4M, got C{params.get('C', '420')}"
+        )
+    w, h = int(params["W"]), int(params["H"])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"unsupported Y4M dimensions {w}x{h}")
+    fp = w * h
+    planes: list[bytes] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        line_end = payload.find(b"\n", pos)
+        if line_end < 0:
+            raise ValueError(f"unterminated FRAME line at byte {pos}")
+        pos = line_end + 1
+        if pos + fp > len(payload):
+            raise ValueError(
+                f"truncated Y4M: frame {len(planes)} needs {fp} bytes, "
+                f"got {len(payload) - pos}"
+            )
+        planes.append(payload[pos : pos + fp])
+        pos += fp
+    return w, h, planes
+
+
+def decode_y4m(payload: bytes) -> list[float]:
+    """Stdlib Y4M video decode → FEATURE_DIM floats.  Parses the
+    container for real; features are integral and closed-form over the
+    concatenated luma planes: [n_frames, width, height, first pixel,
+    last pixel of the final frame, max, Σ mod 9973, #space (32)
+    pixels] — all < 2^24, exact in float32."""
+    w, h, planes = _y4m_planes(payload)
+    if not planes:
+        return [0.0] * FEATURE_DIM
+    px = b"".join(planes)
+    return [
+        float(len(planes)),
+        float(w),
+        float(h),
+        float(px[0]),
+        float(px[-1]),
+        float(max(px)),
+        float(sum(px) % AUDIO_SUM_MOD),
+        float(px.count(32)),
+    ]
+
+
+def binarize_video_documents(documents: DataFrame) -> DataFrame:
+    """Manufacture a video-modality table: each document's text bytes
+    become a real multi-frame grayscale Y4M clip (``synthesize_y4m``)
+    via Arrow-batched ``mapInPandas`` — same ingestion shape as the
+    audio/image twins."""
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_y4m(t.encode("utf-8")) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "video",
+                    "payload": payloads,
+                    "meta_mime": "video/x-yuv4mpeg",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth_batches, MODALITY_SCHEMA
+    )
+
+
+def resize_y4m(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL per-frame nearest-neighbor video resize (pure integer
+    arithmetic, same sampling rule as ``resize_bmp``): every frame's
+    luma plane is resampled to ``out_w`` × ``out_h`` and the clip is
+    re-encoded through the shared encoder — frame COUNT is preserved,
+    frame SHAPE is normalized (the spatial half of video preprocessing;
+    temporal subsampling is ``sample_frames``).  A zero-frame clip
+    resizes to a zero-frame clip at the new dimensions."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"target dimensions must be positive, got {out_w}x{out_h}")
+    w, h, planes = _y4m_planes(payload)
+    out = [
+        bytes(
+            p[(y * h // out_h) * w + (x * w // out_w)]
+            for y in range(out_h)
+            for x in range(out_w)
+        )
+        for p in planes
+    ]
+    return _encode_y4m(out, out_w, out_h)
+
+
+def resize_video_payloads(
+    binarized: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """The video-modality resize seam: every clip's frames become
+    ``out_w`` × ``out_h`` via nearest-neighbor sampling.  Same
+    mapInPandas shape as ``resize_image_payloads``; metadata recomputed
+    in the same pass."""
+
+    def rz_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                if m != "video":
+                    raise ValueError(
+                        f"resize_video_payloads got modality {m!r}"
+                    )
+                resized.append(resize_y4m(p, out_w, out_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": resized,
+                    "meta_mime": pdf["meta_mime"],
+                    "meta_n_bytes": [len(p) for p in resized],
+                }
+            )
+
+    return binarized.mapInPandas(rz_batches, MODALITY_SCHEMA)
+
+
 def decode_stub(payload: bytes, modality: str) -> list[float]:
     """The real decode seam.  'text' uses the closed-form byte
     featurizer; 'audio' is a REAL stdlib WAV/PCM parse (round 3);
-    'image' is a REAL stdlib BMP parse (round 4+) — two non-text
-    modalities exercisable end-to-end with no external codec.  Video
-    codecs are not available in this container — that path is an
-    explicit error, not a silent fake."""
+    'image' is a REAL stdlib BMP parse (round 4+); 'video' is a REAL
+    YUV4MPEG2 container parse (round 4+) — three non-text modalities
+    exercisable end-to-end with no external codec.  COMPRESSED video
+    (mp4/h264 and friends) still needs codec libraries absent from
+    this container — that path is an explicit error, not a silent
+    fake."""
     if modality == "text":
         return fake_decode(payload)
     if modality == "audio":
         return decode_wav(payload)
     if modality == "image":
         return decode_bmp(payload)
+    if modality == "video":
+        return decode_y4m(payload)
     raise NotImplementedError(
         f"decoder for modality {modality!r} requires codec libraries "
         "(decord/ffmpeg) not present in this environment"
@@ -385,7 +581,8 @@ def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[
     the BMP is tiled into ``IMG_BAND_ROWS``-row bands, each re-encoded
     through the shared encoder as a standalone BMP — the vision-training
     patching operation, and every emitted frame is itself decodable.
-    Real video needs a codec library and is an explicit error,
+    For 'video' the op is REAL temporal extraction over the Y4M
+    container.  Compressed-codec modalities are an explicit error,
     mirroring ``decode_stub``."""
     if modality == "text":
         if not payload:
@@ -401,6 +598,13 @@ def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[
             )
             for y in range(0, h, IMG_BAND_ROWS)
         ]
+    if modality == "video":
+        # REAL temporal frame extraction: parse the Y4M container and
+        # re-encode each frame as a standalone single-frame clip
+        # through the shared encoder — every emitted frame is itself a
+        # valid Y4M input to decode_y4m/resize_y4m
+        w, h, planes = _y4m_planes(payload)
+        return [_encode_y4m([p], w, h) for p in planes]
     raise NotImplementedError(
         f"frame decoder for modality {modality!r} requires codec libraries "
         "not present in this environment"

@@ -1005,6 +1005,88 @@ def test_bmp_resize_nearest_neighbor(spark):
         assert r["meta_n_bytes"] == len(r["payload"])
 
 
+def test_y4m_synthesis_roundtrip():
+    """The video seam is a REAL YUV4MPEG2 container: ASCII stream
+    header, per-FRAME markers, raw Cmono luma planes; decode inverts
+    synthesis and every malformed shape fails loudly."""
+    data = bytes(range(32, 32 + 70))  # 70 bytes -> 3 frames (last padded)
+    y4m = M.synthesize_y4m(data)
+    assert y4m.startswith(b"YUV4MPEG2 ")
+    n_frames = -(-len(data) // M.VID_FRAME_PX)
+    assert len(y4m) == M.VID_HEADER + n_frames * (
+        M.VID_FRAME_HDR + M.VID_FRAME_PX
+    )
+    feats = M.decode_y4m(y4m)
+    assert feats == [
+        float(n_frames),
+        float(M.VID_WIDTH),
+        float(M.VID_HEIGHT),
+        float(data[0]),
+        0.0,  # 70 % 32 != 0 -> final frame ends in zero padding
+        float(max(data)),
+        float(sum(data) % M.AUDIO_SUM_MOD),
+        float(data.count(32)),
+    ]
+    # an exact-multiple payload ends on its own last byte, not padding
+    full = bytes([7] * (2 * M.VID_FRAME_PX - 1) + [200])
+    assert M.decode_y4m(M.synthesize_y4m(full))[4] == 200.0
+    # empty text -> header-only zero-frame stream -> all-zero features
+    assert M.decode_y4m(M.synthesize_y4m(b"")) == [0.0] * M.FEATURE_DIM
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_y4m(b"MPEG4??? W8 H4 Cmono\n")
+    with pytest.raises(ValueError, match="Cmono"):
+        # spec default (no C tag) is 4:2:0 — must be rejected, not
+        # mis-parsed as grayscale
+        M.decode_y4m(b"YUV4MPEG2 W8 H4 F25:1\nFRAME\n" + bytes(48))
+    with pytest.raises(ValueError, match="FRAME"):
+        M.decode_y4m(M._y4m_header(8, 4) + b"JUNK!\n" + bytes(32))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_y4m(y4m[:-1])
+    with pytest.raises(ValueError, match="dimensions"):
+        M.decode_y4m(b"YUV4MPEG2 W0 H4 Cmono\n")
+
+
+def test_y4m_frames_and_resize(spark):
+    """Temporal frame extraction and per-frame spatial resize are real:
+    every emitted frame is itself a decodable single-frame Y4M, and
+    resize preserves frame count while normalizing shape."""
+    data = bytes((i * 7) % 256 for i in range(100))  # 4 frames
+    y4m = M.synthesize_y4m(data)
+    frames = M.frame_stub(y4m, "video")
+    assert len(frames) == 4
+    padded = data.ljust(4 * M.VID_FRAME_PX, b"\x00")
+    for i, f in enumerate(frames):
+        w, h, planes = M._y4m_planes(f)
+        assert (w, h, len(planes)) == (M.VID_WIDTH, M.VID_HEIGHT, 1)
+        assert planes[0] == padded[i * M.VID_FRAME_PX : (i + 1) * M.VID_FRAME_PX]
+    # nearest-neighbor resize: frame count preserved, every plane
+    # resampled by the same integer rule as the BMP seam
+    rz = M.resize_y4m(y4m, 4, 2)
+    w, h, planes = M._y4m_planes(rz)
+    assert (w, h, len(planes)) == (4, 2, 4)
+    want0 = bytes(
+        padded[(y * M.VID_HEIGHT // 2) * M.VID_WIDTH + (x * M.VID_WIDTH // 4)]
+        for y in range(2)
+        for x in range(4)
+    )
+    assert planes[0] == want0
+    # zero-frame clips resize to zero-frame clips at the new dims
+    assert M._y4m_planes(M.resize_y4m(M.synthesize_y4m(b""), 2, 2))[2] == []
+    with pytest.raises(ValueError):
+        M.resize_y4m(y4m, 0, 2)
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 40), (2, "y" * 7), (3, "")], ["doc_id", "text"]
+    )
+    out = M.resize_video_payloads(
+        M.binarize_video_documents(docs), 4, 4
+    ).collect()
+    for r in out:
+        ww, hh, pl = M._y4m_planes(bytes(r["payload"]))
+        assert (ww, hh) == (4, 4)
+        assert r["meta_n_bytes"] == len(r["payload"])
+
+
 def test_wav_synthesis_roundtrip():
     """The audio seam is a REAL RIFF/WAVE container: canonical 44-byte
     header, PCM16 mono frames, and decode inverts synthesis."""
@@ -1090,22 +1172,24 @@ def test_image_frame_tiling_is_real():
 
 
 def test_multimodal_unknown_modality_raises(spark):
-    # video remains the honest NotImplementedError seam (image became
-    # a real BMP parse in round 4+)
+    # compressed codecs remain the honest NotImplementedError seam
+    # (image became a real BMP parse and video a real Y4M parse in
+    # round 4+, so the unknown tag here is a codec-requiring one)
     df = spark.createDataFrame(
-        [(1, "video", bytearray(b"xx"), "video/mp4", 2)],
+        [(1, "video/h264", bytearray(b"xx"), "video/mp4", 2)],
         "doc_id long, modality string, payload binary, meta_mime string, meta_n_bytes long",
     )
     with pytest.raises(Exception, match="NotImplementedError|decoder"):
         M.extract_features(df).collect()
-    # a malformed image payload fails LOUDLY in the real parser, never
-    # silently featurizes
-    bad = spark.createDataFrame(
-        [(1, "image", bytearray(b"notabmp"), "image/bmp", 7)],
-        "doc_id long, modality string, payload binary, meta_mime string, meta_n_bytes long",
-    )
-    with pytest.raises(Exception):
-        M.extract_features(bad).collect()
+    # malformed image/video payloads fail LOUDLY in the real parsers,
+    # never silently featurize
+    for modality, mime in (("image", "image/bmp"), ("video", "video/x-yuv4mpeg")):
+        bad = spark.createDataFrame(
+            [(1, modality, bytearray(b"notacontainer"), mime, 13)],
+            "doc_id long, modality string, payload binary, meta_mime string, meta_n_bytes long",
+        )
+        with pytest.raises(Exception):
+            M.extract_features(bad).collect()
 
 
 def test_decontaminate_matches_brute_force(spark, sf_oracle):
