@@ -329,6 +329,160 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     )
 
 
+BM25_QUERY_TERMS = ("merge", "sort", "spark")  # default demo query
+BM25_TOP_K = 10
+
+
+def bm25_score_expr(
+    tf: str, dl: str, df: str, n_docs: str, avgdl: str
+) -> str:
+    """One query term's BM25 contribution as a SQL string, SHARED by
+    the Spark operator and the DuckDB oracle (both engines evaluate
+    the literal same expression tree over the same doubles — same ops,
+    same order, same bits; the text_feature_exprs discipline).
+
+    k1 = 1.2 and b = 0.75 (the textbook defaults) are baked into the
+    literals: ``k1+1 = 2.2``, ``1-b = 0.25``.  The idf is the repo's
+    LINEAR surrogate ``(N+1)/(df+0.5)`` — no logarithm (libm territory
+    where engines differ in the last ulp — see tfidf_top_terms), always
+    positive (classic BM25's ``ln((N-df+.5)/(df+.5))`` goes negative
+    for terms in over half the corpus), and monotone decreasing in df,
+    which is all the ranking needs."""
+    idf = (
+        f"(CAST({n_docs} + 1 AS DOUBLE) / "
+        f"(CAST({df} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+    )
+    norm = (
+        f"(CAST({tf} AS DOUBLE) + CAST(1.2 AS DOUBLE) * "
+        f"(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * "
+        f"(CAST({dl} AS DOUBLE) / {avgdl})))"
+    )
+    return f"({idf} * (CAST({tf} AS DOUBLE) * CAST(2.2 AS DOUBLE)) / {norm})"
+
+
+def bm25_avgdl_expr(sum_dl: str = "sum_dl", n_docs: str = "n_docs") -> str:
+    """Average document length as one double division (shared string,
+    same reasoning as ``bm25_score_expr``)."""
+    return f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    top_k: int = BM25_TOP_K,
+) -> DataFrame:
+    """Top-k documents for a fixed term query by BM25 (Robertson &
+    Walker '94 term saturation + length normalization; linear idf per
+    ``bm25_score_expr``) — the retrieval-ranking shape of a
+    training-data pipeline (query-relevance filtering, eval-set
+    mining).
+
+    100 TB shape: per-doc term frequencies come from ``size(filter(
+    tokens, ...))`` over the SAME one-scan projection that feeds the
+    corpus statistics — no token explode, no (doc, term) shuffle at
+    all, unlike the tf-idf pipeline.  The corpus stats (N, Σdl, one df
+    per query term) are ONE aggregated row, broadcast back over the
+    per-doc table; scoring is pure codegen arithmetic and the top-k is
+    ``TakeOrderedAndProject`` (never a global sort).  The per-doc
+    projection is materialized once so the stats pass and the scoring
+    pass can't re-scan the corpus.
+
+    Output: (doc_id, dl, hits, bm25, rank) — rank 1..top_k by
+    (bm25 DESC, doc_id), decided by a window over the ≤ top_k
+    already-limited rows (bounded, never corpus-wide).
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+        materialize,
+    )
+
+    toks = H.spark_tokens("text")
+    per = materialize(
+        documents.select(
+            "doc_id",
+            F.expr(f"size({toks})").cast("long").alias("dl"),
+            *[
+                F.expr(f"size(filter({toks}, t -> t = '{q}'))")
+                .cast("long")
+                .alias(f"tf_{i}")
+                for i, q in enumerate(query_terms)
+            ],
+        )
+    )
+    idx = range(len(query_terms))
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in idx
+        ],
+    )
+    avgdl = bm25_avgdl_expr()
+    score = " + ".join(
+        bm25_score_expr(f"tf_{i}", "dl", f"df_{i}", "n_docs", avgdl)
+        for i in idx
+    )
+    hits = " + ".join(f"tf_{i}" for i in idx)
+    top = (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            F.expr(hits).cast("long").alias("hits"),
+            F.expr(score).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def duckdb_bm25_cte(
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    top_k: int = BM25_TOP_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB replica of ``bm25_topk`` (CTE chain ending in ``bmtop``):
+    same per-doc tf/dl projection, same one-row stats, same shared
+    score-expression STRING — the double math is literally identical
+    text on both engines."""
+    idx = range(len(query_terms))
+    tfs = ",\n             ".join(
+        f"len(list_filter(toks, t -> t = '{q}')) AS tf_{i}"
+        for i, q in enumerate(query_terms)
+    )
+    dfs = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in idx
+    )
+    avgdl = bm25_avgdl_expr()
+    score = " + ".join(
+        bm25_score_expr(f"tf_{i}", "dl", f"df_{i}", "n_docs", avgdl)
+        for i in idx
+    )
+    hits = " + ".join(f"tf_{i}" for i in idx)
+    return f"""
+    tokq AS (
+      SELECT doc_id, {H.duckdb_tokens('text')} AS toks FROM {table}),
+    perq AS (
+      SELECT doc_id, len(toks) AS dl,
+             {tfs}
+      FROM tokq),
+    statq AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {dfs}
+      FROM perq),
+    bmtop AS (
+      SELECT doc_id, dl, CAST({hits} AS BIGINT) AS hits, {score} AS bm25,
+             row_number() OVER (ORDER BY {score} DESC, doc_id) AS rank
+      FROM perq CROSS JOIN statq
+      QUALIFY rank <= {top_k})
+    """
+
+
 # PII patterns kept in the POSIX subset where Java regex and RE2 agree
 # (same discipline as doc_profile's bundle): email, international-ish
 # phone, 16-digit card, US SSN.  Order matters — longer/more-specific

@@ -8,6 +8,7 @@ q_regex_funcs are q_text_doc_profile; q_fingerprint lives in q_lang_id.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.io import load_table
@@ -126,16 +127,50 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
              CAST(tf.tf * n.n_docs AS DOUBLE) / dfr.df AS tfidf
-      FROM tf JOIN dfr USING (term) CROSS JOIN n)
-    SELECT doc_id, term, tf, df, tfidf,
+      FROM tf JOIN dfr USING (term) CROSS JOIN n),
+    """
+    + T.duckdb_bm25_cte()
+    + f"""
+    SELECT 'tfidf' AS part, doc_id, term, tf, df, tfidf,
            CAST(rn AS BIGINT) AS rn
     FROM (SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
           FROM scored) t
     WHERE rn <= 3
+    UNION ALL
+    SELECT 'bm25' AS part, doc_id,
+           '{" ".join(T.BM25_QUERY_TERMS)}' AS term,
+           dl AS tf, hits AS df, bm25 AS tfidf,
+           CAST(rank AS BIGINT) AS rn
+    FROM bmtop
     """,
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-3 terms by (linear-idf) tf-idf — the keyword-extraction
-    shape of a training-data pipeline, exact cross-engine."""
-    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), 3)
+    """Keyword extraction + retrieval ranking as a tagged union:
+
+    * ``tfidf`` — per-doc top-3 terms by linear-idf tf-idf (explode →
+      two aggregations → term join), exact cross-engine;
+    * ``bm25``  — corpus top-10 documents for the fixed query
+      ``BM25_QUERY_TERMS`` by BM25 with length normalization and term
+      saturation (one scan + one broadcast stats row, zero token
+      shuffle — see ``bm25_topk``).  Column reuse in the union:
+      term = the query string, tf = document length, df = total
+      query-term hits, tfidf = the BM25 score, rn = rank.  The score
+      expression STRING is shared with the oracle, so the double math
+      is bit-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tfidf = T.tfidf_top_terms(docs, 3).select(
+        F.lit("tfidf").alias("part"),
+        "doc_id", "term", "tf", "df", "tfidf", "rn",
+    )
+    bm = T.bm25_topk(docs).select(
+        F.lit("bm25").alias("part"),
+        "doc_id",
+        F.lit(" ".join(T.BM25_QUERY_TERMS)).alias("term"),
+        F.col("dl").alias("tf"),
+        F.col("hits").alias("df"),
+        F.col("bm25").alias("tfidf"),
+        F.col("rank").alias("rn"),
+    )
+    return tfidf.unionByName(bm)

@@ -1244,6 +1244,74 @@ def test_decontaminate_short_benchmark_flags_nothing(spark, sf_oracle):
     assert D.contaminated_doc_ids(docs, bench, n=8).count() == 0
 
 
+def test_bm25_ranking_matches_reference_formula(spark):
+    """bm25_topk must equal a literal Python evaluation of the same
+    formula (k1=1.2, b=0.75, linear idf (N+1)/(df+0.5)) on a corpus
+    built so ranking exercises both BM25 behaviors: term saturation
+    (many repeats of one term lose to broader coverage) and length
+    normalization (same hits in a shorter doc score higher)."""
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        bm25_topk,
+    )
+
+    rows = [
+        (0, "merge merge merge merge merge merge merge merge"),  # saturated
+        (1, "merge sort spark"),  # all three terms, short
+        (2, "merge sort spark pad pad pad pad pad pad pad pad pad"),  # all three, long
+        (3, "sort spark"),
+        (4, "pad pad pad"),  # no hits
+        (5, ""),  # empty doc
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["dl"], r["hits"], r["bm25"], r["rank"])
+        for r in bm25_topk(docs, ("merge", "sort", "spark"), top_k=6).collect()
+    }
+
+    toks = {d: t.split() if t else [] for d, t in rows}
+    n, sum_dl = len(rows), sum(len(t) for t in toks.values())
+    avgdl = sum_dl / n
+    terms = ("merge", "sort", "spark")
+    df = {q: sum(1 for t in toks.values() if q in t) for q in terms}
+
+    def score(d):
+        s = 0.0
+        for q in terms:
+            tf = toks[d].count(q)
+            idf = (n + 1) / (df[q] + 0.5)
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(toks[d]) / avgdl)))
+        return s
+
+    want_rank = sorted(toks, key=lambda d: (-score(d), d))
+    for rank, d in enumerate(want_rank, start=1):
+        dl, hits, bm25, got_rank = got[d]
+        assert dl == len(toks[d])
+        assert hits == sum(toks[d].count(q) for q in terms)
+        assert got_rank == rank
+        assert bm25 == pytest.approx(score(d), abs=1e-12)
+    # the intended behaviors actually hold on this corpus: broad
+    # coverage beats saturation, shorter beats longer at equal hits
+    assert score(1) > score(0) and score(1) > score(2)
+
+
+def test_bm25_plan_shape(spark, sf_smoke):
+    """BM25's 100 TB posture: zero Python evals, no token explode (the
+    only exchanges are the one-row stats aggregation + top-k), stats
+    joined via broadcast, and the top-k is TakeOrderedAndProject —
+    never a global sort of the corpus."""
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        bm25_topk,
+    )
+    from mapreduce_framework_for_mergesort_spark.plans import audit
+
+    top = bm25_topk(load_table(spark, sf_smoke, "documents"))
+    a = audit(top)
+    assert a.python_evals == 0, a.text
+    assert a.broadcasts >= 1, a.text
+    assert "TakeOrderedAndProject" in a.text
+    assert "Generate" not in a.text  # no explode anywhere
+
+
 def test_repetition_profile_matches_duckdb(spark, sf_oracle):
     """The Gopher-style repetition metrics must agree value-for-value
     with a DuckDB replication of the same algebra over the real
