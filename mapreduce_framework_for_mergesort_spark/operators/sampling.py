@@ -327,6 +327,101 @@ def duckdb_sample_predicate(rate: float, key_sql: str) -> str:
     )
 
 
+# --- cluster-balanced (capped per-stratum) sampling ------------------------
+
+BALANCE_SALT = "#balance"  # decorrelated from split/sample/mix decisions
+BALANCE_SLACK = 4  # prefilter keeps ~slack·cap rows per stratum for ranking
+_BAL_SPACE = 16**SAMPLE_HEX  # integer hash domain (shared 8-hex-char space)
+
+
+def balanced_sample(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    key: str = "doc_id",
+    slack: int = BALANCE_SLACK,
+) -> DataFrame:
+    """At most ``cap`` rows per stratum, chosen by salted-hash rank —
+    the cluster-balancing curation step (SemDeDup/DoReMi-style): assign
+    docs to semantic clusters (e.g. ``similarity.ivf_cells``'s k-means
+    cell column over embeddings), then cap each cluster so a few giant
+    clusters can't dominate the training mix.
+
+    Membership is a pure function of (key, stratum population):
+    rerun-, partitioning-, and engine-proof, like every sampler here.
+
+    100 TB shape — the naive form (rank every row within its stratum)
+    windows the WHOLE corpus through one task per hot stratum.  This
+    is two-phase instead: (1) per-stratum counts (one map-side-combined
+    agg, ≤ #strata rows) joined back; (2) a map-only hash PREFILTER
+    keeps each row iff ``h < SPACE·slack·cap // n`` (everything when
+    n ≤ slack·cap), so the rank window sees ~slack·cap rows per
+    stratum, not n.  The window then takes the cap smallest (h, key).
+    Both phases are exact integer arithmetic the oracle replicates
+    (``duckdb_balanced_cte``), so the output is still value-verifiable.
+
+    Honest caveat, by design: the prefilter is a Bernoulli cut, so
+    with probability ~e^-O(slack·cap) a stratum with n > cap keeps
+    fewer than cap rows (never more).  That is acceptable for corpus
+    balancing — and because the oracle replicates the same two-phase
+    computation, determinism and verifiability hold regardless.
+    NULL keys and NULL strata drop (hash/join semantics, mirrored
+    exactly by the oracle's JOIN USING).
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_framework_for_mergesort_spark.functions import hashing as H
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    h = F.expr(
+        H.spark_base_hash(f"CAST({key} AS STRING) || '{BALANCE_SALT}'")
+    )
+    t = F.expr(
+        f"least(CAST({_BAL_SPACE} AS BIGINT), "
+        f"CAST({_BAL_SPACE} AS BIGINT) * {slack * cap} div __n)"
+    )
+    pre = (
+        df.join(counts, stratum_col)
+        .withColumn("__h", h)
+        .where(F.col("__h") < t)
+    )
+    w = Window.partitionBy(stratum_col).orderBy("__h", key)
+    return (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__n", "__h", "__rn")
+    )
+
+
+def duckdb_balanced_cte(
+    table: str,
+    stratum_sql: str,
+    cap: int,
+    key_sql: str = "doc_id",
+    slack: int = BALANCE_SLACK,
+) -> str:
+    """Oracle replica of ``balanced_sample`` exposing ``bal`` (the kept
+    rows): same salted integer hash, same integer prefilter threshold,
+    same (h, key) rank."""
+    h = _duckdb_hash_int(key_sql, BALANCE_SALT)
+    return f"""
+    bal_pre AS (
+      SELECT d.*, {h} AS __h
+      FROM {table} d
+      JOIN (SELECT {stratum_sql} AS __s, COUNT(*) AS __n
+            FROM {table} GROUP BY 1) c
+        ON d.{stratum_sql} = c.__s
+      WHERE {h} < least(CAST({_BAL_SPACE} AS BIGINT),
+                        CAST({_BAL_SPACE} AS BIGINT) * {slack * cap} // __n)),
+    bal AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {stratum_sql} ORDER BY __h, {key_sql}) AS __rn
+        FROM bal_pre)
+      WHERE __rn <= {cap})
+    """
+
+
 # --- budget-driven source mixing -------------------------------------------
 # The Pile/LLaMA-style mixture mechanic: target mixture WEIGHTS over a
 # stratum column (data domain/source), with small domains allowed to

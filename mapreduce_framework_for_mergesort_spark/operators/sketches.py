@@ -1,4 +1,16 @@
-"""Exactly-replicable distinct-cardinality sketch (KMV / k-minimum-values).
+"""Exactly-replicable sketches: KMV distinct-cardinality + Count-Min
+frequency.  Both follow the same discipline — every intermediate is
+plain integer data both engines recompute bit-for-bit, so the driver
+can hash-check the sketch itself, not just trust its error bound.
+
+KMV (k-minimum-values) below; Count-Min (``cms_sketch`` et al.) is the
+frequency twin: a d×w counter matrix (rows = independent affine hashes
+over the shared 32-bit base hash) answering point-frequency queries
+with est ≥ true and est ≤ true + 2N/w w.h.p. — the heavy-hitter
+primitive at 100 TB, where exact per-key counts of an unbounded key
+domain (tokens, URLs, user ids) can't be held.  Mergeable by
+elementwise addition; the sketch is ≤ d·w rows BY CONSTRUCTION, so
+downstream estimate joins broadcast it.
 
 ``approx_count_distinct`` (HyperLogLog++) is Spark's built-in sketch for
 cardinality at 100 TB, and the engine documents it as the scale
@@ -109,6 +121,160 @@ def kmv_estimate(df: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+CMS_D = 4  # hash rows (error probability ~ e^-D)
+CMS_W = 512  # buckets per row (overestimate ~ 2N/W per Cormode-Muthukrishnan)
+CMS_SALT = "#cms"
+# Affine bucket family over the shared 32-bit base hash — the MinHash
+# constants discipline: a < P = 2^31-1, h < 2^32, so a·h+b < 2^63 is
+# exact int64 in Spark SQL, DuckDB, and Python alike.  Seeded
+# deterministically so both engines (and every run) agree.
+CMS_AB = [
+    (H._mh_const("cms_a", i, H.MINHASH_P - 1) + 1, H._mh_const("cms_b", i, H.MINHASH_P))
+    for i in range(CMS_D)
+]
+
+
+def _spark_cms_hash(key_sql: str) -> str:
+    return H.spark_base_hash(f"CAST({key_sql} AS STRING) || '{CMS_SALT}'")
+
+
+def duckdb_cms_hash(key_sql: str) -> str:
+    return H.duckdb_base_hash(f"CAST({key_sql} AS VARCHAR) || '{CMS_SALT}'")
+
+
+def cms_bucket_expr(i: int, h_sql: str, w: int = CMS_W) -> str:
+    """Row ``i``'s bucket for a precomputed base hash — one SQL string
+    valid verbatim in both engines (all operands positive, so ``%`` is
+    the same operation everywhere)."""
+    a, b = CMS_AB[i]
+    return f"((({a} * {h_sql} + {b}) % {H.MINHASH_P}) % {w})"
+
+
+def cms_sketch(
+    df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) of ``df[key]``'s
+    frequency vector as plain DATA: rows ``(i, bucket, cnt)`` — the
+    d×w counter matrix with zero cells absent.  ONE scan: each row
+    fans out to its d (row, bucket) cells via an array explode, then a
+    map-side-combinable count — the shuffle carries at most d·w cells
+    per partition regardless of input size.  NULL keys contribute
+    nothing (COUNT semantics, mirroring the KMV sketch).
+
+    Like KMV next to approx_count_distinct, this is the cross-engine-
+    verifiable stand-in for frequency estimation at 100 TB: every
+    intermediate is integer data both engines can recompute
+    bit-for-bit, and sketches MERGE by elementwise addition
+    (``cms_merge``) so shards/increments sketch locally and combine
+    without touching raw data again."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(cms_bucket_expr(i, "__h", w)).cast("int").alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.expr(_spark_cms_hash(key)).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge sketches built with the same (d, w, salt): elementwise
+    counter addition — sketch(A ⊎ B) = sketch(A) + sketch(B) exactly
+    (pinned in tests), the property that makes the sketch
+    distributable and incremental."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("i", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame, keys: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Frequency estimate for every row of ``keys[key]``: min over the
+    d counters the key hashes to (missing cell → 0 via left join, so
+    never-seen keys estimate 0..collision-mass).  Guarantees: est ≥
+    true count always; est ≤ true + 2N/w with probability ≥ 1−e^−d.
+
+    Scale shape: the sketch is ≤ d·w rows BY CONSTRUCTION, so it is
+    force-broadcast — the estimate pass is map-side over the keys'
+    explode, one small aggregation per key, no shuffle of the sketch
+    ever."""
+    ex = (
+        keys.select(
+            F.col(key).alias("k"), F.expr(_spark_cms_hash(key)).alias("__h")
+        )
+        .where(F.col("__h").isNotNull())
+        .select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.expr(cms_bucket_expr(i, "__h", w))
+                            .cast("int")
+                            .alias("bucket"),
+                        )
+                        for i in range(d)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("k", F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+    )
+    joined = ex.join(F.broadcast(sketch), ["i", "bucket"], "left")
+    return joined.groupBy("k").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def duckdb_cms_cte(
+    key_sql: str, table: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """Oracle CTE chain replicating sketch + estimates vs truth.
+    Exposes ``cmsk(i, bucket, cnt)`` and ``cms_est(k, c, est)`` —
+    same salted hash, same affine buckets (``cms_bucket_expr``
+    verbatim), same left-join-coalesce min."""
+    h = duckdb_cms_hash(key_sql)
+    cell_branches = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, CAST({cms_bucket_expr(i, 'h', w)} AS INT) AS bucket"
+        " FROM cms_h"
+        for i in range(d)
+    )
+    probe_branches = "\n      UNION ALL ".join(
+        f"SELECT k, c, {i} AS i, CAST({cms_bucket_expr(i, 'h', w)} AS INT)"
+        " AS bucket FROM cms_truth"
+        for i in range(d)
+    )
+    return f"""
+    cms_h AS (
+      SELECT {h} AS h FROM {table} WHERE {key_sql} IS NOT NULL),
+    cmsk AS (
+      SELECT i, bucket, COUNT(*) AS cnt
+      FROM ({cell_branches})
+      GROUP BY 1, 2),
+    cms_truth AS (
+      SELECT {key_sql} AS k, {h} AS h, COUNT(*) AS c
+      FROM {table} WHERE {key_sql} IS NOT NULL GROUP BY 1, 2),
+    cms_est AS (
+      SELECT k, c, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+      FROM ({probe_branches}) t
+      LEFT JOIN cmsk s USING (i, bucket)
+      GROUP BY 1, 2)
+    """
 
 
 def duckdb_kmv_cte(key_sql: str, table: str, k: int = KMV_K) -> str:

@@ -31,6 +31,9 @@ PACK_BUDGET = 512  # tokens per training sequence in the packing audit
 # downsampling (src2/src3: 0.4); unweighted sources must vanish.
 MIX_WEIGHTS = {"src0": 5, "src1": 3, "src2": 1, "src3": 1}
 MIX_EPOCHS = 2
+BAL_CAP = 500  # per-stratum cap in the balanced-sample audit: binds at
+#                sf0.01 (≈3000 orders per priority), passes-through at
+#                sf0.001 (≈300) — both regimes exercised across SFs
 
 
 def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
@@ -129,6 +132,29 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
       UNION ALL
       SELECT 'kmv_est_distinct', 'orders.o_custkey',
              CAST(est_distinct AS DOUBLE) FROM kmv),
+    {cms_cte},
+    cms_rows AS (
+      SELECT 'cms_row_total' AS metric, CAST(i AS VARCHAR) AS grp,
+             CAST(SUM(cnt) AS DOUBLE) AS value FROM cmsk GROUP BY i
+      UNION ALL
+      SELECT 'cms_cells', 'orders.o_custkey', CAST(COUNT(*) AS DOUBLE)
+      FROM cmsk
+      UNION ALL
+      SELECT 'cms_max_over', 'orders.o_custkey',
+             CAST(MAX(est - c) AS DOUBLE) FROM cms_est
+      UNION ALL
+      SELECT 'cms_min_over', 'orders.o_custkey',
+             CAST(MIN(est - c) AS DOUBLE) FROM cms_est
+      UNION ALL
+      SELECT 'cms_sum_over', 'orders.o_custkey',
+             CAST(SUM(est - c) AS DOUBLE) FROM cms_est),
+    {bal_cte},
+    bal_rows AS (
+      SELECT 'bal_n' AS metric, o_orderpriority AS grp,
+             CAST(COUNT(*) AS DOUBLE) AS value FROM bal GROUP BY 2
+      UNION ALL
+      SELECT 'bal_sum_key', o_orderpriority,
+             CAST(SUM(o_orderkey) AS DOUBLE) FROM bal GROUP BY 2),
     hist_rows AS (
       SELECT 'hist_n' AS metric,
              CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR)
@@ -202,6 +228,8 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
     UNION ALL SELECT * FROM split_rows
     UNION ALL SELECT * FROM pack_rows
     UNION ALL SELECT * FROM kmv_rows
+    UNION ALL SELECT * FROM cms_rows
+    UNION ALL SELECT * FROM bal_rows
     UNION ALL SELECT * FROM mix_rows
     """.format(
         split_case=_SPLIT_CASE,
@@ -211,6 +239,10 @@ def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
         doc_tokens=H.duckdb_tokens("text"),
         pack_budget=PACK_BUDGET,
         kmv_cte=sketches.duckdb_kmv_cte("o_custkey", "orders"),
+        cms_cte=sketches.duckdb_cms_cte("o_custkey", "orders"),
+        bal_cte=sampling.duckdb_balanced_cte(
+            "orders", "o_orderpriority", BAL_CAP, "o_orderkey"
+        ),
         mix_cte=sampling.duckdb_mix_cte(
             MIX_WEIGHTS, max_epochs=MIX_EPOCHS
         ),
@@ -243,10 +275,11 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional aggregate; the KMV sketch audit adds one orders pass
     # of its own, distinct-hash top-k being a different grain, while
     # its exact-truth count rides o_uniq's Expand-rewritten multi-
-    # distinct aggregate for free).  7 column-pruned parquet scans in
+    # distinct aggregate for free; the Count-Min audit adds a sketch
+    # pass + a per-key truth pass).  9 column-pruned parquet scans in
     # this plan, plus ONE documents scan inside the packing audit's
-    # (lazy) checkpoint job — at 100 TB the scan count IS the audit's
-    # cost.
+    # (lazy) checkpoint job and one inside the CMS materialization —
+    # at 100 TB the scan count IS the audit's cost.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -359,6 +392,66 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("kmv_est_distinct", F.col("est_distinct"))],
     )
 
+    # Count-Min frequency-sketch audit (round 4+): the verifiable
+    # stand-in for heavy-hitter estimation.  The driver hash-checks
+    # the d×w counter matrix's row totals + cell count AND the whole
+    # estimate-vs-truth error profile (max/min/sum of est − true over
+    # every distinct key): min_over = 0 proves the ≥-true guarantee on
+    # real data, value-for-value against DuckDB.  The sketch is
+    # materialized once (bounded: ≤ d·w rows) and broadcast into the
+    # estimate join; costs one sketch pass + one truth pass of orders.
+    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+        materialize,
+    )
+
+    cms = materialize(sketches.cms_sketch(orders, "o_custkey"))
+    cms_row_rows = _long(
+        cms.groupBy("i").agg(F.sum("cnt").alias("rt")),
+        F.col("i"),
+        [("cms_row_total", F.col("rt"))],
+    )
+    truth = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est_err = (
+        sketches.cms_point_estimates(cms, truth, "k")
+        .join(truth, "k")
+        .agg(
+            F.max(F.col("est") - F.col("c")).alias("mx"),
+            F.min(F.col("est") - F.col("c")).alias("mn"),
+            F.sum(F.col("est") - F.col("c")).alias("sm"),
+        )
+    )
+    cms_kvs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.lit("orders.o_custkey").alias("grp"),
+                v.cast("double").alias("value"),
+            )
+            for m, v in [
+                ("cms_max_over", F.col("mx")),
+                ("cms_min_over", F.col("mn")),
+                ("cms_sum_over", F.col("sm")),
+            ]
+        ]
+    )
+    cms_rows = cms_row_rows.unionByName(
+        _long(
+            cms.agg(F.count(F.lit(1)).alias("cells")),
+            F.lit("orders.o_custkey"),
+            [("cms_cells", F.col("cells"))],
+        )
+    ).unionByName(
+        est_err.select(F.explode(cms_kvs).alias("kv")).select(
+            F.col("kv.metric").alias("metric"),
+            F.col("kv.grp").alias("grp"),
+            F.col("kv.value").alias("value"),
+        )
+    )
+
     hist = (
         orders.withColumn(
             "bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("long")
@@ -415,6 +508,25 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("pack_n", F.col("pn")), ("pack_tokens", F.col("ptok"))],
     )
 
+    # Cluster-balanced sampling audit (round 4+): per-stratum capped
+    # selection by salted-hash rank (the SemDeDup-style cluster cap),
+    # two-phase so the rank window never sees more than ~slack·cap
+    # rows per stratum.  The driver hash-checks per-stratum counts AND
+    # a membership fingerprint (sum of kept keys) against the oracle's
+    # replica of both phases.  Costs a counts pass + a prefilter+rank
+    # pass of orders.
+    bal = sampling.balanced_sample(
+        orders, "o_orderpriority", BAL_CAP, key="o_orderkey"
+    )
+    bal_rows = _long(
+        bal.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("o_orderkey").alias("bsum"),
+        ),
+        F.col("o_orderpriority"),
+        [("bal_n", F.col("bn")), ("bal_sum_key", F.col("bsum"))],
+    )
+
     # Source-mixing audit (round 4+): the budget-driven mixture plan is
     # exact-integer arithmetic (operators/sampling.mix_plan), so the
     # oracle recomputes the SAME plan from the same counts in HUGEINT
@@ -442,5 +554,7 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(split_rows)
         .unionByName(pack_rows)
         .unionByName(kmv_rows)
+        .unionByName(cms_rows)
+        .unionByName(bal_rows)
         .unionByName(mix_rows)
     )

@@ -88,3 +88,78 @@ def test_kmv_plan_is_take_ordered_not_global_sort(spark):
     df = spark.range(10_000).select(F.col("id").alias("k"))
     plan = K.kmv_min_hashes(df, "k")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_overestimates_never_under(spark):
+    """Count-Min's structural guarantee on a skewed corpus: for every
+    key, estimate ≥ true count; and with d=4 rows over w=512 buckets
+    the total overestimate mass stays within the 2N/w-per-key bound's
+    aggregate (generous 4x slack)."""
+    # Zipf-ish: key k appears ~1000//(k+1) times, 200 distinct keys
+    rows = [(k,) for k in range(200) for _ in range(1000 // (k + 1))]
+    df = spark.createDataFrame(rows, "k: bigint")
+    n = len(rows)
+    sk = K.cms_sketch(df, "k")
+    truth = df.groupBy(F.col("k")).agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        r["k"]: r["est"]
+        for r in K.cms_point_estimates(sk, truth, "k").collect()
+    }
+    over = 0
+    for r in truth.collect():
+        assert got[r["k"]] >= r["c"], (r["k"], got[r["k"]], r["c"])
+        over += got[r["k"]] - r["c"]
+    assert over <= 4 * len(got) * 2 * n / K.CMS_W
+
+
+def test_cms_merge_equals_sketch_of_union(spark):
+    """Elementwise counter addition: sketch(A) + sketch(B) must equal
+    sketch(A ⊎ B) cell-for-cell — the distributable/incremental
+    property."""
+    a = spark.range(500).select((F.col("id") % 91).alias("k"))
+    b = spark.range(300).select((F.col("id") % 37).alias("k"))
+    merged = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in K.cms_merge(
+            [K.cms_sketch(a, "k"), K.cms_sketch(b, "k")]
+        ).collect()
+    }
+    whole = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in K.cms_sketch(a.unionByName(b), "k").collect()
+    }
+    assert merged == whole
+
+
+def test_cms_never_seen_key_and_nulls(spark):
+    """NULL keys contribute nothing; a never-seen key's estimate is
+    only collision mass (and exactly 0 when the sketch is sparse
+    enough that some of its cells are empty)."""
+    df = spark.createDataFrame(
+        [(None,)] * 20 + [(i,) for i in range(5)] * 10, "k: bigint"
+    )
+    sk = K.cms_sketch(df, "k")
+    # row totals must count only non-null rows
+    for r in sk.groupBy("i").agg(F.sum("cnt").alias("t")).collect():
+        assert r["t"] == 50
+    probe = spark.createDataFrame([(999999,)], "k: bigint")
+    est = K.cms_point_estimates(sk, probe, "k").collect()[0]["est"]
+    # 5 distinct keys in 512 buckets: an unseen key collides with all
+    # 4 of its rows with probability ~ (5/512)^4 — demand exact zero
+    # here (deterministic: the constants and hashes are fixed)
+    assert est == 0
+
+
+def test_cms_sketch_is_bounded_and_broadcast(spark):
+    """Scale posture: the sketch never exceeds d·w cells regardless of
+    input size, and the estimate join broadcasts the sketch (never
+    shuffles it)."""
+    from mapreduce_framework_for_mergesort_spark.plans import audit
+
+    df = spark.range(20000).select((F.col("id") % 5000).alias("k"))
+    sk = K.cms_sketch(df, "k")
+    assert sk.count() <= K.CMS_D * K.CMS_W
+    est = K.cms_point_estimates(sk, df.distinct(), "k")
+    a = audit(est)
+    assert a.broadcasts >= 1, a.text
+    assert a.python_evals == 0, a.text
