@@ -88,6 +88,7 @@ def curate_documents(
     embed_cells: int = 8,
     benchmark: DataFrame | None = None,
     decontam_n: int = D.DECONTAM_N,
+    cluster_cap: int | None = None,
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
@@ -133,6 +134,15 @@ def curate_documents(
     if a contaminated document would have been a cluster's survivor,
     removing it first lets a clean near-duplicate survive instead of
     silently shipping nothing from that cluster.
+
+    ``cluster_cap`` (optional, needs ``embeddings``) adds the
+    SemDeDup-style diversity step after dedup: survivors are assigned
+    to embedding k-means cells (``similarity.ivf_cells``,
+    ``embed_cells`` centroids) and each cell keeps at most
+    ``cluster_cap`` docs by deterministic salted-hash rank
+    (``sampling.balanced_sample`` — two-phase, scale-safe), so an
+    over-crawled topic can't dominate the mix even when its pages
+    aren't near-duplicates of each other.
 
     Redaction runs FIRST (before features and dedup) so documents that
     differ only in embedded PII become exact duplicates and collapse,
@@ -190,6 +200,34 @@ def curate_documents(
         embed_tau=embed_tau,
         embed_cells=embed_cells,
     )
+    if cluster_cap is not None:
+        # Cluster-balanced cap (SemDeDup-style diversity step): assign
+        # survivors to embedding k-means cells and keep at most
+        # cluster_cap per cell — near-dedup removes COPIES, this caps
+        # TOPICS, so one over-crawled domain can't dominate the mix.
+        # Runs after dedup (caps count unique survivors, not dup mass)
+        # and before the split (all splits stay balanced).  Documents
+        # without an embedding row form their own stratum (cell -1)
+        # rather than silently dropping.
+        if embeddings is None:
+            raise ValueError(
+                "cluster_cap requires an embeddings table for cell "
+                "assignment"
+            )
+        from mapreduce_framework_for_mergesort_spark.operators import (
+            similarity,
+        )
+
+        cells = similarity.ivf_cells(
+            embeddings, num_centroids=embed_cells
+        ).select(F.col("vec_id").alias("doc_id"), "cell")
+        deduped = (
+            deduped.join(cells, "doc_id", "left")
+            .withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1)))
+        )
+        deduped = sampling.balanced_sample(
+            deduped, "cell", cluster_cap, key="doc_id"
+        ).drop("cell")
     return sampling.hash_split(deduped, split_on, splits)
 
 

@@ -232,6 +232,56 @@ def test_curation_pipeline_with_embedding_tier(paraphrase_corpus):
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
 
 
+def test_curation_pipeline_cluster_cap(spark):
+    """``cluster_cap=`` caps each embedding k-means cell after dedup:
+    a dominant topic cluster (many distinct, non-duplicate docs with
+    near-identical embeddings) is cut to the cap while the small
+    cluster passes through whole; without the knob everything
+    survives.  Missing-embedding docs form their own stratum instead
+    of dropping."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    # 12 distinct docs in topic A (one embedding cell), 2 in topic B;
+    # no near-duplicates anywhere — dedup removes nothing.
+    texts_a = [
+        (i, f"the quick brown fox number {i} jumps over the lazy dog "
+            f"variant {i * 7} with plenty of distinct filler words "
+            + " ".join(f"tok{i}{j}" for j in range(8)))
+        for i in range(12)
+    ]
+    texts_b = [
+        (100, "spark shuffle mechanics explained for the curious reader"),
+        (101, "catalyst optimizer internals and adaptive query execution"),
+    ]
+    no_emb = [(200, "a document with no embedding row at all here")]
+    docs = spark.createDataFrame(
+        texts_a + texts_b + no_emb, ["doc_id", "text"]
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) * 1e-3, 0.0, 0.0]) for i in range(12)]
+        + [(100, [0.0, 0.0, 1.0, 0.0]), (101, [0.0, 0.0, 0.99, 0.01])],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    kwargs = dict(
+        min_quality=0.0, langs=("en", "und"), redact=False,
+        embeddings=emb, embed_cells=2,
+    )
+    uncapped = pipelines.curate_documents(docs, **kwargs).collect()
+    assert len(uncapped) == 15
+    capped = pipelines.curate_documents(
+        docs, cluster_cap=5, **kwargs
+    ).collect()
+    ids = sorted(r["doc_id"] for r in capped)
+    a_kept = [i for i in ids if i < 100]
+    assert len(a_kept) == 5  # dominant cell cut to the cap
+    assert [i for i in ids if 100 <= i < 200] == [100, 101]
+    assert 200 in ids  # no-embedding doc survives in its own stratum
+    with pytest.raises(ValueError, match="cluster_cap"):
+        pipelines.curate_documents(
+            docs, min_quality=0.0, redact=False, cluster_cap=5
+        )
+
+
 def test_curation_pipeline_decontaminates_before_dedup(paraphrase_corpus):
     """``benchmark=`` drops contaminated docs BEFORE dedup, so when the
     contaminated doc would have been a cluster's survivor, a clean
@@ -1542,6 +1592,45 @@ def test_hash_sample_deterministic_and_duckdb_exact(spark, sf_oracle):
         for r in hash_split(hash_sample(docs, 0.3), "doc_id").collect()
     }
     assert splits == {"train", "val", "test"}
+
+
+def test_balanced_sample_caps_and_is_partition_proof(spark):
+    """Per-stratum cap: oversized strata cut to exactly cap (the
+    prefilter's under-fill probability is ~e^-O(slack·cap), i.e. zero
+    at these sizes), undersized strata pass through whole, and the
+    kept SET is identical under a different partitioning (membership
+    is a pure function of key + stratum population)."""
+    from mapreduce_framework_for_mergesort_spark.operators.sampling import (
+        balanced_sample,
+    )
+
+    rows = [(i, "big") for i in range(2000)] + [
+        (10_000 + i, "small") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "cluster"])
+    kept = balanced_sample(df, "cluster", cap=100, key="doc_id")
+    by_stratum = {
+        r["cluster"]: r["n"]
+        for r in kept.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_stratum == {"big": 100, "small": 30}
+
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    re_ids = sorted(
+        r["doc_id"]
+        for r in balanced_sample(
+            df.repartition(17, "doc_id"), "cluster", cap=100, key="doc_id"
+        ).collect()
+    )
+    assert ids == re_ids
+
+    # NULL stratum and NULL key rows drop (join/hash semantics)
+    with_nulls = spark.createDataFrame(
+        [(1, None), (None, "x"), (2, "x")],
+        "doc_id bigint, cluster string",
+    )
+    got = balanced_sample(with_nulls, "cluster", cap=10, key="doc_id").collect()
+    assert [(r["doc_id"], r["cluster"]) for r in got] == [(2, "x")]
 
 
 def test_stratified_hash_sample_rates_and_nesting(spark, sf_oracle):
