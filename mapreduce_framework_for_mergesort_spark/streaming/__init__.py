@@ -29,3 +29,8 @@ from mapreduce_framework_for_mergesort_spark.streaming.dedup import (  # noqa: F
 from mapreduce_framework_for_mergesort_spark.streaming.joins import (  # noqa: F401
     interval_join_events,
 )
+from mapreduce_framework_for_mergesort_spark.streaming.sketch import (  # noqa: F401
+    frequency_sketch_stream,
+    read_frequency_sketch,
+    update_frequency_sketch,
+)

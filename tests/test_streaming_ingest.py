@@ -147,3 +147,45 @@ def test_ingest_rejected_doc_cannot_evict_earlier_representative(
         spark.createDataFrame([(0, BASE)], ["doc_id", "text"]), idx, out
     )
     assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+
+
+def test_frequency_sketch_stream_equals_batch_and_is_idempotent(
+    spark, tmp_path
+):
+    """The incremental CMS drains to exactly the batch sketch of the
+    concatenated stream; replaying an epoch (the retry case) changes
+    nothing because epoch partitions are overwritten, not appended;
+    compaction preserves the merged cells."""
+    from mapreduce_framework_for_mergesort_spark.operators.sketches import (
+        cms_sketch,
+    )
+    from mapreduce_framework_for_mergesort_spark.streaming import sketch as SK
+
+    d = str(tmp_path / "stream_sk")
+    a = spark.createDataFrame(BATCH_A, ["doc_id", "text"])
+    b = spark.createDataFrame(BATCH_B, ["doc_id", "text"])
+    a.coalesce(1).write.mode("overwrite").parquet(d)
+    b.coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    skp = str(tmp_path / "cms_sk")
+    q = SK.frequency_sketch_stream(
+        stream, skp, str(tmp_path / "ck_sk"), key="text"
+    )
+    q.awaitTermination()
+
+    def cells(df):
+        return {(r["i"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    whole = cells(cms_sketch(a.unionByName(b), "text"))
+    assert cells(SK.read_frequency_sketch(spark, skp)) == whole
+    # replayed epoch: overwrite its own partition, merged result fixed
+    SK.update_frequency_sketch(a, 0, skp, key="text")
+    assert cells(SK.read_frequency_sketch(spark, skp)) == whole
+    # compaction folds epochs without changing a single cell
+    SK.compact_frequency_sketch(spark, skp)
+    assert cells(SK.read_frequency_sketch(spark, skp)) == whole
