@@ -242,6 +242,7 @@ def prepare_training_shards(
     mix_epochs: int = 1,
     mix_stratum: str = "source",
     mix_total: int | None = None,
+    input_checks: list | None = None,
     **curate_kwargs,
 ) -> dict:
     """The last mile: curated corpus → on-disk training shards.
@@ -278,6 +279,11 @@ def prepare_training_shards(
       Token counts (including BPE) are computed BEFORE the mix explode
       so each unique document pays its tokenizer cost once; packing
       orders by (doc_id, epoch) via a synthesized unique key.
+    * ``input_checks`` (a list of ``operators/quality.py`` check
+      tuples) gates the RAW input before anything runs: one
+      conditional-aggregate scan, and a failing check raises with
+      every violated constraint listed — a corrupt landing zone can't
+      burn curation/tokenizer cost or leave partial shard output.
 
     Determinism end to end: every stage is a pure function of content
     (hash split, hash dedup survivors, key-ordered packing), so a
@@ -292,6 +298,18 @@ def prepare_training_shards(
     from mapreduce_framework_for_mergesort_spark.operators.materialize import (
         materialize,
     )
+
+    if input_checks:
+        # Data-quality gate FIRST (operators/quality.py — one
+        # conditional-aggregate scan): a corrupt landing zone (null
+        # texts, duplicate doc_ids, out-of-range metadata) fails the
+        # run loudly here, before any curation/tokenizer cost is paid
+        # or partial shard output is written.
+        from mapreduce_framework_for_mergesort_spark.operators.quality import (
+            assert_valid,
+        )
+
+        assert_valid(documents, input_checks)
 
     # One curation run, not one per split: each split's pack+write
     # branch consumes the SAME materialized survivors (lineage cut) —

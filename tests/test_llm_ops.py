@@ -1946,6 +1946,39 @@ def test_mix_sources_epochs_and_determinism(spark):
     assert out2 == got
 
 
+def test_prepare_training_shards_quality_gate(spark, tmp_path):
+    """``input_checks=`` fails the run loudly BEFORE any curation or
+    shard output when the landing zone violates a constraint, and
+    passes through when the data is clean."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs = spark.createDataFrame(
+        [(1, "good text about spark the and of"), (1, "duplicate id row"),
+         (3, None)],
+        "doc_id bigint, text string",
+    )
+    checks = [("unique", "doc_id"), ("not_null", "text", 0.0)]
+    out = str(tmp_path / "gate_shards")
+    with pytest.raises(ValueError, match="unique"):
+        pipelines.prepare_training_shards(
+            docs, out, input_checks=checks, min_quality=0.0,
+            langs=("en", "und"),
+        )
+    import os
+
+    assert not os.path.exists(out)  # nothing partial was written
+    clean = spark.createDataFrame(
+        [(1, "the cat sat and the dog ran off to the door again"),
+         (2, "a completely different document about query engines ok")],
+        "doc_id bigint, text string",
+    )
+    manifest = pipelines.prepare_training_shards(
+        clean, out, input_checks=checks, min_quality=0.0,
+        langs=("en", "und"), shards_per_split=1,
+    )
+    assert sum(s["docs"] for s in manifest["splits"].values()) == 2
+
+
 def test_prepare_training_shards_with_mixture(spark, sf_oracle, tmp_path):
     """Shard pipeline with mix_weights: replicas appear as distinct
     packed rows carrying their epoch, manifest tokens count replicas,
