@@ -201,7 +201,12 @@ def cms_merge(sketches: list[DataFrame]) -> DataFrame:
 
 
 def cms_point_estimates(
-    sketch: DataFrame, keys: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+    sketch: DataFrame,
+    keys: DataFrame,
+    key: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Frequency estimate for every row of ``keys[key]``: min over the
     d counters the key hashes to (missing cell → 0 via left join, so
@@ -211,14 +216,19 @@ def cms_point_estimates(
     Scale shape: the sketch is ≤ d·w rows BY CONSTRUCTION, so it is
     force-broadcast — the estimate pass is map-side over the keys'
     explode, one small aggregation per key, no shuffle of the sketch
-    ever."""
+    ever.  ``carry`` payload columns ride through (the ``_assign``
+    pattern) so a caller comparing est to a per-key truth doesn't have
+    to re-join — and thus re-scan — the keys table."""
     ex = (
         keys.select(
-            F.col(key).alias("k"), F.expr(_spark_cms_hash(key)).alias("__h")
+            F.col(key).alias("k"),
+            *carry,
+            F.expr(_spark_cms_hash(key)).alias("__h"),
         )
         .where(F.col("__h").isNotNull())
         .select(
             "k",
+            *carry,
             F.explode(
                 F.array(
                     *[
@@ -231,12 +241,17 @@ def cms_point_estimates(
                         for i in range(d)
                     ]
                 )
-            ).alias("c"),
+            ).alias("__c"),
         )
-        .select("k", F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
+        .select(
+            "k",
+            *carry,
+            F.col("__c.i").alias("i"),
+            F.col("__c.bucket").alias("bucket"),
+        )
     )
     joined = ex.join(F.broadcast(sketch), ["i", "bucket"], "left")
-    return joined.groupBy("k").agg(
+    return joined.groupBy("k", *carry).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
     )
 

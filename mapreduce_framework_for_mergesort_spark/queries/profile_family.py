@@ -416,8 +416,10 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     est_err = (
-        sketches.cms_point_estimates(cms, truth, "k")
-        .join(truth, "k")
+        # truth rides the estimate aggregation as a carry column — a
+        # second join on k would re-scan orders (caught by the scan-
+        # budget test when this was first written as a join)
+        sketches.cms_point_estimates(cms, truth, "k", carry=("c",))
         .agg(
             F.max(F.col("est") - F.col("c")).alias("mx"),
             F.min(F.col("est") - F.col("c")).alias("mn"),

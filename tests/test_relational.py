@@ -156,10 +156,14 @@ def test_profile_stats_bounded_scans(spark, sf_oracle):
     split+hash-sample audit / KMV sketch — plus ONE documents scan for
     the round-4+ source-mixing grain (the mix explode+filter branch;
     its tiny per-source counts aggregate runs as a separate
-    query-construction-time job, like IVF training) — bounded at 8
-    column-pruned parquet scans in this plan (round-1's five separate
-    queries cost 7+ for less coverage).  The round-4 packing
-    audit adds ONE documents scan that
+    query-construction-time job, like IVF training), plus THREE more
+    orders passes for the round-4+ sketch/balance audits (Count-Min
+    exact-truth per-key counts; balanced-sample stratum counts;
+    balanced-sample prefilter+rank — the CMS sketch itself is
+    materialized at construction time and shows as ExistingRDD) —
+    bounded at 11 column-pruned parquet scans in this plan (round-1's
+    five separate queries cost 7+ for far less coverage).  The
+    round-4 packing audit adds ONE documents scan that
     this count cannot see — it runs inside pack_documents' lazy
     checkpoint job and surfaces here as Scan ExistingRDD, asserted so
     the blind spot is at least visible."""
@@ -169,7 +173,7 @@ def test_profile_stats_bounded_scans(spark, sf_oracle):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") <= 8, plan
+    assert plan.count("Scan parquet") <= 11, plan
     assert "Scan ExistingRDD" in plan  # the packing audit's checkpoint
 
 
