@@ -367,6 +367,19 @@ def balanced_sample(
     computation, determinism and verifiability hold regardless.
     NULL keys and NULL strata drop (hash/join semantics, mirrored
     exactly by the oracle's JOIN USING).
+
+    Contract: ``key`` must uniquely identify rows (the doc_id
+    contract every sampler here shares) — the rank's tiebreak is
+    (hash, key), so duplicate keys within a stratum sort arbitrarily
+    and WHICH physical copy survives a cap cut is partition-dependent
+    (the kept key-multiset is still deterministic).
+
+    The counts join is deliberately NOT force-broadcast: #strata is
+    data-dependent (a user-id stratum is unbounded — the tf↔df
+    argument in ``text.tfidf_top_terms``), so small stratum tables
+    auto-broadcast under AQE and large ones degrade safely to a
+    shuffle join on a column both sides are already aggregated/keyed
+    by.
     """
     from pyspark.sql import Window
 

@@ -152,6 +152,33 @@ def cms_bucket_expr(i: int, h_sql: str, w: int = CMS_W) -> str:
     return f"((({a} * {h_sql} + {b}) % {H.MINHASH_P}) % {w})"
 
 
+def _cms_cell_array(d: int, w: int):
+    """The (i, bucket) cell-struct array over a precomputed ``__h``
+    column — the ONE construction shared by sketch build and probe, so
+    the two sides can never drift (a probe computing buckets in a
+    different space than the sketch silently estimates 0 and breaks
+    est ≥ true).  Validates the (d, w) geometry: the affine family has
+    CMS_D rows, and sketch/probe must be called with the SAME pair —
+    the sketch rows carry no geometry, so a mismatch is undetectable
+    downstream."""
+    if not 1 <= d <= len(CMS_AB):
+        raise ValueError(
+            f"d must be in [1, {len(CMS_AB)}] (the seeded affine "
+            f"family size), got {d}"
+        )
+    if w < 1:
+        raise ValueError(f"w must be positive, got {w}")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(cms_bucket_expr(i, "__h", w)).cast("int").alias("bucket"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
 ) -> DataFrame:
@@ -168,16 +195,13 @@ def cms_sketch(
     intermediate is integer data both engines can recompute
     bit-for-bit, and sketches MERGE by elementwise addition
     (``cms_merge``) so shards/increments sketch locally and combine
-    without touching raw data again."""
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("i"),
-                F.expr(cms_bucket_expr(i, "__h", w)).cast("int").alias("bucket"),
-            )
-            for i in range(d)
-        ]
-    )
+    without touching raw data again.
+
+    (d, w) is the sketch GEOMETRY: pass the same pair to every
+    ``cms_point_estimates`` over this sketch — the stored rows don't
+    carry it, so a mismatch would silently probe the wrong buckets
+    (validated as far as possible in ``_cms_cell_array``)."""
+    cells = _cms_cell_array(d, w)
     return (
         df.select(F.expr(_spark_cms_hash(key)).alias("__h"))
         .where(F.col("__h").isNotNull())
@@ -229,19 +253,7 @@ def cms_point_estimates(
         .select(
             "k",
             *carry,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("i"),
-                            F.expr(cms_bucket_expr(i, "__h", w))
-                            .cast("int")
-                            .alias("bucket"),
-                        )
-                        for i in range(d)
-                    ]
-                )
-            ).alias("__c"),
+            F.explode(_cms_cell_array(d, w)).alias("__c"),
         )
         .select(
             "k",

@@ -366,6 +366,26 @@ def bm25_avgdl_expr(sum_dl: str = "sum_dl", n_docs: str = "n_docs") -> str:
     return f"(CAST({sum_dl} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
 
 
+def _check_bm25_terms(query_terms: tuple[str, ...]) -> None:
+    """Terms are interpolated into single-quoted SQL literals on BOTH
+    engines, so reject loudly what would break or silently never
+    match (round-4+ review): quotes/backslashes corrupt the literal,
+    and a term containing whitespace cannot equal any token the
+    whitespace tokenizer emits — it would score 0 forever."""
+    import re as _re
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    for q in query_terms:
+        if not q or _re.search(r"[\s'\\]", q):
+            raise ValueError(
+                f"invalid BM25 query term {q!r}: terms must be "
+                "non-empty and contain no whitespace, quotes, or "
+                "backslashes (they are whitespace-tokenizer tokens "
+                "interpolated into SQL literals)"
+            )
+
+
 def bm25_topk(
     documents: DataFrame,
     query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
@@ -397,6 +417,7 @@ def bm25_topk(
         materialize,
     )
 
+    _check_bm25_terms(query_terms)
     toks = H.spark_tokens("text")
     per = materialize(
         documents.select(
@@ -449,6 +470,7 @@ def duckdb_bm25_cte(
     same per-doc tf/dl projection, same one-row stats, same shared
     score-expression STRING — the double math is literally identical
     text on both engines."""
+    _check_bm25_terms(query_terms)
     idx = range(len(query_terms))
     tfs = ",\n             ".join(
         f"len(list_filter(toks, t -> t = '{q}')) AS tf_{i}"

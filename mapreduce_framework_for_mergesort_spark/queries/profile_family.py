@@ -275,11 +275,13 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional aggregate; the KMV sketch audit adds one orders pass
     # of its own, distinct-hash top-k being a different grain, while
     # its exact-truth count rides o_uniq's Expand-rewritten multi-
-    # distinct aggregate for free; the Count-Min audit adds a sketch
-    # pass + a per-key truth pass).  9 column-pruned parquet scans in
-    # this plan, plus ONE documents scan inside the packing audit's
-    # (lazy) checkpoint job and one inside the CMS materialization —
-    # at 100 TB the scan count IS the audit's cost.
+    # distinct aggregate for free; the Count-Min audit adds a per-key
+    # truth pass, and the balanced-sample audit a counts pass + the
+    # prefilter+rank pass).  11 column-pruned parquet scans in this
+    # plan (pinned by test_profile_stats_bounded_scans), plus ONE
+    # documents scan inside the packing audit's (lazy) checkpoint job
+    # and one orders scan inside the CMS sketch materialization — at
+    # 100 TB the scan count IS the audit's cost.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),

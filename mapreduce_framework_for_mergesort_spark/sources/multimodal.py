@@ -391,6 +391,13 @@ def _y4m_planes(payload: bytes) -> tuple[int, int, list[bytes]]:
         raise ValueError(
             f"expected Cmono (grayscale) Y4M, got C{params.get('C', '420')}"
         )
+    if "W" not in params or "H" not in params:
+        # same loud ValueError contract as every other malformed shape
+        # (a bare KeyError here would bypass callers' quarantine
+        # routing — round-4+ review)
+        raise ValueError(
+            f"Y4M header missing W/H dimension tags: {toks[1:]!r}"
+        )
     w, h = int(params["W"]), int(params["H"])
     if w <= 0 or h <= 0:
         raise ValueError(f"unsupported Y4M dimensions {w}x{h}")

@@ -30,6 +30,7 @@ from mapreduce_framework_for_mergesort_spark.streaming.joins import (  # noqa: F
     interval_join_events,
 )
 from mapreduce_framework_for_mergesort_spark.streaming.sketch import (  # noqa: F401
+    compact_frequency_sketch,
     frequency_sketch_stream,
     read_frequency_sketch,
     update_frequency_sketch,

@@ -56,23 +56,30 @@ def read_frequency_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     )
 
 
-def compact_frequency_sketch(spark: SparkSession, sketch_path: str) -> None:
-    """Fold all epochs into a single ``epoch=0`` partition (the merged
-    sketch is itself ≤ d·w rows).  Reads are already correct without
-    this; compaction just bounds the file count after long streams.
-    The merge is materialized driver-side before the overwrite — it is
-    ≤ d·w (= CMS_D × CMS_W = 2048) rows of integers by construction,
-    the same bounded-metadata argument as the IVF centroid collects —
-    because overwriting a directory a lazy plan still reads from would
-    race."""
-    merged = read_frequency_sketch(spark, sketch_path).collect()
-    df = spark.createDataFrame(merged, "i int, bucket int, cnt bigint")
-    import shutil
+def compact_frequency_sketch(
+    spark: SparkSession, sketch_path: str, out_path: str
+) -> None:
+    """Fold all epochs into a single ``epoch=0`` partition at a NEW
+    location (the merged sketch is itself ≤ d·w rows).  Reads are
+    already correct without this; compaction just bounds the file
+    count after long streams.
 
-    tmp = f"{sketch_path}__compact_tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/epoch=0")
-    shutil.rmtree(sketch_path)
-    shutil.move(tmp, sketch_path)
+    Deliberately NOT in-place: the source directory is never touched,
+    so a crash mid-compaction cannot lose the live sketch (the caller
+    repoints readers to ``out_path`` and deletes the old directory at
+    leisure), and everything goes through Spark IO — no local-
+    filesystem ``shutil`` calls that would break on hdfs://-style
+    paths (round-4+ review; the first cut did an in-place rmtree+move
+    with exactly both problems)."""
+    if out_path == sketch_path:
+        raise ValueError(
+            "compact_frequency_sketch is copy-based: out_path must "
+            "differ from sketch_path (in-place compaction could lose "
+            "the live sketch on a mid-write crash)"
+        )
+    read_frequency_sketch(spark, sketch_path).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out_path}/epoch=0")
 
 
 def frequency_sketch_stream(

@@ -1094,6 +1094,10 @@ def test_y4m_synthesis_roundtrip():
         M.decode_y4m(y4m[:-1])
     with pytest.raises(ValueError, match="dimensions"):
         M.decode_y4m(b"YUV4MPEG2 W0 H4 Cmono\n")
+    with pytest.raises(ValueError, match="missing W/H"):
+        # missing dimension tags must be the same loud ValueError as
+        # every other malformed shape, not a bare KeyError
+        M.decode_y4m(b"YUV4MPEG2 Cmono\n")
 
 
 def test_y4m_frames_and_resize(spark):
@@ -1342,6 +1346,19 @@ def test_bm25_ranking_matches_reference_formula(spark):
     # the intended behaviors actually hold on this corpus: broad
     # coverage beats saturation, shorter beats longer at equal hits
     assert score(1) > score(0) and score(1) > score(2)
+
+    # terms that would corrupt the SQL literal (quotes) or could never
+    # match a whitespace token (spaces) are rejected loudly on BOTH
+    # engines, not silently mis-scored
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        duckdb_bm25_cte,
+    )
+
+    for bad in (("don't",), ("two words",), ("",), ()):
+        with pytest.raises(ValueError):
+            bm25_topk(docs, bad)
+        with pytest.raises(ValueError):
+            duckdb_bm25_cte(bad)
 
 
 def test_bm25_plan_shape(spark, sf_smoke):

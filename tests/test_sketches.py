@@ -163,3 +163,16 @@ def test_cms_sketch_is_bounded_and_broadcast(spark):
     a = audit(est)
     assert a.broadcasts >= 1, a.text
     assert a.python_evals == 0, a.text
+
+
+def test_cms_geometry_validation(spark):
+    """d beyond the seeded affine family (or a degenerate w) fails
+    loudly at construction — sketch rows carry no geometry, so a
+    silent mismatch would probe the wrong buckets."""
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="affine"):
+        K.cms_sketch(df, "k", d=9)
+    with pytest.raises(ValueError, match="w must be positive"):
+        K.cms_sketch(df, "k", w=0)
+    with pytest.raises(ValueError, match="affine"):
+        K.cms_point_estimates(K.cms_sketch(df, "k"), df, "k", d=0)

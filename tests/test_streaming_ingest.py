@@ -183,9 +183,21 @@ def test_frequency_sketch_stream_equals_batch_and_is_idempotent(
 
     whole = cells(cms_sketch(a.unionByName(b), "text"))
     assert cells(SK.read_frequency_sketch(spark, skp)) == whole
-    # replayed epoch: overwrite its own partition, merged result fixed
-    SK.update_frequency_sketch(a, 0, skp, key="text")
+    # replayed epoch: overwrite its own partition, merged result
+    # fixed.  The file source orders same-listing files by mtime with
+    # arbitrary ties, so detect which batch epoch 0 actually processed
+    # rather than assuming it was A (mtime-tie flake, round-4+ review)
+    epoch0 = cells(
+        spark.read.parquet(skp).where("epoch = 0").drop("epoch")
+    )
+    replay = a if epoch0 == cells(cms_sketch(a, "text")) else b
+    SK.update_frequency_sketch(replay, 0, skp, key="text")
     assert cells(SK.read_frequency_sketch(spark, skp)) == whole
-    # compaction folds epochs without changing a single cell
-    SK.compact_frequency_sketch(spark, skp)
+    # compaction is copy-based: the new location carries the identical
+    # merged cells, the source is untouched, in-place is rejected
+    skp2 = str(tmp_path / "cms_sk_compact")
+    SK.compact_frequency_sketch(spark, skp, skp2)
+    assert cells(SK.read_frequency_sketch(spark, skp2)) == whole
     assert cells(SK.read_frequency_sketch(spark, skp)) == whole
+    with pytest.raises(ValueError, match="in-place"):
+        SK.compact_frequency_sketch(spark, skp, skp)
