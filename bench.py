@@ -333,7 +333,71 @@ def scale_main(out_path: str, skew: bool = False) -> None:
                          if skew else {})}))
 
 
+def plans_main(out_path: str = "PLANS.md") -> None:
+    """Regenerate PLANS.md: one plan-audit row per registry key at
+    sf0.01 (shuffle exchanges, broadcasts, reused exchanges, file
+    scans, codegen spans, Arrow Python evals) — the machine-checked
+    shape numbers the plan tests pin, surfaced as a diffable artifact
+    so shape regressions show in review, not just in test failures.
+    Audits the RUNTIME-FINAL plan (``audit(final=True)`` — each query
+    executes once) so AQE's actual decisions (broadcast conversions,
+    coalesced shuffles, codegen spans) are what's recorded, not the
+    speculative initial strategy.  Streaming keys execute through
+    their memory-sink harness and are audited on the batch plans they
+    pin elsewhere, so they are listed as 'streaming (audited in
+    tests/test_streaming*.py)'."""
+    from mapreduce_framework_for_mergesort_spark.plans import audit
+
+    spark = get_spark(app_name="msfs-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.01"
+    rows = []
+    for name in sorted(QUERIES):
+        if name.startswith("q_stream") or name in (
+            "q_streaming_dedup",
+            "q_cdc_upsert",
+        ):
+            rows.append((name, None))
+            continue
+        a = audit(QUERIES[name](spark, sf_dir), final=True)
+        rows.append((name, a))
+    lines = [
+        "# PLANS — per-key physical-plan audit (generated)",
+        "",
+        "Regenerate with `python bench.py --plans`.  Counts come from",
+        "`plans.audit(final=True)` over the RUNTIME-FINAL (post-AQE)",
+        "executed plan at sf0.01 — what actually ran, including AQE",
+        "broadcast conversions.  `exch` = shuffle exchanges",
+        "(Broadcast/Reused excluded), `bcast` = broadcast exchanges,",
+        "`reuse` = reused exchanges, `scan` = file scans, `wscg` =",
+        "WholeStageCodegen spans, `py` = Arrow Python evals (the only",
+        "Python seams; zero row-at-a-time UDFs anywhere).",
+        "",
+        "| key | exch | bcast | reuse | scan | wscg | py |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, a in rows:
+        if a is None:
+            lines.append(
+                f"| `{name}` | streaming — plan pinned in "
+                "tests/test_streaming*.py ||||||"
+            )
+        else:
+            lines.append(
+                f"| `{name}` | {a.exchanges} | {a.broadcasts} | "
+                f"{a.reused_exchanges} | {a.file_scans} | "
+                f"{a.codegen_spans} | {a.python_evals} |"
+            )
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"metric": "plans_written", "out": out_path,
+                      "keys": len(rows)}))
+
+
 def main() -> None:
+    if "--plans" in sys.argv:
+        plans_main()
+        return
     if "--scale" in sys.argv:
         i = sys.argv.index("--scale")
         out = (

@@ -69,7 +69,14 @@ def audit(df: DataFrame, final: bool = False) -> PlanAudit:
     ``isFinalPlan=false`` — a round-3 advisory verified empirically."""
     if final:
         df._jdf.queryExecution().executedPlan().execute()
-    return parse_plan(df._jdf.queryExecution().executedPlan().toString())
+    text = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AdaptiveSparkPlan prints BOTH sections — "== Final
+    # Plan ==" then "== Initial Plan ==" — so counting the raw string
+    # double-counts every operator; keep only the final section
+    marker = "== Initial Plan =="
+    if marker in text:
+        text = text.split(marker, 1)[0]
+    return parse_plan(text)
 
 
 def parse_plan(plan: str) -> PlanAudit:
@@ -88,7 +95,11 @@ def parse_plan(plan: str) -> PlanAudit:
         broadcasts=plan.count("BroadcastExchange"),
         reused_exchanges=plan.count("ReusedExchange"),
         file_scans=plan.count("FileScan"),
-        codegen_spans=plan.count("WholeStageCodegen"),
+        # two spellings: tree dumps wrap spans in "WholeStageCodegen
+        # (N)" nodes, while compact/final plans mark member operators
+        # with a "*(N)" prefix — count DISTINCT span ids in that case
+        codegen_spans=plan.count("WholeStageCodegen")
+        or len(set(re.findall(r"\*\((\d+)\)", plan))),
         python_evals=plan.count("ArrowEvalPython") + plan.count("BatchEvalPython"),
         pushed_filters=re.findall(r"PushedFilters: \[[^\]]*\]", plan),
         read_schemas=re.findall(r"ReadSchema: \S+", plan),

@@ -96,3 +96,34 @@ def test_pack_documents_plan_has_no_global_stage(spark, sf_oracle):
     assert "Scan ExistingRDD" in a.text, a.text[:2000]
     assert a.python_evals == 0  # mapInPandas is MapInPandas, not *EvalPython
     assert "MapInPandas" in a.text
+
+
+def test_parse_plan_codegen_and_final_section_isolation():
+    """Compact/final plans mark codegen members with '*(N)' prefixes
+    (no 'WholeStageCodegen' node text) — count DISTINCT span ids; and
+    audit(final=True) must count only the '== Final Plan ==' section,
+    not the appended initial plan (which double-counted every
+    operator when PLANS.md generation first ran — round-4+ fix)."""
+    starred = """
+    *(2) HashAggregate(keys=[k#1])
+    +- Exchange hashpartitioning(k#1, 32)
+       +- *(1) HashAggregate(keys=[k#1])
+          +- *(1) Project [k#1]
+    """
+    a = parse_plan(starred)
+    assert a.codegen_spans == 2  # spans {1, 2}, not 3 markers
+    # explicit node text still wins when present
+    assert parse_plan("WholeStageCodegen (1)\n*(1) Project").codegen_spans == 1
+
+
+def test_audit_final_counts_final_section_only(spark):
+    df = (
+        spark.range(50_000)
+        .withColumn("k", F.col("id") % 5)
+        .groupBy("k")
+        .count()
+    )
+    a = audit(df, final=True)
+    assert "== Initial Plan ==" not in a.text
+    assert a.exchanges == 1  # one shuffle, not double-counted
+    assert a.codegen_spans >= 1  # starred spans visible in final plan
