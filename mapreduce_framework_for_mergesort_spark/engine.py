@@ -39,6 +39,26 @@ class MergeSortEngine:
         merged filename (``ServerHandler.java:79``).
         """
         out = output_path or f"{file_name}_sorted"
+        if chunk_size:
+            # chunk_size maps to the scan split conf, which Spark
+            # consults at EXECUTION time — and the whole job executes
+            # inside this block (write_ints_text is the action), so
+            # the setting can be scoped and restored instead of
+            # leaking onto the shared session for every later read
+            # (round-4+ review; ``ingest`` alone cannot scope it
+            # because it returns a lazy DataFrame — its docstring
+            # carries the warning)
+            from mapreduce_framework_for_mergesort_spark.io import (
+                scoped_session_confs,
+            )
+
+            with scoped_session_confs(
+                self.spark,
+                (("spark.sql.files.maxPartitionBytes", str(chunk_size)),),
+            ):
+                df = self.sort_ints(self.ingest(file_name, chunk_size))
+                ingest.write_ints_text(df, out)
+            return out
         df = self.sort_ints(self.ingest(file_name, chunk_size))
         ingest.write_ints_text(df, out)
         return out
@@ -59,6 +79,13 @@ class MergeSortEngine:
         )
 
     def ingest(self, file_name: str, chunk_size: int | None = None) -> DataFrame:
+        """.. warning:: ``chunk_size`` sets
+        ``spark.sql.files.maxPartitionBytes`` GLOBALLY on the shared
+        session (same justification as ``io.load_table``'s documented
+        mutations: the conf is consulted when the returned LAZY
+        DataFrame executes, so this method cannot scope it).  Prefer
+        ``sort_file``, which executes its whole job inside a scoped
+        block and restores the conf."""
         if chunk_size:
             # Reference chunkSize (bytes, README.md:57) == input split size.
             self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(chunk_size))

@@ -45,6 +45,11 @@ def _agg_exprs(checks: list[Check]) -> list:
             )
         elif kind == "unique":
             aggs.append(F.countDistinct(F.col(col)).alias(f"__m{i}"))
+            # count(col), not count(*): NULL keys are not duplicates
+            # (SQL UNIQUE semantics — countDistinct ignores NULLs, so
+            # count(*) would report every NULL-key row as a dup;
+            # police NULLs with a paired not_null check)
+            aggs.append(F.count(F.col(col)).alias(f"__nn{i}"))
         elif kind == "range":
             aggs.append(F.min(col).cast("double").alias(f"__lo{i}"))
             aggs.append(F.max(col).cast("double").alias(f"__hi{i}"))
@@ -86,7 +91,7 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
                 ok = obs <= F.lit(thr)
             elif kind == "unique":
                 thr = 0.0
-                obs = (F.col("__n") - F.col(f"__m{i}")).cast("double")
+                obs = (F.col(f"__nn{i}") - F.col(f"__m{i}")).cast("double")
                 ok = obs <= F.lit(0.0)
             elif kind == "range":
                 lo, hi = float(c[2]), float(c[3])
@@ -119,7 +124,9 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
             elif kind == "accepted":
                 thr = float(c[3])
                 obs = F.col(f"__m{i}") / F.greatest(F.col("__n"), F.lit(1))
-                ok = obs >= F.lit(thr)
+                # empty table passes vacuously (documented contract;
+                # 0/1 >= thr would fail it for any thr > 0)
+                ok = (F.col("__n") == 0) | (obs >= F.lit(thr))
             cols.append(
                 F.struct(
                     F.lit(kind).alias("kind"),
@@ -160,6 +167,15 @@ def validate(df: DataFrame, checks: list[Check]) -> DataFrame:
             )
         )
 
+    if not verdicts:
+        # zero checks (e.g. a config-driven suite that filtered to
+        # nothing): an empty verdict frame, not an IndexError —
+        # assert_valid then passes trivially
+        return df.sparkSession.createDataFrame(
+            [],
+            "kind string, column string, ok boolean, "
+            "observed double, threshold double",
+        )
     out = verdicts[0]
     for v in verdicts[1:]:
         out = out.unionByName(v)

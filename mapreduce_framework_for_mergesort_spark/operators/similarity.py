@@ -457,10 +457,7 @@ def ivf_cells(
     (same pattern as ``sources.write_partitioned_parquet``).
     """
     cents = _trained_cents(embeddings, num_centroids, iters)
-    udf = _argmin_cell_udf(cents, from_embedding=True)
-    return embeddings.select(
-        "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
-    )
+    return assign_cells(embeddings, cents)
 
 
 def _trained_cents(
@@ -514,6 +511,8 @@ def ivf_topk(
     k: int,
     num_centroids: int = 8,
     nprobe: int = 1,
+    cents: Cents | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``nprobe`` nearest cells, exact cosine
     rerank inside.
@@ -540,8 +539,16 @@ def ivf_topk(
     round-2/3 alternative — checkpointing the whole cell index per
     query to share it between the lookup and candidate branches — paid
     a corpus write+read to save this one-row lookup.
+
+    ``cents``/``cells`` let a caller running SEVERAL probes over one
+    corpus snapshot amortize: train once, assign once (optionally
+    materialized), probe many — the in-session analog of the
+    persisted ``write_ivf_index``/``probe_ivf_index`` pair (the
+    round-4+ review measured the registered query paying the full
+    train+assign cost once per nprobe branch).
     """
-    cents = _trained_cents(embeddings, num_centroids)
+    if cents is None:
+        cents = _trained_cents(embeddings, num_centroids)
     q = (
         embeddings.where(F.col("vec_id") == query_vec_id)
         .select("embedding")
@@ -553,14 +560,24 @@ def ivf_topk(
         )
     qe = q[0]["embedding"]
     probe = nearest_cells(qe, cents, nprobe)
-    udf = _argmin_cell_udf(cents, from_embedding=True)
-    cells = embeddings.select(
-        "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
-    )
+    if cells is None:
+        cells = assign_cells(embeddings, cents)
     scored = cells.where(F.col("cell").isin(probe)).select(
         "vec_id", F.expr(V.spark_cosine("embedding", _qe_lit(qe))).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+def assign_cells(embeddings: DataFrame, cents: Cents) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, embedding, cell): the ONE
+    corpus-side cell-assignment projection, shared by ``ivf_cells``,
+    ``ivf_topk``, and ``write_ivf_index`` — previously hand-copied at
+    all three sites, the exact drift mode ``text_feature_exprs``'s
+    history documents (round-4+ review)."""
+    udf = _argmin_cell_udf(cents, from_embedding=True)
+    return embeddings.select(
+        "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
+    )
 
 
 def _qe_lit(qe) -> str:
@@ -588,10 +605,7 @@ def write_ivf_index(
     pruning (pinned in ``tests/test_llm_ops.py``) — the probe never
     touches the corpus table at all."""
     cents = _trained_cents(embeddings, num_centroids, iters)
-    udf = _argmin_cell_udf(cents, from_embedding=True)
-    cells = embeddings.select(
-        "vec_id", "embedding", udf(F.col("embedding")).alias("cell")
-    )
+    cells = assign_cells(embeddings, cents)
     cells.write.mode("overwrite").partitionBy("cell").parquet(path)
     return cents
 

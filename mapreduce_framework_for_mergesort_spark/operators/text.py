@@ -221,6 +221,10 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
     (never global).  All counts are exact integers; the one division
     per metric is a deterministic double op, so the operator carries a
     DuckDB-parity test."""
+    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+        materialize,
+    )
+
     e = text_feature_exprs()
     toks = e["toks"]
     base = documents.select(
@@ -247,6 +251,15 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
             )
         ).alias("__bigrams"),
     )
+    # base feeds BOTH the bigram-counts branch and the final join —
+    # un-materialized, the tokenize+bigram projection (the operator's
+    # dominant per-row cost) would re-execute over the whole corpus
+    # for each branch (round-4+ review; same pattern as
+    # lsh_candidate_pairs' band-index materialization).  The stored
+    # blocks do carry the __bigrams arrays (~2 strings per token) —
+    # a deliberate storage-for-compute trade; they are still never
+    # SHUFFLED (the join below reads the dropped-column projection)
+    base = materialize(base)
     counts = (
         base.select(
             "doc_id", F.explode("__bigrams").alias("bigram")

@@ -82,6 +82,13 @@ def audit(df: DataFrame, final: bool = False) -> PlanAudit:
 def parse_plan(plan: str) -> PlanAudit:
     """The parsing half of ``audit``, separated so the counters are
     unit-testable against plan text directly."""
+    # A ReusedExchange NODE LINE embeds its child's description —
+    # "ReusedExchange [k#9], Exchange hashpartitioning(...)" — so the
+    # embedded "Exchange "/"BroadcastExchange" would count as a NEW
+    # shuffle/broadcast (verified live in a round-4+ review: one real
+    # Exchange + one reuse audited as exchanges=2).  Truncate reuse
+    # lines to the marker before counting; reuse is its own counter.
+    counted = re.sub(r"ReusedExchange[^\n]*", "ReusedExchange", plan)
     return PlanAudit(
         # every shuffle exchange; the lookbehind guards keep
         # BroadcastExchange in its own counter and keep ReusedExchange
@@ -91,8 +98,10 @@ def parse_plan(plan: str) -> PlanAudit:
         # missed RoundRobinPartitioning — a stray repartition() was
         # invisible to the exact tests that exist to catch stray
         # exchanges.
-        exchanges=len(re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan)),
-        broadcasts=plan.count("BroadcastExchange"),
+        exchanges=len(
+            re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", counted)
+        ),
+        broadcasts=counted.count("BroadcastExchange"),
         reused_exchanges=plan.count("ReusedExchange"),
         file_scans=plan.count("FileScan"),
         # two spellings: tree dumps wrap spans in "WholeStageCodegen

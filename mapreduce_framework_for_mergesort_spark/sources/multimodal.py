@@ -114,15 +114,26 @@ def decode_wav(payload: bytes) -> list[float]:
     import struct
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise ValueError(
-                f"expected PCM16 mono, got width={w.getsampwidth()} "
-                f"channels={w.getnchannels()}"
-            )
-        rate = w.getframerate()
-        n = w.getnframes()
-        raw = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError(
+                    f"expected PCM16 mono, got width={w.getsampwidth()} "
+                    f"channels={w.getnchannels()}"
+                )
+            rate = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as ex:
+        # same loud-ValueError contract as the BMP/Y4M parsers, so a
+        # caller routing malformed payloads to quarantine on
+        # ValueError catches audio too (round-4+ review)
+        raise ValueError(f"not a parseable WAV: {ex}") from None
+    if len(raw) != 2 * n:
+        raise ValueError(
+            f"truncated WAV: header promises {n} PCM16 frames "
+            f"({2 * n} bytes), payload carries {len(raw)}"
+        )
     samples = struct.unpack(f"<{n}h", raw)
     if not samples:
         return [0.0] * FEATURE_DIM

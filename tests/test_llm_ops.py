@@ -1161,6 +1161,13 @@ def test_wav_synthesis_roundtrip():
         float(sum(1 for s in samples if s > 0)),
     ]
     assert M.decode_wav(M.synthesize_wav(b"")) == [0.0] * M.FEATURE_DIM
+    # malformed payloads raise the module's loud ValueError (the
+    # quarantine-routing contract the BMP/Y4M parsers follow), never
+    # a bare wave.Error/struct.error
+    with pytest.raises(ValueError, match="not a parseable WAV"):
+        M.decode_wav(b"RIFFgarbage-not-a-wave-file")
+    with pytest.raises(ValueError, match="truncated WAV"):
+        M.decode_wav(M.synthesize_wav(b"hello world")[:-3])
     with pytest.raises(ValueError):
         # stereo payload must be rejected, not silently mis-parsed
         import io

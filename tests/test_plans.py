@@ -20,17 +20,21 @@ AdaptiveSparkPlan isFinalPlan=true
    :  +- FileScan parquet [k#1]
    +- BroadcastExchange HashedRelationBroadcastMode
    +- ReusedExchange [k#9], BroadcastExchange HashedRelationBroadcastMode
+   +- ReusedExchange [v#3], Exchange hashpartitioning(v#3, 32)
    +- Exchange rangepartitioning(k#1 ASC, 32)
 """
 
 
 def test_parse_plan_exchange_counters_exclude_reuse():
     a = parse_plan(SYNTHETIC_PLAN)
-    # the two real shuffles — NOT the BroadcastExchange, and NOT the
-    # ReusedExchange (whose node text even names the broadcast it reuses)
+    # the two real shuffles — NOT the BroadcastExchange, and NOT
+    # either ReusedExchange: a reuse NODE LINE embeds its child's
+    # description ("ReusedExchange [...], Exchange hashpartitioning")
+    # and that embedded text must not count as a new shuffle OR a new
+    # broadcast (round-4+ review, verified against a live AQE plan)
     assert a.exchanges == 2
-    assert a.broadcasts == 2  # the Broadcast itself + the Reused's label
-    assert a.reused_exchanges == 1
+    assert a.broadcasts == 1  # only the real BroadcastExchange node
+    assert a.reused_exchanges == 2
 
 
 def test_audit_final_reads_runtime_final_plan(spark):

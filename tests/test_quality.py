@@ -131,3 +131,47 @@ def test_validate_one_scan(spark, sf_oracle):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_unique_ignores_null_keys(spark):
+    """SQL UNIQUE semantics: NULL keys are not duplicates (count(col)
+    vs the old count(*) miscounted every NULL-key row as a dup);
+    police NULLs with a paired not_null check instead."""
+    from mapreduce_framework_for_mergesort_spark.operators.quality import (
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,), (1,), (2,)], "k: bigint"
+    )
+    v = {r["kind"]: r for r in validate(df, [("unique", "k")]).collect()}
+    assert v["unique"]["ok"] is True
+    assert v["unique"]["observed"] == 0.0
+    # real duplicates still fail with the right count
+    dup = spark.createDataFrame([(1,), (1,), (None,)], "k: bigint")
+    r = validate(dup, [("unique", "k")]).collect()[0]
+    assert r["ok"] is False and r["observed"] == 1.0
+
+
+def test_empty_table_and_empty_checks_pass_vacuously(spark):
+    from mapreduce_framework_for_mergesort_spark.operators.quality import (
+        assert_valid,
+        validate,
+    )
+
+    empty = spark.createDataFrame([], "status string, k bigint")
+    # 'accepted' on an empty table must pass (documented contract —
+    # the old 0/1 >= thr failed any thr > 0)
+    assert_valid(
+        empty,
+        [
+            ("accepted", "status", ("A", "B"), 0.9),
+            ("not_null", "status", 0.0),
+            ("unique", "k"),
+        ],
+    )
+    # zero checks: an empty typed verdict frame, not IndexError
+    v = validate(empty, [])
+    assert v.count() == 0
+    assert set(v.columns) == {"kind", "column", "ok", "observed", "threshold"}
+    assert_valid(empty, [])

@@ -94,3 +94,24 @@ def test_stream_checkpoint_exactly_once_across_restart(spark, sf_smoke, tmp_path
     shutil.copy(events_file, src / "batch2.parquet")
     drain()  # restart from checkpoint: only batch2 is new
     assert spark.read.parquet(str(out)).count() == 2 * n_one
+
+
+def test_sort_file_chunk_size_conf_is_scoped(spark, tmp_path):
+    """sort_file(chunk_size=...) must not leak the split-size conf
+    onto the shared session: the whole job executes inside a scoped
+    block and the previous value is restored (round-4+ review — the
+    first cut pinned tiny scan splits for the session's lifetime)."""
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    path = tmp_path / "ints.txt"
+    path.write_text("5 3 999999 1 4")
+    out = MergeSortEngine(spark).sort_file(str(path), chunk_size=4096)
+    assert spark.conf.get(key) == before
+    from glob import glob
+
+    toks = [
+        t
+        for p in sorted(glob(f"{out}/part-*"))
+        for t in open(p).read().split()
+    ]
+    assert toks == ["1", "3", "4", "5", "999999"]
