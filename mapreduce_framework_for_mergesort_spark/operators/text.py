@@ -298,6 +298,105 @@ def repetition_profile(documents: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 128
+CHUNK_OVERLAP = 32
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap_tokens: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window op every
+    RAG/embedding/pretraining pipeline needs: each document becomes
+    overlapping windows of ``chunk_tokens`` whitespace tokens with
+    ``overlap_tokens`` shared between neighbors (stride =
+    chunk − overlap), the last window short if the doc doesn't divide
+    evenly; empty documents produce zero chunks.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    100 TB shape: ONE codegen projection — tokenize once (let-bound),
+    chunk-count arithmetic, a ``transform(sequence(...))`` building
+    each window via ``slice`` + ``concat_ws``, then a single
+    ``posexplode``.  Zero Python, zero shuffle, zero joins; output
+    rows ≈ input tokens · chunk/(chunk−overlap), linear by
+    construction.  All the arithmetic is non-negative integer math
+    (``ceil`` spelled as ``(x + stride − 1) div stride`` on values
+    clamped ≥ 0, because Spark's ``div`` truncates while DuckDB's
+    ``//`` floors — they only agree without negatives), so
+    ``duckdb_chunk_sql`` replicates it exactly.
+    """
+    if overlap_tokens < 0 or chunk_tokens <= overlap_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap_tokens}) < chunk "
+            f"({chunk_tokens}) for a positive stride"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = H.spark_tokens("text")
+    # the sequence bound floors at 1 — Spark's sequence(1, 0) yields
+    # the DESCENDING [1, 0], not an empty array (caught by the
+    # empty-doc edge test: two phantom ''-chunks, one of them from a
+    # negative slice start) — and the filter drops the one empty
+    # window an empty document would otherwise produce
+    chunks = H.let(
+        toks,
+        "ts",
+        f"""filter(
+              transform(
+                sequence(1, greatest(
+                  CASE WHEN size(ts) = 0 THEN 0
+                       ELSE 1 + (greatest(size(ts) - {chunk_tokens}, 0)
+                                 + {stride - 1}) div {stride} END, 1)),
+                i -> named_struct(
+                  'chunk_text',
+                  concat_ws(' ', slice(ts, (i - 1) * {stride} + 1,
+                                       {chunk_tokens})),
+                  'n_chunk_tokens',
+                  least({chunk_tokens},
+                        size(ts) - (i - 1) * {stride}))),
+              c -> c.n_chunk_tokens >= 1)""",
+    )
+    return documents.select(
+        "doc_id", F.posexplode(F.expr(chunks)).alias("chunk_idx", "__c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def duckdb_chunk_sql(
+    table: str = "documents",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap_tokens: int = CHUNK_OVERLAP,
+) -> str:
+    """Oracle replica of ``chunk_documents`` (same clamped integer
+    ceil, same 1-based slices — DuckDB ``list_slice`` takes an
+    inclusive END where Spark ``slice`` takes a LENGTH)."""
+    if overlap_tokens < 0 or chunk_tokens <= overlap_tokens:
+        raise ValueError("need 0 <= overlap < chunk")
+    stride = chunk_tokens - overlap_tokens
+    return f"""
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(
+             list_slice(ts, (i - 1) * {stride} + 1,
+                        (i - 1) * {stride} + {chunk_tokens}), ' ')
+             AS chunk_text,
+           CAST(least({chunk_tokens}, len(ts) - (i - 1) * {stride})
+                AS BIGINT) AS n_chunk_tokens
+    FROM (
+      SELECT doc_id, ts,
+             unnest(range(1, 1 + CASE WHEN len(ts) = 0 THEN 0
+                          ELSE 1 + (greatest(len(ts) - {chunk_tokens}, 0)
+                                    + {stride - 1}) // {stride} END)) AS i
+      FROM (SELECT doc_id, {H.duckdb_tokens('text')} AS ts FROM {table})
+    )
+    """
+
+
 def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     """Per-document top-n terms by tf-idf (linear-idf variant:
     ``tf · N / df`` — no logarithm, so the score is exact integer

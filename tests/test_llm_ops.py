@@ -1386,6 +1386,52 @@ def test_bm25_plan_shape(spark, sf_smoke):
     assert "Generate" not in a.text  # no explode anywhere
 
 
+def test_chunk_documents_matches_duckdb(spark, sf_oracle):
+    """The sliding-window chunker must agree row-for-row with the
+    DuckDB replica over the real corpus (same clamped integer ceil,
+    same 1-based slices), and its plan must be one map-only codegen
+    projection — no shuffle, no Python."""
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        chunk_documents,
+        duckdb_chunk_sql,
+    )
+    from mapreduce_framework_for_mergesort_spark.plans import audit
+    from tests.oracle import run_oracle
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = chunk_documents(docs, chunk_tokens=16, overlap_tokens=4)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    )
+    _cols, rows = run_oracle(
+        duckdb_chunk_sql(chunk_tokens=16, overlap_tokens=4), sf_oracle
+    )
+    want = sorted(rows)
+    assert got == want and len(got) > 0
+    a = audit(out)
+    assert a.exchanges == 0 and a.python_evals == 0, a.text
+
+    # edges: neighbor overlap is exactly `overlap` tokens; empty docs
+    # emit nothing; a doc shorter than one chunk emits itself whole
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, ""), (3, "x y")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(tiny, 4, 1).collect()
+    }
+    assert rows == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("d e f g", 4),
+        (1, 2): ("g h i j", 4),
+        (3, 0): ("x y", 2),
+    }
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(tiny, 4, 4)
+
+
 def test_repetition_profile_matches_duckdb(spark, sf_oracle):
     """The Gopher-style repetition metrics must agree value-for-value
     with a DuckDB replication of the same algebra over the real
