@@ -1,0 +1,94 @@
+"""Worked example: raw corpus → curated, deduplicated, packed training
+shards — the engine's end-to-end path, runnable as-is against the
+bundled test data.
+
+    python examples/curate_and_shard.py [sf_dir] [out_dir]
+
+What it exercises (each stage is the 100 TB-shaped operator documented
+in its module):
+
+1. a declarative data-quality gate on the landing zone
+   (``operators/quality.py`` — one conditional-aggregate scan);
+2. the curation pipeline (``pipelines.curate_documents``): PII
+   redaction → one-scan quality/language features → filters →
+   MinHash/LSH near-dedup with connected-components clustering →
+   content-hash train/val/test split;
+3. per-split sequence packing and range-partitioned shard writes with
+   a token-conserving manifest (``pipelines.prepare_training_shards``);
+4. corpus analytics on the result: BM25 retrieval over the curated
+   set, a Count-Min frequency sketch with its ≥-true guarantee, and
+   sliding-window chunking of one shard's documents.
+
+Everything here is deterministic: rerunning produces the same rows,
+splits, packs, and estimates (hash-keyed decisions, no RNG state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark import pipelines
+from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import sketches
+from mapreduce_framework_for_mergesort_spark.operators.text import (
+    bm25_topk,
+    chunk_documents,
+)
+from mapreduce_framework_for_mergesort_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/example_shards"
+    spark = get_spark(app_name="example-curate-and-shard")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1+2+3 in one call: the input gate runs first (a corrupt landing
+    # zone fails loudly here, before any curation cost), then
+    # curation, then per-split packing + shard writes.
+    manifest = pipelines.prepare_training_shards(
+        docs,
+        out_dir,
+        budget=256,  # tokens per packed training sequence
+        shards_per_split=2,
+        input_checks=[
+            ("unique", "doc_id"),
+            ("not_null", "text", 0.0),
+        ],
+        min_quality=0.3,
+        langs=("en",),
+    )
+    print("manifest:", json.dumps(manifest, indent=2, default=str))
+
+    # 4a. BM25 retrieval over the curated training split
+    train = spark.read.parquet(f"{out_dir}/train")
+    curated_ids = train.select(F.col("doc_id")).distinct()
+    curated = docs.join(curated_ids, "doc_id", "semi")
+    print("\nBM25 top-5 for query 'merge sort spark':")
+    bm25_topk(curated, ("merge", "sort", "spark"), top_k=5).show()
+
+    # 4b. Count-Min frequency sketch of the language column, with the
+    # overestimate guarantee checked against exact truth
+    sk = sketches.cms_sketch(docs, "lang")
+    truth = docs.groupBy(F.col("lang").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    est = sketches.cms_point_estimates(sk, truth, "k", carry=("c",))
+    print("language frequencies, sketch vs truth (est >= true always):")
+    est.orderBy(F.desc("c")).show()
+
+    # 4c. context-window chunking of the curated docs
+    chunks = chunk_documents(curated, chunk_tokens=64, overlap_tokens=16)
+    print("chunks:", chunks.count(), "from", curated.count(), "docs")
+
+
+if __name__ == "__main__":
+    main()
