@@ -115,3 +115,56 @@ def test_mix_plan_budget_cap_and_errors():
         mix_plan({"a": 0}, {"a": 1})
     with _pytest.raises(ValueError, match="positive integers"):
         mix_plan({"a": 10}, {"a": 0})
+
+
+# --- sliding-window chunker vs a literal Python windower --------------------
+
+chunk_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),
+        st.integers(min_value=0, max_value=60),  # token count (0 = empty doc)
+    ),
+    min_size=0,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@PROP
+@given(
+    chunk_docs,
+    st.integers(min_value=2, max_value=12),  # chunk
+    st.integers(min_value=0, max_value=11),  # overlap (< chunk enforced below)
+)
+def test_chunk_documents_matches_python_windower(spark, rows, chunk, overlap):
+    """chunk_documents == the literal Python sliding window for every
+    (chunk, overlap) geometry: same windows, full coverage (every
+    token index appears in some chunk), exact neighbor overlap, empty
+    docs emit nothing."""
+    from mapreduce_framework_for_mergesort_spark.operators.text import (
+        chunk_documents,
+    )
+
+    overlap = min(overlap, chunk - 1)
+    stride = chunk - overlap
+    data = [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in rows]
+    df = spark.createDataFrame(
+        data, "doc_id bigint, text string"
+    ).repartition(3)
+    got = {}
+    for r in chunk_documents(df, chunk, overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        )
+    for i, n in rows:
+        toks = [f"t{i}x{j}" for j in range(n)]
+        want = []
+        if n:
+            n_chunks = 1 + max(0, -(-(n - chunk) // stride))
+            for c in range(n_chunks):
+                w = toks[c * stride : c * stride + chunk]
+                want.append((c, " ".join(w), len(w)))
+        assert sorted(got.get(i, [])) == want, (i, n, chunk, overlap)
+        # coverage: the final chunk reaches the last token
+        if n:
+            assert (len(want) - 1) * stride + want[-1][2] == n
