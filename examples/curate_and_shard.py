@@ -68,10 +68,14 @@ def main() -> None:
     )
     print("manifest:", json.dumps(manifest, indent=2, default=str))
 
-    # 4a. BM25 retrieval over the curated training split
+    # 4a. BM25 retrieval over the curated training split — read the
+    # TEXT from the shards themselves (it is the redacted/curated form
+    # that actually ships to training; joining back to the raw corpus
+    # would resurrect pre-redaction text), and cache it since three
+    # analytics steps below consume it
     train = spark.read.parquet(f"{out_dir}/train")
-    curated_ids = train.select(F.col("doc_id")).distinct()
-    curated = docs.join(curated_ids, "doc_id", "semi")
+    curated = train.select("doc_id", "text").distinct().cache()
+    n_curated = curated.count()
     print("\nBM25 top-5 for query 'merge sort spark':")
     bm25_topk(curated, ("merge", "sort", "spark"), top_k=5).show()
 
@@ -87,7 +91,7 @@ def main() -> None:
 
     # 4c. context-window chunking of the curated docs
     chunks = chunk_documents(curated, chunk_tokens=64, overlap_tokens=16)
-    print("chunks:", chunks.count(), "from", curated.count(), "docs")
+    print("chunks:", chunks.count(), "from", n_curated, "docs")
 
 
 if __name__ == "__main__":
