@@ -67,6 +67,51 @@ def exact_dup_groups(documents: DataFrame, key: str = "text") -> DataFrame:
     )
 
 
+def exact_rep_ids(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+    """One representative id per distinct document content: the smallest
+    ``key`` among rows sharing ``md5(text)`` — the deterministic survivor
+    rule ``exact_dup_groups`` uses, reduced to just the id column.
+
+    This is the exact-dup collapse the near-dup tiers band AFTER: on a
+    replica-heavy corpus a pair tier over raw documents emits (and pays
+    for) ``m·(m-1)/2`` pairs per m-replica content — quadratic in exact
+    duplication — while the representative set shrinks the tier's input
+    by the duplication factor and its pair output by that factor
+    squared.  Identical text produces identical bands/signatures, so no
+    cross-content candidate is lost by banding representatives only.
+    One hash aggregate on a 16-byte key; scale-safe."""
+    return (
+        documents.select(
+            key, F.md5(F.col("text").cast("binary")).alias("__h")
+        )
+        .groupBy("__h")
+        .agg(F.min(key).alias(key))
+        .select(key)
+    )
+
+
+def exact_dup_edges(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(doc_a = representative, doc_b = replica) for every NON-
+    representative row — the linear-in-corpus edge set that reconnects
+    exact replicas to their representative after a pair tier has been
+    collapsed to representatives (``exact_rep_ids``).  Feeding
+    ``rep_pairs ∪ exact_dup_edges`` to ``cluster_pairs`` reaches the
+    IDENTICAL component fixpoint as banding the raw corpus (replicas
+    share every band with their representative, so raw banding connects
+    them directly; via the edge they stay connected transitively), at
+    star-graph cost instead of per-content cliques."""
+    h = F.md5(F.col("text").cast("binary")).alias("__h")
+    docs = documents.select(F.col(key), h)
+    reps = docs.groupBy("__h").agg(F.min(key).alias("__rep"))
+    return (
+        docs.join(reps, "__h")
+        .where(F.col(key) > F.col("__rep"))
+        .select(
+            F.col("__rep").alias("doc_a"), F.col(key).alias("doc_b")
+        )
+    )
+
+
 def _with_shingles(documents: DataFrame) -> DataFrame:
     # spark_shingles let-binds the token list internally, so the regexp
     # tokenizer runs once per doc even though Catalyst's CollapseProject
@@ -506,18 +551,10 @@ def near_dedup_documents(
         collapse_exact = "embedding" not in tiers
     pool = documents
     if collapse_exact:
-        reps = (
-            documents.select(
-                key, F.md5(F.col("text").cast("binary")).alias("__h")
-            )
-            .groupBy("__h")
-            .agg(F.min(key).alias(key))
-            .select(key)
-        )
         # no broadcast hint: the rep id set is distinct-content-sized
         # (corpus-scale in the worst case) — AQE picks broadcast when
         # it actually fits
-        pool = documents.join(reps, key, "semi")
+        pool = documents.join(exact_rep_ids(documents, key), key, "semi")
     pairs = near_dup_pair_tiers(
         pool, tiers, embeddings, embed_tau, embed_cells, key=key
     )

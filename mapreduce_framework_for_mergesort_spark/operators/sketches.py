@@ -232,10 +232,14 @@ def cms_point_estimates(
     w: int = CMS_W,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Frequency estimate for every row of ``keys[key]``: min over the
-    d counters the key hashes to (missing cell → 0 via left join, so
-    never-seen keys estimate 0..collision-mass).  Guarantees: est ≥
-    true count always; est ≤ true + 2N/w with probability ≥ 1−e^−d.
+    """Frequency estimate per DISTINCT (``key``, ``carry``) combination
+    in ``keys``: min over the d counters the key hashes to (missing
+    cell → 0 via left join, so never-seen keys estimate
+    0..collision-mass).  The final groupBy collapses duplicate keys —
+    pass distinct keys per (key, carry) if you need one output row per
+    input row (the profile-family and example callers already do).
+    Guarantees: est ≥ true count always; est ≤ true + 2N/w with
+    probability ≥ 1−e^−d.
 
     Scale shape: the sketch is ≤ d·w rows BY CONSTRUCTION, so it is
     force-broadcast — the estimate pass is map-side over the keys'

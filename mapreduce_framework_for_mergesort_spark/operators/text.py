@@ -530,7 +530,11 @@ def bm25_topk(
     )
 
     _check_bm25_terms(query_terms)
-    toks = H.spark_tokens("text")
+    # coalesce NULL text to '': Spark's legacy sizeOfNull makes
+    # size(NULL) = -1, which would corrupt dl (and sum_dl/avgdl) while
+    # DuckDB's len(NULL) is NULL — coalescing on BOTH engines keeps a
+    # NULL-text doc as dl=0 with every tf=0, cross-engine identical
+    toks = H.spark_tokens("coalesce(text, '')")
     per = materialize(
         documents.select(
             "doc_id",
@@ -600,7 +604,8 @@ def duckdb_bm25_cte(
     hits = " + ".join(f"tf_{i}" for i in idx)
     return f"""
     tokq AS (
-      SELECT doc_id, {H.duckdb_tokens('text')} AS toks FROM {table}),
+      SELECT doc_id, {H.duckdb_tokens("coalesce(text, '')")} AS toks
+      FROM {table}),
     perq AS (
       SELECT doc_id, len(toks) AS dl,
              {tfs}

@@ -218,9 +218,19 @@ def curate_documents(
             similarity,
         )
 
-        cells = similarity.ivf_cells(
-            embeddings, num_centroids=embed_cells
-        ).select(F.col("vec_id").alias("doc_id"), "cell")
+        # min-per-doc_id: a duplicate vec_id row in the embeddings
+        # table would otherwise fan each affected survivor out to
+        # multiple rows through the left join, duplicating doc_ids
+        # downstream and violating balanced_sample's unique-key
+        # contract (round-4 advisory).  ivf_cells is deterministic per
+        # vector, so exact-duplicate rows collapse to the same cell;
+        # conflicting vectors under one vec_id keep the smallest cell —
+        # deterministic, unlike dropDuplicates' first-seen survivor.
+        cells = (
+            similarity.ivf_cells(embeddings, num_centroids=embed_cells)
+            .groupBy(F.col("vec_id").alias("doc_id"))
+            .agg(F.min("cell").alias("cell"))
+        )
         deduped = (
             deduped.join(cells, "doc_id", "left")
             .withColumn("cell", F.coalesce(F.col("cell"), F.lit(-1)))

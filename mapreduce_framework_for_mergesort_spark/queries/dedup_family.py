@@ -42,7 +42,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
 
 
-def _duckdb_bands_cte(recursive: bool = False) -> str:
+def _duckdb_bands_cte(recursive: bool = False, from_reps: bool = False) -> str:
+    """CTE chain documents → shingles → minhash signatures → band rows.
+
+    ``from_reps``: band only exact-dup REPRESENTATIVES (min doc_id per
+    distinct text — DuckDB groups by the text itself; the engine groups
+    by md5(text), identical sets absent an md5 collision) so the band
+    join is quadratic only in NON-identical duplication, mirroring
+    ``dedup.exact_rep_ids`` on the engine side."""
     toks = H.duckdb_tokens("text")
 
     def sig(k: int) -> str:
@@ -61,9 +68,16 @@ def _duckdb_bands_cte(recursive: bool = False) -> str:
         f" AS band_val FROM sigs"
         for b, idxs in H.band_slices()
     )
+    rep_cte = (
+        "reps AS (SELECT MIN(doc_id) AS doc_id, text "
+        "FROM documents GROUP BY text),\n    "
+        if from_reps
+        else ""
+    )
+    src = "reps" if from_reps else "documents"
     return f"""
-    WITH {"RECURSIVE" if recursive else ""} sh AS (
-      SELECT doc_id, {H.duckdb_shingles(toks)} AS sh FROM documents),
+    WITH {"RECURSIVE" if recursive else ""} {rep_cte}sh AS (
+      SELECT doc_id, {H.duckdb_shingles(toks)} AS sh FROM {src}),
     hs AS (
       SELECT doc_id, sh,
              list_transform(sh, s -> {H.duckdb_base_hash('s')}) AS hs
@@ -88,7 +102,7 @@ def minhash_bands_unregistered(spark, sf_dir):
 
 @query(
     "q_dedup_minhash_pairs",
-    oracle=_duckdb_bands_cte(recursive=True)
+    oracle=_duckdb_bands_cte(recursive=True, from_reps=True)
     + """,
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -96,17 +110,26 @@ def minhash_bands_unregistered(spark, sf_dir):
       JOIN bands b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id),
+    exedges AS (
+      SELECT r.doc_id AS doc_a, d.doc_id AS doc_b
+      FROM documents d
+      JOIN reps r ON d.text = r.text
+      WHERE d.doc_id > r.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      UNION ALL
+      SELECT doc_a, doc_b FROM exedges),
     cedges AS (
-      SELECT doc_a AS u, doc_b AS v FROM cand
+      SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION
-      SELECT doc_b AS u, doc_a AS v FROM cand),
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
     reach(node, lbl) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.v, r.lbl FROM reach r JOIN cedges e ON e.u = r.node),
     cl AS (
       SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
-    SELECT 'pair' AS part, doc_a, doc_b FROM cand
+    SELECT 'pair' AS part, doc_a, doc_b FROM pairs
     UNION ALL
     SELECT 'cluster' AS part, node AS doc_a, cluster AS doc_b FROM cl
     UNION ALL
@@ -119,25 +142,39 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     added the transitive-closure tiers — candidate PAIRS alone can't
     dedup A~B~C chains):
 
-    * ``pair``     — LSH band-collision candidate pairs
-                     (doc_a, doc_b), as in rounds 1-2;
-    * ``cluster``  — connected components over those pairs
+    * ``pair``     — near-dup edges: LSH band-collision candidates over
+                     exact-dup REPRESENTATIVES (round 5 — banding the
+                     raw corpus made pair output quadratic in exact
+                     duplication, the one superlinear key in
+                     ``SCALE_r04.json``), plus one (representative,
+                     replica) edge per exact copy
+                     (``dedup.exact_dup_edges`` — linear in the corpus,
+                     star-graph instead of per-content cliques);
+    * ``cluster``  — connected components over those edges
                      (doc_a = doc_id, doc_b = cluster id = smallest
                      doc_id in the component; every document appears,
-                     singletons label themselves);
+                     singletons label themselves).  The fixpoint is
+                     IDENTICAL to raw-corpus banding: replicas share
+                     every band with their representative, so the edge
+                     keeps them in the same component transitively;
     * ``survivor`` — one row per cluster (doc_a = surviving doc_id,
                      doc_b = cluster size) — the deterministic
                      min-survivor rule ``q_dedup_exact`` uses, lifted to
                      near-dup clusters.
 
-    The oracle replicates all three tiers: the band pipeline in SQL and
-    the clustering as a recursive min-label closure (``reach``) — the
-    iterative Spark propagation (``dedup.cluster_pairs``) must reach the
-    identical fixpoint, so the driver hash-checks an *iterative graph
-    algorithm* value-for-value."""
+    The oracle replicates all three tiers: the representative collapse +
+    band pipeline in SQL and the clustering as a recursive min-label
+    closure (``reach``) — the iterative Spark propagation
+    (``dedup.cluster_pairs``) must reach the identical fixpoint, so the
+    driver hash-checks an *iterative graph algorithm* value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
+    rep_docs = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
+    # band-pair doc_b is always a representative, exact-edge doc_b never
+    # is — the two edge sets are disjoint, so no distinct() needed
     pairs = materialize(
-        D.lsh_candidate_pairs(D.minhash_bands(docs))
+        D.lsh_candidate_pairs(D.minhash_bands(rep_docs)).unionByName(
+            D.exact_dup_edges(docs)
+        )
     )
     clusters = D.cluster_pairs(pairs, nodes=docs.select("doc_id"))
     surv = D.cluster_survivors(clusters)
@@ -167,11 +204,13 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sigs AS (
       SELECT doc_id, {H.duckdb_simhash(H.duckdb_tokens("text"))} AS simhash
       FROM documents),
+    reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
     sbands AS (
-      SELECT doc_id, simhash, b.band_id,
-             (simhash >> (b.band_id * {D.SIMHASH_BAND_BITS}))
+      SELECT s.doc_id, s.simhash, b.band_id,
+             (s.simhash >> (b.band_id * {D.SIMHASH_BAND_BITS}))
                & {(1 << D.SIMHASH_BAND_BITS) - 1} AS band_val
-      FROM sigs CROSS JOIN
+      FROM sigs s JOIN reps USING (doc_id) CROSS JOIN
            (SELECT unnest(range(0, {D.SIMHASH_NUM_BANDS})) AS band_id) b),
     spairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -194,17 +233,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``sig``  — per-doc 48-bit signature (doc_a = doc_b = doc_id,
                  val = simhash; 16-bit through round 3 — widened because
                  the 10× sweep measured the 2^16 space quadratic);
-    * ``pair`` — hamming-near pairs via the banded join
-                 (val = exact hamming distance ≤ 3).  4 bands × 12 bits
-                 make the banding COMPLETE for r ≤ 3 (pigeonhole), so
-                 unlike MinHash this candidate generator is exact and the
-                 oracle replicates the whole tier value-for-value.
+    * ``pair`` — hamming-near pairs via the banded join over exact-dup
+                 REPRESENTATIVES (min doc_id per distinct text, round 5 —
+                 raw-corpus banding made this the one superlinear key in
+                 ``SCALE_r04.json``: 17.9× at 10× on a replica-heavy
+                 corpus, pair output quadratic in exact duplication;
+                 identical text ⇒ identical simhash, so no cross-content
+                 pair is lost and replicas are recoverable from the
+                 ``sig`` branch).  val = exact hamming distance ≤ 3;
+                 4 bands × 12 bits make the banding COMPLETE for r ≤ 3
+                 (pigeonhole), so unlike MinHash this candidate generator
+                 is exact and the oracle replicates the whole tier —
+                 including the collapse — value-for-value.  The raw
+                 (uncollapsed) form stays available as the operator
+                 default (``dedup.simhash_candidate_pairs(docs)``) for
+                 explicitly-bounded diagnostics.
     """
     docs = load_table(spark, sf_dir, "documents")
     # ONE signature-kernel pass: the materialized (doc_id, simhash)
-    # table feeds both the sig branch and the pair tier's band build
+    # table feeds both the sig branch and the pair tier's band build;
+    # the pair tier bands only representative signatures
     sigs = materialize(D.simhash_signatures(docs))
-    pairs = D.simhash_candidate_pairs(docs, signatures=sigs)
+    rep_sigs = sigs.join(D.exact_rep_ids(docs), "doc_id", "semi")
+    pairs = D.simhash_candidate_pairs(docs, signatures=rep_sigs)
     lit = F.lit
     return sigs.select(
         lit("sig").alias("part"),

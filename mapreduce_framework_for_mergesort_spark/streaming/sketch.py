@@ -71,7 +71,19 @@ def compact_frequency_sketch(
     filesystem ``shutil`` calls that would break on hdfs://-style
     paths (round-4+ review; the first cut did an in-place rmtree+move
     with exactly both problems)."""
-    if out_path == sketch_path:
+    # normalize trivial aliases (trailing slashes, '.'/'..' segments)
+    # so 'dir/' vs 'dir' can't sneak past the in-place guard; distinct
+    # spellings that resolve to one directory only through the
+    # filesystem (symlinks, relative-vs-absolute) are the caller's
+    # responsibility — resolving them here would need local-FS calls
+    # that break on hdfs://-style paths
+    import posixpath
+
+    def _norm(p: str) -> str:
+        scheme, sep, rest = p.rpartition("://")
+        return scheme + sep + posixpath.normpath(rest) if sep else posixpath.normpath(p)
+
+    if _norm(out_path) == _norm(sketch_path):
         raise ValueError(
             "compact_frequency_sketch is copy-based: out_path must "
             "differ from sketch_path (in-place compaction could lose "
