@@ -42,15 +42,28 @@ prunes band-aligned files.  (``<index>/bands`` is readable as the
 ``index_bands`` input of ``dedup.incremental_candidate_pairs`` for ad
 hoc pair queries against the same index.)
 
-Delivery honesty: ``foreachBatch`` parquet appends are NOT
-transactional across epoch retries — a batch that fails mid-append and
-retries can duplicate accepted rows (at-least-once).  The streaming
-file SINK (``sources.run_to_parquet``) gets exactly-once from its
-manifest; this composition trades that for the index side effect.  In
-production put the appends behind a transactional table format, or
-make the retry idempotent by keying the output on doc_id and
-deduplicating readers.  Tested with availableNow drains (no failure
-injection), where the sequence is exact.
+Delivery: EXACTLY-ONCE via epoch-keyed overwrite (round 5 — the same
+idempotence scheme the CMS stream pioneered in ``streaming/sketch.py``).
+Each microbatch writes its corpus rows, hash rows, and band rows to its
+own ``epoch=N`` partition with ``overwrite`` mode, so a retried epoch
+REPLACES its own (possibly partial) output instead of appending a
+duplicate.  Two properties make the retry byte-equivalent, pinned in
+``tests/test_streaming_ingest.py``:
+
+* the accept DECISION is deterministic under partial failure: the
+  index reads EXCLUDE the current epoch's partitions, so a crash
+  between the three writes cannot make the retry reject the batch
+  against its own half-written rows (epochs are serialized by
+  Structured Streaming, and a replayable source re-delivers the same
+  batch content for a replayed epoch id — the file source's guarantee);
+* the writes are per-epoch overwrites, so re-running an epoch yields
+  the identical final directory state regardless of what the failed
+  attempt left behind.
+
+An index/corpus is either all epoch-keyed (the stream path and
+``epoch=``-passing backfills) or all flat-append (legacy
+``epoch=None`` backfills, at-least-once) — parquet partition discovery
+cannot mix the two layouts under one root.
 """
 
 from __future__ import annotations
@@ -94,12 +107,29 @@ def _read_optional(spark, path: str) -> DataFrame | None:
     return df
 
 
+def _exclude_epoch(df: DataFrame | None, epoch: int | None):
+    """Drop the current epoch's own partitions from an index read — a
+    retried epoch must decide against PRIOR history only, never its own
+    failed attempt's partial writes.  Legacy flat-append indexes have
+    no ``epoch`` column and pass through untouched."""
+    if df is None or epoch is None or "epoch" not in df.columns:
+        return df
+    return df.where(F.col("epoch") != F.lit(epoch))
+
+
 def accept_batch(
-    batch: DataFrame, index_path: str, out_path: str
+    batch: DataFrame,
+    index_path: str,
+    out_path: str,
+    epoch: int | None = None,
 ) -> None:
     """One ingest step (the ``foreachBatch`` body, callable directly
     for batch backfills): dedup ``batch`` within itself and against
-    the two-tier index, append the accepted docs + their index rows."""
+    the two-tier index, then persist the accepted docs + their index
+    rows.  With ``epoch`` (the stream path, or a deterministic
+    backfill) all three writes are idempotent per-epoch overwrites —
+    exactly-once under retries; ``epoch=None`` keeps the legacy
+    flat-append layout (at-least-once)."""
     spark = batch.sparkSession
     hashed = batch.withColumn(
         "__h", F.md5(F.col("text").cast("binary"))
@@ -110,14 +140,18 @@ def accept_batch(
     reps = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     pool = hashed.join(reps, ["doc_id", "__h"], "semi")
     # exact tier, against history
-    idx_hashes = _read_optional(spark, f"{index_path}/hashes")
+    idx_hashes = _exclude_epoch(
+        _read_optional(spark, f"{index_path}/hashes"), epoch
+    )
     if idx_hashes is not None:
         pool = pool.join(idx_hashes.select("__h"), "__h", "anti")
 
     # ONE banding pass serves the within-batch pair tier, the index
     # probe, and the index append below
     bands = materialize(minhash_bands(pool))
-    idx_bands = _read_optional(spark, f"{index_path}/bands")
+    idx_bands = _exclude_epoch(
+        _read_optional(spark, f"{index_path}/bands"), epoch
+    )
     if idx_bands is not None:
         hit = (
             bands.join(
@@ -148,13 +182,19 @@ def accept_batch(
     # dir) so the three appends below cannot diverge across
     # re-evaluations.
     accepted = materialize(pool.join(accepted_ids, "doc_id", "semi"))
-    accepted.drop("__h").write.mode("append").parquet(out_path)
-    accepted.select("doc_id", "__h").write.mode("append").parquet(
-        f"{index_path}/hashes"
+    if epoch is None:
+        mode, sfx = "append", ""
+    else:
+        # per-epoch overwrite: the retry replaces its own partition,
+        # never appends beside a failed attempt's leftovers
+        mode, sfx = "overwrite", f"/epoch={epoch}"
+    accepted.drop("__h").write.mode(mode).parquet(f"{out_path}{sfx}")
+    accepted.select("doc_id", "__h").write.mode(mode).parquet(
+        f"{index_path}/hashes{sfx}"
     )
     bands.join(accepted_ids, "doc_id", "semi").write.mode(
-        "append"
-    ).partitionBy("band_id").parquet(f"{index_path}/bands")
+        mode
+    ).partitionBy("band_id").parquet(f"{index_path}/bands{sfx}")
 
 
 def ingest_documents_stream(
@@ -172,8 +212,9 @@ def ingest_documents_stream(
     pass e.g. ``{"processingTime": "30 seconds"}``, or ``{}`` for
     default as-fast-as-possible microbatches."""
 
-    def step(batch: DataFrame, _epoch: int) -> None:
-        accept_batch(batch, index_path, out_path)
+    def step(batch: DataFrame, epoch: int) -> None:
+        # epoch-keyed: the stream path is exactly-once under retries
+        accept_batch(batch, index_path, out_path, epoch=epoch)
 
     writer = docs_stream.writeStream.foreachBatch(step).option(
         "checkpointLocation", checkpoint

@@ -201,3 +201,65 @@ def test_frequency_sketch_stream_equals_batch_and_is_idempotent(
     assert cells(SK.read_frequency_sketch(spark, skp)) == whole
     with pytest.raises(ValueError, match="in-place"):
         SK.compact_frequency_sketch(spark, skp, skp)
+
+
+def _full_state(spark, out, idx):
+    """Sorted row contents of all three persisted surfaces — the
+    equality the exactly-once guarantee is pinned on."""
+
+    def rows(path, cols):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path).select(*cols).collect()
+        )
+
+    return (
+        rows(out, ["doc_id", "text", "epoch"]),
+        rows(f"{idx}/hashes", ["doc_id", "__h", "epoch"]),
+        rows(f"{idx}/bands", ["doc_id", "band_id", "band_val", "epoch"]),
+    )
+
+
+def test_ingest_epoch_retry_is_exactly_once(spark, tmp_path):
+    """Epoch-keyed ingest (round 5): replaying an epoch — whole or
+    after a partial-failure crash between the three writes — rebuilds
+    the IDENTICAL corpus+index state.  In particular the retry must
+    not reject the batch against its own earlier writes (the index
+    reads exclude the current epoch), which would silently drop every
+    retried document."""
+    import shutil
+
+    out = str(tmp_path / "out_eo")
+    idx = str(tmp_path / "idx_eo")
+    a = spark.createDataFrame(BATCH_A, ["doc_id", "text"])
+    b = spark.createDataFrame(BATCH_B, ["doc_id", "text"])
+    I.accept_batch(a, idx, out, epoch=0)
+    I.accept_batch(b, idx, out, epoch=1)
+    want = _full_state(spark, out, idx)
+    accepted = sorted(r[0] for r in want[0])
+    assert accepted == [1, 4, 5]  # same semantics as the flat layout
+
+    # full replay of a committed epoch: no appends, no self-rejection
+    I.accept_batch(b, idx, out, epoch=1)
+    assert _full_state(spark, out, idx) == want
+
+    # crash after corpus+hashes but before bands: retry rebuilds all
+    shutil.rmtree(f"{idx}/bands/epoch=1")
+    I.accept_batch(b, idx, out, epoch=1)
+    assert _full_state(spark, out, idx) == want
+
+    # crash before anything but the corpus write: ditto
+    shutil.rmtree(f"{out}/epoch=1")
+    I.accept_batch(b, idx, out, epoch=1)
+    assert _full_state(spark, out, idx) == want
+
+
+def test_ingest_stream_is_epoch_keyed(spark, tmp_path):
+    """The streaming wrapper passes the real epoch id through, so a
+    drained stream leaves an epoch-partitioned (retry-idempotent)
+    layout — and the cross-batch rejection semantics are unchanged."""
+    out, idx = _drain(spark, tmp_path, "eo")
+    corpus = spark.read.parquet(out)
+    assert "epoch" in corpus.columns
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 4, 5]
+    assert {r["epoch"] for r in corpus.collect()} == {0, 1}
