@@ -222,6 +222,124 @@ def bpe_token_counts(
     )
 
 
+def chunk_words_by_budget(
+    counts: list[int], chunk_tokens: int, overlap_tokens: int
+) -> list[tuple[int, int]]:
+    """Word-boundary windows over per-word token counts — the pure
+    spanning rule ``chunk_documents_bpe`` distributes.  Returns
+    ``[start, end)`` word spans such that
+
+    * each span's token sum ≤ ``chunk_tokens`` — except a single word
+      that alone exceeds the budget, which becomes its own span (the
+      chunker never splits a word, so this is the only way to make
+      progress past it);
+    * consecutive spans share a suffix/prefix of whole words whose
+      token sum ≤ ``overlap_tokens`` — the LARGEST such suffix, so the
+      realized overlap is maximal within budget (and may be 0 words if
+      even the last word of the previous span exceeds it);
+    * starts strictly increase (guaranteed termination) and spans
+      cover every word: next_start ≤ previous_end.
+
+    Empty input → no spans.  Pure function; the Arrow kernel and the
+    tests' literal Python reference both call or replicate exactly
+    this."""
+    spans: list[tuple[int, int]] = []
+    n = len(counts)
+    s = 0
+    while s < n:
+        e, tot = s, 0
+        while e < n and (e == s or tot + counts[e] <= chunk_tokens):
+            tot += counts[e]
+            e += 1
+        spans.append((s, e))
+        if e >= n:
+            break
+        s2, otot = e, 0
+        while s2 - 1 > s and otot + counts[s2 - 1] <= overlap_tokens:
+            otot += counts[s2 - 1]
+            s2 -= 1
+        s = s2
+    return spans
+
+
+def chunk_documents_bpe(
+    documents: DataFrame,
+    merges: Merges,
+    chunk_tokens: int = 128,
+    overlap_tokens: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-TRUE sliding-window chunking: windows budgeted in
+    trained-BPE tokens (``text.chunk_documents`` counts whitespace
+    words — fine for audits, wrong for a model whose context window is
+    measured in learned subwords).  Chunks break at word boundaries
+    (never mid-word): each window greedily takes whole words while its
+    BPE-token sum fits ``chunk_tokens``, and neighbors share the
+    largest whole-word suffix whose token sum fits ``overlap_tokens``
+    (``chunk_words_by_budget``).
+
+    Output: (doc_id, chunk_idx, chunk_text, n_chunk_tokens) —
+    ``n_chunk_tokens`` is the chunk's BPE token count, the number an
+    embedding/pretraining consumer budgets against.
+
+    100 TB shape: ONE map-only Arrow pass (``mapInPandas``), zero
+    shuffles/joins — same plan pin as the whitespace chunker.  The
+    merge ranks ride the closure (vocab-sized metadata) and a per-task
+    word→count memo collapses repeated word types (Zipf), so the
+    kernel does one ``segment_word`` per distinct word per task, not
+    per occurrence."""
+    if overlap_tokens < 0 or chunk_tokens <= overlap_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap_tokens}) < chunk "
+            f"({chunk_tokens}) for forward progress"
+        )
+    ranks = {p: i for i, p in enumerate(merges)}
+    token_re = H.TOKEN_RE
+    schema = (
+        "doc_id bigint, chunk_idx bigint, chunk_text string, "
+        "n_chunk_tokens bigint"
+    )
+
+    def gen(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            texts: list[str] = []
+            ntoks: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                words = token_re.findall(text or "")
+                counts = []
+                for w in words:
+                    c = memo.get(w)
+                    if c is None:
+                        c = memo[w] = len(segment_word(w, ranks))
+                    counts.append(c)
+                # prefix sums: span token totals in O(1) each
+                pre = [0]
+                for c in counts:
+                    pre.append(pre[-1] + c)
+                for i, (s, e) in enumerate(
+                    chunk_words_by_budget(
+                        counts, chunk_tokens, overlap_tokens
+                    )
+                ):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    texts.append(" ".join(words[s:e]))
+                    ntoks.append(pre[e] - pre[s])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "chunk_text": pd.Series(texts, dtype="object"),
+                    "n_chunk_tokens": pd.Series(ntoks, dtype="int64"),
+                }
+            )
+
+    return documents.select("doc_id", text_col).mapInPandas(gen, schema)
+
+
 def save_merges(spark, merges: Merges, path: str) -> None:
     """Persist the tokenizer model as (rank, a, b) parquet — the same
     write-once index-metadata discipline as the IVF/PQ codebooks."""

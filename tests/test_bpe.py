@@ -173,3 +173,117 @@ def test_bpe_counts_feed_sequence_packing(spark):
         r["n_bpe_tokens"] for r in counted.collect()
     )
     assert all(0 <= r["pack_offset"] < 4 for r in rows)
+
+
+def _literal_bpe_chunks(docs, merges, chunk, overlap):
+    """Independent straight-line reference: for each doc, walk the
+    words with explicit running sums (no shared helper, no prefix
+    arrays) and emit (doc_id, chunk_idx, chunk_text, n_chunk_tokens)."""
+    from mapreduce_framework_for_mergesort_spark.functions.hashing import (
+        TOKEN_RE,
+    )
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = []
+    for doc_id, text in docs:
+        words = TOKEN_RE.findall(text or "")
+        counts = [len(B.segment_word(w, ranks)) for w in words]
+        s, idx = 0, 0
+        while s < len(words):
+            e = s + 1  # a window always takes its first word
+            tot = counts[s]
+            while e < len(words) and tot + counts[e] <= chunk:
+                tot += counts[e]
+                e += 1
+            out.append((doc_id, idx, " ".join(words[s:e]), tot))
+            idx += 1
+            if e >= len(words):
+                break
+            ns = e
+            osum = 0
+            while ns - 1 > s and osum + counts[ns - 1] <= overlap:
+                osum += counts[ns - 1]
+                ns -= 1
+            s = ns
+    return sorted(out)
+
+
+def test_bpe_chunker_matches_literal_reference_on_real_corpus(
+    spark, sf_oracle
+):
+    """chunk_documents_bpe over the real documents table equals the
+    literal Python walk row-for-row, and the plan is map-only (zero
+    exchanges — the same pin the whitespace chunker carries)."""
+    from mapreduce_framework_for_mergesort_spark.plans import audit
+
+    docs = load_table(spark, sf_oracle, "documents")
+    merges = B.train_bpe(docs, num_merges=40, top_words=2000)
+    out = B.chunk_documents_bpe(
+        docs, merges, chunk_tokens=24, overlap_tokens=6
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _literal_bpe_chunks(rows, merges, chunk=24, overlap=6)
+    assert got == want and len(got) > 0
+    a = audit(out)
+    assert a.exchanges == 0, a.text
+
+
+def test_bpe_chunker_invariants_and_edges(spark):
+    """Spanning-rule contract: budget respected except single oversized
+    words, maximal whole-word overlap within budget, strictly
+    increasing starts, full coverage; empty docs emit nothing; a
+    too-large overlap is rejected."""
+    import pytest
+
+    merges = B.train_bpe(_toy_corpus(spark), num_merges=4)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    # pure-rule invariants across a grid of budgets and count shapes
+    for counts in (
+        [], [1], [7], [2, 3, 2, 5, 1, 1, 4], [5, 5, 5], [1] * 20,
+    ):
+        for chunk, overlap in ((5, 2), (5, 0), (3, 1), (10, 4)):
+            spans = B.chunk_words_by_budget(counts, chunk, overlap)
+            if not counts:
+                assert spans == []
+                continue
+            assert spans[0][0] == 0 and spans[-1][1] == len(counts)
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 > s1 and s2 <= e1  # progress + coverage
+                assert sum(counts[s2:e1]) <= overlap  # overlap budget
+                if s2 > s1 + 1:  # maximality of the shared suffix
+                    assert sum(counts[s2 - 1 : e1]) > overlap
+            for s, e in spans:
+                assert e > s
+                assert sum(counts[s:e]) <= chunk or e == s + 1
+
+    docs = spark.createDataFrame(
+        [(1, "low lower newest widest low"), (2, ""), (3, "newest")],
+        ["doc_id", "text"],
+    )
+    rows = B.chunk_documents_bpe(
+        docs, merges, chunk_tokens=4, overlap_tokens=1
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # empty doc -> no chunks
+    assert [r["chunk_text"] for r in by_doc[3]] == ["newest"]
+    # every chunk's token count is the true BPE count of its text
+    for r in rows:
+        from mapreduce_framework_for_mergesort_spark.functions.hashing import (
+            TOKEN_RE,
+        )
+
+        true = sum(
+            len(B.segment_word(w, ranks))
+            for w in TOKEN_RE.findall(r["chunk_text"])
+        )
+        assert r["n_chunk_tokens"] == true
+
+    with pytest.raises(ValueError):
+        B.chunk_documents_bpe(docs, merges, chunk_tokens=4, overlap_tokens=4)
