@@ -340,6 +340,7 @@ def balanced_sample(
     cap: int,
     key: str = "doc_id",
     slack: int = BALANCE_SLACK,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """At most ``cap`` rows per stratum, chosen by salted-hash rank —
     the cluster-balancing curation step (SemDeDup/DoReMi-style): assign
@@ -380,12 +381,22 @@ def balanced_sample(
     auto-broadcast under AQE and large ones degrade safely to a
     shuffle join on a column both sides are already aggregated/keyed
     by.
+
+    ``counts``: precomputed per-stratum populations as
+    ``(stratum_col, __n)`` — inject when another pass over ``df``
+    already grouped by the stratum (the ``q_profile_stats``
+    shared-scan consolidation), saving phase 1's scan.  Must equal
+    ``df.groupBy(stratum_col).count()`` exactly or the prefilter
+    thresholds (and thus membership) silently shift.
     """
     from pyspark.sql import Window
 
     from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    if counts is None:
+        counts = df.groupBy(stratum_col).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
     h = F.expr(
         H.spark_base_hash(f"CAST({key} AS STRING) || '{BALANCE_SALT}'")
     )

@@ -180,7 +180,11 @@ def _cms_cell_array(d: int, w: int):
 
 
 def cms_sketch(
-    df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+    df: DataFrame,
+    key: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch (Cormode & Muthukrishnan '05) of ``df[key]``'s
     frequency vector as plain DATA: rows ``(i, bucket, cnt)`` — the
@@ -200,14 +204,28 @@ def cms_sketch(
     (d, w) is the sketch GEOMETRY: pass the same pair to every
     ``cms_point_estimates`` over this sketch — the stored rows don't
     carry it, so a mismatch would silently probe the wrong buckets
-    (validated as far as possible in ``_cms_cell_array``)."""
+    (validated as far as possible in ``_cms_cell_array``).
+
+    ``weight_col``: treat each row as ``weight_col`` occurrences of
+    ``key`` instead of one — ``cms_sketch(per_key_counts, 'k',
+    weight_col='c')`` equals ``cms_sketch(raw, key)`` cell-for-cell
+    (pinned in tests), which lets an existing distinct-key aggregate
+    pass serve the sketch without rescanning the corpus (the
+    ``q_profile_stats`` shared-scan consolidation)."""
     cells = _cms_cell_array(d, w)
+    weighted = df.select(
+        F.expr(_spark_cms_hash(key)).alias("__h"),
+        (
+            F.col(weight_col)
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        ).alias("__wt"),
+    )
     return (
-        df.select(F.expr(_spark_cms_hash(key)).alias("__h"))
-        .where(F.col("__h").isNotNull())
-        .select(F.explode(cells).alias("c"))
+        weighted.where(F.col("__h").isNotNull())
+        .select(F.explode(cells).alias("c"), "__wt")
         .groupBy(F.col("c.i").alias("i"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__wt").alias("cnt"))
     )
 
 

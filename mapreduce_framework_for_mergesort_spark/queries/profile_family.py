@@ -12,6 +12,8 @@ decimal sums cast once at the end).
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -19,6 +21,9 @@ from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import sampling
 from mapreduce_framework_for_mergesort_spark.operators import sketches
+from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+    materialize,
+)
 from mapreduce_framework_for_mergesort_spark.operators.relational import dec_sum
 from mapreduce_framework_for_mergesort_spark.queries import query
 
@@ -261,304 +266,279 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines, unlike ``TABLESAMPLE``."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
-    d = "decimal(18,2)"
-    x = F.col("l_quantity").cast(d)
-    y = F.col("l_extendedprice").cast(d)
-    sampled = F.col("l_orderkey") % 50 == 0
-
-    # ONE lineitem pass serves correlation moments, exact percentiles,
-    # AND the systematic-sample aggregates: all are per-returnflag
-    # aggregates, the sample via conditional (filtered) aggregation.
-    # A second lineitem pass covers the whole-table key-uniqueness
-    # distinct-count; orders takes one pass per grain (global, bucket,
-    # split — the hash-sample audit rides the split pass as a
-    # conditional aggregate; the KMV sketch audit adds one orders pass
-    # of its own, distinct-hash top-k being a different grain, while
-    # its exact-truth count rides o_uniq's Expand-rewritten multi-
-    # distinct aggregate for free; the Count-Min audit adds a per-key
-    # truth pass, and the balanced-sample audit a counts pass + the
-    # prefilter+rank pass).  11 column-pruned parquet scans in this
-    # plan (pinned by test_profile_stats_bounded_scans), plus ONE
-    # documents scan inside the packing audit's (lazy) checkpoint job
-    # and one orders scan inside the CMS sketch materialization — at
-    # 100 TB the scan count IS the audit's cost.
-    m = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
-        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
-        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
-        F.count(F.when(sampled, 1)).alias("sn"),
-        F.sum(F.when(sampled, x)).cast("double").alias("ssum"),
-        # sampled-quantile: the exact percentile of the DETERMINISTIC
-        # systematic sample — unlike approx_percentile's KLL sketch
-        # this scale substitute is cross-engine verifiable, because
-        # sample membership is a pure function of the key (same
-        # argument as the KMV grain); rides the same scan/agg
-        F.expr(
-            "percentile(CASE WHEN l_orderkey % 50 = 0"
-            " THEN l_quantity END, 0.5)"
-        ).alias("p50s"),
-    )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy, sxy = (
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-        F.col("sxy").cast("double"),
-    )
-    corr = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
-    )
-    li_rows = _long(
-        m, F.col("l_returnflag"),
-        [("corr_qty_price", corr), ("group_n", F.col("n")),
-         ("p25_qty", F.col("p25")), ("p50_qty", F.col("p50")),
-         ("p75_qty", F.col("p75"))],
-    ).unionByName(
-        # conditional agg emits sn=0 groups the oracle's WHERE…GROUP BY
-        # never sees — drop them to keep the surfaces identical
-        _long(
-            m.where(F.col("sn") > 0), F.col("l_returnflag"),
-            [("sample_n", F.col("sn")), ("sample_sum_qty", F.col("ssum")),
-             ("p50_qty_sampled", F.col("p50s"))],
-        )
-    )
-
-    o_uniq = orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("o_orderkey").alias("n_keys"),
-        F.count_distinct("o_custkey").alias("n_cust"),
-    )
-    l_uniq = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count_distinct("l_orderkey", "l_linenumber").alias("n_keys"),
-    )
-    # The orders uniqueness rows carry TWO grp labels (o_orderkey and
-    # the KMV audit target o_custkey), so the long projection inlines
-    # per-entry grp literals in ONE explode — projecting o_uniq through
-    # a second union branch would duplicate the whole aggregate subtree
-    # and re-scan orders (exactly the anti-pattern _long exists to
-    # avoid; caught by the round-4+ review after a first cut did it).
-    o_kvs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("metric"),
-                F.lit(g).alias("grp"),
-                v.cast("double").alias("value"),
-            )
-            for m, g, v in [
-                ("n_rows", "orders.o_orderkey", F.col("n_rows")),
-                ("n_keys", "orders.o_orderkey", F.col("n_keys")),
-                (
-                    "n_dup_rows",
-                    "orders.o_orderkey",
-                    F.col("n_rows") - F.col("n_keys"),
-                ),
-                ("n_keys", "orders.o_custkey", F.col("n_cust")),
-            ]
-        ]
-    )
-    uniq_rows = (
-        o_uniq.select(F.explode(o_kvs).alias("kv"))
-        .select(
-            F.col("kv.metric").alias("metric"),
-            F.col("kv.grp").alias("grp"),
-            F.col("kv.value").alias("value"),
-        )
-        .unionByName(
-            _long(
-                l_uniq, F.lit("lineitem.(l_orderkey,l_linenumber)"),
-                [("n_rows", F.col("n_rows")), ("n_keys", F.col("n_keys")),
-                 ("n_dup_rows", F.col("n_rows") - F.col("n_keys"))],
-            )
-        )
-    )
-
-    # KMV distinct-cardinality sketch audit (round 4+): the
-    # cross-engine-verifiable stand-in for approx_count_distinct —
-    # the driver hash-checks the sketch's integer estimator
-    # value-for-value next to the exact count above, so the audit
-    # carries both the truth and the sketch that would replace it at
-    # 100 TB.  Costs one extra orders scan (distinct-hash top-k is its
-    # own grain; see operators/sketches.py for the prefilter that
-    # bounds its shuffle at scale).
-    kmv_rows = _long(
-        sketches.kmv_estimate(orders, "o_custkey"),
-        F.lit("orders.o_custkey"),
-        [("kmv_k", F.col("kk")),
-         ("kmv_est_distinct", F.col("est_distinct"))],
-    )
-
-    # Count-Min frequency-sketch audit (round 4+): the verifiable
-    # stand-in for heavy-hitter estimation.  The driver hash-checks
-    # the d×w counter matrix's row totals + cell count AND the whole
-    # estimate-vs-truth error profile (max/min/sum of est − true over
-    # every distinct key): min_over = 0 proves the ≥-true guarantee on
-    # real data, value-for-value against DuckDB.  The sketch is
-    # materialized once (bounded: ≤ d·w rows) and broadcast into the
-    # estimate join; costs one sketch pass + one truth pass of orders.
-    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
-        materialize,
-    )
-
-    cms = materialize(sketches.cms_sketch(orders, "o_custkey"))
-    cms_row_rows = _long(
-        cms.groupBy("i").agg(F.sum("cnt").alias("rt")),
-        F.col("i"),
-        [("cms_row_total", F.col("rt"))],
-    )
-    truth = (
-        orders.where(F.col("o_custkey").isNotNull())
-        .groupBy(F.col("o_custkey").alias("k"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    est_err = (
-        # truth rides the estimate aggregation as a carry column — a
-        # second join on k would re-scan orders (caught by the scan-
-        # budget test when this was first written as a join)
-        sketches.cms_point_estimates(cms, truth, "k", carry=("c",))
-        .agg(
-            F.max(F.col("est") - F.col("c")).alias("mx"),
-            F.min(F.col("est") - F.col("c")).alias("mn"),
-            F.sum(F.col("est") - F.col("c")).alias("sm"),
-        )
-    )
-    cms_kvs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("metric"),
-                F.lit("orders.o_custkey").alias("grp"),
-                v.cast("double").alias("value"),
-            )
-            for m, v in [
-                ("cms_max_over", F.col("mx")),
-                ("cms_min_over", F.col("mn")),
-                ("cms_sum_over", F.col("sm")),
-            ]
-        ]
-    )
-    cms_rows = cms_row_rows.unionByName(
-        _long(
-            cms.agg(F.count(F.lit(1)).alias("cells")),
-            F.lit("orders.o_custkey"),
-            [("cms_cells", F.col("cells"))],
-        )
-    ).unionByName(
-        est_err.select(F.explode(cms_kvs).alias("kv")).select(
-            F.col("kv.metric").alias("metric"),
-            F.col("kv.grp").alias("grp"),
-            F.col("kv.value").alias("value"),
-        )
-    )
-
-    hist = (
-        orders.withColumn(
-            "bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("long")
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("hn"),
-            dec_sum("o_totalprice", alias="hsum"),
-        )
-    )
-    hist_rows = _long(
-        hist, F.col("bucket"),
-        [("hist_n", F.col("hn")), ("hist_sum_price", F.col("hsum"))],
-    )
-
-    # Deterministic content-hash train/val/test split audit (round 3):
-    # assignment is a pure function of the key (operators/sampling.py),
-    # so these counts are reproducible across engines/partitionings —
-    # the property the oracle check proves.
-    # hsample_n rides the same orders pass as the split grain via
-    # conditional aggregation — and, because the sample hash is SALTED
-    # (round-4 review), the driver check itself proves sample×split
-    # independence: every split shows a ~rate-sized sampled count.
-    in_sample = sampling.sample_predicate("o_orderkey", _SAMPLE_RATE)
-    spl = (
-        sampling.hash_split(orders, "o_orderkey")
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("sn"),
-            dec_sum("o_totalprice", alias="ssum"),
-            F.count(F.when(in_sample, 1)).alias("hsn"),
-        )
-    )
-    split_rows = _long(
-        spl, F.col("split"),
-        [("split_n", F.col("sn")), ("split_sum_price", F.col("ssum")),
-         ("hsample_n", F.col("hsn"))],
-    )
-
-    # Sequence-packing audit: the distributed exclusive prefix sum
-    # (range partition + mapInPandas running sums + broadcast offsets,
-    # operators/sampling.pack_documents) must reproduce the oracle's
-    # single-window formulation value-for-value — the driver
-    # hash-checks a partitioning-dependent-looking algorithm is in fact
-    # partitioning-independent.
     docs = load_table(spark, sf_dir, "documents")
-    packed = sampling.pack_documents(docs, PACK_BUDGET)
-    pk = packed.groupBy("pack_id").agg(
-        F.count(F.lit(1)).alias("pn"),
-        F.sum("n_tokens").alias("ptok"),
-    )
-    pack_rows = _long(
-        pk, F.col("pack_id"),
-        [("pack_n", F.col("pn")), ("pack_tokens", F.col("ptok"))],
-    )
 
-    # Cluster-balanced sampling audit (round 4+): per-stratum capped
-    # selection by salted-hash rank (the SemDeDup-style cluster cap),
-    # two-phase so the rank window never sees more than ~slack·cap
-    # rows per stratum.  The driver hash-checks per-stratum counts AND
-    # a membership fingerprint (sum of kept keys) against the oracle's
-    # replica of both phases.  Costs a counts pass + a prefilter+rank
-    # pass of orders.
+    # The three eager constructions (grouping-sets materialization;
+    # packing's driver-side prefix-sum offsets + checkpoint; mixing's
+    # per-source counts) are independent — submit them concurrently so
+    # construction latency is the max, not the sum (Spark's scheduler
+    # is explicitly multi-thread-submission safe).
+    in_sample = sampling.sample_predicate("o_orderkey", _SAMPLE_RATE)
+    base = sampling.hash_split(orders, "o_orderkey").select(
+        F.floor(F.col("o_totalprice") / 50000.0)
+        .cast("long")
+        .alias("bucket"),
+        "split",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        in_sample.alias("__in_sample"),
+    )
+    gs_plan = base.groupingSets(
+        [["bucket"], ["split"], ["o_custkey"], ["o_orderpriority"]],
+        "bucket",
+        "split",
+        "o_custkey",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dec_sum("o_totalprice", alias="sump"),
+        F.count(F.when(F.col("__in_sample"), 1)).alias("hsn"),
+        F.grouping_id().alias("gid"),
+    )
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_gs = ex.submit(materialize, gs_plan)
+        f_pack = ex.submit(sampling.pack_documents, docs, PACK_BUDGET)
+        f_mix = ex.submit(
+            lambda: sampling.mix_sources(
+                docs, MIX_WEIGHTS, max_epochs=MIX_EPOCHS
+            )
+        )
+        gs, packed, mixed = f_gs.result(), f_pack.result(), f_mix.result()
+
+    # Balanced sample with phase-1 counts injected from the shared
+    # pass's priority grain (lazy — no construction job).
     bal = sampling.balanced_sample(
-        orders, "o_orderpriority", BAL_CAP, key="o_orderkey"
-    )
-    bal_rows = _long(
-        bal.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).alias("bn"),
-            F.sum("o_orderkey").alias("bsum"),
+        orders,
+        "o_orderpriority",
+        BAL_CAP,
+        key="o_orderkey",
+        counts=gs.where(F.col("gid") == _GID_PRIO).select(
+            "o_orderpriority", F.col("cnt").alias("__n")
         ),
-        F.col("o_orderpriority"),
-        [("bal_n", F.col("bn")), ("bal_sum_key", F.col("bsum"))],
     )
 
-    # Source-mixing audit (round 4+): the budget-driven mixture plan is
-    # exact-integer arithmetic (operators/sampling.mix_plan), so the
-    # oracle recomputes the SAME plan from the same counts in HUGEINT
-    # and the driver hash-checks per-(source, epoch) membership
-    # fingerprints — counts, id-sums, and char-sums of the mixed set.
-    mixed = sampling.mix_sources(docs, MIX_WEIGHTS, max_epochs=MIX_EPOCHS)
-    mx = mixed.groupBy("source", "epoch").agg(
-        F.count(F.lit(1)).alias("mn"),
-        F.sum("doc_id").alias("msum"),
-        F.sum("n_chars").alias("mchars"),
-    )
-    mix_rows = _long(
-        mx,
-        F.concat_ws(":", F.col("source"), F.col("epoch")),
-        [
-            ("mix_n", F.col("mn")),
-            ("mix_sum_id", F.col("msum")),
-            ("mix_chars", F.col("mchars")),
-        ],
-    )
+    for name, df_ in (
+        ("__qps_lineitem", li),
+        ("__qps_orders", orders),
+        ("__qps_gs", gs),
+        ("__qps_packed", packed),
+        ("__qps_mixed", mixed),
+        ("__qps_bal", bal),
+    ):
+        df_.createOrReplaceTempView(name)
+    return spark.sql(_QPS_SQL)
 
-    return (
-        li_rows.unionByName(uniq_rows)
-        .unionByName(hist_rows)
-        .unionByName(split_rows)
-        .unionByName(pack_rows)
-        .unionByName(kmv_rows)
-        .unionByName(cms_rows)
-        .unionByName(bal_rows)
-        .unionByName(mix_rows)
-    )
+
+# gid discriminators for the shared GROUPING SETS pass over
+# (bucket, split, o_custkey, o_orderpriority): bit set ⟺ column
+# aggregated away, so each single-column grain clears exactly its bit.
+_GID_BUCKET, _GID_SPLIT, _GID_CUST, _GID_PRIO = 0b0111, 0b1011, 0b1101, 0b1110
+
+_KMV_H = sketches._spark_kmv_hash("k")
+_CMS_H = sketches._spark_cms_hash("k")
+_CMS_CELLS = ", ".join(
+    f"named_struct('i', {i}, 'bucket', "
+    f"CAST({sketches.cms_bucket_expr(i, '__h')} AS INT))"
+    for i in range(sketches.CMS_D)
+)
+_CORR = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+# The whole long-format fan-out as ONE Spark SQL statement (round 5).
+# Semantically identical to the former per-branch DataFrame assembly —
+# every aggregate and cast is the same expression — but parsed in one
+# py4j round trip instead of ~4k: the DataFrame construction itself
+# was ~2 s of driver-side API chatter at bench time, pure overhead at
+# any scale.  Each multi-metric branch keeps the explode-over-struct-
+# array shape (_long's rationale: a UNION of per-metric selects would
+# re-evaluate the source aggregate per metric); the sketch CTEs
+# (truth/kmv/cms) read the MATERIALIZED grouping-sets view, so their
+# repeated references recompute only grain-sized checkpointed data,
+# never an orders scan.
+_QPS_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(1) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+         percentile(l_quantity, 0.25) AS p25,
+         percentile(l_quantity, 0.50) AS p50,
+         percentile(l_quantity, 0.75) AS p75,
+         COUNT(CASE WHEN l_orderkey % 50 = 0 THEN 1 END) AS sn,
+         CAST(SUM(CASE WHEN l_orderkey % 50 = 0
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS ssum,
+         percentile(CASE WHEN l_orderkey % 50 = 0
+                    THEN l_quantity END, 0.5) AS p50s
+  FROM __qps_lineitem GROUP BY l_returnflag),
+truth AS (
+  SELECT o_custkey AS k, cnt AS c FROM __qps_gs
+  WHERE gid = {_GID_CUST} AND o_custkey IS NOT NULL),
+o_uniq AS (
+  SELECT COUNT(1) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys
+  FROM __qps_orders),
+ncust AS (SELECT COUNT(1) AS n_cust FROM truth),
+l_uniq AS (
+  SELECT COUNT(1) AS n_rows,
+         COUNT(DISTINCT l_orderkey, l_linenumber) AS n_keys
+  FROM __qps_lineitem),
+kmvsk AS (
+  SELECT DISTINCT {_KMV_H} AS h FROM truth ORDER BY h LIMIT {sketches.KMV_K}),
+kmv AS (
+  SELECT kk,
+         CASE WHEN kk < {sketches.KMV_K} THEN kk
+              ELSE (kk - 1) * CAST({sketches.KMV_SPACE} AS BIGINT) div hk
+         END AS est_distinct
+  FROM (SELECT COUNT(1) AS kk, MAX(h) AS hk
+        FROM (SELECT h FROM kmvsk WHERE h IS NOT NULL) z) a),
+cmsk AS (
+  SELECT cell.i AS i, cell.bucket AS bucket, SUM(__wt) AS cnt
+  FROM (SELECT {_CMS_H} AS __h, c AS __wt FROM truth) ci
+  LATERAL VIEW explode(array({_CMS_CELLS})) cx AS cell
+  WHERE __h IS NOT NULL
+  GROUP BY cell.i, cell.bucket),
+cest AS (
+  SELECT /*+ BROADCAST(s) */ p.k AS k, p.c AS c,
+         MIN(COALESCE(s.cnt, CAST(0 AS BIGINT))) AS est
+  FROM (SELECT k, c, cell.i AS i, cell.bucket AS bucket
+        FROM (SELECT k, c, {_CMS_H} AS __h FROM truth) z
+        LATERAL VIEW explode(array({_CMS_CELLS})) cx AS cell
+        WHERE __h IS NOT NULL) p
+  LEFT JOIN cmsk s ON p.i = s.i AND p.bucket = s.bucket
+  GROUP BY p.k, p.c),
+cerr AS (
+  SELECT MAX(est - c) AS mx, MIN(est - c) AS mn, SUM(est - c) AS sm
+  FROM cest)
+SELECT kv.metric AS metric, grp, kv.value AS value FROM (
+  SELECT CAST(l_returnflag AS STRING) AS grp,
+         array(
+           named_struct('metric', 'corr_qty_price', 'value',
+                        CAST({_CORR} AS DOUBLE)),
+           named_struct('metric', 'group_n', 'value', CAST(n AS DOUBLE)),
+           named_struct('metric', 'p25_qty', 'value', CAST(p25 AS DOUBLE)),
+           named_struct('metric', 'p50_qty', 'value', CAST(p50 AS DOUBLE)),
+           named_struct('metric', 'p75_qty', 'value', CAST(p75 AS DOUBLE))
+         ) AS kvs
+  FROM m) b1 LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, grp, kv.value AS value FROM (
+  SELECT CAST(l_returnflag AS STRING) AS grp,
+         array(
+           named_struct('metric', 'sample_n', 'value', CAST(sn AS DOUBLE)),
+           named_struct('metric', 'sample_sum_qty', 'value', ssum),
+           named_struct('metric', 'p50_qty_sampled', 'value',
+                        CAST(p50s AS DOUBLE))) AS kvs
+  FROM m WHERE sn > 0) b2 LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, kv.grp AS grp, kv.value AS value FROM (
+  SELECT array(
+    named_struct('metric', 'n_rows', 'grp', 'orders.o_orderkey',
+                 'value', CAST(n_rows AS DOUBLE)),
+    named_struct('metric', 'n_keys', 'grp', 'orders.o_orderkey',
+                 'value', CAST(n_keys AS DOUBLE)),
+    named_struct('metric', 'n_dup_rows', 'grp', 'orders.o_orderkey',
+                 'value', CAST(n_rows - n_keys AS DOUBLE)),
+    named_struct('metric', 'n_keys', 'grp', 'orders.o_custkey',
+                 'value', CAST(n_cust AS DOUBLE))) AS kvs
+  FROM o_uniq CROSS JOIN ncust) b3 LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric,
+       'lineitem.(l_orderkey,l_linenumber)' AS grp,
+       kv.value AS value FROM (
+  SELECT array(
+    named_struct('metric', 'n_rows', 'value', CAST(n_rows AS DOUBLE)),
+    named_struct('metric', 'n_keys', 'value', CAST(n_keys AS DOUBLE)),
+    named_struct('metric', 'n_dup_rows', 'value',
+                 CAST(n_rows - n_keys AS DOUBLE))) AS kvs
+  FROM l_uniq) b4 LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, grp, kv.value AS value FROM (
+  SELECT CAST(bucket AS STRING) AS grp,
+         array(
+           named_struct('metric', 'hist_n', 'value', CAST(cnt AS DOUBLE)),
+           named_struct('metric', 'hist_sum_price', 'value', sump)) AS kvs
+  FROM __qps_gs WHERE gid = {_GID_BUCKET}) b5
+LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, grp, kv.value AS value FROM (
+  SELECT CAST(split AS STRING) AS grp,
+         array(
+           named_struct('metric', 'split_n', 'value', CAST(cnt AS DOUBLE)),
+           named_struct('metric', 'split_sum_price', 'value', sump),
+           named_struct('metric', 'hsample_n', 'value',
+                        CAST(hsn AS DOUBLE))) AS kvs
+  FROM __qps_gs WHERE gid = {_GID_SPLIT}) b6
+LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, grp, kv.value AS value FROM (
+  SELECT CAST(pack_id AS STRING) AS grp,
+         array(
+           named_struct('metric', 'pack_n', 'value', CAST(pn AS DOUBLE)),
+           named_struct('metric', 'pack_tokens', 'value',
+                        CAST(ptok AS DOUBLE))) AS kvs
+  FROM (SELECT pack_id, COUNT(1) AS pn, SUM(n_tokens) AS ptok
+        FROM __qps_packed GROUP BY pack_id) pk) b7
+LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, 'orders.o_custkey' AS grp,
+       kv.value AS value FROM (
+  SELECT array(
+    named_struct('metric', 'kmv_k', 'value', CAST(kk AS DOUBLE)),
+    named_struct('metric', 'kmv_est_distinct', 'value',
+                 CAST(est_distinct AS DOUBLE))) AS kvs
+  FROM kmv) b8 LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT 'cms_row_total' AS metric, CAST(i AS STRING) AS grp,
+       CAST(rt AS DOUBLE) AS value
+FROM (SELECT i, SUM(cnt) AS rt FROM cmsk GROUP BY i) b9
+UNION ALL
+SELECT 'cms_cells' AS metric, 'orders.o_custkey' AS grp,
+       CAST(COUNT(1) AS DOUBLE) AS value
+FROM cmsk
+UNION ALL
+SELECT kv.metric AS metric, 'orders.o_custkey' AS grp,
+       kv.value AS value FROM (
+  SELECT array(
+    named_struct('metric', 'cms_max_over', 'value', CAST(mx AS DOUBLE)),
+    named_struct('metric', 'cms_min_over', 'value', CAST(mn AS DOUBLE)),
+    named_struct('metric', 'cms_sum_over', 'value',
+                 CAST(sm AS DOUBLE))) AS kvs
+  FROM cerr) b10 LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, grp, kv.value AS value FROM (
+  SELECT CAST(o_orderpriority AS STRING) AS grp,
+         array(
+           named_struct('metric', 'bal_n', 'value', CAST(bn AS DOUBLE)),
+           named_struct('metric', 'bal_sum_key', 'value',
+                        CAST(bsum AS DOUBLE))) AS kvs
+  FROM (SELECT o_orderpriority, COUNT(1) AS bn,
+               SUM(o_orderkey) AS bsum
+        FROM __qps_bal GROUP BY o_orderpriority) bb) b11
+LATERAL VIEW explode(kvs) t AS kv
+UNION ALL
+SELECT kv.metric AS metric, grp, kv.value AS value FROM (
+  SELECT CONCAT_WS(':', source, CAST(epoch AS STRING)) AS grp,
+         array(
+           named_struct('metric', 'mix_n', 'value', CAST(mn AS DOUBLE)),
+           named_struct('metric', 'mix_sum_id', 'value',
+                        CAST(msum AS DOUBLE)),
+           named_struct('metric', 'mix_chars', 'value',
+                        CAST(mchars AS DOUBLE))) AS kvs
+  FROM (SELECT source, epoch, COUNT(1) AS mn, SUM(doc_id) AS msum,
+               SUM(n_chars) AS mchars
+        FROM __qps_mixed GROUP BY source, epoch) mx) b12
+LATERAL VIEW explode(kvs) t AS kv
+"""

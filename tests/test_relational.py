@@ -150,30 +150,31 @@ def test_scalar_funcs_is_one_narrow_projection(spark, sf_oracle):
 
 def test_profile_stats_bounded_scans(spark, sf_oracle):
     """The consolidated audit must not re-scan per metric: two grouped
-    lineitem passes (stats+sample / uniqueness) + orders passes for
-    uniqueness (incl. the KMV exact-truth distinct, riding the same
-    Expand-rewritten multi-distinct aggregate) / histogram /
-    split+hash-sample audit / KMV sketch — plus ONE documents scan for
-    the round-4+ source-mixing grain (the mix explode+filter branch;
-    its tiny per-source counts aggregate runs as a separate
-    query-construction-time job, like IVF training), plus THREE more
-    orders passes for the round-4+ sketch/balance audits (Count-Min
-    exact-truth per-key counts; balanced-sample stratum counts;
-    balanced-sample prefilter+rank — the CMS sketch itself is
-    materialized at construction time and shows as ExistingRDD) —
-    bounded at 11 column-pruned parquet scans in this plan (round-1's
-    five separate queries cost 7+ for far less coverage).  The
-    round-4 packing audit adds ONE documents scan that
-    this count cannot see — it runs inside pack_documents' lazy
-    checkpoint job and surfaces here as Scan ExistingRDD, asserted so
-    the blind spot is at least visible."""
+    lineitem passes (stats+sample / uniqueness) + THREE orders passes
+    (round 5; was eight): the shared GROUPING SETS pass that carries
+    the histogram, split+hash-sample, per-custkey truth, and
+    per-priority grains in one materialized aggregate — the KMV and
+    Count-Min sketch audits derive from its truth grain and the
+    balanced sample's phase-1 counts inject from its priority grain,
+    so none of them rescans orders — plus the global o_orderkey
+    distinct-count pass and the balanced sample's prefilter+rank
+    pass; plus ONE documents scan for the source-mixing grain (the
+    mix explode+filter branch; its tiny per-source counts aggregate
+    runs as a separate query-construction-time job, like IVF
+    training) — bounded at 7 column-pruned parquet scans in this
+    plan (round-1's five separate queries cost 7+ for far less
+    coverage).  The packing audit adds ONE documents scan that this
+    count cannot see — it runs inside pack_documents' lazy checkpoint
+    job and surfaces here as Scan ExistingRDD (as does the shared
+    grouping-sets materialization), asserted so the blind spot is at
+    least visible."""
     plan = (
         QUERIES["q_profile_stats"](spark, sf_oracle)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") <= 11, plan
+    assert plan.count("Scan parquet") <= 7, plan
     assert "Scan ExistingRDD" in plan  # the packing audit's checkpoint
 
 

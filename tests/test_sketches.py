@@ -176,3 +176,57 @@ def test_cms_geometry_validation(spark):
         K.cms_sketch(df, "k", w=0)
     with pytest.raises(ValueError, match="affine"):
         K.cms_point_estimates(K.cms_sketch(df, "k"), df, "k", d=0)
+
+
+def test_cms_weighted_from_counts_equals_raw(spark, sf_oracle):
+    """cms_sketch(per_key_counts, weight_col='c') == cms_sketch(raw) —
+    the identity that lets an existing distinct-key aggregate serve
+    the sketch without rescanning the corpus (q_profile_stats round-5
+    consolidation)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sketches as SK,
+    )
+
+    orders = load_table(spark, sf_oracle, "orders")
+    raw = SK.cms_sketch(orders, "o_custkey")
+    counts = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    weighted = SK.cms_sketch(counts, "k", weight_col="c")
+
+    def cells(df):
+        return {(r["i"], r["bucket"]): r["cnt"] for r in df.collect()}
+
+    assert cells(weighted) == cells(raw)
+
+
+def test_balanced_sample_injected_counts_equal_self_computed(
+    spark, sf_oracle
+):
+    """balanced_sample(counts=precomputed) selects the identical rows
+    as the self-counting form (the phase-1 injection contract)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sampling as S,
+    )
+
+    orders = load_table(spark, sf_oracle, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    a = S.balanced_sample(
+        orders, "o_orderpriority", 100, key="o_orderkey"
+    )
+    b = S.balanced_sample(
+        orders, "o_orderpriority", 100, key="o_orderkey", counts=counts
+    )
+    ka = sorted(r["o_orderkey"] for r in a.collect())
+    kb = sorted(r["o_orderkey"] for r in b.collect())
+    assert ka == kb and len(ka) > 0
