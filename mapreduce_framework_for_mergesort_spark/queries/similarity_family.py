@@ -79,9 +79,25 @@ NUM_CENTROIDS = 8
       FROM s2 ORDER BY score DESC, vec_id LIMIT {TOPK}),
     {PQ.duckdb_pq_cte(DIM, QUERY_VEC, TOPK)},
     rpq AS (
-      SELECT 'pq' AS part, rank, vec_id, score FROM ptop)
+      SELECT 'pq' AS part, rank, vec_id, score FROM ptop),
+    icand AS (
+      SELECT vec_id FROM padc
+      WHERE vec_id IN (SELECT vec_id FROM cells
+                       WHERE cell IN (SELECT cid FROM qc WHERE rn <= 2))
+      ORDER BY adc, vec_id LIMIT {4 * TOPK}),
+    iscored AS (
+      SELECT e.vec_id,
+             {V.duckdb_cosine('e.embedding', 'qe', DIM)} AS score
+      FROM embeddings e JOIN icand USING (vec_id) CROSS JOIN q),
+    itop AS (
+      SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                  AS BIGINT) AS rank,
+             vec_id, score
+      FROM iscored ORDER BY score DESC, vec_id LIMIT {TOPK}),
+    ri AS (
+      SELECT 'ivfadc' AS part, rank, vec_id, score FROM itop)
     SELECT * FROM r1 UNION ALL SELECT * FROM r2
-    UNION ALL SELECT * FROM rpq
+    UNION ALL SELECT * FROM rpq UNION ALL SELECT * FROM ri
     """,
 )
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +111,12 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       per-subspace integer codebooks, compressed-domain int64 scoring,
       deterministic candidate cut, exact-cosine rerank — the
       memory-bound ANN tier, with training/encoding/ADC all replicated
-      in the oracle's CTE chain.
+      in the oracle's CTE chain;
+    * ``ivfadc`` — the composed tier (round 5): ADC scoring restricted
+      to the query's nprobe=2 IVF cells before the candidate cut — the
+      oracle reuses the kmeans CTE's cell assignment AND the PQ
+      chain's ADC table, filtered (``icand``), so the full composition
+      is value-verified too.
 
     Unlike the LSH variant, every step — k-means training, probe-cell
     selection, rerank — is exact deterministic arithmetic, so the
@@ -114,13 +135,17 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # review) — the in-session analog of write-once/probe-many.
     cents = S._trained_cents(emb, NUM_CENTROIDS)
     cells = materialize(S.assign_cells(emb, cents))
+    books = PQ.train_codebooks(emb, DIM)
     parts = []
     for tag, top in (
         ("p1", S.ivf_topk(emb, QUERY_VEC, TOPK, NUM_CENTROIDS, nprobe=1,
                           cents=cents, cells=cells)),
         ("p2", S.ivf_topk(emb, QUERY_VEC, TOPK, NUM_CENTROIDS, nprobe=2,
                           cents=cents, cells=cells)),
-        ("pq", PQ.pq_adc_topk(emb, QUERY_VEC, TOPK, DIM)),
+        ("pq", PQ.pq_adc_topk(emb, QUERY_VEC, TOPK, DIM, books=books)),
+        ("ivfadc", PQ.ivfadc_topk(emb, QUERY_VEC, TOPK, DIM,
+                                  NUM_CENTROIDS, nprobe=2,
+                                  cents=cents, cells=cells, books=books)),
     ):
         parts.append(
             top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -135,3 +135,74 @@ def test_pq_adc_plan_is_codegen_take_ordered(spark, emb):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("ArrowEvalPython") == 1
     assert "Join" not in plan
+
+
+def test_ivfadc_recall_surface_guaranteed_axes(spark, emb):
+    """The two monotonicity guarantees ivfadc_topk's docstring claims:
+    (a) recall@10 non-decreasing in r_cand at fixed nprobe (nested
+    deterministic cuts of a fixed pool); (b) with r_cand >= corpus the
+    cut passes everything, so recall is non-decreasing in nprobe and
+    exactly 1.0 at nprobe = C."""
+    n = emb.count()
+    C = 8
+    bf = {r["vec_id"] for r in S.brute_force_topk(emb, 0, 10).collect()}
+    cents = S._trained_cents(emb, C)
+    cells = S.assign_cells(emb, cents)
+    books = P.train_codebooks(emb, DIM)
+
+    def recall(nprobe, r_cand):
+        got = {
+            r["vec_id"]
+            for r in P.ivfadc_topk(
+                emb, 0, 10, DIM, C, nprobe=nprobe, r_cand=r_cand,
+                cents=cents, cells=cells, books=books,
+            ).collect()
+        }
+        return len(bf & got) / 10
+
+    last = -1.0
+    for rc in (10, 20, 80, n):
+        r = recall(2, rc)
+        assert r >= last, (rc, r, last)
+        last = r
+
+    last = -1.0
+    for nprobe in (1, 2, 4, C):
+        r = recall(nprobe, n)
+        assert r >= last, (nprobe, r, last)
+        last = r
+    assert last == 1.0  # nprobe = C, full cut: brute force exactly
+
+
+def test_ivfadc_persisted_probe_matches_inline_and_prunes(
+    spark, emb, tmp_path
+):
+    """probe_ivfadc_index over the persisted cell-partitioned codes
+    equals the in-session ivfadc_topk for a corpus vector's embedding,
+    and the probe's scan carries a cell partition filter (it never
+    opens unprobed cell directories)."""
+    path = str(tmp_path / "ivfadc")
+    P.write_ivfadc_index(emb, path, DIM, num_centroids=8)
+    qe = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in P.probe_ivfadc_index(
+            spark, path, emb, qe, 10, DIM, nprobe=2
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in P.ivfadc_topk(emb, 0, 10, DIM, 8, nprobe=2).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    cand = (
+        spark.read.parquet(f"{path}/codes")
+        .where(F.col("cell").isin([0, 1]))
+        .select("vec_id")
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
