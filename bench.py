@@ -342,22 +342,27 @@ def plans_main(out_path: str = "PLANS.md") -> None:
     Audits the RUNTIME-FINAL plan (``audit(final=True)`` — each query
     executes once) so AQE's actual decisions (broadcast conversions,
     coalesced shuffles, codegen spans) are what's recorded, not the
-    speculative initial strategy.  Streaming keys execute through
-    their memory-sink harness and are audited on the batch plans they
-    pin elsewhere, so they are listed as 'streaming (audited in
-    tests/test_streaming*.py)'."""
-    from mapreduce_framework_for_mergesort_spark.plans import audit
+    speculative initial strategy.  Streaming keys drain through their
+    memory-sink harness and are audited on the LAST MICROBATCH's
+    executed physical plan (``StreamingQuery.explainInternal`` via the
+    ``sources.LAST_MICROBATCH_PLAN`` hook) — real state-store
+    operators included, marked 'µbatch' in the table (round-5; the
+    placeholder rows pointed at test pins instead of auditing)."""
+    from mapreduce_framework_for_mergesort_spark.plans import audit, parse_plan
+    from mapreduce_framework_for_mergesort_spark.streaming import sources
 
     spark = get_spark(app_name="msfs-plans")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = "/root/testdata/sf0.01"
     rows = []
     for name in sorted(QUERIES):
-        if name.startswith("q_stream") or name in (
-            "q_streaming_dedup",
-            "q_cdc_upsert",
-        ):
-            rows.append((name, None))
+        if name.startswith("q_stream"):
+            sources.LAST_MICROBATCH_PLAN = None
+            QUERIES[name](spark, sf_dir)  # drains the stream
+            plan = sources.LAST_MICROBATCH_PLAN
+            rows.append(
+                (f"{name} (µbatch)", parse_plan(plan) if plan else None)
+            )
             continue
         a = audit(QUERIES[name](spark, sf_dir), final=True)
         rows.append((name, a))

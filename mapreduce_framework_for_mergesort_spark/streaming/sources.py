@@ -109,4 +109,17 @@ def run_to_memory_with_progress(
     )
     q.awaitTermination()
     prog = list(q.recentProgress)
+    # Expose the LAST microbatch's executed physical plan for the
+    # PLANS.md audit (bench.py --plans): a drained streaming query's
+    # plan is otherwise invisible to batch-side .explain tooling.
+    global LAST_MICROBATCH_PLAN
+    try:
+        LAST_MICROBATCH_PLAN = q._jsq.explainInternal(False)
+    except Exception:
+        LAST_MICROBATCH_PLAN = None
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}"), prog
+
+
+# Physical plan of the most recently drained memory-sink query (see
+# run_to_memory_with_progress); read by bench.py --plans.
+LAST_MICROBATCH_PLAN: str | None = None
