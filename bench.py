@@ -140,6 +140,31 @@ def _timed_sweep(
     return times, first
 
 
+def _decontam_probe(spark, sf_dir: str) -> float:
+    """Benchmark-decontamination timing for the scale sweep (round-5
+    verdict item: the contaminated-id join builds corpus-wide n-grams
+    per call and was missing from the sweep's key list).  The
+    'benchmark' is a FIXED ~200-doc slice of the base corpus — eval
+    suites stay MB-sized while the corpus scales, which is exactly the
+    asymmetry the broadcast-semi-join shape exploits."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        load_table(spark, "/root/testdata/sf0.1", "documents")
+        .where(F.col("doc_id") % 293 == 0)
+        .select("text")
+    )
+    t0 = time.perf_counter()
+    force(decontaminate(docs, bench))
+    return round(time.perf_counter() - t0, 3)
+
+
 # ----- 10x key-shifted scale sweep (bench.py --scale [--skew]) --------
 
 SCALE_DIR = "/tmp/msfs_scale_sf1"
@@ -289,11 +314,14 @@ def scale_main(out_path: str, skew: bool = False) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, "/root/testdata/sf0.1")
     base, _ = _timed_sweep(spark, "/root/testdata/sf0.1", sorted(QUERIES))
+    base["op_decontaminate"] = _decontam_probe(spark, "/root/testdata/sf0.1")
     tenx, _ = _timed_sweep(spark, ten, sorted(QUERIES))
+    tenx["op_decontaminate"] = _decontam_probe(spark, ten)
     skewx: dict[str, float] = {}
     if skew:
         skew_dir = ensure_scale_dir(skew=True)
         skewx, _ = _timed_sweep(spark, skew_dir, sorted(QUERIES))
+        skewx["op_decontaminate"] = _decontam_probe(spark, skew_dir)
     doc = {
         "metric": "scale_sweep",
         "replication": 10,
@@ -408,7 +436,7 @@ def main() -> None:
         out = (
             sys.argv[i + 1]
             if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else "SCALE_r04.json"
+            else "SCALE_r05.json"
         )
         scale_main(out, skew="--skew" in sys.argv)
         return
