@@ -638,13 +638,24 @@ def duckdb_bm25_cte(
 # — valid and identical in Java regex and RE2.
 #
 # Residual coverage limits (deliberate): bare 10-digit runs are NOT
-# redacted (indistinguishable from ids/order numbers — a rule that eats
-# every 10-digit integer destroys non-PII data); international formats
-# beyond the +N-NNN-NNN(N)-NNNN shape and letters-for-digits vanity
-# numbers are out of scope.  Email keeps no digit guards: its own
-# char classes are its boundaries.
+# redacted by DEFAULT (indistinguishable from ids/order numbers — a
+# rule that eats every 10-digit integer destroys non-PII data; the
+# opt-in ``aggressive=True`` mode adds a [2-9]-leading 10-digit rule
+# for corpora where the recall is worth that cost); international
+# formats beyond the +N-NNN-NNN(N)-NNNN shape and letters-for-digits
+# vanity numbers are out of scope.  Email keeps no digit guards: its
+# own char classes are its boundaries.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IBAN-ish (round 5): 2-letter country + 2 check digits + body,
+    # contiguous or in the conventional spaced groups of 4.  MUST run
+    # before the card rule — a spaced IBAN's interior can contain four
+    # 4-digit groups the card rule would half-eat.  Guarded on ALNUM
+    # boundaries (not just digits): a longer alphanumeric run may not
+    # be half-redacted.  (?:...) keeps the no-capturing-group contract
+    # _guarded relies on.
+    (r"[A-Z]{2}[0-9]{2}(?: [A-Z0-9]{4}){3,7}(?: [A-Z0-9]{1,4})?", "<IBAN>"),
+    (r"[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}", "<IBAN>"),
     (r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}", "<CARD>"),
     (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
     # 4-group international form first, then the common US 3-group
@@ -657,21 +668,36 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"\([0-9]{3}\) [0-9]{3}-[0-9]{4}", "<PHONE>"),
 )
 
+# Opt-in shapes appended by ``aggressive=True``: the bare 10-digit US
+# phone (area codes start [2-9]), digit-guarded so ids of 11+ digits
+# stay whole.  Runs last: every separator-bearing form above is more
+# specific.
+PII_AGGRESSIVE_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[2-9][0-9]{9}", "<PHONE>"),
+)
+
 _NO_GUARD = frozenset({"<EMAIL>"})
+# Guard character class per placeholder (default: digit boundaries).
+# IBAN bodies are alphanumeric, so their guards must exclude letters
+# too — a digit guard would let 'XDE44...' match after the X.
+_GUARD_CLASS = {"<IBAN>": "A-Za-z0-9"}
 
 
 def _guarded(pat: str, repl: str) -> tuple[str, str]:
-    """Wrap a digit-run pattern in RE2-compatible digit-boundary guards
+    """Wrap a digit-run pattern in RE2-compatible boundary guards
     (identity for patterns whose own classes already bound them)."""
     if repl in _NO_GUARD:
         return pat, repl
+    cls = _GUARD_CLASS.get(repl, "0-9")
     # the pattern rides in CAPTURING group 2 so the guards are always
-    # groups 1 and 3 (none of PII_PATTERNS contain their own groups;
-    # any added later shift numbering past 3, which stays unreferenced)
-    return rf"(^|[^0-9])({pat})([^0-9]|$)", rf"$1{repl}$3"
+    # groups 1 and 3 (no pattern contains its own capturing group —
+    # IBAN's repetitions are (?:...) — so the numbering holds)
+    return rf"(^|[^{cls}])({pat})([^{cls}]|$)", rf"$1{repl}$3"
 
 
-def redact_pii(documents: DataFrame, col: str = "text") -> DataFrame:
+def redact_pii(
+    documents: DataFrame, col: str = "text", aggressive: bool = False
+) -> DataFrame:
     """Replace common PII shapes in ``col`` with typed placeholders —
     the curation stage that must run before training text ships.  Pure
     chained ``regexp_replace`` (one codegen projection, zero Python,
@@ -685,9 +711,16 @@ def redact_pii(documents: DataFrame, col: str = "text") -> DataFrame:
     only catch one — the second pass catches the neighbor.  Guards
     consume at most one boundary char per match, so two passes reach
     the fixpoint for any such chain (alternating separators included);
-    pinned by the idempotence test."""
+    pinned by the idempotence test.
+
+    ``aggressive=True`` appends ``PII_AGGRESSIVE_PATTERNS`` (bare
+    10-digit phones) — opt-in because it also eats 10-digit ids; see
+    the pattern-table comment for the tradeoff."""
     out = F.col(col)
-    for pat, repl in PII_PATTERNS:
+    pats = PII_PATTERNS + (
+        PII_AGGRESSIVE_PATTERNS if aggressive else ()
+    )
+    for pat, repl in pats:
         gpat, grepl = _guarded(pat, repl)
         passes = 1 if (gpat, grepl) == (pat, repl) else 2
         for _ in range(passes):
@@ -695,14 +728,17 @@ def redact_pii(documents: DataFrame, col: str = "text") -> DataFrame:
     return documents.withColumn(col, out)
 
 
-def duckdb_redact_sql(col: str = "text") -> str:
+def duckdb_redact_sql(col: str = "text", aggressive: bool = False) -> str:
     """The oracle half of ``redact_pii``: the identical chain of
     replaces as a DuckDB expression (RE2 runs the same guarded
     patterns; only the replacement backref syntax differs, ``$n`` →
     ``\\n``).  Pinned equal to the Spark operator row-for-row in
     tests, which is what makes the 'exactly oracle-able' claim real."""
     out = col
-    for pat, repl in PII_PATTERNS:
+    pats = PII_PATTERNS + (
+        PII_AGGRESSIVE_PATTERNS if aggressive else ()
+    )
+    for pat, repl in pats:
         gpat, grepl = _guarded(pat, repl)
         passes = 1 if (gpat, grepl) == (pat, repl) else 2
         grepl = grepl.replace("$1", r"\1").replace("$3", r"\3")

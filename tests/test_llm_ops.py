@@ -2123,3 +2123,66 @@ def test_curation_strip_spans_rewrites(spark):
     assert out[2].endswith("x17 x18 x19 close gamma delta")
     assert "x8 x9 x10" not in out[2]
     assert out[4] == rows[3][1]
+
+
+def test_redact_pii_iban_and_aggressive_shapes(spark):
+    """Round-5 shape breadth: IBAN-ish (contiguous + spaced groups,
+    alnum-guarded so longer alphanumeric runs stay whole, and running
+    BEFORE the card rule so a spaced IBAN's 4-digit interior isn't
+    half-eaten), and the opt-in aggressive bare-10-digit phone
+    (digit-guarded; default mode leaves bare runs alone).  DuckDB
+    parity pinned for both modes."""
+    import duckdb
+    import pandas as pd
+
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    rows = [
+        (1, "pay GB82WEST12345698765432 now"),
+        (2, "iban DE44 5001 0517 5407 3249 31 listed"),
+        (3, "not XDE44500105175407324931 an iban"),  # alnum prefix
+        (4, "chain GB82WEST12345698765432,DE89370400440532013000"),
+        (5, "ALL CAPS PROSE WITH FOUR CHAR WORD RUNS"),  # no CC+digits
+        (6, "call 5551234567 maybe"),
+        (7, "order 15551234567 is an id"),  # 11 digits: guarded
+        (8, "card 1234 5678 9012 3456 stays a card"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {r["doc_id"]: r["text"] for r in T.redact_pii(docs).collect()}
+    assert got[1] == "pay <IBAN> now"
+    assert got[2] == "iban <IBAN> listed"
+    assert got[3] == "not XDE44500105175407324931 an iban"
+    assert got[4] == "chain <IBAN>,<IBAN>"
+    assert got[5] == "ALL CAPS PROSE WITH FOUR CHAR WORD RUNS"
+    assert got[6] == "call 5551234567 maybe"  # default: bare run kept
+    assert got[8] == "card <CARD> stays a card"
+
+    agg = {
+        r["doc_id"]: r["text"]
+        for r in T.redact_pii(docs, aggressive=True).collect()
+    }
+    assert agg[6] == "call <PHONE> maybe"
+    assert agg[7] == "order 15551234567 is an id"
+    assert agg[8] == "card <CARD> stays a card"
+
+    # idempotence holds in both modes
+    for mode in (False, True):
+        once = T.redact_pii(docs, aggressive=mode)
+        twice = T.redact_pii(once, aggressive=mode)
+        assert {r["doc_id"]: r["text"] for r in once.collect()} == {
+            r["doc_id"]: r["text"] for r in twice.collect()
+        }
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    for mode, want in ((False, got), (True, agg)):
+        oracle = dict(
+            con.execute(
+                f"SELECT doc_id,"
+                f" {T.duckdb_redact_sql('text', aggressive=mode)}"
+                f" FROM docs"
+            ).fetchall()
+        )
+        assert oracle == want, mode
