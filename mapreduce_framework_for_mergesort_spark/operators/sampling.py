@@ -76,6 +76,52 @@ def hash_split(
     return df.withColumn("split", split_column(F.col(key), splits))
 
 
+def leakage_safe_split(
+    documents: DataFrame,
+    splits: Weights = DEFAULT_SPLITS,
+    key: str = "doc_id",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """``hash_split`` with the leakage guarantee a train/eval split
+    actually needs: NEAR-DUPLICATE clusters never straddle a boundary.
+    Keying the split on md5(text) already keeps exact copies together
+    (``pipelines.prepare_training_shards``); a near-dup of a training
+    document landing in val/test still leaks.  Here every document
+    routes by its near-dup CLUSTER's content key — the MINIMUM
+    md5(text) over the cluster — so members travel together, and the
+    key is a pure function of the cluster's content set: doc-id
+    renumbering, reruns, and engines all agree.
+
+    Clustering reuses the dedup stack at its scale-safe shape: band
+    exact-dup representatives only, reconnect replicas through linear
+    (representative, replica) edges, close with the O(log d)
+    star-contraction-backed propagation (``cluster_pairs``).  Pass
+    ``clusters`` (node, cluster) to reuse a clustering the pipeline
+    already computed — the split then costs two grain-sized joins and
+    one cluster-count-sized aggregate on top.
+
+    Singleton documents reduce to ``split_column(md5(text))`` exactly
+    (their cluster key is their own hash) — pinned in tests."""
+    from mapreduce_framework_for_mergesort_spark.operators import dedup as D
+
+    if clusters is None:
+        reps = D.exact_rep_ids(documents, key)
+        pool = documents.join(reps, key, "semi")
+        pairs = D.lsh_candidate_pairs(D.minhash_bands(pool)).unionByName(
+            D.exact_dup_edges(documents, key)
+        )
+        clusters = D.cluster_pairs(pairs, nodes=documents.select(key))
+    hashed = documents.withColumn(
+        "__h", F.md5(F.col("text").cast("binary"))
+    ).join(clusters, F.col(key) == F.col("node"))
+    ckey = hashed.groupBy("cluster").agg(F.min("__h").alias("__ck"))
+    return (
+        hashed.join(ckey, "cluster")
+        .withColumn("split", split_column(F.col("__ck"), splits))
+        .drop("__h", "__ck", "node", "cluster")
+    )
+
+
 def duckdb_split_case(key_sql: str, splits: Weights = DEFAULT_SPLITS) -> str:
     """The oracle-side CASE expression, from the same boundaries (NULL
     guard included so both engines route null keys identically)."""

@@ -2186,3 +2186,63 @@ def test_redact_pii_iban_and_aggressive_shapes(spark):
             ).fetchall()
         )
         assert oracle == want, mode
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """The whole point: every near-dup candidate pair (and every exact
+    replica) lands in ONE split; singletons reduce to the plain
+    content-hash split; membership is partitioning-proof."""
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        dedup as D,
+        sampling as S,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again %s"
+    )
+    rows = (
+        # a near-dup cluster of 3 + an exact replica of one member
+        [(1, base % "ok"), (2, base % "ok"), (3, base % "no"),
+         (4, base % "yes")]
+        # unrelated singletons
+        + [
+            (10 + i, f"completely different document number {i} about "
+                     f"spark shuffles and sorting windows {i}")
+            for i in range(40)
+        ]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = S.leakage_safe_split(docs)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split_of) == len(rows)  # one row per doc, no fan-out
+
+    # exact replicas together
+    assert split_of[1] == split_of[2]
+    # every LSH candidate pair together (transitively: whole cluster)
+    pairs = D.lsh_candidate_pairs(D.minhash_bands(docs)).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert split_of[r["doc_a"]] == split_of[r["doc_b"]], (
+            r["doc_a"], r["doc_b"])
+
+    # singletons: exactly the content-hash split
+    from pyspark.sql import functions as F
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in docs.withColumn(
+            "split",
+            S.split_column(F.md5(F.col("text").cast("binary"))),
+        ).collect()
+    }
+    clustered = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs} | {1, 2}
+    for i, _ in rows:
+        if i not in clustered:
+            assert split_of[i] == plain[i], i
+
+    # partitioning-proof
+    re_split = {
+        r["doc_id"]: r["split"]
+        for r in S.leakage_safe_split(docs.repartition(13)).collect()
+    }
+    assert re_split == split_of
