@@ -67,7 +67,21 @@ def exact_dup_groups(documents: DataFrame, key: str = "text") -> DataFrame:
     )
 
 
-def exact_rep_ids(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+def content_hashes(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, __h = md5(text)) — the one corpus hashing pass the
+    exact-dup helpers share.  Materialize it when both
+    ``exact_rep_ids`` and ``exact_dup_edges`` are needed (the
+    registered minhash key does) so the corpus is hashed once."""
+    return documents.select(
+        key, F.md5(F.col("text").cast("binary")).alias("__h")
+    )
+
+
+def exact_rep_ids(
+    documents: DataFrame,
+    key: str = "doc_id",
+    hashed: DataFrame | None = None,
+) -> DataFrame:
     """One representative id per distinct document content: the smallest
     ``key`` among rows sharing ``md5(text)`` — the deterministic survivor
     rule ``exact_dup_groups`` uses, reduced to just the id column.
@@ -79,18 +93,18 @@ def exact_rep_ids(documents: DataFrame, key: str = "doc_id") -> DataFrame:
     by the duplication factor and its pair output by that factor
     squared.  Identical text produces identical bands/signatures, so no
     cross-content candidate is lost by banding representatives only.
-    One hash aggregate on a 16-byte key; scale-safe."""
-    return (
-        documents.select(
-            key, F.md5(F.col("text").cast("binary")).alias("__h")
-        )
-        .groupBy("__h")
-        .agg(F.min(key).alias(key))
-        .select(key)
-    )
+    One hash aggregate on a 16-byte key; scale-safe.  ``hashed``
+    injects a shared ``content_hashes`` pass."""
+    if hashed is None:
+        hashed = content_hashes(documents, key)
+    return hashed.groupBy("__h").agg(F.min(key).alias(key)).select(key)
 
 
-def exact_dup_edges(documents: DataFrame, key: str = "doc_id") -> DataFrame:
+def exact_dup_edges(
+    documents: DataFrame,
+    key: str = "doc_id",
+    hashed: DataFrame | None = None,
+) -> DataFrame:
     """(doc_a = representative, doc_b = replica) for every NON-
     representative row — the linear-in-corpus edge set that reconnects
     exact replicas to their representative after a pair tier has been
@@ -99,12 +113,13 @@ def exact_dup_edges(documents: DataFrame, key: str = "doc_id") -> DataFrame:
     IDENTICAL component fixpoint as banding the raw corpus (replicas
     share every band with their representative, so raw banding connects
     them directly; via the edge they stay connected transitively), at
-    star-graph cost instead of per-content cliques."""
-    h = F.md5(F.col("text").cast("binary")).alias("__h")
-    docs = documents.select(F.col(key), h)
-    reps = docs.groupBy("__h").agg(F.min(key).alias("__rep"))
+    star-graph cost instead of per-content cliques.  ``hashed``
+    injects a shared ``content_hashes`` pass."""
+    if hashed is None:
+        hashed = content_hashes(documents, key)
+    reps = hashed.groupBy("__h").agg(F.min(key).alias("__rep"))
     return (
-        docs.join(reps, "__h")
+        hashed.join(reps, "__h")
         .where(F.col(key) > F.col("__rep"))
         .select(
             F.col("__rep").alias("doc_a"), F.col(key).alias("doc_b")
@@ -575,14 +590,24 @@ def cluster_survivors(clusters: DataFrame) -> DataFrame:
     )
 
 
-def simhash_signatures(documents: DataFrame) -> DataFrame:
+def simhash_signatures(
+    documents: DataFrame, with_text_md5: bool = False
+) -> DataFrame:
     """Per-doc 48-bit simhash (majority vote over token-md5 bit
     columns), via the Arrow kernel (``simhash_udf`` — identical
-    definition as the canonical SQL expression it is pinned to)."""
-    return documents.select(
-        "doc_id",
+    definition as the canonical SQL expression it is pinned to).
+
+    ``with_text_md5`` appends ``__h = md5(text)`` in the SAME
+    projection, so a caller that also needs the exact-dup
+    representative collapse (the registered pair tier) derives it from
+    this one materialized pass instead of rescanning the corpus."""
+    cols = [
+        F.col("doc_id"),
         H.simhash_udf()(F.col("text")).alias("simhash"),
-    )
+    ]
+    if with_text_md5:
+        cols.append(F.md5(F.col("text").cast("binary")).alias("__h"))
+    return documents.select(*cols)
 
 
 # 48-bit signature split into 4 bands of 12 bits.  Pigeonhole: two

@@ -168,12 +168,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.cluster_pairs``) must reach the identical fixpoint, so the
     driver hash-checks an *iterative graph algorithm* value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
-    rep_docs = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
+    # ONE corpus hashing pass (materialized) feeds both the
+    # representative semi-join and the replica edge build
+    hashed = materialize(D.content_hashes(docs))
+    rep_docs = docs.join(
+        D.exact_rep_ids(docs, hashed=hashed), "doc_id", "semi"
+    )
     # band-pair doc_b is always a representative, exact-edge doc_b never
     # is — the two edge sets are disjoint, so no distinct() needed
     pairs = materialize(
         D.lsh_candidate_pairs(D.minhash_bands(rep_docs)).unionByName(
-            D.exact_dup_edges(docs)
+            D.exact_dup_edges(docs, hashed=hashed)
         )
     )
     clusters = D.cluster_pairs(pairs, nodes=docs.select("doc_id"))
@@ -250,11 +255,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  explicitly-bounded diagnostics.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # ONE signature-kernel pass: the materialized (doc_id, simhash)
-    # table feeds both the sig branch and the pair tier's band build;
-    # the pair tier bands only representative signatures
-    sigs = materialize(D.simhash_signatures(docs))
-    rep_sigs = sigs.join(D.exact_rep_ids(docs), "doc_id", "semi")
+    # ONE signature-kernel pass: the materialized (doc_id, simhash,
+    # __h) table feeds the sig branch AND the pair tier's
+    # representative collapse + band build — the md5 rides the same
+    # projection, so the corpus is scanned once
+    sigs_h = materialize(D.simhash_signatures(docs, with_text_md5=True))
+    sigs = sigs_h.select("doc_id", "simhash")
+    rep_sigs = sigs.join(
+        sigs_h.groupBy("__h").agg(F.min("doc_id").alias("doc_id")),
+        "doc_id",
+        "semi",
+    )
     pairs = D.simhash_candidate_pairs(docs, signatures=rep_sigs)
     lit = F.lit
     return sigs.select(
