@@ -752,6 +752,63 @@ def contaminated_doc_ids(
     )
 
 
+def contamination_report(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECONTAM_N,
+    key: str = "doc_id",
+    bench_key: str = "doc_id",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Per-benchmark-item leakage accounting — the report an eval owner
+    reads before trusting a score: for each benchmark row, how many
+    corpus documents share at least one word ``n``-gram with it
+    (``n_docs_hit``) and how many (doc, shingle-type) overlaps exist in
+    total (``n_gram_hits``; a doc repeating a shared shingle counts
+    once per distinct shingle).  Items with zero hits appear with
+    zeros, so the report covers the whole suite.
+
+    Scale shape (same asymmetry as ``contaminated_doc_ids``): the
+    benchmark side is MBs — its DISTINCT (item, shingle) set
+    broadcasts — and the corpus pays one map-side scan; the aggregate
+    is benchmark-item-sized."""
+    # spark_shingles is already per-doc distinct, so the join emits one
+    # row per (item, doc, shared shingle type)
+    doc_sh = documents.select(
+        F.col(key).alias("__doc"),
+        F.explode(
+            F.expr(H.spark_shingles(H.spark_tokens("text"), n))
+        ).alias("s"),
+    )
+    bench_sh = benchmark.select(
+        F.col(bench_key).alias("bench_id"),
+        F.explode(
+            F.expr(H.spark_shingles(H.spark_tokens(bench_text), n))
+        ).alias("s"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("bench_id")
+        .agg(
+            F.count_distinct("__doc").alias("n_docs_hit"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+    )
+    all_items = benchmark.select(
+        F.col(bench_key).alias("bench_id")
+    ).distinct()
+    return (
+        all_items.join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_docs_hit"), F.lit(0)).alias("n_docs_hit"),
+            F.coalesce(F.col("n_gram_hits"), F.lit(0)).alias(
+                "n_gram_hits"
+            ),
+        )
+    )
+
+
 def decontaminate(
     documents: DataFrame,
     benchmark: DataFrame,

@@ -12,6 +12,7 @@ decimal sums cast once at the end).
 
 from __future__ import annotations
 
+import itertools
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,12 @@ MIX_EPOCHS = 2
 BAL_CAP = 500  # per-stratum cap in the balanced-sample audit: binds at
 #                sf0.01 (≈3000 orders per priority), passes-through at
 #                sf0.001 (≈300) — both regimes exercised across SFs
+
+# per-call temp-view suffix (same uniqueness rule as the streaming
+# memory sinks): spark.sql analyzes eagerly, but two same-session
+# constructions interleaving on shared view names could still cross
+# wires between register and parse
+_view_seq = itertools.count()
 
 
 def _long(df: DataFrame, grp_col, pairs) -> DataFrame:
@@ -318,16 +325,22 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # Per-call view names: spark.sql analyzes eagerly so the returned
+    # DataFrame is bound to THESE registrations, but two same-session
+    # constructions interleaving on shared names could still cross
+    # wires between register and parse — the same uniqueness rule the
+    # streaming memory sinks follow.
+    sfx = next(_view_seq)
     for name, df_ in (
-        ("__qps_lineitem", li),
-        ("__qps_orders", orders),
-        ("__qps_gs", gs),
-        ("__qps_packed", packed),
-        ("__qps_mixed", mixed),
-        ("__qps_bal", bal),
+        ("lineitem", li),
+        ("orders", orders),
+        ("gs", gs),
+        ("packed", packed),
+        ("mixed", mixed),
+        ("bal", bal),
     ):
-        df_.createOrReplaceTempView(name)
-    return spark.sql(_QPS_SQL)
+        df_.createOrReplaceTempView(f"__qps_{name}_{sfx}")
+    return spark.sql(_QPS_SQL.replace("__QPS_SFX__", str(sfx)))
 
 
 # gid discriminators for the shared GROUPING SETS pass over
@@ -383,18 +396,18 @@ WITH m AS (
               AS DOUBLE) AS ssum,
          percentile(CASE WHEN l_orderkey % 50 = 0
                     THEN l_quantity END, 0.5) AS p50s
-  FROM __qps_lineitem GROUP BY l_returnflag),
+  FROM __qps_lineitem___QPS_SFX__ GROUP BY l_returnflag),
 truth AS (
-  SELECT o_custkey AS k, cnt AS c FROM __qps_gs
+  SELECT o_custkey AS k, cnt AS c FROM __qps_gs___QPS_SFX__
   WHERE gid = {_GID_CUST} AND o_custkey IS NOT NULL),
 o_uniq AS (
   SELECT COUNT(1) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys
-  FROM __qps_orders),
+  FROM __qps_orders___QPS_SFX__),
 ncust AS (SELECT COUNT(1) AS n_cust FROM truth),
 l_uniq AS (
   SELECT COUNT(1) AS n_rows,
          COUNT(DISTINCT l_orderkey, l_linenumber) AS n_keys
-  FROM __qps_lineitem),
+  FROM __qps_lineitem___QPS_SFX__),
 kmvsk AS (
   SELECT DISTINCT {_KMV_H} AS h FROM truth ORDER BY h LIMIT {sketches.KMV_K}),
 kmv AS (
@@ -470,7 +483,7 @@ SELECT kv.metric AS metric, grp, kv.value AS value FROM (
          array(
            named_struct('metric', 'hist_n', 'value', CAST(cnt AS DOUBLE)),
            named_struct('metric', 'hist_sum_price', 'value', sump)) AS kvs
-  FROM __qps_gs WHERE gid = {_GID_BUCKET}) b5
+  FROM __qps_gs___QPS_SFX__ WHERE gid = {_GID_BUCKET}) b5
 LATERAL VIEW explode(kvs) t AS kv
 UNION ALL
 SELECT kv.metric AS metric, grp, kv.value AS value FROM (
@@ -480,7 +493,7 @@ SELECT kv.metric AS metric, grp, kv.value AS value FROM (
            named_struct('metric', 'split_sum_price', 'value', sump),
            named_struct('metric', 'hsample_n', 'value',
                         CAST(hsn AS DOUBLE))) AS kvs
-  FROM __qps_gs WHERE gid = {_GID_SPLIT}) b6
+  FROM __qps_gs___QPS_SFX__ WHERE gid = {_GID_SPLIT}) b6
 LATERAL VIEW explode(kvs) t AS kv
 UNION ALL
 SELECT kv.metric AS metric, grp, kv.value AS value FROM (
@@ -490,7 +503,7 @@ SELECT kv.metric AS metric, grp, kv.value AS value FROM (
            named_struct('metric', 'pack_tokens', 'value',
                         CAST(ptok AS DOUBLE))) AS kvs
   FROM (SELECT pack_id, COUNT(1) AS pn, SUM(n_tokens) AS ptok
-        FROM __qps_packed GROUP BY pack_id) pk) b7
+        FROM __qps_packed___QPS_SFX__ GROUP BY pack_id) pk) b7
 LATERAL VIEW explode(kvs) t AS kv
 UNION ALL
 SELECT kv.metric AS metric, 'orders.o_custkey' AS grp,
@@ -526,7 +539,7 @@ SELECT kv.metric AS metric, grp, kv.value AS value FROM (
                         CAST(bsum AS DOUBLE))) AS kvs
   FROM (SELECT o_orderpriority, COUNT(1) AS bn,
                SUM(o_orderkey) AS bsum
-        FROM __qps_bal GROUP BY o_orderpriority) bb) b11
+        FROM __qps_bal___QPS_SFX__ GROUP BY o_orderpriority) bb) b11
 LATERAL VIEW explode(kvs) t AS kv
 UNION ALL
 SELECT kv.metric AS metric, grp, kv.value AS value FROM (
@@ -539,6 +552,6 @@ SELECT kv.metric AS metric, grp, kv.value AS value FROM (
                         CAST(mchars AS DOUBLE))) AS kvs
   FROM (SELECT source, epoch, COUNT(1) AS mn, SUM(doc_id) AS msum,
                SUM(n_chars) AS mchars
-        FROM __qps_mixed GROUP BY source, epoch) mx) b12
+        FROM __qps_mixed___QPS_SFX__ GROUP BY source, epoch) mx) b12
 LATERAL VIEW explode(kvs) t AS kv
 """

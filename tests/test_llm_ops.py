@@ -2246,3 +2246,70 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
         for r in S.leakage_safe_split(docs.repartition(13)).collect()
     }
     assert re_split == split_of
+
+
+def test_contamination_report_parity_and_consistency(spark, sf_oracle):
+    """Per-benchmark-item leakage report: pinned against an independent
+    DuckDB recomputation (same canonical tokenizer/shingler), zero-hit
+    items present with zeros, and the set of corpus docs any item hits
+    equals contaminated_doc_ids' flag set."""
+    import duckdb
+
+    from mapreduce_framework_for_mergesort_spark.functions import (
+        hashing as H,
+    )
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        dedup as D,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    rep = D.contamination_report(docs, bench)
+    got = sorted(
+        (r["bench_id"], r["n_docs_hit"], r["n_gram_hits"])
+        for r in rep.collect()
+    )
+    assert len(got) == bench.count()  # every item reported
+    # an item that is itself a corpus doc with >= n tokens hits itself
+    assert any(nd >= 1 for _, nd, _ in got)
+
+    n = D.DECONTAM_N
+    sh = H.duckdb_shingles(H.duckdb_tokens("text"), n)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf_oracle}/documents.parquet'"
+    )
+    want = sorted(
+        con.execute(f"""
+        WITH ds AS (
+          SELECT doc_id AS d, unnest({sh}) AS s FROM documents),
+        bs AS (
+          SELECT doc_id AS bench_id, unnest({sh}) AS s FROM documents
+          WHERE doc_id % 97 = 0),
+        h AS (
+          SELECT bench_id, COUNT(DISTINCT d) AS nd, COUNT(*) AS ng
+          FROM ds JOIN bs USING (s) GROUP BY bench_id)
+        SELECT b.bench_id, coalesce(nd, 0), coalesce(ng, 0)
+        FROM (SELECT DISTINCT doc_id AS bench_id FROM documents
+              WHERE doc_id % 97 = 0) b
+        LEFT JOIN h USING (bench_id)
+        """).fetchall()
+    )
+    assert got == [tuple(r) for r in want]
+
+    flagged = {
+        r["doc_id"]
+        for r in D.contaminated_doc_ids(docs, bench).collect()
+    }
+    hit_docs_expected = {
+        r[0]
+        for r in con.execute(f"""
+        WITH ds AS (
+          SELECT doc_id AS d, unnest({sh}) AS s FROM documents),
+        bs AS (
+          SELECT unnest({sh}) AS s FROM documents WHERE doc_id % 97 = 0)
+        SELECT DISTINCT d FROM ds SEMI JOIN bs USING (s)
+        """).fetchall()
+    }
+    assert flagged == hit_docs_expected
