@@ -1,5 +1,6 @@
-"""Exactly-replicable sketches: KMV distinct-cardinality + Count-Min
-frequency.  Both follow the same discipline — every intermediate is
+"""Exactly-replicable sketches: KMV distinct-cardinality, Count-Min
+frequency, and dyadic Count-Min quantiles (the bottom of this
+module).  All three follow the same discipline — every intermediate is
 plain integer data both engines recompute bit-for-bit, so the driver
 can hash-check the sketch itself, not just trust its error bound.
 
@@ -340,4 +341,301 @@ def duckdb_kmv_cte(key_sql: str, table: str, k: int = KMV_K) -> str:
           SELECT DISTINCT {duckdb_kmv_hash(key_sql)} AS h
           FROM {table} WHERE {key_sql} IS NOT NULL
           ORDER BY h LIMIT {k}))
+    """
+
+
+# --- dyadic Count-Min quantile sketch --------------------------------------
+# The quantile member of the sketch trio (KMV = distinct count, CMS =
+# frequency, this = quantiles/ranks): Cormode & Muthukrishnan '05 §4's
+# dyadic range-sum construction.  Every value v in the integer domain
+# [0, 2^LEVELS) is counted once per dyadic level j as the range key
+# v >> j; rank(x) = |{v < x}| then decomposes into ≤ LEVELS dyadic
+# ranges (one per set bit of x), each answered by one Count-Min point
+# query — so quantiles come from a MERGEABLE, ORDER-INDEPENDENT,
+# bounded (≤ (LEVELS+1)·d·w rows) integer sketch, with est_rank ≥
+# true rank always (a sum of per-range overestimates).
+#
+# This is the 100 TB substitute for exact `percentile` (a per-group
+# sort/hash over the whole column) when cross-engine verifiability
+# matters: `approx_percentile`'s KLL sketch is engine-internal AND
+# merge-order-dependent, while every cell here is plain integer data
+# both engines recompute bit-for-bit.  Unlike the base CMS (md5-salted
+# string keys), the dyadic cells hash the integer (level, prefix) pair
+# through a pure affine family — (LEVELS+1)·d bucket computations per
+# row are integer multiply-adds, no md5 — all operands bounded so the
+# arithmetic is exact int64 in Spark SQL, DuckDB, and Python alike:
+# A < P ≈ 2^31, prefix < 2^LEVELS, lvl ≤ LEVELS keeps A·u + C·lvl + B
+# far under 2^63.
+
+DYADIC_LEVELS = 24  # value domain [0, 2^24)
+_DY_ABC = [
+    (
+        H._mh_const("dcms_a", i, H.MINHASH_P - 1) + 1,
+        H._mh_const("dcms_b", i, H.MINHASH_P),
+        H._mh_const("dcms_c", i, H.MINHASH_P - 1) + 1,
+    )
+    for i in range(CMS_D)
+]
+
+
+def dyadic_bucket_expr(i: int, lvl: int, u_sql: str, w: int = CMS_W) -> str:
+    """Row ``i``'s bucket for dyadic prefix ``u_sql`` at level ``lvl``
+    — one SQL string valid verbatim in both engines (all operands
+    positive int64)."""
+    a, b, c = _DY_ABC[i]
+    # every operand promoted to BIGINT before multiplying: a bare
+    # {c} * {lvl} is int32 × int32 in Spark's ANSI constant folding
+    # and overflows loudly (caught by the first test run)
+    return (
+        f"((({a} * CAST({u_sql} AS BIGINT)"
+        f" + {c} * CAST({lvl} AS BIGINT) + {b})"
+        f" % {H.MINHASH_P}) % {w})"
+    )
+
+
+def dyadic_cms_sketch(
+    df: DataFrame,
+    key: str,
+    levels: int = DYADIC_LEVELS,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Build the dyadic sketch: rows ``(lvl, i, bucket, cnt)``.  ONE
+    scan; each row fans out to its (levels+1)·d cells via an array
+    explode, then a map-side-combinable count — the shuffle carries at
+    most (levels+1)·d·w cells per partition regardless of input.
+
+    Domain contract: values must lie in [0, 2^levels); NULL and
+    out-of-range rows are DROPPED (loudly documented, mirrored by the
+    oracle) — callers scale/offset real columns into the domain
+    (prices in cents, quantities as-is).  Merge = elementwise addition
+    on (lvl, i, bucket), exactly like ``cms_merge``."""
+    if not 1 <= d <= len(_DY_ABC):
+        raise ValueError(f"d must be in [1, {len(_DY_ABC)}], got {d}")
+    if not 1 <= levels <= 40:
+        raise ValueError(f"levels must be in [1, 40], got {levels}")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).cast("int").alias("lvl"),
+                F.lit(i).cast("int").alias("i"),
+                F.expr(
+                    dyadic_bucket_expr(i, lvl, f"shiftright(__v, {lvl})", w)
+                )
+                .cast("int")
+                .alias("bucket"),
+            )
+            for lvl in range(levels + 1)
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.col(key).cast("long").alias("__v"))
+        .where(
+            F.col("__v").isNotNull()
+            & (F.col("__v") >= 0)
+            & (F.col("__v") < (1 << levels))
+        )
+        .select(F.explode(cells).alias("c"))
+        .groupBy(
+            F.col("c.lvl").alias("lvl"),
+            F.col("c.i").alias("i"),
+            F.col("c.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dyadic_decompose(x: int, levels: int = DYADIC_LEVELS) -> list[tuple[int, int]]:
+    """The canonical dyadic decomposition of the half-open range
+    [0, x): one ``(lvl, prefix)`` cell per set bit of ``x``, walking
+    high bit to low.  Pure integer function — the Spark estimator, the
+    DuckDB oracle, and the driver-side quantile search all consume
+    exactly this."""
+    if not 0 <= x <= (1 << levels):
+        raise ValueError(f"x must be in [0, 2^{levels}], got {x}")
+    out: list[tuple[int, int]] = []
+    cur = 0
+    for j in range(levels, -1, -1):
+        if x & (1 << j):
+            out.append((j, cur >> j))
+            cur += 1 << j
+    return out
+
+
+def dyadic_rank_estimates(
+    sketch: DataFrame,
+    probes: list[int],
+    levels: int = DYADIC_LEVELS,
+    d: int = CMS_D,
+) -> DataFrame:
+    """(probe, est_rank) for each probe x: est_rank = Σ over the
+    decomposition of [0, x) of the range's Count-Min estimate (min
+    over d counters, absent cell → 0).  est_rank ≥ true rank always.
+    The decomposition rows are driver-built pure-int metadata
+    (≤ (levels+1) cells per probe) and the sketch side broadcasts —
+    no corpus access at all."""
+    spark = sketch.sparkSession
+    all_probes = spark.createDataFrame(
+        [(int(x),) for x in sorted(set(probes))], "probe: bigint"
+    )
+    rows = [
+        (int(x), lvl, i, pre)
+        for x in probes
+        for (lvl, pre) in dyadic_decompose(int(x), levels)
+        for i in range(d)
+    ]
+    if not rows:
+        # every probe decomposes to nothing (x = 0): rank 0 across
+        return all_probes.select(
+            "probe", F.lit(0).cast("long").alias("est_rank")
+        )
+    cells = spark.createDataFrame(
+        rows, "probe: bigint, lvl: int, i: int, pre: bigint"
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN i = {i} THEN ({a} * pre"
+                f" + {c} * CAST(lvl AS BIGINT) + {b})"
+                f" % {H.MINHASH_P} % {CMS_W}"
+                for i, (a, b, c) in enumerate(_DY_ABC)
+            )
+            + " END"
+        ).cast("int"),
+    )
+    est = (
+        cells.join(F.broadcast(sketch), ["lvl", "i", "bucket"], "left")
+        .groupBy("probe", "lvl", "pre")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("__rng"))
+        .groupBy("probe")
+        .agg(F.sum("__rng").cast("long").alias("est_rank"))
+    )
+    # probe 0 decomposes to nothing — restore it (rank 0) so every
+    # requested probe gets a row (mirrored in the oracle CTE)
+    return all_probes.join(est, "probe", "left").select(
+        "probe",
+        F.coalesce(F.col("est_rank"), F.lit(0)).cast("long").alias(
+            "est_rank"
+        ),
+    )
+
+
+def dyadic_quantiles(
+    sketch_rows: list,
+    qs: list[float],
+    levels: int = DYADIC_LEVELS,
+    d: int = CMS_D,
+) -> dict[float, int]:
+    """Driver-side quantile answers from a COLLECTED sketch (bounded
+    index metadata: ≤ (levels+1)·d·w rows — the same collect budget as
+    the IVF/PQ codebooks).  For each q: the smallest x with
+    est_rank(x) ≥ ceil(q·N), found by binary search on the integer
+    domain; N is exact (any (lvl, i) row of the sketch sums to N by
+    construction — every in-domain value increments one bucket per
+    row).  Deterministic: pure integer arithmetic over the cells."""
+    cells: dict[tuple[int, int, int], int] = {}
+    for r in sketch_rows:
+        cells[(r["lvl"], r["i"], r["bucket"])] = r["cnt"]
+    n = sum(c for (lvl, i, _), c in cells.items() if lvl == 0 and i == 0)
+
+    def est_rank(x: int) -> int:
+        total = 0
+        for lvl, pre in dyadic_decompose(x, levels):
+            total += min(
+                cells.get(
+                    (
+                        lvl,
+                        i,
+                        (
+                            (_DY_ABC[i][0] * pre + _DY_ABC[i][2] * lvl
+                             + _DY_ABC[i][1])
+                            % H.MINHASH_P
+                        )
+                        % CMS_W,
+                    ),
+                    0,
+                )
+                for i in range(d)
+            )
+        return total
+
+    import math
+
+    out: dict[float, int] = {}
+    for q in qs:
+        target = max(1, math.ceil(q * n)) if n else 0
+        lo, hi = 0, 1 << levels
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if est_rank(mid) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        out[q] = lo
+    return out
+
+
+def duckdb_dyadic_cte(
+    key_sql: str,
+    table: str,
+    probes: list[int],
+    levels: int = DYADIC_LEVELS,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> str:
+    """Oracle replica: exposes ``dsk(lvl, i, bucket, cnt)`` (the
+    sketch, cell-for-cell) and ``drank(probe, est_rank)`` for the
+    given probes — same affine buckets (``dyadic_bucket_expr``
+    verbatim), same decomposition (``dyadic_decompose`` emitted as
+    literal rows), same left-join-coalesce min-then-sum."""
+    cell_branches = "\n      UNION ALL ".join(
+        f"SELECT {lvl} AS lvl, {i} AS i,"
+        f" CAST({dyadic_bucket_expr(i, lvl, f'(v >> {lvl})', w)} AS INT)"
+        " AS bucket FROM dvals"
+        for lvl in range(levels + 1)
+        for i in range(d)
+    )
+    probe_rows = [
+        f"({int(x)}, {lvl}, {i}, {pre})"
+        for x in probes
+        for (lvl, pre) in dyadic_decompose(int(x), levels)
+        for i in range(d)
+    ]
+    probe_values = ", ".join(probe_rows) if probe_rows else "(-1, 0, 0, 0)"
+    all_probe_values = ", ".join(
+        f"({int(x)})" for x in sorted(set(probes))
+    ) or "(-1)"
+    bucket_case = " ".join(
+        f"WHEN i = {i} THEN ({a} * CAST(pre AS BIGINT)"
+        f" + {c} * CAST(lvl AS BIGINT) + {b})"
+        f" % {H.MINHASH_P} % {w}"
+        for i, (a, b, c) in enumerate(_DY_ABC[:d])
+    )
+    return f"""
+    dvals AS (
+      SELECT CAST({key_sql} AS BIGINT) AS v FROM {table}
+      WHERE {key_sql} IS NOT NULL
+        AND CAST({key_sql} AS BIGINT) >= 0
+        AND CAST({key_sql} AS BIGINT) < {1 << levels}),
+    dsk AS (
+      SELECT lvl, i, bucket, COUNT(*) AS cnt
+      FROM ({cell_branches})
+      GROUP BY 1, 2, 3),
+    dprobe AS (
+      SELECT probe, lvl, i, pre,
+             CAST(CASE {bucket_case} END AS INT) AS bucket
+      FROM (VALUES {probe_values}) t(probe, lvl, i, pre)),
+    dall AS (
+      SELECT * FROM (VALUES {all_probe_values}) t(probe)),
+    drank AS (
+      SELECT a.probe, CAST(COALESCE(SUM(rng), 0) AS BIGINT) AS est_rank
+      FROM dall a LEFT JOIN (
+        SELECT probe, lvl, pre,
+               MIN(COALESCE(s.cnt, 0)) AS rng
+        FROM dprobe p
+        LEFT JOIN dsk s USING (lvl, i, bucket)
+        GROUP BY 1, 2, 3) g ON g.probe = a.probe
+      GROUP BY a.probe)
     """

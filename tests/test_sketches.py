@@ -230,3 +230,102 @@ def test_balanced_sample_injected_counts_equal_self_computed(
     ka = sorted(r["o_orderkey"] for r in a.collect())
     kb = sorted(r["o_orderkey"] for r in b.collect())
     assert ka == kb and len(ka) > 0
+
+
+def test_dyadic_cms_parity_rank_bounds_and_merge(spark, sf_oracle):
+    """The dyadic quantile sketch: (a) cells AND probe rank estimates
+    bit-identical to the DuckDB replica; (b) est_rank >= true rank for
+    every probe (sum of per-range CMS overestimates); (c) merge =
+    elementwise addition reproduces the whole-corpus sketch; (d) the
+    driver-side quantile search lands within the sketch's rank-error
+    band of the true quantile."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sketches as SK,
+    )
+
+    LV = 6  # l_quantity lives in [1, 50] ⊂ [0, 2^6)
+    li = load_table(spark, sf_oracle, "lineitem")
+    vals = li.select(F.col("l_quantity").cast("long").alias("v"))
+    sk = SK.dyadic_cms_sketch(vals, "v", levels=LV)
+    cells = {
+        (r["lvl"], r["i"], r["bucket"]): r["cnt"] for r in sk.collect()
+    }
+    probes = [0, 1, 7, 13, 25, 37, 50, 64]
+    est = {
+        r["probe"]: r["est_rank"]
+        for r in SK.dyadic_rank_estimates(sk, probes, levels=LV).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM"
+        f" '{sf_oracle}/lineitem.parquet'"
+    )
+    cte = SK.duckdb_dyadic_cte("l_quantity", "lineitem", probes, levels=LV)
+    ocells = {
+        (lvl, i, b): c
+        for lvl, i, b, c in con.execute(
+            f"WITH {cte} SELECT lvl, i, bucket, cnt FROM dsk"
+        ).fetchall()
+    }
+    assert cells == ocells and len(cells) > 0
+    oest = dict(
+        con.execute(
+            f"WITH {cte} SELECT probe, est_rank FROM drank"
+        ).fetchall()
+    )
+    assert est == oest
+
+    truth = {
+        x: vals.where(F.col("v") < x).count() for x in probes
+    }
+    n = vals.count()
+    for x in probes:
+        assert est[x] >= truth[x], (x, est[x], truth[x])
+        # error budget: <= one CMS overestimate (2N/w whp) per
+        # decomposed range, <= LV+1 ranges — loose factor-4 band
+        assert est[x] - truth[x] <= 4 * (LV + 1) * 2 * n // SK.CMS_W + 1, x
+
+    # merge: two disjoint halves re-add to the whole-corpus sketch
+    a = SK.dyadic_cms_sketch(
+        vals.where(F.col("v") % 2 == 0), "v", levels=LV
+    )
+    b = SK.dyadic_cms_sketch(
+        vals.where(F.col("v") % 2 == 1), "v", levels=LV
+    )
+    merged = {
+        (r["lvl"], r["i"], r["bucket"]): r["cnt"]
+        for r in a.unionByName(b)
+        .groupBy("lvl", "i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert merged == cells
+
+    # quantiles: est_rank >= true-rank means the returned x can only
+    # sit at-or-left of where collision mass pushes it; assert the
+    # TRUE rank at the answer brackets q·N within the same error band
+    qs = [0.25, 0.5, 0.75]
+    got = SK.dyadic_quantiles(sk.collect(), qs, levels=LV)
+    err = 4 * (LV + 1) * 2 * n // SK.CMS_W + 1
+    for q, x in got.items():
+        true_lt = vals.where(F.col("v") < x).count()
+        true_le = vals.where(F.col("v") <= x).count()
+        assert true_lt - err <= q * n <= true_le + err, (q, x)
+
+    # domain contract: out-of-range and NULL rows drop loudly
+    bad = spark.createDataFrame(
+        [(70,), (-1,), (None,), (3,)], "v: bigint"
+    )
+    small = SK.dyadic_cms_sketch(bad, "v", levels=LV)
+    assert (
+        small.where("lvl = 0 AND i = 0")
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+        == 1
+    )
