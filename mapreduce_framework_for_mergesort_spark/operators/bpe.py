@@ -234,23 +234,39 @@ def chunk_words_by_budget(
       chunker never splits a word, so this is the only way to make
       progress past it);
     * consecutive spans share a suffix/prefix of whole words whose
-      token sum ≤ ``overlap_tokens`` — the LARGEST such suffix, so the
-      realized overlap is maximal within budget (and may be 0 words if
-      even the last word of the previous span exceeds it);
-    * starts strictly increase (guaranteed termination) and spans
-      cover every word: next_start ≤ previous_end.
+      token sum ≤ ``overlap_tokens`` — the LARGEST such suffix THAT
+      STILL LETS THE NEXT WINDOW COVER NEW WORDS (may be 0 words if
+      even the last word of the previous span exceeds the budget, or
+      if carrying it would crowd every fresh word out of the next
+      window's token budget — the stall a Hypothesis run caught: a
+      window fully contained in its predecessor is pure redundancy);
+    * ends strictly increase (every span covers at least one new
+      word), starts strictly increase, and spans cover every word:
+      next_start ≤ previous_end.
 
     Empty input → no spans.  Pure function; the Arrow kernel and the
     tests' literal Python reference both call or replicate exactly
     this."""
-    spans: list[tuple[int, int]] = []
-    n = len(counts)
-    s = 0
-    while s < n:
+
+    def extent(s: int) -> int:
         e, tot = s, 0
         while e < n and (e == s or tot + counts[e] <= chunk_tokens):
             tot += counts[e]
             e += 1
+        return e
+
+    spans: list[tuple[int, int]] = []
+    n = len(counts)
+    s = 0
+    while s < n:
+        e = extent(s)
+        if spans and e <= spans[-1][1]:
+            # stalled: the carried overlap crowds out every new word —
+            # shed overlap one word at a time (greedy extent is
+            # monotone in the start, so the first progressing start is
+            # the maximal overlap subject to progress)
+            s += 1
+            continue
         spans.append((s, e))
         if e >= n:
             break

@@ -188,15 +188,19 @@ def _literal_bpe_chunks(docs, merges, chunk, overlap):
     for doc_id, text in docs:
         words = TOKEN_RE.findall(text or "")
         counts = [len(B.segment_word(w, ranks)) for w in words]
-        s, idx = 0, 0
+        s, idx, last_e = 0, 0, -1
         while s < len(words):
             e = s + 1  # a window always takes its first word
             tot = counts[s]
             while e < len(words) and tot + counts[e] <= chunk:
                 tot += counts[e]
                 e += 1
+            if e <= last_e:  # stalled on carried overlap: shed a word
+                s += 1
+                continue
             out.append((doc_id, idx, " ".join(words[s:e]), tot))
             idx += 1
+            last_e = e
             if e >= len(words):
                 break
             ns = e
@@ -242,9 +246,17 @@ def test_bpe_chunker_invariants_and_edges(spark):
     merges = B.train_bpe(_toy_corpus(spark), num_merges=4)
     ranks = {p: i for i, p in enumerate(merges)}
 
+    def extent(counts, s, chunk):
+        e, tot = s, 0
+        while e < len(counts) and (e == s or tot + counts[e] <= chunk):
+            tot += counts[e]
+            e += 1
+        return e
+
     # pure-rule invariants across a grid of budgets and count shapes
     for counts in (
         [], [1], [7], [2, 3, 2, 5, 1, 1, 4], [5, 5, 5], [1] * 20,
+        [1, 1, 3],  # the Hypothesis-found stall shape
     ):
         for chunk, overlap in ((5, 2), (5, 0), (3, 1), (10, 4)):
             spans = B.chunk_words_by_budget(counts, chunk, overlap)
@@ -253,10 +265,15 @@ def test_bpe_chunker_invariants_and_edges(spark):
                 continue
             assert spans[0][0] == 0 and spans[-1][1] == len(counts)
             for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
-                assert s2 > s1 and s2 <= e1  # progress + coverage
+                assert s1 < s2 <= e1 < e2  # progress + coverage + new words
                 assert sum(counts[s2:e1]) <= overlap  # overlap budget
-                if s2 > s1 + 1:  # maximality of the shared suffix
-                    assert sum(counts[s2 - 1 : e1]) > overlap
+                if s2 > s1 + 1:
+                    # maximal shared suffix — within budget, unless a
+                    # wider one would stall the window (no new words)
+                    assert (
+                        sum(counts[s2 - 1 : e1]) > overlap
+                        or extent(counts, s2 - 1, chunk) <= e1
+                    )
             for s, e in spans:
                 assert e > s
                 assert sum(counts[s:e]) <= chunk or e == s + 1
@@ -287,3 +304,44 @@ def test_bpe_chunker_invariants_and_edges(spark):
 
     with pytest.raises(ValueError):
         B.chunk_documents_bpe(docs, merges, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_words_by_budget_hypothesis():
+    """Property-test the pure spanning rule across random count
+    vectors and budgets: coverage, progress, budget, maximal overlap —
+    the same invariants as the grid test, but adversarially searched."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def extent(counts, s, chunk):
+        e, tot = s, 0
+        while e < len(counts) and (e == s or tot + counts[e] <= chunk):
+            tot += counts[e]
+            e += 1
+        return e
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        counts=st.lists(st.integers(1, 9), max_size=40),
+        chunk=st.integers(2, 12),
+        overlap_frac=st.integers(0, 99),
+    )
+    def check(counts, chunk, overlap_frac):
+        overlap = (chunk - 1) * overlap_frac // 100
+        spans = B.chunk_words_by_budget(counts, chunk, overlap)
+        if not counts:
+            assert spans == []
+            return
+        assert spans[0][0] == 0 and spans[-1][1] == len(counts)
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s1 < s2 <= e1 < e2
+            assert sum(counts[s2:e1]) <= overlap
+            if s2 > s1 + 1:
+                assert (
+                    sum(counts[s2 - 1 : e1]) > overlap
+                    or extent(counts, s2 - 1, chunk) <= e1
+                )
+        for s, e in spans:
+            assert sum(counts[s:e]) <= chunk or e == s + 1
+
+    check()
