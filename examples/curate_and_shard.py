@@ -16,8 +16,10 @@ in its module):
 3. per-split sequence packing and range-partitioned shard writes with
    a token-conserving manifest (``pipelines.prepare_training_shards``);
 4. corpus analytics on the result: BM25 retrieval over the curated
-   set, a Count-Min frequency sketch with its ≥-true guarantee, and
-   sliding-window chunking of one shard's documents.
+   set, a Count-Min frequency sketch with its ≥-true guarantee,
+   sliding-window chunking (whitespace AND tokenizer-true BPE
+   budgets), a per-benchmark-item contamination report, and
+   sort-free quantiles from the dyadic Count-Min sketch.
 
 Everything here is deterministic: rerunning produces the same rows,
 splits, packs, and estimates (hash-keyed decisions, no RNG state).
@@ -35,7 +37,11 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark import pipelines
 from mapreduce_framework_for_mergesort_spark.io import load_table
-from mapreduce_framework_for_mergesort_spark.operators import sketches
+from mapreduce_framework_for_mergesort_spark.operators import (
+    bpe,
+    dedup,
+    sketches,
+)
 from mapreduce_framework_for_mergesort_spark.operators.text import (
     bm25_topk,
     chunk_documents,
@@ -89,9 +95,42 @@ def main() -> None:
     print("language frequencies, sketch vs truth (est >= true always):")
     est.orderBy(F.desc("c")).show()
 
-    # 4c. context-window chunking of the curated docs
+    # 4c. context-window chunking of the curated docs — whitespace
+    # windows, then the tokenizer-TRUE variant under a corpus-trained
+    # BPE vocabulary (round 5): windows budgeted in learned subwords,
+    # word boundaries kept, maximal whole-word overlap
     chunks = chunk_documents(curated, chunk_tokens=64, overlap_tokens=16)
     print("chunks:", chunks.count(), "from", n_curated, "docs")
+    merges = bpe.train_bpe(curated, num_merges=100, top_words=4000)
+    bchunks = bpe.chunk_documents_bpe(
+        curated, merges, chunk_tokens=64, overlap_tokens=16
+    )
+    print(
+        "BPE-budgeted chunks:",
+        bchunks.count(),
+        f"(vocabulary: {len(merges)} merges)",
+    )
+
+    # 4d. eval-set leakage report (round 5): treat a fixed slice of
+    # the corpus as the "benchmark" and report, per benchmark item,
+    # how many curated documents share a long n-gram with it — the
+    # audit an eval owner reads before trusting a score
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    report = dedup.contamination_report(curated, bench)
+    print("contamination report (top leaking benchmark items):")
+    report.orderBy(F.desc("n_docs_hit"), "bench_id").show(5)
+
+    # 4e. streaming-grade quantiles without a sort (round 5): the
+    # dyadic Count-Min sketch answers rank/quantile queries from
+    # bounded mergeable state; quartiles of per-doc token counts
+    counts = bchunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("v")
+    )
+    dsk = sketches.dyadic_cms_sketch(counts, "v", levels=16)
+    qs = sketches.dyadic_quantiles(
+        dsk.collect(), [0.25, 0.5, 0.75], levels=16
+    )
+    print("token-count quartiles from the dyadic sketch:", qs)
 
 
 if __name__ == "__main__":
