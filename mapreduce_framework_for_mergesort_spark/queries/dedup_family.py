@@ -285,7 +285,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_ngram_jaccard",
-    oracle=_duckdb_bands_cte()
+    oracle=_duckdb_bands_cte(from_reps=True)
     + f""",
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -304,6 +304,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e a ON a.doc_id = c.doc_a
       JOIN e b ON b.doc_id = c.doc_b AND a.s = b.s
       GROUP BY 1, 2),
+    exedges AS (
+      SELECT r.doc_id AS doc_a, d.doc_id AS doc_b
+      FROM documents d
+      JOIN reps r ON d.text = r.text
+      WHERE d.doc_id > r.doc_id),
     {D.duckdb_dup_spans_cte()},
     {D.duckdb_strip_cte()},
     strip_rows AS (
@@ -316,6 +321,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS DOUBLE) AS val2
     FROM p
     WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {JACCARD_TAU}
+    UNION ALL
+    SELECT 'pair' AS part, doc_a, doc_b,
+           CAST(1 AS DOUBLE) AS val, CAST(NULL AS DOUBLE) AS val2
+    FROM exedges
     UNION ALL
     SELECT 'span' AS part, doc_id AS doc_a,
            CAST(span_start AS BIGINT) AS doc_b,
@@ -335,8 +344,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical near-dup as a tagged union (round 4 added the ``span``
     tier):
 
-    * ``pair`` — LSH band candidates → exact 3-gram Jaccard
-      verification ≥ τ (doc_a/doc_b = the pair, val = jaccard);
+    * ``pair`` — LSH band candidates over exact-dup REPRESENTATIVES →
+      exact 3-gram Jaccard verification ≥ τ (doc_a/doc_b = the pair,
+      val = jaccard), plus one (representative, replica) edge per
+      byte-identical copy with val = 1.0 (round 5 — the same collapse
+      as the minhash/simhash tiers: replicas of a verified pair would
+      re-verify identical shingle sets for a guaranteed jaccard of 1,
+      quadratic in duplication; identical text has Jaccard 1 by
+      definition, including shingle-less short docs the banded tier
+      cannot see);
     * ``span`` — position-level duplicate-substring spans (Lee et
       al. '21 reformulated as positional k-gram matching, k=8):
       doc_a = doc_id, doc_b = span start (token index), val = span
@@ -351,12 +367,33 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
     lit = F.lit
-    pairs = D.ngram_jaccard_pairs(docs, JACCARD_TAU).select(
-        lit("pair").alias("part"),
-        "doc_a",
-        "doc_b",
-        F.col("jaccard").alias("val"),
-        lit(None).cast("double").alias("val2"),
+    # Exact-dup representative collapse, same round-5 treatment as the
+    # minhash/simhash pair tiers: band + Jaccard-verify only one doc
+    # per distinct text (replicas of a verified pair would re-verify
+    # the identical shingle sets — quadratic in duplication for a
+    # guaranteed jaccard of 1), and re-attach replicas through linear
+    # (representative, replica) edges with val = 1.0 — byte-identical
+    # text has Jaccard 1 by definition (including docs too short to
+    # shingle, which the banded tier can't even see).
+    hashed = materialize(D.content_hashes(docs))
+    rep_docs = docs.join(
+        D.exact_rep_ids(docs, hashed=hashed), "doc_id", "semi"
+    )
+    pairs = (
+        D.ngram_jaccard_pairs(rep_docs, JACCARD_TAU)
+        .select("doc_a", "doc_b", F.col("jaccard").alias("val"))
+        .unionByName(
+            D.exact_dup_edges(docs, hashed=hashed).select(
+                "doc_a", "doc_b", lit(1.0).alias("val")
+            )
+        )
+        .select(
+            lit("pair").alias("part"),
+            "doc_a",
+            "doc_b",
+            "val",
+            lit(None).cast("double").alias("val2"),
+        )
     )
     # one tokenize→window→md5 pass feeds both span branches (each
     # consumes it twice: gram-count side + position side)
