@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_for_mergesort_spark.functions import hashing as H
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
 
 NUM_PLANES = 8
@@ -669,3 +670,71 @@ def lsh_bucketed_topk(
         "vec_id", F.expr(V.spark_cosine("embedding", "qe")).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+
+
+# --- deterministic feature-hash embeddings ---------------------------------
+
+FH_SALT = "#fh"  # decorrelates bucket/sign bits from every other decision
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Signed feature hashing (Weinberger et al. '09, "Feature Hashing
+    for Large Scale Multitask Learning"): embed the token multiset of
+    ``text_col`` into R^``dim`` — component i = Σ over tokens with
+    bucket(token) = i of sign(token) — making the WHOLE similarity
+    stack (brute-force cosine, LSH buckets, IVF cells, PQ codes,
+    IVFADC, embedding near-dup) usable over raw text and chunks with
+    no external model: the embedding is a pure deterministic function
+    of the text, so it is rerun-, partitioning-, and engine-exact
+    (integer counts, surfaced as exactly-representable floats and
+    replicated verbatim by ``duckdb_feature_hash_sql``).
+
+    Not a learned embedding — inner products approximate token-multiset
+    overlap (the hashing-trick guarantee), which is exactly the
+    lexical-similarity signal the dedup/retrieval tiers want when no
+    model is available.
+
+    100 TB shape: ONE JVM projection per row — one md5 per token
+    (bucket AND sign derive from the same hash value: low bits vs the
+    next bit up), then an O(dim·n_tokens) fold building the component
+    array; no shuffle, no Python, no vocabulary state."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    h = H.spark_base_hash(f"t || '{FH_SALT}'")
+    hvs = f"transform(fts, t -> {h})"
+    acc = (
+        f"aggregate({hvs}, "
+        f"array_repeat(CAST(0 AS BIGINT), {dim}), "
+        f"(acc, hv) -> transform(acc, (v, i) -> v + "
+        f"IF(pmod(hv, {dim}) = i, "
+        f"IF(pmod(hv div {dim}, 2) = 0, CAST(1 AS BIGINT), "
+        f"CAST(-1 AS BIGINT)), CAST(0 AS BIGINT))))"
+    )
+    expr = H.let(
+        H.spark_tokens(text_col),
+        "fts",
+        f"transform({acc}, v -> CAST(v AS FLOAT))",
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def duckdb_feature_hash_sql(text_sql: str = "text", dim: int = 64) -> str:
+    """Oracle mirror of ``feature_hash_embed``'s vector expression —
+    same salted hash, same bucket/sign bit split, integer sums
+    surfaced as FLOAT."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    h = H.duckdb_base_hash(f"t || '{FH_SALT}'")
+    hvs = f"list_transform({H.duckdb_tokens(text_sql)}, t -> {h})"
+    return (
+        f"list_transform(range(0, {dim}), i -> CAST(COALESCE("
+        f"list_sum(list_transform({hvs}, hv -> "
+        f"CASE WHEN hv % {dim} = i THEN "
+        f"(CASE WHEN (hv // {dim}) % 2 = 0 THEN 1 ELSE -1 END) "
+        f"ELSE 0 END)), 0) AS FLOAT))"
+    )

@@ -2313,3 +2313,63 @@ def test_contamination_report_parity_and_consistency(spark, sf_oracle):
         """).fetchall()
     }
     assert flagged == hit_docs_expected
+
+
+def test_feature_hash_embed_parity_and_retrieval(spark, sf_oracle):
+    """Deterministic feature-hash embeddings: vectors bit-identical to
+    the DuckDB mirror over the real corpus; identical texts embed
+    identically (cosine exactly 1 through the existing exact fold);
+    and the vectors flow through the stock ANN stack (brute-force
+    cosine retrieval with self-similarity on top)."""
+    import duckdb
+
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        similarity as S,
+    )
+
+    DIM = 32
+    docs = load_table(spark, sf_oracle, "documents")
+    emb = S.feature_hash_embed(docs, dim=DIM)
+    got = {
+        r["doc_id"]: [float(v) for v in r["embedding"]]
+        for r in emb.select("doc_id", "embedding").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf_oracle}/documents.parquet'"
+    )
+    want = {
+        d: [float(v) for v in vec]
+        for d, vec in con.execute(
+            f"SELECT doc_id, {S.duckdb_feature_hash_sql('text', DIM)}"
+            f" FROM documents"
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+    assert any(any(v != 0.0 for v in vec) for vec in got.values())
+
+    # identical text => identical vector => cosine exactly 1.0
+    two = spark.createDataFrame(
+        [(1, "the same text twice over"), (2, "the same text twice over")],
+        ["doc_id", "text"],
+    )
+    e2 = S.feature_hash_embed(two, dim=DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    top = S.brute_force_topk(e2, 1, 2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    # identical vectors: cosine is 1 up to the fold's sqrt rounding
+    assert abs(top[1]["score"] - 1.0) < 1e-12
+
+    # the vectors drive the stock ANN machinery end-to-end
+    ids = (
+        docs.where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    vecs = S.feature_hash_embed(ids, dim=DIM).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    bf = [r["vec_id"] for r in S.brute_force_topk(vecs, 0, 5).collect()]
+    assert len(bf) == 5 and bf[0] == 0  # self-similarity tops the list
