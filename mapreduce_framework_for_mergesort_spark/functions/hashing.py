@@ -337,11 +337,16 @@ def duckdb_simhash(toks: str) -> str:
 
 def simhash_udf():
     """Arrow-batched simhash with the IDENTICAL definition as
-    ``spark_simhash`` (one md5 per token; majority vote over each of the
-    48 bits of the first 12 hex digits, ties vote 0).  The SQL
+    ``spark_simhash`` (one md5 per token TYPE; majority vote over each
+    of the 48 bits of the first 12 hex digits, ties vote 0).  The SQL
     expression makes SIMHASH_BITS interpreted passes over the per-token
     hash list; the kernel makes one and is pinned to the expression in
-    tests."""
+    tests.
+
+    A per-task token→bit-row memo collapses repeated word types (the
+    same Zipf argument as the BPE kernels): the 100× spot-check showed
+    the per-occurrence md5 as this tier's per-byte floor, and most
+    occurrences in real text are repeats of a few thousand types."""
     import hashlib
 
     from pyspark.sql.functions import pandas_udf
@@ -351,23 +356,29 @@ def simhash_udf():
 
     @pandas_udf("long")
     def sim(text: pd.Series) -> pd.Series:
+        memo: dict[str, np.ndarray] = {}
         out = np.zeros(len(text), dtype=np.int64)
         for ix, s in enumerate(text):
             toks = TOKEN_RE.findall(s)
             if not toks:
                 continue  # no tokens → every vote fails → 0, like the SQL
-            digs = "".join(
-                hashlib.md5(t.encode()).hexdigest()[:SIMHASH_HEX_DIGITS]
-                for t in toks
-            )
-            M = np.frombuffer(digs.encode(), dtype=np.uint8).reshape(
-                len(toks), SIMHASH_HEX_DIGITS
-            )
-            # hex char → value: '0'-'9' are 48-57, 'a'-'f' are 97-102
-            V = (M - 48 - (M >= 97) * 39).astype(np.uint8)
-            # (tokens, digits, 4) bit planes, MSB first → (tokens, 48)
-            B = (V[:, :, None] >> shifts[None, None, :]) & 1
-            votes = B.reshape(len(toks), SIMHASH_BITS).sum(axis=0)
+            rows = np.empty((len(toks), SIMHASH_BITS), dtype=np.uint8)
+            for j, t in enumerate(toks):
+                b = memo.get(t)
+                if b is None:
+                    digs = hashlib.md5(t.encode()).hexdigest()[
+                        :SIMHASH_HEX_DIGITS
+                    ]
+                    M = np.frombuffer(digs.encode(), dtype=np.uint8)
+                    # hex char → value: '0'-'9' 48-57, 'a'-'f' 97-102
+                    V = (M - 48 - (M >= 97) * 39).astype(np.uint8)
+                    # (digits, 4) bit planes, MSB first → (48,)
+                    b = ((V[:, None] >> shifts[None, :]) & 1).reshape(
+                        SIMHASH_BITS
+                    )
+                    memo[t] = b
+                rows[j] = b
+            votes = rows.sum(axis=0, dtype=np.int64)
             out[ix] = int(((2 * votes > len(toks)) * weights).sum())
         return pd.Series(out)
 
