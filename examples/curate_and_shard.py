@@ -40,6 +40,7 @@ from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import (
     bpe,
     dedup,
+    similarity,
     sketches,
 )
 from mapreduce_framework_for_mergesort_spark.operators.text import (
@@ -131,6 +132,27 @@ def main() -> None:
         dsk.collect(), [0.25, 0.5, 0.75], levels=16
     )
     print("token-count quartiles from the dyadic sketch:", qs)
+
+    # 4f. model-free vector retrieval over the chunks (round 5):
+    # feature-hash embeddings are a pure deterministic function of the
+    # text, so the whole ANN stack runs with no external model — here
+    # a brute-force cosine top-3 of chunks for a text query embedded
+    # through the same operator
+    chunk_ids = bchunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("vec_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    qdf = spark.createDataFrame(
+        [(-1, "merge sort spark shuffle")], ["vec_id", "text"]
+    )
+    pool = similarity.feature_hash_embed(
+        chunk_ids.unionByName(qdf), dim=64
+    ).select("vec_id", "embedding")
+    hits = similarity.brute_force_topk(pool, -1, 4).where(
+        F.col("vec_id") != -1
+    )
+    print("feature-hash chunk retrieval for 'merge sort spark shuffle':")
+    hits.show(3)
 
 
 if __name__ == "__main__":
