@@ -378,6 +378,13 @@ _DY_ABC = [
 ]
 
 
+def _check_levels(levels: int) -> None:
+    """Shared bound for every dyadic entry point — see the overflow
+    note in ``dyadic_cms_sketch``."""
+    if not 1 <= levels <= 31:
+        raise ValueError(f"levels must be in [1, 31], got {levels}")
+
+
 def dyadic_bucket_expr(i: int, lvl: int, u_sql: str, w: int = CMS_W) -> str:
     """Row ``i``'s bucket for dyadic prefix ``u_sql`` at level ``lvl``
     — one SQL string valid verbatim in both engines (all operands
@@ -412,8 +419,13 @@ def dyadic_cms_sketch(
     on (lvl, i, bucket), exactly like ``cms_merge``."""
     if not 1 <= d <= len(_DY_ABC):
         raise ValueError(f"d must be in [1, {len(_DY_ABC)}], got {d}")
-    if not 1 <= levels <= 40:
-        raise ValueError(f"levels must be in [1, 40], got {levels}")
+    # levels capped at 31: the affine bucket is a·prefix + c·lvl + b
+    # with a, b, c < 2^31 and prefix < 2^levels, so the product stays
+    # under 2^62 only for levels ≤ 31.  Beyond that Spark (non-ANSI)
+    # silently wraps int64 while the driver-side Python in
+    # dyadic_quantiles/dyadic_rank_estimates computes with unbounded
+    # ints — the sketch and the estimator would silently diverge.
+    _check_levels(levels)
     cells = F.array(
         *[
             F.struct(
@@ -475,6 +487,7 @@ def dyadic_rank_estimates(
     The decomposition rows are driver-built pure-int metadata
     (≤ (levels+1) cells per probe) and the sketch side broadcasts —
     no corpus access at all."""
+    _check_levels(levels)
     spark = sketch.sparkSession
     all_probes = spark.createDataFrame(
         [(int(x),) for x in sorted(set(probes))], "probe: bigint"
@@ -530,11 +543,20 @@ def dyadic_quantiles(
 ) -> dict[float, int]:
     """Driver-side quantile answers from a COLLECTED sketch (bounded
     index metadata: ≤ (levels+1)·d·w rows — the same collect budget as
-    the IVF/PQ codebooks).  For each q: the smallest x with
-    est_rank(x) ≥ ceil(q·N), found by binary search on the integer
-    domain; N is exact (any (lvl, i) row of the sketch sums to N by
-    construction — every in-domain value increments one bucket per
-    row).  Deterministic: pure integer arithmetic over the cells."""
+    the IVF/PQ codebooks).  For each q: binary search on the integer
+    domain for an x with est_rank(x) ≥ ceil(q·N).  APPROXIMATE, not
+    exact-minimal: est_rank is not monotone in x (the dyadic
+    decomposition changes wholesale at power-of-two boundaries, and a
+    single coarse cell can estimate below the sum of the finer
+    overestimates it covers), so the search is a heuristic that can
+    return a non-minimal x or one whose est_rank is below target —
+    the answer stays within the CMS error band (rank error ≤ levels ·
+    εN with the usual CMS ε = e/w at confidence 1 − (1/e)^d), which
+    is the guarantee callers should rely on.  N is exact (any
+    (lvl, i) row of the sketch sums to N by construction — every
+    in-domain value increments one bucket per row).  Deterministic:
+    pure integer arithmetic over the cells."""
+    _check_levels(levels)
     cells: dict[tuple[int, int, int], int] = {}
     for r in sketch_rows:
         cells[(r["lvl"], r["i"], r["bucket"])] = r["cnt"]
@@ -590,6 +612,7 @@ def duckdb_dyadic_cte(
     given probes — same affine buckets (``dyadic_bucket_expr``
     verbatim), same decomposition (``dyadic_decompose`` emitted as
     literal rows), same left-join-coalesce min-then-sum."""
+    _check_levels(levels)
     cell_branches = "\n      UNION ALL ".join(
         f"SELECT {lvl} AS lvl, {i} AS i,"
         f" CAST({dyadic_bucket_expr(i, lvl, f'(v >> {lvl})', w)} AS INT)"

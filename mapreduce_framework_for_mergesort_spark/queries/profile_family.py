@@ -409,14 +409,19 @@ l_uniq AS (
          COUNT(DISTINCT l_orderkey, l_linenumber) AS n_keys
   FROM __qps_lineitem___QPS_SFX__),
 kmvsk AS (
-  SELECT DISTINCT {_KMV_H} AS h FROM truth ORDER BY h LIMIT {sketches.KMV_K}),
+  -- NULL filter BEFORE the ORDER BY/LIMIT (matches kmv_min_hashes):
+  -- Spark sorts NULLS FIRST, so a post-limit filter would let NULL h
+  -- evict real hashes from the sketch.  Safe either way on today's
+  -- non-null md5 truth keys, but kept exact for copy-paste reuse.
+  SELECT DISTINCT {_KMV_H} AS h FROM truth
+  WHERE {_KMV_H} IS NOT NULL
+  ORDER BY h LIMIT {sketches.KMV_K}),
 kmv AS (
   SELECT kk,
          CASE WHEN kk < {sketches.KMV_K} THEN kk
               ELSE (kk - 1) * CAST({sketches.KMV_SPACE} AS BIGINT) div hk
          END AS est_distinct
-  FROM (SELECT COUNT(1) AS kk, MAX(h) AS hk
-        FROM (SELECT h FROM kmvsk WHERE h IS NOT NULL) z) a),
+  FROM (SELECT COUNT(1) AS kk, MAX(h) AS hk FROM kmvsk) a),
 cmsk AS (
   SELECT cell.i AS i, cell.bucket AS bucket, SUM(__wt) AS cnt
   FROM (SELECT {_CMS_H} AS __h, c AS __wt FROM truth) ci

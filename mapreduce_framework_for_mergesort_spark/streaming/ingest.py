@@ -107,6 +107,28 @@ def _read_optional(spark, path: str) -> DataFrame | None:
     return df
 
 
+def _max_persisted_epoch(spark, path: str) -> int | None:
+    """Largest ``epoch=N`` partition under ``path``, from a FILESYSTEM
+    LISTING (Hadoop FS API — no data scan, works on any scheme).
+    None if the dir is absent or holds no epoch partitions."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jpath.getFileSystem(conf)
+    if not fs.exists(jpath):
+        return None
+    best: int | None = None
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            try:
+                e = int(name[len("epoch="):])
+            except ValueError:
+                continue
+            best = e if best is None or e > best else best
+    return best
+
+
 def _exclude_epoch(df: DataFrame | None, epoch: int | None):
     """Drop the current epoch's own partitions from an index read — a
     retried epoch must decide against PRIOR history only, never its own
@@ -129,8 +151,26 @@ def accept_batch(
     rows.  With ``epoch`` (the stream path, or a deterministic
     backfill) all three writes are idempotent per-epoch overwrites —
     exactly-once under retries; ``epoch=None`` keeps the legacy
-    flat-append layout (at-least-once)."""
+    flat-append layout (at-least-once).
+
+    Replay guard: an epoch may only be replayed while it is still the
+    LATEST persisted epoch.  Replaying an older epoch after later
+    epochs have committed would let the accept decision see those
+    later partitions and reject docs the original run accepted —
+    leaving the epoch's partition silently different instead of
+    byte-identical.  Structured Streaming's serialized epochs never
+    hit this; the guard exists for the directly-callable backfill
+    path, which raises ``ValueError`` instead of corrupting state."""
     spark = batch.sparkSession
+    if epoch is not None:
+        persisted = _max_persisted_epoch(spark, f"{index_path}/hashes")
+        if persisted is not None and epoch < persisted:
+            raise ValueError(
+                f"epoch {epoch} is older than the latest persisted "
+                f"epoch {persisted}: replay is only idempotent for the "
+                "latest epoch (older epochs' accept decisions would "
+                "see later history and diverge)"
+            )
     hashed = batch.withColumn(
         "__h", F.md5(F.col("text").cast("binary"))
     )

@@ -330,6 +330,21 @@ def test_dyadic_cms_parity_rank_bounds_and_merge(spark, sf_oracle):
         == 1
     )
 
+    # overflow bound (round-5 advisory): levels > 31 would push the
+    # affine bucket product past 2^63 where Spark silently wraps but
+    # the driver-side Python does not — every dyadic entry point must
+    # refuse loudly
+    import pytest
+
+    for fn in (
+        lambda: SK.dyadic_cms_sketch(bad, "v", levels=32),
+        lambda: SK.dyadic_rank_estimates(small, [1], levels=32),
+        lambda: SK.dyadic_quantiles([], [0.5], levels=32),
+        lambda: SK.duckdb_dyadic_cte("v", "t", [1], levels=32),
+    ):
+        with pytest.raises(ValueError, match=r"\[1, 31\]"):
+            fn()
+
 
 def test_dyadic_sketch_stream_equals_batch_and_is_idempotent(
     spark, sf_oracle, tmp_path

@@ -254,6 +254,31 @@ def test_ingest_epoch_retry_is_exactly_once(spark, tmp_path):
     assert _full_state(spark, out, idx) == want
 
 
+def test_ingest_stale_epoch_replay_refused(spark, tmp_path):
+    """Replaying an epoch OLDER than the latest persisted one must
+    raise, not silently rewrite: the accept decision would see later
+    epochs' partitions and could reject docs the original run accepted,
+    leaving the old epoch's partition different instead of
+    byte-identical (round-5 advisory).  Replaying the LATEST epoch
+    stays allowed — that is the retry case exactly-once relies on."""
+    import pytest
+
+    out = str(tmp_path / "out_st")
+    idx = str(tmp_path / "idx_st")
+    a = spark.createDataFrame(BATCH_A, ["doc_id", "text"])
+    b = spark.createDataFrame(BATCH_B, ["doc_id", "text"])
+    I.accept_batch(a, idx, out, epoch=0)
+    I.accept_batch(b, idx, out, epoch=1)
+    want = _full_state(spark, out, idx)
+    with pytest.raises(ValueError, match="older than the latest"):
+        I.accept_batch(a, idx, out, epoch=0)
+    # refused replay left every byte of state untouched
+    assert _full_state(spark, out, idx) == want
+    # latest-epoch replay still allowed and still idempotent
+    I.accept_batch(b, idx, out, epoch=1)
+    assert _full_state(spark, out, idx) == want
+
+
 def test_ingest_stream_is_epoch_keyed(spark, tmp_path):
     """The streaming wrapper passes the real epoch id through, so a
     drained stream leaves an epoch-partitioned (retry-idempotent)
