@@ -161,6 +161,97 @@ def duckdb_base_hash(s: str) -> str:
     return f"CAST('0x' || substring(md5({s}), 1, 8) AS BIGINT)"
 
 
+# --- 48-bit gram hash -------------------------------------------------------
+# The positional-gram tiers (dup_spans/strip_dup_spans) group and join a
+# CORPUS-SIZED table on the gram key, so the key must be (a) an int64 —
+# a 32-char md5 hex string quadruples shuffle bytes and makes every
+# comparison a string compare (round-5 review: the suite's top cost
+# center) — and (b) wide enough that hash equality ≈ gram equality:
+# 32 bits (md5_32) collides at ~100 pairs per 10^6 distinct grams
+# (birthday), each collision minting a FALSE duplicate span; 48 bits
+# pushes that to ~2·10^-3 expected collisions at 10^6 and ~20 at 10^9 —
+# negligible against the k-gram reformulation's own fringe-token
+# resolution limit.  First 12 md5 hex chars < 2^48: exact int64 in all
+# three engines.
+
+GRAM_HEX_DIGITS = 12
+
+
+def spark_gram_hash(s: str) -> str:
+    return (
+        f"CAST(conv(substring(md5({s}), 1, {GRAM_HEX_DIGITS}), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def duckdb_gram_hash(s: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5({s}), 1, {GRAM_HEX_DIGITS}) AS BIGINT)"
+    )
+
+
+def py_gram_hash(s: str) -> int:
+    """Kernel spelling of the same 48-bit gram hash (hex-identical md5
+    across hashlib/JVM/DuckDB, same first-12-digit prefix)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:GRAM_HEX_DIGITS], 16)
+
+
+def gram_rows_udf(k: int):
+    """Arrow-batched positional k-gram pass: per document, the array of
+    ``(pos, g)`` window rows (1-based token position, 48-bit gram hash)
+    — the IDENTICAL definition as ``dedup.positional_ngrams_sql``, which
+    it is pinned to row-for-row in tests.  The SQL form pays one
+    interpreted concat+md5 per window inside a HOF lambda (HOFs never
+    enter codegen); the kernel makes one Arrow pass with two memos:
+
+    * window→hash — the duplicated material this pass exists to find is
+      exactly the material that repeats, so hot boilerplate windows hash
+      once per task (the simhash kernel's Zipf argument, one level up);
+    * text→rows — byte-identical documents (the dominant duplication
+      mode in replicated corpora and the 100× spot-check) skip
+      tokenization entirely.
+
+    Both memos are per-Arrow-batch (bounded by task input size, the
+    same budget as the simhash/BPE memos)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<pos: int, g: long>>")
+    def grams(text: pd.Series) -> pd.Series:
+        doc_memo: dict[str, list] = {}
+        win_memo: dict[str, int] = {}
+        out = []
+        for s in text:
+            hit = doc_memo.get(s)
+            if hit is None:
+                toks = TOKEN_RE.findall(s)
+                hit = []
+                if len(toks) >= k:
+                    join = " ".join
+                    md5 = hashlib.md5
+                    get = win_memo.get
+                    for i in range(len(toks) - k + 1):
+                        w = join(toks[i : i + k])
+                        g = get(w)
+                        if g is None:
+                            g = int(
+                                md5(w.encode()).hexdigest()[
+                                    :GRAM_HEX_DIGITS
+                                ],
+                                16,
+                            )
+                            win_memo[w] = g
+                        hit.append((i + 1, g))
+                doc_memo[s] = hit
+            out.append(hit)
+        return pd.Series(out)
+
+    return grams
+
+
 def spark_minhash(shingles: str, k: int) -> str:
     a, b = MINHASH_AB[k]
     return (

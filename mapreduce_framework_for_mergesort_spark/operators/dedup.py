@@ -840,31 +840,49 @@ def ngram_jaccard_pairs(
     the 10× scale run (SCALE_NOTES.md).  Blocking bounds work to
     |candidates| × |shingles per doc|.
 
-    Per-pair intersection uses the shingle-equality join count
-    (multiset-product counting — the DuckDB oracle mirrors the identical
-    formulation); |A∪B| = |A|+|B|−|A∩B|; the division is one double op.
+    Exact verification (round 6): the corpus is first PRUNED to the
+    docs that appear in any candidate pair (a semi-join against the
+    candidate id set — AQE broadcasts it when small, which it is by
+    construction: candidates are bounded by true near-duplication),
+    then each pair intersects its two DISTINCT-shingle arrays in one
+    codegen ``array_intersect``.  |A∪B| = |A|+|B|−|A∩B|; the division
+    is one double op.  The previous shingle-equality explode-join
+    re-shingled the ENTIRE corpus twice and paid two shuffles plus a
+    groupBy to verify a few hundred pairs (round-5 review: the suite's
+    top cost center); set-intersection of the same distinct sets is
+    value-identical, so the DuckDB oracle's multiset-product-count
+    formulation still compares hash-for-hash.
     """
     if candidates is None:
         candidates = lsh_candidate_pairs(minhash_bands(documents))
-    sh = (
-        _with_shingles(documents)
-        .where(F.size("__sh") > 0)
-        .select("doc_id", F.size("__sh").alias("n_sh"), F.explode("__sh").alias("s"))
+    # consumed twice (id-prune + pair join) — cut the band self-join
+    # lineage instead of re-running it
+    candidates = _materialize(candidates)
+    ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = (
+        _with_shingles(documents.join(ids, "doc_id", "semi"))
+        .where(F.size("__sh") > 0)
+        .select("doc_id", F.size("__sh").alias("n_sh"), "__sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.col("__sh").alias("__sa"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.col("__sh").alias("__sb"),
+    )
     return (
-        candidates.alias("c")
-        .join(a, F.col("a.doc_id") == F.col("c.doc_a"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("c.doc_b"))
-            & (F.col("a.s") == F.col("b.s")),
-        )
-        .groupBy("c.doc_a", "c.doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n_sh")).alias("na"),
-            F.first(F.col("b.n_sh")).alias("nb"),
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("__sa", "__sb"))
         )
         .withColumn(
             "jaccard",
@@ -1003,26 +1021,82 @@ DUP_SPAN_K = 8  # span granularity: repeated runs of >= k tokens
 
 def positional_ngrams(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     """(doc_id, pos, g): every k-token window with its 1-based token
-    position; ``g`` is md5 of the space-joined window (md5, not
-    xxhash64, so the DuckDB oracle computes the identical key), so the
-    corpus-wide shuffle moves 32-byte digests, never the window text.
+    position; ``g`` is the 48-bit md5-prefix gram hash
+    (``functions.hashing.spark_gram_hash`` — md5, not xxhash64, so the
+    DuckDB oracle computes the identical key), so the corpus-wide
+    shuffle moves 8-byte int64 keys, never window text.  Round 6: was a
+    32-char md5 hex STRING — 4× the shuffle bytes and a string compare
+    on every group/join of the suite's largest intermediate table
+    (round-5 review); the int64 prefix keeps cross-engine exactness
+    (collision analysis at ``spark_gram_hash``).
+
+    Hot path is the memoized Arrow kernel (``hashing.gram_rows_udf``),
+    pinned row-for-row to the canonical SQL spelling
+    ``positional_ngrams_sql`` in tests — the same kernel-vs-expression
+    contract as the minhash band and simhash passes.
 
     Unlike ``spark_shingles`` this keeps positions and duplicates —
     set semantics would erase exactly the repetition being measured.
     """
+    return documents.select(
+        "doc_id", F.explode(H.gram_rows_udf(k)(F.col("text"))).alias("w")
+    ).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g")
+    )
+
+
+def positional_ngrams_sql(
+    documents: DataFrame, k: int = DUP_SPAN_K
+) -> DataFrame:
+    """Canonical Spark SQL spelling of ``positional_ngrams`` (the
+    kernel is pinned to this in tests; the HOF lambda makes it the
+    slow path — one interpreted concat+md5 per window)."""
     toks = H.spark_tokens("text")
     parts = ", ".join(f"element_at(ts, i + {j})" for j in range(k))
+    window = f"concat_ws(' ', {parts})"
     grams = H.let(
         toks,
         "ts",
         f"CASE WHEN size(ts) >= {k} THEN "
         f"transform(sequence(1, size(ts) - {k - 1}), "
-        f"i -> md5(concat_ws(' ', {parts}))) "
-        f"ELSE CAST(array() AS ARRAY<STRING>) END",
+        f"i -> {H.spark_gram_hash(window)}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END",
     )
     return documents.select(
         "doc_id", F.posexplode(F.expr(grams)).alias("pos0", "g")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+
+
+def positional_gram_flags(
+    documents: DataFrame,
+    k: int = DUP_SPAN_K,
+    grams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-window duplication flags over the positional gram table:
+    (doc_id, pos, __cnt = corpus-wide occurrences of this window's
+    gram, __rn = this occurrence's rank under (doc_id, pos) order) —
+    the ONE shuffled pass both span tiers consume (round 6: replaces
+    ``dup_spans``'s groupBy+join AND ``strip_dup_spans``'s separate
+    groupBy+join with a single exchange-on-g + window — the oracle's
+    ``stp_flag`` CTE already spelled it this way).
+
+    Scale shape (100 TB): one hash exchange on the uniform int64 gram
+    key; window state is bounded per gram value (occurrences of one
+    window), and the hot-gram case is exactly the duplication being
+    measured.  Materialize the result when both ``dup_spans`` and
+    ``strip_dup_spans`` consume it (the registered key does)."""
+    from pyspark.sql import Window
+
+    if grams is None:
+        grams = positional_ngrams(documents, k)
+    w = Window.partitionBy("g")
+    wo = w.orderBy("doc_id", "pos")
+    return grams.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(w).alias("__cnt"),
+        F.row_number().over(wo).alias("__rn"),
+    )
 
 
 def dup_spans(
@@ -1030,6 +1104,7 @@ def dup_spans(
     k: int = DUP_SPAN_K,
     min_count: int = 2,
     grams: DataFrame | None = None,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """Merged duplicate-substring spans: (doc_id, span_start, span_end,
     n_dup_pos) token ranges (1-based, inclusive) covered by k-gram
@@ -1038,28 +1113,21 @@ def dup_spans(
     starting inside-or-at the running max end of previous windows + 1
     extends the current span).
 
-    Scale shape (100 TB): one groupBy on the 16-byte digest with
-    map-side partial counts, one shuffle join of positions against the
-    (much smaller) duplicated-gram set, then a per-doc window — state
-    is bounded by tokens-per-doc, never the corpus, and the join key is
-    uniform md5 output so no hot key survives un-split.
+    Scale shape (100 TB): one exchange on the int64 gram hash
+    (``positional_gram_flags``), then a per-doc window — state is
+    bounded by tokens-per-doc, never the corpus, and the shuffle key is
+    uniform md5-prefix output so no hot key survives un-split.
 
-    ``grams`` overrides the positional-n-gram build — pass a
-    materialized ``positional_ngrams(documents, k)`` when another
-    consumer (``strip_dup_spans``) shares it, so the
-    tokenize→window→md5 pass runs once, not per consumer.  Even alone
-    this function consumes the gram table TWICE (count side + position
-    side), so the default builds it materialized.
+    ``flags`` (preferred) / ``grams`` inject shared upstream passes —
+    pass a materialized ``positional_gram_flags`` when another consumer
+    (``strip_dup_spans``) shares it, so the tokenize→window→hash pass
+    AND the per-gram shuffle run once, not per consumer.
     """
-    if grams is None:
-        grams = _materialize(positional_ngrams(documents, k))
-    dup_grams = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") >= min_count)
-        .select("g")
+    if flags is None:
+        flags = positional_gram_flags(documents, k, grams=grams)
+    dup_pos = flags.where(F.col("__cnt") >= min_count).select(
+        "doc_id", "pos"
     )
-    dup_pos = grams.join(dup_grams, "g").select("doc_id", "pos")
     return _merge_windows(dup_pos, k)
 
 
@@ -1108,16 +1176,13 @@ def dup_span_profile(
     dup_token_frac).  ``dup_token_frac`` is the curation signal —
     filter docs whose boilerplate fraction exceeds a threshold, the
     position-level analogue of ``quality_scores``.  ``grams`` as in
-    ``dup_spans``: pass a MATERIALIZED ``positional_ngrams`` so the
-    tokenize→window→md5 pass runs once, not once per consuming branch
-    (``dup_spans`` reads it twice — count side + position side)."""
+    ``dup_spans``: inject a shared positional-n-gram pass when another
+    consumer runs over the same corpus."""
     toks = H.spark_tokens("text")
     base = documents.select(
         "doc_id",
         F.expr(f"size({toks})").cast("bigint").alias("n_tokens"),
     )
-    if grams is None:
-        grams = _materialize(positional_ngrams(documents, k))
     per_doc = dup_spans(documents, k, min_count, grams=grams).groupBy(
         "doc_id"
     ).agg(
@@ -1177,7 +1242,8 @@ def duckdb_dup_spans_cte(
 ) -> str:
     """The oracle half of ``dup_spans``: DuckDB CTEs ending in
     ``spans(doc_id, span_start, span_end, n_dup_pos)`` — the identical
-    positional-k-gram → count → gaps-and-islands chain (same md5 gram
+    positional-k-gram → count → gaps-and-islands chain (same 48-bit
+    md5-prefix gram
     key, same merge condition), so span boundaries compare
     value-for-value across engines."""
     toks = H.duckdb_tokens("text")
@@ -1188,7 +1254,8 @@ def duckdb_dup_spans_cte(
       SELECT doc_id, unnest(range(1, len(ts) - {k - 2})) AS i, ts
       FROM dsp_toks WHERE len(ts) >= {k}),
     dsp_grams AS (
-      SELECT doc_id, i AS pos, md5(concat_ws(' ', {parts})) AS g
+      SELECT doc_id, i AS pos,
+             {H.duckdb_gram_hash(f"concat_ws(' ', {parts})")} AS g
       FROM dsp_pos),
     dsp_dup AS (
       SELECT g FROM dsp_grams GROUP BY g HAVING COUNT(*) >= {min_count}),
@@ -1203,6 +1270,7 @@ def strip_dup_spans(
     k: int = DUP_SPAN_K,
     min_count: int = 2,
     grams: DataFrame | None = None,
+    flags: DataFrame | None = None,
 ) -> DataFrame:
     """Span REMOVAL, first-occurrence-wins (the Lee et al. '21 step
     after detection): rewrite each document keeping only tokens covered
@@ -1219,39 +1287,32 @@ def strip_dup_spans(
     spacing), ``n_tokens``, ``n_kept_tokens``.  Deterministic under
     rerun/partitioning (the winner is an order-free struct-min).
 
-    Scale shape: the per-gram reduction composes map-side (count +
-    struct-min), the corpus-sized grams table is shuffled once into the
-    join, and the interval rebuild is pure codegen over per-doc arrays
-    (no Python, no explode of covered indices).  ``grams`` as in
-    ``dup_spans`` — pass the shared materialized n-gram table when both
-    run over the same corpus; alone, the default materializes its own
-    (the per-gram agg side and the protecting-join side both read it).
+    Scale shape: one exchange on the int64 gram key
+    (``positional_gram_flags``, shared with ``dup_spans`` when both
+    run), then a per-doc window and a pure-codegen interval rebuild:
+    the protecting intervals are sorted and SLICED out of the token
+    array (O(intervals + kept tokens) per doc — round 6; the previous
+    per-token ``exists`` scan was O(tokens × intervals)), and the kept
+    count is the interval-length sum, not a re-tokenization of the
+    rebuilt text (tokens contain no whitespace, so the two are
+    identical by construction).  ``flags`` / ``grams`` as in
+    ``dup_spans``.
     """
-    if grams is None:
-        grams = _materialize(positional_ngrams(documents, k))
-    per_g = grams.groupBy("g").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct("doc_id", "pos")).alias("__first"),
-    )
-    protecting = (
-        grams.join(per_g, "g")
-        .where(
-            (F.col("__cnt") < min_count)
-            | (
-                (F.col("doc_id") == F.col("__first.doc_id"))
-                & (F.col("pos") == F.col("__first.pos"))
-            )
-        )
-        .select("doc_id", "pos")
-    )
+    if flags is None:
+        flags = positional_gram_flags(documents, k, grams=grams)
+    protecting = flags.where(
+        (F.col("__cnt") < min_count) | (F.col("__rn") == 1)
+    ).select("doc_id", "pos")
     iv = (
         _merge_windows(protecting, k)
         .groupBy("doc_id")
         .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"),
-                    F.col("span_end").alias("e"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("span_start").alias("s"),
+                        F.col("span_end").alias("e"),
+                    )
                 )
             ).alias("__iv")
         )
@@ -1261,25 +1322,25 @@ def strip_dup_spans(
     joined = documents.join(iv, "doc_id", "left").withColumn(
         "__iv", F.coalesce(F.col("__iv"), empty_iv)
     )
+    # __iv intervals are disjoint and sorted by start (islands output +
+    # array_sort), so the kept text is the in-order concatenation of
+    # token-array slices and the kept count is the length sum
     stripped = H.let(
         toks,
         "ts",
         f"CASE WHEN size(ts) < {k} THEN concat_ws(' ', ts) ELSE "
-        "concat_ws(' ', transform(filter("
-        "transform(ts, (t, i) -> struct(t AS t, i + 1 AS p)), "
-        "x -> exists(__iv, v -> x.p >= v.s AND x.p <= v.e)), "
-        "x -> x.t)) END",
+        "concat_ws(' ', flatten(transform(__iv, "
+        "v -> slice(ts, v.s, v.e - v.s + 1)))) END",
     )
     n_tokens = H.let(toks, "ts", "size(ts)")
+    n_kept = (
+        f"CASE WHEN n_tokens < {k} THEN n_tokens ELSE "
+        "aggregate(__iv, 0, (acc, v) -> acc + v.e - v.s + 1) END"
+    )
     return (
         joined.withColumn("stripped_text", F.expr(stripped))
         .withColumn("n_tokens", F.expr(n_tokens).cast("bigint"))
-        .withColumn(
-            "n_kept_tokens",
-            F.expr(
-                f"size({H.spark_tokens('stripped_text')})"
-            ).cast("bigint"),
-        )
+        .withColumn("n_kept_tokens", F.expr(n_kept).cast("bigint"))
         .drop("__iv")
     )
 

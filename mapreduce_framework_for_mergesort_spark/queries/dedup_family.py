@@ -375,13 +375,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (representative, replica) edges with val = 1.0 — byte-identical
     # text has Jaccard 1 by definition (including docs too short to
     # shingle, which the banded tier can't even see).
-    hashed = materialize(D.content_hashes(docs))
-    rep_docs = docs.join(
-        D.exact_rep_ids(docs, hashed=hashed), "doc_id", "semi"
-    )
+    # The two tier chains are independent up to their eager
+    # materializations (pair: content hashes → bands → candidates;
+    # span/strip: gram flags) — build them on two driver threads so
+    # the blocking checkpoints overlap instead of serializing
+    # (concurrent job submission is the q_profile_stats pattern; the
+    # cluster schedules the jobs side by side)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _pair_chain():
+        hashed = materialize(D.content_hashes(docs))
+        rep_docs = docs.join(
+            D.exact_rep_ids(docs, hashed=hashed), "doc_id", "semi"
+        )
+        return hashed, D.ngram_jaccard_pairs(rep_docs, JACCARD_TAU)
+
+    def _flags_chain():
+        # one tokenize→window→hash pass AND one per-gram shuffle feed
+        # both span branches (round 6: the shared pass moved up a
+        # level — flags, not raw grams, so neither branch re-shuffles
+        # on g)
+        return materialize(D.positional_gram_flags(docs))
+
+    with ThreadPoolExecutor(2) as ex:
+        f_pair = ex.submit(_pair_chain)
+        f_flags = ex.submit(_flags_chain)
+        hashed, jac = f_pair.result()
+        flags = f_flags.result()
     pairs = (
-        D.ngram_jaccard_pairs(rep_docs, JACCARD_TAU)
-        .select("doc_a", "doc_b", F.col("jaccard").alias("val"))
+        jac.select("doc_a", "doc_b", F.col("jaccard").alias("val"))
         .unionByName(
             D.exact_dup_edges(docs, hashed=hashed).select(
                 "doc_a", "doc_b", lit(1.0).alias("val")
@@ -395,10 +417,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             lit(None).cast("double").alias("val2"),
         )
     )
-    # one tokenize→window→md5 pass feeds both span branches (each
-    # consumes it twice: gram-count side + position side)
-    grams = materialize(D.positional_ngrams(docs))
-    spans = D.dup_spans(docs, grams=grams).select(
+    spans = D.dup_spans(docs, flags=flags).select(
         lit("span").alias("part"),
         F.col("doc_id").alias("doc_a"),
         F.col("span_start").cast("bigint").alias("doc_b"),
@@ -406,7 +425,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_pos").cast("double").alias("val2"),
     )
     strips = (
-        D.strip_dup_spans(docs, grams=grams)
+        D.strip_dup_spans(docs, flags=flags)
         .where(F.col("n_kept_tokens") < F.col("n_tokens"))
         .select(
             lit("strip").alias("part"),

@@ -895,6 +895,30 @@ def test_simhash_kernel_matches_sql_expression(spark, sf_oracle):
     assert both.where(F.col("kern") != F.col("sql")).count() == 0
 
 
+def test_gram_rows_kernel_matches_sql_expression(spark, sf_oracle):
+    """``gram_rows_udf`` (memoized Arrow positional-k-gram pass, round
+    6) must produce exactly the (doc_id, pos, g) rows of the canonical
+    ``positional_ngrams_sql`` spelling — tokenization, window join, and
+    the 48-bit md5-prefix gram hash all agree, including the <k-token
+    empty case and byte-identical docs (the doc-memo path)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
+    rep = docs.limit(3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, "one two three four five six seven")],
+        "doc_id: bigint, text: string",
+    )
+    both = docs.unionByName(rep).unionByName(edge)
+    kern = D.positional_ngrams(both)
+    sql = D.positional_ngrams_sql(both)
+    assert sorted(map(tuple, kern.collect())) == sorted(
+        map(tuple, sql.collect())
+    )
+
+
 def test_persisted_ivf_index_probe(spark, sf_oracle, tmp_path):
     """The write-once/probe-many path: a probe of the persisted index
     must (a) PRUNE to the query's cell directory — the plan carries a
