@@ -718,6 +718,7 @@ def contaminated_doc_ids(
     n: int = DECONTAM_N,
     key: str = "doc_id",
     bench_text: str = "text",
+    doc_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Ids of documents sharing at least one word ``n``-gram with any
     benchmark text — the detection half of eval-set decontamination.
@@ -727,10 +728,46 @@ def contaminated_doc_ids(
     set and ships as a broadcast, so the corpus pays exactly one
     map-side scan with a broadcast semi-join (no corpus shuffle); the
     returned id set is at most corpus-cardinality but in practice tiny.
+
     Tokenizer and shingler are the engine's canonical expressions
     (``functions/hashing.py``), already pinned across engines, with the
     window widened to ``n`` — a doc or benchmark text shorter than
-    ``n`` tokens contributes no shingles and can never match."""
+    ``n`` tokens contributes no shingles and can never match.  The
+    default compares shingle STRINGS on purpose: the corpus side never
+    shuffles (broadcast semi-join), so a hashed spelling only adds an
+    md5 per window — a round-6 A/B measured the 48-bit-hashed Arrow
+    kernel SLOWER at both ×1 (0.98 → 1.49 s) and ×10 (3.9 → 4.9 s),
+    because the per-task memo can't fire when replicas live in
+    different tasks (key-shifted copies are file-appended, never
+    batch-local).
+
+    ``doc_grams`` (the exception, and the real shared-pass win):
+    inject a precomputed ``positional_ngrams(documents, n)``-shaped
+    table (doc-id column named ``key``, 48-bit hash column ``g``) when
+    the span tiers ALREADY built it — the whole tokenize→window→hash
+    scan then costs nothing extra, and the benchmark side hashes its
+    shingles with the matching ``spark_gram_hash``
+    (``pipelines.curate_documents`` wires this when the span ceiling
+    and decontamination run with the same window size).  Hash equality
+    ≈ shingle equality at 2⁻⁴⁸ per pair; a collision can only ADD a
+    spurious flag (over-removal), never hide a real overlap."""
+    if doc_grams is not None:
+        bench_g = (
+            benchmark.select(
+                F.explode(
+                    F.expr(
+                        H.spark_shingles(H.spark_tokens(bench_text), n)
+                    )
+                ).alias("s")
+            )
+            .select(F.expr(H.spark_gram_hash("s")).alias("g"))
+            .distinct()
+        )
+        return (
+            doc_grams.join(F.broadcast(bench_g), "g", "semi")
+            .select(key)
+            .distinct()
+        )
     doc_sh = documents.select(
         key,
         F.explode(
@@ -815,6 +852,7 @@ def decontaminate(
     n: int = DECONTAM_N,
     key: str = "doc_id",
     bench_text: str = "text",
+    doc_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Drop every document sharing an ``n``-gram with the benchmark —
     the removal half of eval-set decontamination.  No broadcast hint on
@@ -822,8 +860,11 @@ def decontaminate(
     cardinality is bounded only by the corpus (one boilerplate 8-gram
     in the benchmark can flag a large fraction of it — round-4 review),
     so AQE decides; small sets still broadcast under the threshold,
-    pathological ones degrade safely to a shuffle anti-join on the id."""
-    bad = contaminated_doc_ids(documents, benchmark, n, key, bench_text)
+    pathological ones degrade safely to a shuffle anti-join on the id.
+    ``doc_grams`` as in ``contaminated_doc_ids`` (a shared gram pass)."""
+    bad = contaminated_doc_ids(
+        documents, benchmark, n, key, bench_text, doc_grams=doc_grams
+    )
     return documents.join(bad, key, "anti")
 
 
@@ -1074,11 +1115,17 @@ def positional_gram_flags(
 ) -> DataFrame:
     """Per-window duplication flags over the positional gram table:
     (doc_id, pos, __cnt = corpus-wide occurrences of this window's
-    gram, __rn = this occurrence's rank under (doc_id, pos) order) —
-    the ONE shuffled pass both span tiers consume (round 6: replaces
-    ``dup_spans``'s groupBy+join AND ``strip_dup_spans``'s separate
-    groupBy+join with a single exchange-on-g + window — the oracle's
-    ``stp_flag`` CTE already spelled it this way).
+    gram, __is_first = whether this occurrence is the gram's
+    corpus-wide first under (doc_id, pos) order) — the ONE shuffled
+    pass both span tiers consume (round 6: replaces ``dup_spans``'s
+    groupBy+join AND ``strip_dup_spans``'s separate groupBy+join with
+    a single exchange-on-g + window).
+
+    Both flags come from UNORDERED window aggregates (count +
+    struct-min) on purpose: an ordered spelling (``row_number``) would
+    make WindowExec sort every gram row by (g, doc_id, pos), while the
+    unordered form sorts by g alone — on the corpus-sized gram table
+    that sort width is the measured difference at 100× volume.
 
     Scale shape (100 TB): one hash exchange on the uniform int64 gram
     key; window state is bounded per gram value (occurrences of one
@@ -1090,12 +1137,15 @@ def positional_gram_flags(
     if grams is None:
         grams = positional_ngrams(documents, k)
     w = Window.partitionBy("g")
-    wo = w.orderBy("doc_id", "pos")
+    first = F.min(F.struct("doc_id", "pos")).over(w)
     return grams.select(
         "doc_id",
         "pos",
         F.count(F.lit(1)).over(w).alias("__cnt"),
-        F.row_number().over(wo).alias("__rn"),
+        (
+            (F.col("doc_id") == first["doc_id"])
+            & (F.col("pos") == first["pos"])
+        ).alias("__is_first"),
     )
 
 
@@ -1301,7 +1351,7 @@ def strip_dup_spans(
     if flags is None:
         flags = positional_gram_flags(documents, k, grams=grams)
     protecting = flags.where(
-        (F.col("__cnt") < min_count) | (F.col("__rn") == 1)
+        (F.col("__cnt") < min_count) | F.col("__is_first")
     ).select("doc_id", "pos")
     iv = (
         _merge_windows(protecting, k)

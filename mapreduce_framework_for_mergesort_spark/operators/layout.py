@@ -215,3 +215,160 @@ def compact_parquet(
         1 for f in os.listdir(dest) if f.endswith(".parquet")
     )
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+# --- epoch-partition compaction (round 6) -----------------------------------
+# The exactly-once streams (streaming/ingest.py, streaming/sketch.py)
+# write one `epoch=N` partition per microbatch forever — correct, but a
+# long-running stream inherits the classic small-file explosion: O(one
+# directory + several files) per microbatch, and at a 30 s trigger
+# that's ~2,900 directories a day per surface.  Compaction folds all
+# CLOSED epochs (strictly below the latest persisted epoch) into one
+# consolidated `epoch=hi` partition.
+#
+# Why this preserves every exactly-once property:
+# * the row-level `epoch` column is delivery-layout metadata (which
+#   partition directory a row committed under), not data — no reader
+#   derives values from it; the accept/merge logic only ever EXCLUDES
+#   the current epoch (`_exclude_epoch`) and compares the replayed
+#   epoch against the MAX persisted epoch (the replay guard);
+# * compacted rows keep an epoch (`hi`) strictly BELOW the latest, so
+#   a replay of the latest epoch still sees them as prior history —
+#   decision unchanged — and never overwrites their partition;
+# * epochs < latest are exactly the ones the replay guard already
+#   refuses to replay, so no future write can target a folded epoch;
+# * new epochs only ever commit ABOVE the latest, so running beside a
+#   live stream is safe: the source set (ids <= hi < latest) is frozen
+#   at call time.
+#
+# Crash safety is a two-phase swap keyed on the parquet `_SUCCESS`
+# marker: (1) consolidated data is fully written to a dot-prefixed
+# temp dir (hidden from partition discovery) BEFORE any source
+# directory is touched; (2) the swap deletes source epoch dirs and
+# renames the temp into place.  A crash anywhere leaves a state a
+# RE-RUN repairs: temp without _SUCCESS → rewritten from the intact
+# sources; temp with _SUCCESS → rewrite skipped, swap completed (every
+# row of every epoch <= hi is in the temp, so deleting the remaining
+# source dirs loses nothing).  The function is idempotent.
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_epochs(spark: SparkSession, path: str) -> list[int]:
+    """Epoch ids with an ``epoch=N`` partition directory under ``path``
+    (filesystem listing — no data scan), sorted ascending."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            try:
+                out.append(int(name[len("epoch="):]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _count_parquet_files(fs, root) -> int:
+    it = fs.listFiles(root, True)  # recursive
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
+
+
+def compact_epochs(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    partition_by: tuple[str, ...] = (),
+    up_to: int | None = None,
+) -> dict | None:
+    """Fold every CLOSED ``epoch=N`` partition under ``path`` (ids
+    strictly below the latest persisted epoch, optionally also capped
+    at ``up_to``) into one consolidated ``epoch=hi`` partition of
+    ``target_files`` files (per value of ``partition_by``, for
+    sub-partitioned surfaces like the band index).  The latest epoch —
+    the only one the replay guard permits replaying — is never touched.
+    Idempotent and crash-recoverable (protocol above); safe beside a
+    live stream, whose new epochs commit strictly above the source set.
+
+    Returns ``{epochs_folded, hi, files_before, files_after}``, or
+    ``None`` when there is nothing to do (fewer than two closed
+    epochs and no pending swap)."""
+    fs, root = _hadoop_fs(spark, path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(root):
+        return None
+
+    def _swap(hi: int, tmp) -> None:
+        # every row of every epoch <= hi is in the temp dir
+        for e in _list_epochs(spark, path):
+            if e <= hi:
+                fs.delete(Path(f"{path}/epoch={e}"), True)
+        fs.rename(tmp, Path(f"{path}/epoch={hi}"))
+
+    # Recovery FIRST — a crashed prior run must be resolved before any
+    # new hi is chosen: a completed temp (_SUCCESS) may be the ONLY
+    # copy of epochs whose source dirs the crashed swap already
+    # deleted, so it is finished; a partial temp (no _SUCCESS) implies
+    # untouched sources, so it is discarded.
+    for st in list(fs.listStatus(root)):
+        name = st.getPath().getName()
+        if not name.startswith(".compact-epoch-"):
+            continue
+        t = st.getPath()
+        try:
+            pending_hi = int(name[len(".compact-epoch-"):])
+        except ValueError:
+            continue
+        if fs.exists(Path(f"{path}/{name}/_SUCCESS")):
+            _swap(pending_hi, t)
+        else:
+            fs.delete(t, True)
+
+    epochs = _list_epochs(spark, path)
+    if not epochs:
+        return None
+    latest = epochs[-1]
+    closed = [
+        e for e in epochs
+        if e < latest and (up_to is None or e <= up_to)
+    ]
+    if len(closed) < 2:
+        return None
+    hi = max(closed)
+    tmp = Path(f"{path}/.compact-epoch-{hi}")
+    files_before = _count_parquet_files(fs, root)
+    # phase 1: full consolidated rewrite into the hidden temp dir
+    # (ignored by partition discovery); sources untouched until the
+    # write commits its _SUCCESS marker
+    df = (
+        spark.read.parquet(path)
+        .where(F.col("epoch") <= F.lit(hi))
+        .drop("epoch")
+    )
+    shaped = (
+        df.repartition(max(1, target_files), *partition_by)
+        if partition_by
+        else df.coalesce(max(1, target_files))
+    )
+    writer = shaped.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(tmp))
+    # phase 2
+    _swap(hi, tmp)
+    return {
+        "epochs_folded": len(closed),
+        "hi": hi,
+        "files_before": files_before,
+        "files_after": _count_parquet_files(fs, root),
+    }

@@ -89,6 +89,7 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     decontam_n: int = D.DECONTAM_N,
     cluster_cap: int | None = None,
+    split_mode: str = "hash",
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
@@ -144,6 +145,26 @@ def curate_documents(
     over-crawled topic can't dominate the mix even when its pages
     aren't near-duplicates of each other.
 
+    ``split_mode`` selects the train/val/test router:
+
+    * ``"hash"`` (default) — ``sampling.hash_split`` on ``split_on``:
+      exact duplicates can never straddle splits, near-duplicates can
+      (only matters when one slips past the dedup stage).
+    * ``"leakage_safe"`` — ``sampling.leakage_safe_split`` routed by
+      near-dup CLUSTER content key, REUSING the dedup stage's pair
+      tiers and cluster labels (computed once, consumed by both
+      survivor selection and the split) so members of one near-dup
+      cluster always land in one split — even when the dedup
+      configuration is too loose to collapse them (e.g. a strict
+      ``embed_tau`` missing a paraphrase pair, or a semantic-only
+      ``dedup_tiers`` missing a lexical near-dup).  When the
+      configured tiers don't include ``"minhash"``, the split's
+      clustering additionally unions the MinHash band-collision tier
+      as a lexical floor — the dedup SURVIVOR semantics stay exactly
+      what ``dedup_tiers`` requested; only the routing graph widens.
+      ``split_on`` is ignored (the key is content-derived by
+      construction).
+
     Redaction runs FIRST (before features and dedup) so documents that
     differ only in embedded PII become exact duplicates and collapse,
     and no PII influences quality/language scores or ships in any
@@ -153,6 +174,11 @@ def curate_documents(
         redact_pii,
     )
 
+    if split_mode not in ("hash", "leakage_safe"):
+        raise ValueError(
+            f"unknown split_mode {split_mode!r}; "
+            "known: 'hash', 'leakage_safe'"
+        )
     if redact:
         documents = redact_pii(documents)
     if strip_spans:
@@ -176,6 +202,25 @@ def curate_documents(
     kept = feat.where(keep).drop(
         "quality", "pred_lang", *(["dup_token_frac"] if want_rep else [])
     )
+    # When the span ceiling AND decontamination both run with the same
+    # window size (the defaults: DUP_SPAN_K == DECONTAM_N == 8), both
+    # consume the SAME positional-gram table — one tokenize→window→hash
+    # scan, materialized, instead of two (round 6; the fallback
+    # SCALE_NOTES.md round 5 named but didn't wire).  Decontamination
+    # flags are a per-document property, so computing them from the
+    # pre-span-filter gram table and anti-joining after the span filter
+    # is exactly equivalent to re-shingling the filtered corpus.
+    shared_grams = None
+    if (
+        max_dup_span_frac is not None
+        and benchmark is not None
+        and dup_span_k == decontam_n
+    ):
+        from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+            materialize as _mat,
+        )
+
+        shared_grams = _mat(D.positional_ngrams(kept, k=dup_span_k))
     if max_dup_span_frac is not None:
         # Position-level boilerplate ceiling (tier-6 spans): unlike the
         # WITHIN-doc dup_token_frac above, this one is corpus-relative
@@ -186,20 +231,78 @@ def curate_documents(
         # on the offending doc_ids — the flagged set is the small side,
         # so AQE turns the anti-join into a broadcast at runtime.
         flagged = (
-            D.dup_span_profile(kept, k=dup_span_k)
+            D.dup_span_profile(kept, k=dup_span_k, grams=shared_grams)
             .where(F.col("dup_token_frac") > max_dup_span_frac)
             .select("doc_id")
         )
         kept = kept.join(flagged, "doc_id", "left_anti")
     if benchmark is not None:
-        kept = D.decontaminate(kept, benchmark, n=decontam_n)
-    deduped = D.near_dedup_documents(
-        kept,
-        tiers=dedup_tiers,
-        embeddings=embeddings,
-        embed_tau=embed_tau,
-        embed_cells=embed_cells,
-    )
+        kept = D.decontaminate(
+            kept, benchmark, n=decontam_n, doc_grams=shared_grams
+        )
+    split_clusters = None
+    if split_mode == "leakage_safe":
+        # Inline near_dedup_documents' stages so the candidate pairs
+        # and cluster labels are computed ONCE and shared between
+        # survivor selection and split routing (the whole point of the
+        # composition — a second candidate generation over the corpus
+        # would double the dominant dedup cost).  collapse_exact
+        # resolves exactly as near_dedup_documents does.
+        from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+            materialize,
+        )
+
+        collapse = "embedding" not in dedup_tiers
+        pool = (
+            kept.join(D.exact_rep_ids(kept), "doc_id", "semi")
+            if collapse
+            else kept
+        )
+        pairs = D.near_dup_pair_tiers(
+            pool,
+            dedup_tiers,
+            embeddings,
+            embed_tau,
+            embed_cells,
+        )
+        if "minhash" in dedup_tiers:
+            # routing graph == dedup graph: one clustering serves both
+            dedup_clusters = materialize(
+                D.cluster_pairs(pairs, nodes=pool.select("doc_id"))
+            )
+            split_clusters = dedup_clusters
+        else:
+            # lexical floor for ROUTING only: a lexical near-dup the
+            # configured tiers can't see must still travel as one
+            # cluster through the split.  pairs is consumed by both
+            # clusterings — cut the candidate-generation lineage.
+            pairs = materialize(pairs)
+            dedup_clusters = D.cluster_pairs(
+                pairs, nodes=pool.select("doc_id")
+            )
+            split_clusters = materialize(
+                D.cluster_pairs(
+                    pairs.unionByName(
+                        D.lsh_candidate_pairs(D.minhash_bands(pool))
+                    ).distinct(),
+                    nodes=pool.select("doc_id"),
+                )
+            )
+        deduped = kept.join(
+            D.cluster_survivors(dedup_clusters).select(
+                F.col("keep_doc_id").alias("doc_id")
+            ),
+            "doc_id",
+            "semi",
+        )
+    else:
+        deduped = D.near_dedup_documents(
+            kept,
+            tiers=dedup_tiers,
+            embeddings=embeddings,
+            embed_tau=embed_tau,
+            embed_cells=embed_cells,
+        )
     if cluster_cap is not None:
         # Cluster-balanced cap (SemDeDup-style diversity step): assign
         # survivors to embedding k-means cells and keep at most
@@ -238,6 +341,10 @@ def curate_documents(
         deduped = sampling.balanced_sample(
             deduped, "cell", cluster_cap, key="doc_id"
         ).drop("cell")
+    if split_mode == "leakage_safe":
+        return sampling.leakage_safe_split(
+            deduped, splits=splits, clusters=split_clusters
+        )
     return sampling.hash_split(deduped, split_on, splits)
 
 

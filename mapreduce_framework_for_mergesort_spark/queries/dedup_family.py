@@ -168,9 +168,17 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``dedup.cluster_pairs``) must reach the identical fixpoint, so the
     driver hash-checks an *iterative graph algorithm* value-for-value."""
     docs = load_table(spark, sf_dir, "documents")
-    # ONE corpus hashing pass (materialized) feeds both the
-    # representative semi-join and the replica edge build
-    hashed = materialize(D.content_hashes(docs))
+    # The hash projection feeds the representative semi-join and the
+    # replica edge build UNMATERIALIZED (round 6): its consumers
+    # re-scan parquet and re-run the JVM md5 (~4 cheap codegen passes)
+    # instead of paying a corpus checkpoint write+read on the critical
+    # path before banding can start — measured 2.6→2.4 s warm at sf0.1,
+    # flat at 10×.  The rejected alternative (band EVERYTHING and let
+    # the md5 ride the band kernel's projection, one materialization
+    # total) measured 2.3 s at ×1 but 6.8 s at ×10: on a replica-heavy
+    # corpus the checkpoint then carries every replica's band array,
+    # exactly the volume the collapse exists to avoid.
+    hashed = D.content_hashes(docs)
     rep_docs = docs.join(
         D.exact_rep_ids(docs, hashed=hashed), "doc_id", "semi"
     )
@@ -384,7 +392,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     def _pair_chain():
-        hashed = materialize(D.content_hashes(docs))
+        # unmaterialized hash projection — same measured trade as the
+        # minhash key: cheap codegen re-scans beat a corpus checkpoint
+        # on the critical path
+        hashed = D.content_hashes(docs)
         rep_docs = docs.join(
             D.exact_rep_ids(docs, hashed=hashed), "doc_id", "semi"
         )

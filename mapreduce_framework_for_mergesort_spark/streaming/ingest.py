@@ -263,3 +263,32 @@ def ingest_documents_stream(
     if trig:
         writer = writer.trigger(**trig)
     return writer.start()
+
+
+def compact_ingest_state(
+    spark, index_path: str, out_path: str, target_files: int = 1
+) -> dict:
+    """Fold each surface's CLOSED epochs (strictly below its latest —
+    the only epoch the replay guard permits replaying) into one
+    consolidated partition per surface: the maintenance step a
+    long-running stream needs, since exactly-once delivery writes one
+    ``epoch=N`` directory per microbatch forever (small-file
+    explosion).  Safe beside the running stream and idempotent —
+    protocol and crash-recovery in ``operators/layout.compact_epochs``.
+    Returns the per-surface stats dicts (None where nothing to do)."""
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        compact_epochs,
+    )
+
+    return {
+        "corpus": compact_epochs(spark, out_path, target_files),
+        "hashes": compact_epochs(
+            spark, f"{index_path}/hashes", target_files
+        ),
+        "bands": compact_epochs(
+            spark,
+            f"{index_path}/bands",
+            target_files,
+            partition_by=("band_id",),
+        ),
+    }

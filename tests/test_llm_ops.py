@@ -374,6 +374,115 @@ def test_curation_pipeline_end_to_end(spark, sf_oracle):
     assert again == {(r["doc_id"], r["split"]) for r in rows}
 
 
+def test_curation_leakage_safe_split_composed(spark):
+    """Round 6: ``curate_documents(split_mode='leakage_safe')``.  With a
+    RELAXED dedup configuration (semantic-only tier whose strict
+    ``embed_tau`` misses a lexical near-dup pair), both members survive
+    dedup — under the default hash split they straddle train/test (the
+    texts are crafted so their content buckets route apart); under
+    ``leakage_safe`` the split's lexical routing floor puts the pair in
+    ONE split, rerun- and partitioning-stable."""
+    import hashlib
+
+    from mapreduce_framework_for_mergesort_spark import pipelines
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sampling as S,
+    )
+
+    def bucket(text: str) -> str:
+        h = hashlib.md5(text.encode()).hexdigest()[:2]
+        for name, ub in S.split_boundaries()[:-1]:
+            if h < ub:
+                return name
+        return S.split_boundaries()[-1][0]
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then the "
+        "fox runs into the forest with all of the other animals %s"
+    )
+    a_text = base % "today"
+    # craft B: a near-dup of A (one differing trailing token) whose
+    # content-hash bucket lands in a DIFFERENT split than A's
+    b_text = next(
+        base % f"now{i}"
+        for i in range(1000)
+        if bucket(base % f"now{i}") != bucket(a_text)
+    )
+    fillers = [
+        (10 + i, f"completely different document number {i} about the "
+                 f"spark shuffles and the sorting windows of {i}")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text)] + fillers, ["doc_id", "text"]
+    )
+    # orthogonal unit vectors: cosine(A, B) = 0 < embed_tau, so the
+    # semantic tier cannot collapse the lexical near-dup pair
+    emb = spark.createDataFrame(
+        [(i, [1.0 if j == n else 0.0 for j in range(8)])
+         for n, i in enumerate([1, 2] + [f[0] for f in fillers])],
+        "vec_id: bigint, embedding: array<float>",
+    )
+    kwargs = dict(
+        min_quality=0.0,
+        dedup_tiers=("embedding",),
+        embeddings=emb,
+        embed_tau=0.95,
+        embed_cells=2,
+    )
+    # relaxed dedup: both near-dups survive, and the hash split
+    # demonstrably strands them apart
+    hash_out = {
+        r["doc_id"]: r["split"]
+        for r in pipelines.curate_documents(docs, **kwargs).collect()
+    }
+    assert 1 in hash_out and 2 in hash_out
+    assert hash_out[1] != hash_out[2]  # the leakage mode being closed
+
+    safe = pipelines.curate_documents(
+        docs, split_mode="leakage_safe", **kwargs
+    )
+    safe_out = {r["doc_id"]: r["split"] for r in safe.collect()}
+    assert set(safe_out) == set(hash_out)  # survivor set unchanged
+    assert safe_out[1] == safe_out[2]  # near-dup pair travels together
+    assert set(safe.columns) == set(docs.columns) | {"split"}
+
+    # rerun- and partitioning-stable
+    again = {
+        r["doc_id"]: r["split"]
+        for r in pipelines.curate_documents(
+            docs.repartition(7), split_mode="leakage_safe", **kwargs
+        ).collect()
+    }
+    assert again == safe_out
+
+
+def test_prepare_training_shards_leakage_safe(spark, sf_oracle, tmp_path):
+    """The shard pipeline accepts ``split_mode='leakage_safe'`` through
+    its curation kwargs and stays deterministic end to end."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    docs = load_table(spark, sf_oracle, "documents").limit(200)
+    man = pipelines.prepare_training_shards(
+        docs, str(tmp_path / "s1"), budget=512, shards_per_split=2,
+        min_quality=0.3, split_mode="leakage_safe",
+    )
+    assert all(i["docs"] > 0 for i in man["splits"].values())
+    again = pipelines.prepare_training_shards(
+        docs, str(tmp_path / "s2"), budget=512, shards_per_split=2,
+        min_quality=0.3, split_mode="leakage_safe",
+    )
+    strip = lambda m: {s: {k: v for k, v in i.items() if k != "path"}
+                       for s, i in m["splits"].items()}
+    assert strip(again) == strip(man)
+    # row-level determinism, not just counts
+    r1 = sorted(map(tuple, spark.read.parquet(
+        man["splits"]["train"]["path"]).collect()))
+    r2 = sorted(map(tuple, spark.read.parquet(
+        again["splits"]["train"]["path"]).collect()))
+    assert r1 == r2
+
+
 def test_curation_features_match_operator_outputs(spark, sf_oracle):
     """The fused one-scan feature projection must agree row-for-row
     with the standalone quality_scores / lang_id operators."""
@@ -1319,6 +1428,26 @@ def test_decontaminate_matches_brute_force(spark, sf_oracle):
     kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert kept == all_ids - want
+
+
+def test_decontaminate_shared_gram_pass_equivalent(spark, sf_oracle):
+    """Round 6: the ``doc_grams`` injection (the span tiers' 48-bit
+    positional-gram table riding into decontamination —
+    ``pipelines.curate_documents`` wires it) must flag exactly the ids
+    of the default string-shingle path."""
+    docs = load_table(spark, sf_oracle, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select("text")
+    grams = D.positional_ngrams(docs, k=D.DECONTAM_N)
+    via_grams = {
+        r["doc_id"]
+        for r in D.contaminated_doc_ids(
+            docs, bench, doc_grams=grams
+        ).collect()
+    }
+    plain = {
+        r["doc_id"] for r in D.contaminated_doc_ids(docs, bench).collect()
+    }
+    assert via_grams == plain and len(plain) > 0
 
 
 def test_decontaminate_short_benchmark_flags_nothing(spark, sf_oracle):

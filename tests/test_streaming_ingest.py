@@ -288,3 +288,157 @@ def test_ingest_stream_is_epoch_keyed(spark, tmp_path):
     assert "epoch" in corpus.columns
     assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 4, 5]
     assert {r["epoch"] for r in corpus.collect()} == {0, 1}
+
+
+def _data_rows(spark, out, idx):
+    """Sorted row contents of the three surfaces WITHOUT the epoch
+    column — the reader-visible data contract compaction must
+    preserve (the per-row epoch is delivery-layout metadata: folding
+    closed epochs rewrites it to the folded range's high-water id)."""
+
+    def rows(path, cols):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path).select(*cols).collect()
+        )
+
+    return (
+        rows(out, ["doc_id", "text"]),
+        rows(f"{idx}/hashes", ["doc_id", "__h"]),
+        rows(f"{idx}/bands", ["doc_id", "band_id", "band_val"]),
+    )
+
+
+def _count_files(root):
+    import os
+
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_compact_epochs_preserves_content_and_replay(spark, tmp_path):
+    """Round 6: folding closed epochs must change NOTHING a reader or
+    the accept decision can observe — identical data rows on all three
+    surfaces, the latest (replayable) epoch untouched, fewer files —
+    and a replay of the latest epoch after compaction still converges
+    to the identical state."""
+    out = str(tmp_path / "out_cp")
+    idx = str(tmp_path / "idx_cp")
+    a = spark.createDataFrame(BATCH_A, ["doc_id", "text"])
+    b = spark.createDataFrame(BATCH_B, ["doc_id", "text"])
+    c = spark.createDataFrame(
+        [(9, "one more novel document about columnar file layouts")],
+        ["doc_id", "text"],
+    )
+    I.accept_batch(a, idx, out, epoch=0)
+    I.accept_batch(b, idx, out, epoch=1)
+    I.accept_batch(c, idx, out, epoch=2)
+    want = _data_rows(spark, out, idx)
+    files_before = _count_files(out)
+
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats["corpus"]["epochs_folded"] == 2
+    assert stats["corpus"]["hi"] == 1
+    # byte-level read content identical on every surface
+    assert _data_rows(spark, out, idx) == want
+    # the latest epoch dir is untouched; closed ones folded into hi=1
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("epoch=")
+    ) == ["epoch=1", "epoch=2"]
+    assert _count_files(out) < files_before
+    assert I._max_persisted_epoch(spark, out) == 2
+
+    # replay of the latest epoch (the only replayable one) still
+    # converges to identical state after compaction
+    I.accept_batch(c, idx, out, epoch=2)
+    assert _data_rows(spark, out, idx) == want
+    # stale replays stay refused
+    with pytest.raises(ValueError, match="older than the latest"):
+        I.accept_batch(a, idx, out, epoch=0)
+    # idempotent: a second compaction has nothing to do
+    assert I.compact_ingest_state(spark, idx, out)["corpus"] is None
+    assert _data_rows(spark, out, idx) == want
+    # the stream keeps running on top of the compacted layout
+    I.accept_batch(
+        spark.createDataFrame(
+            [(11, "a later microbatch after the compaction ran fine")],
+            ["doc_id", "text"],
+        ),
+        idx,
+        out,
+        epoch=3,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 4, 5, 9, 11]
+
+
+def test_compact_epochs_crash_recovery(spark, tmp_path):
+    """The two crash windows repair on re-run: a PARTIAL temp (no
+    _SUCCESS — sources intact) is discarded and rebuilt; a COMPLETED
+    temp whose swap half-finished (a source dir already deleted — the
+    temp is the only full copy) is finished, losing nothing."""
+    import os
+    import shutil
+
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        compact_epochs,
+    )
+
+    out = str(tmp_path / "out_cr")
+    idx = str(tmp_path / "idx_cr")
+    a = spark.createDataFrame(BATCH_A, ["doc_id", "text"])
+    b = spark.createDataFrame(BATCH_B, ["doc_id", "text"])
+    c = spark.createDataFrame(
+        [(9, "one more novel document about columnar file layouts")],
+        ["doc_id", "text"],
+    )
+    I.accept_batch(a, idx, out, epoch=0)
+    I.accept_batch(b, idx, out, epoch=1)
+    I.accept_batch(c, idx, out, epoch=2)
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+
+    # crash window 1: partial temp, no _SUCCESS — must be discarded
+    junk = os.path.join(out, ".compact-epoch-1")
+    os.makedirs(junk)
+    open(os.path.join(junk, "part-junk.parquet"), "w").write("junk")
+    stats = compact_epochs(spark, out)
+    assert stats is not None and stats["hi"] == 1
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+    assert got == want
+
+    # crash window 2: completed temp + half-finished swap (a source
+    # dir already deleted; the temp holds the only full copy)
+    out2 = str(tmp_path / "out_cr2")
+    idx2 = str(tmp_path / "idx_cr2")
+    I.accept_batch(a, idx2, out2, epoch=0)
+    I.accept_batch(b, idx2, out2, epoch=1)
+    I.accept_batch(c, idx2, out2, epoch=2)
+    tmp = os.path.join(out2, ".compact-epoch-1")
+    (
+        spark.read.parquet(out2)
+        .where("epoch <= 1")
+        .drop("epoch")
+        .coalesce(1)
+        .write.parquet(tmp)
+    )
+    shutil.rmtree(os.path.join(out2, "epoch=0"))  # the crashed swap
+    stats = compact_epochs(spark, out2)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out2).select("doc_id", "text").collect()
+    )
+    assert got == want
+    assert sorted(
+        d for d in os.listdir(out2) if d.startswith("epoch=")
+    ) == ["epoch=1", "epoch=2"]
