@@ -58,10 +58,19 @@ def text_feature_exprs(text_col: str = "text") -> dict[str, str]:
         f"char_length(regexp_replace({text_col}, '{PUNCT_CLASS}', '')))"
     )
     stop_hits = _hits(toks, LANG_STOPWORDS["en"])
+    # try_divide, not '/': under ANSI mode a zero-length or
+    # zero-token document (empty/whitespace-only text — present in
+    # real corpora and the NULL-bearing parity fixture) would ERROR
+    # the whole scan, while DuckDB's division yields NULL; try_divide
+    # reproduces DuckDB's NULL exactly, so quality is NULL for empty
+    # text and 0.6 for whitespace-only text on BOTH engines (least()
+    # skips NULLs identically in both).  A NULL quality fails any
+    # `quality >= threshold` filter — degenerate docs drop out of
+    # curation, which is the wanted behavior.
     quality = (
         f"0.4 * least(CAST({n_tokens} AS DOUBLE) / 64.0, CAST(1 AS DOUBLE)) "
-        f"+ 0.3 * (CAST(1 AS DOUBLE) - CAST({punct} AS DOUBLE) / char_length({text_col})) "
-        f"+ 0.3 * least(4.0 * CAST({stop_hits} AS DOUBLE) / {n_tokens}, CAST(1 AS DOUBLE))"
+        f"+ 0.3 * (CAST(1 AS DOUBLE) - try_divide(CAST({punct} AS DOUBLE), char_length({text_col}))) "
+        f"+ 0.3 * least(try_divide(4.0 * CAST({stop_hits} AS DOUBLE), {n_tokens}), CAST(1 AS DOUBLE))"
     )
     dup_token_frac = (
         f"CASE WHEN {n_tokens} = 0 THEN CAST(0 AS DOUBLE) ELSE "
@@ -120,11 +129,13 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         F.expr(e["n_tokens"]).cast("long").alias("n_tokens"),
+        # try_divide: NULL on empty/zero-token text, matching DuckDB's
+        # x/0 (ANSI '/' errors — round-6 NULL-bearing-corpus audit)
         F.expr(
-            f"CAST({e['punct']} AS DOUBLE) / char_length(text)"
+            f"try_divide(CAST({e['punct']} AS DOUBLE), char_length(text))"
         ).alias("punct_ratio"),
         F.expr(
-            f"CAST({e['stop_hits']} AS DOUBLE) / {e['n_tokens']}"
+            f"try_divide(CAST({e['stop_hits']} AS DOUBLE), {e['n_tokens']})"
         ).alias("stopword_ratio"),
         F.expr(e["quality"]).alias("quality"),
     )
@@ -182,11 +193,14 @@ def doc_profile(documents: DataFrame) -> DataFrame:
         F.expr(n_tokens).cast("long").alias("n_tokens"),
         F.expr(f"size({bpe})").cast("long").alias("n_subwords"),
         F.length("text").cast("long").alias("n_chars_actual"),
+        # try_divide: empty/zero-token text → NULL ratios, exactly
+        # DuckDB's x/0 (ANSI '/' would error the scan — round 6
+        # NULL-bearing-corpus audit)
         F.expr(
-            f"CAST({e['punct']} AS DOUBLE) / char_length(text)"
+            f"try_divide(CAST({e['punct']} AS DOUBLE), char_length(text))"
         ).alias("punct_ratio"),
         F.expr(
-            f"CAST({e['stop_hits']} AS DOUBLE) / {n_tokens}"
+            f"try_divide(CAST({e['stop_hits']} AS DOUBLE), {n_tokens})"
         ).alias("stopword_ratio"),
         F.expr(e["quality"]).alias("quality"),
         F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),

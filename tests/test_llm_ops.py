@@ -1430,6 +1430,49 @@ def test_decontaminate_matches_brute_force(spark, sf_oracle):
     assert kept == all_ids - want
 
 
+def test_text_keys_null_bearing_corpus(spark, sf_oracle, tmp_path):
+    """Round 6 (round-5 advisory follow-through): every text-family key
+    stays hash-green when the corpus contains NULL, empty, and
+    whitespace-only texts.  Spark's ANSI division errored the
+    doc-profile scan on zero-length text where DuckDB yields NULL —
+    the operators now spell those divisions ``try_divide``, which
+    reproduces DuckDB's NULL exactly (caught here: quality is NULL for
+    empty text, 0.6 for whitespace-only, on BOTH engines)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_oracle}/documents.parquet")
+    texts = [None, "", "   "]
+    cols = {}
+    for c in src.column_names:
+        t = src.schema.field(c).type
+        if c == "doc_id":
+            import pyarrow.compute as pc
+
+            mx = pc.max(src[c]).as_py()
+            cols[c] = pa.array(
+                [mx + 1 + i for i in range(len(texts))], t
+            )
+        elif c == "text":
+            cols[c] = pa.array(texts, t)
+        else:
+            cols[c] = pa.array([src[c][0].as_py()] * len(texts), t)
+    out = str(tmp_path / "sfnull")
+    os.makedirs(out)
+    pq.write_table(
+        pa.concat_tables([src, pa.table(cols, schema=src.schema)]),
+        f"{out}/documents.parquet",
+    )
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        os.symlink(f"{sf_oracle}/{t}.parquet", f"{out}/{t}.parquet")
+    for key in ["q_text_stats", "q_text_doc_profile", "q_lang_id",
+                "q_tfidf_top_terms"]:
+        compare_query(spark, key, out, QUERIES, ORACLE)
+
+
 def test_decontaminate_shared_gram_pass_equivalent(spark, sf_oracle):
     """Round 6: the ``doc_grams`` injection (the span tiers' 48-bit
     positional-gram table riding into decontamination —
