@@ -117,6 +117,36 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     UNION ALL
     SELECT doc_id,
+           'png' AS modality,
+           -- 8 sig + 25 IHDR + 12 IDAT framing + 12 IEND = 57, plus the
+           -- stored-block zlib stream: 2 hdr + 5/block + raw + 4 adler,
+           -- raw = rows x (1 filter byte + 16 px)
+           CAST(63 + 5 * greatest(1, (raw + 65534) // 65535) + raw
+                AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               {M.IMG_WIDTH},
+               (strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH},
+               {M.IMG_WIDTH}
+                 * ((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH}),
+               ch[1],
+               CASE WHEN strlen(text) % {M.IMG_WIDTH} = 0
+                    THEN ch[strlen(text)] ELSE 0 END,
+               list_max(ch),
+               CAST(list_sum(ch) % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(len(list_filter(ch, c -> c = 32)) AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch,
+               CASE WHEN strlen(text) = 0 THEN 0
+                    ELSE ((strlen(text) + {M.IMG_WIDTH - 1})
+                          // {M.IMG_WIDTH}) * {M.IMG_WIDTH + 1} END AS raw
+        FROM documents
+    )
+    UNION ALL
+    SELECT doc_id,
            'video' AS modality,
            CAST({M.VID_HEADER} + {M.VID_FRAME_HDR + M.VID_FRAME_PX}
                 * ((strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX})
@@ -162,6 +192,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.binarize_documents(docs)
         .unionByName(M.binarize_audio_documents(docs))
         .unionByName(M.binarize_image_documents(docs))
+        .unionByName(M.binarize_png_documents(docs))
         .unionByName(M.binarize_video_documents(docs))
     )
     feats = M.extract_features(b)
@@ -200,6 +231,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE strlen(text) > 0
     UNION ALL
     SELECT doc_id,
+           'png' AS modality,
+           CAST(((((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH})
+                  + {M.IMG_BAND_ROWS - 1}) // {M.IMG_BAND_ROWS} + 1) // 2
+                AS BIGINT) AS n_frames,
+           -- 63 + one 5-byte stored block + 17 bytes per band row
+           CAST(68 + {M.IMG_WIDTH + 1}
+                * least((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH},
+                        {M.IMG_BAND_ROWS})
+                AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
            'video' AS modality,
            CAST((((strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX})
                  + 1) // 2 AS BIGINT) AS n_frames,
@@ -225,6 +269,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         M.binarize_documents(docs)
         .unionByName(M.binarize_image_documents(docs))
+        .unionByName(M.binarize_png_documents(docs))
         .unionByName(M.binarize_video_documents(docs))
     )
     frames = M.sample_frames(b, every_n=2)
