@@ -427,9 +427,104 @@ def plans_main(out_path: str = "PLANS.md") -> None:
                       "keys": len(rows)}))
 
 
+# ----- ANN recall-vs-cost grid (bench.py --ann [out.json]) ------------
+
+
+def ann_main(out_path: str) -> None:
+    """Generate the recall-vs-cost artifact for the ANN stack (round-6
+    verdict item): recall@10 and wall-time per query for brute force /
+    IVF(nprobe) / PQ(r_cand) / IVFADC(nprobe) grids at sf0.1 and the
+    10× replica dir — the table a user sizing ``nprobe``/``r_cand``
+    actually needs.  Index artifacts (centroids, cells, codebooks) are
+    trained ONCE per dataset and shared across the grid, mirroring the
+    write-once/probe-many production shape; timings are per-query
+    probes on warm indexes."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        pq as PQ,
+        similarity as S,
+    )
+
+    K = 10
+    DIM = 64
+    NUM_CENTROIDS = 8
+    QUERY_IDS = [0, 7, 123, 456, 1999]
+    spark = get_spark(app_name="msfs-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    doc: dict = {"metric": "ann_recall_cost", "k": K,
+                 "queries_per_point": len(QUERY_IDS), "datasets": {}}
+    ten = ensure_scale_dir()
+    for label, d in [("sf0.1", "/root/testdata/sf0.1"), ("x10", ten)]:
+        emb = load_table(spark, d, "embeddings")
+        n_vec = emb.count()
+        cents = S._trained_cents(emb, NUM_CENTROIDS)
+        cells = S.assign_cells(emb, cents)
+        from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+            materialize,
+        )
+
+        cells = materialize(cells)
+        books = PQ.train_codebooks(emb, DIM)
+        truth = {
+            q: [r["vec_id"]
+                for r in S.brute_force_topk(emb, q, K).collect()]
+            for q in QUERY_IDS
+        }
+
+        def measure(fn):
+            recalls, secs = [], []
+            for q in QUERY_IDS:
+                t0 = time.perf_counter()
+                got = [r["vec_id"] for r in fn(q).collect()]
+                secs.append(time.perf_counter() - t0)
+                recalls.append(len(set(got) & set(truth[q])) / K)
+            return {
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                "sec_per_query": round(sum(secs) / len(secs), 3),
+            }
+
+        ds: dict = {"n_vectors": n_vec, "variants": {}}
+        ds["variants"]["brute"] = measure(
+            lambda q: S.brute_force_topk(emb, q, K)
+        )
+        for nprobe in (1, 2, 4, 8):
+            ds["variants"][f"ivf_nprobe{nprobe}"] = measure(
+                lambda q, np=nprobe: S.ivf_topk(
+                    emb, q, K, NUM_CENTROIDS, np, cents=cents, cells=cells
+                )
+            )
+        for r_cand in (K, 4 * K, 16 * K):
+            ds["variants"][f"pq_rcand{r_cand}"] = measure(
+                lambda q, rc=r_cand: PQ.pq_adc_topk(
+                    emb, q, K, DIM, r_cand=rc, books=books
+                )
+            )
+        for nprobe in (1, 2, 4):
+            ds["variants"][f"ivfadc_nprobe{nprobe}"] = measure(
+                lambda q, np=nprobe: PQ.ivfadc_topk(
+                    emb, q, K, DIM, NUM_CENTROIDS, np,
+                    cents=cents, cells=cells, books=books,
+                )
+            )
+        doc["datasets"][label] = ds
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps({"metric": "ann_written", "out": out_path}))
+
+
 def main() -> None:
     if "--plans" in sys.argv:
         plans_main()
+        return
+    if "--ann" in sys.argv:
+        i = sys.argv.index("--ann")
+        out = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else "ANN_r06.json"
+        )
+        ann_main(out)
         return
     if "--scale" in sys.argv:
         i = sys.argv.index("--scale")

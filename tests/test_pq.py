@@ -206,3 +206,31 @@ def test_ivfadc_persisted_probe_matches_inline_and_prunes(
     )
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan, plan
+
+
+def test_ann_recall_artifact_monotonicities():
+    """The committed recall-vs-cost artifact (ANN_r06.json, generated
+    by ``bench.py --ann``) must exhibit the stack's two GUARANTEED
+    monotonicities: IVF recall@10 non-decreasing in nprobe (nested
+    candidate sets) and PQ recall@10 non-decreasing in r_cand (nested
+    rerank pools).  IVFADC at FIXED r_cand is deliberately not pinned —
+    probing more cells can displace true neighbors from the fixed-size
+    best-ADC pool, which is exactly the sizing trap the artifact
+    documents for users."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "ANN_r06.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("ANN artifact not generated (run bench.py --ann)")
+    doc = json.load(open(path))
+    for label, ds in doc["datasets"].items():
+        v = ds["variants"]
+        ivf = [v[f"ivf_nprobe{n}"]["recall_at_10"] for n in (1, 2, 4, 8)]
+        assert ivf == sorted(ivf), (label, ivf)
+        assert ivf[-1] == 1.0, (label, ivf)  # nprobe = C is exact
+        pq = [v[f"pq_rcand{r}"]["recall_at_10"] for r in (10, 40, 160)]
+        assert pq == sorted(pq), (label, pq)
+        assert v["brute"]["recall_at_10"] == 1.0
