@@ -82,7 +82,11 @@ def _warm(spark, sf_dir: str) -> None:
 
 
 def _timed_sweep(
-    spark, sf_dir: str, names, runs: int = 1
+    spark,
+    sf_dir: str,
+    names,
+    runs: int = 1,
+    state_rows: dict | None = None,
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Force each query ``runs`` times; returns ``(best, first)`` —
     the per-key MINIMUM (steady-state time: the min is the run least
@@ -100,13 +104,23 @@ def _timed_sweep(
         bucketed_tables_build,
     )
 
+    from mapreduce_framework_for_mergesort_spark.streaming import (
+        sources as _ss,
+    )
+
     times: dict[str, float] = {}
     first: dict[str, float] = {}
 
     def record(name: str, fn) -> None:
+        _ss.LAST_STATE_ROWS = None
         ts = [_once(fn) for _ in range(runs)]
         first[name] = round(ts[0], 3)
         times[name] = round(min(ts), 3)
+        # stateful streaming keys leave their final state-store row
+        # counts behind — promote them into the sweep artifact so the
+        # "state bounded by watermark + interval" claims are measured
+        if state_rows is not None and _ss.LAST_STATE_ROWS is not None:
+            state_rows[name] = dict(_ss.LAST_STATE_ROWS)
 
     def _once(fn) -> float:
         t0 = time.perf_counter()
@@ -313,14 +327,21 @@ def scale_main(out_path: str, skew: bool = False) -> None:
     spark = get_spark(app_name="msfs-scale")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, "/root/testdata/sf0.1")
-    base, _ = _timed_sweep(spark, "/root/testdata/sf0.1", sorted(QUERIES))
+    st_base: dict = {}
+    st_tenx: dict = {}
+    st_skew: dict = {}
+    base, _ = _timed_sweep(
+        spark, "/root/testdata/sf0.1", sorted(QUERIES), state_rows=st_base
+    )
     base["op_decontaminate"] = _decontam_probe(spark, "/root/testdata/sf0.1")
-    tenx, _ = _timed_sweep(spark, ten, sorted(QUERIES))
+    tenx, _ = _timed_sweep(spark, ten, sorted(QUERIES), state_rows=st_tenx)
     tenx["op_decontaminate"] = _decontam_probe(spark, ten)
     skewx: dict[str, float] = {}
     if skew:
         skew_dir = ensure_scale_dir(skew=True)
-        skewx, _ = _timed_sweep(spark, skew_dir, sorted(QUERIES))
+        skewx, _ = _timed_sweep(
+            spark, skew_dir, sorted(QUERIES), state_rows=st_skew
+        )
         skewx["op_decontaminate"] = _decontam_probe(spark, skew_dir)
     doc = {
         "metric": "scale_sweep",
@@ -331,6 +352,15 @@ def scale_main(out_path: str, skew: bool = False) -> None:
                 "sf0.1_sec": base[k],
                 "x10_sec": tenx[k],
                 "ratio": round(tenx[k] / base[k], 2) if base[k] else None,
+                **(
+                    {"state_rows": {
+                        "sf0.1": st_base[k],
+                        "x10": st_tenx.get(k),
+                        **({"x10_skew": st_skew.get(k)} if skew else {}),
+                    }}
+                    if k in st_base
+                    else {}
+                ),
                 **(
                     {
                         "x10_skew_sec": skewx[k],

@@ -72,6 +72,11 @@ def main() -> None:
         ],
         min_quality=0.3,
         langs=("en",),
+        # round 6: route the train/val/test split by near-dup CLUSTER
+        # content key (reusing the dedup stage's own cluster labels),
+        # so near-duplicates can never straddle an eval boundary even
+        # when the dedup threshold is loose
+        split_mode="leakage_safe",
     )
     print("manifest:", json.dumps(manifest, indent=2, default=str))
 

@@ -112,14 +112,35 @@ def run_to_memory_with_progress(
     # Expose the LAST microbatch's executed physical plan for the
     # PLANS.md audit (bench.py --plans): a drained streaming query's
     # plan is otherwise invisible to batch-side .explain tooling.
-    global LAST_MICROBATCH_PLAN
+    global LAST_MICROBATCH_PLAN, LAST_STATE_ROWS
     try:
         LAST_MICROBATCH_PLAN = q._jsq.explainInternal(False)
     except Exception:
         LAST_MICROBATCH_PLAN = None
+    # Final state-store footprint (summed over state operators of the
+    # last progress entry that carries any): the measured number behind
+    # "state is bounded by watermark + interval" claims — read by
+    # bench.py --scale into SCALE_r*.json and by the state-bound tests.
+    LAST_STATE_ROWS = None
+    for p in reversed(prog):
+        ops = p.get("stateOperators") or []
+        if ops:
+            LAST_STATE_ROWS = {
+                "rows_total": sum(o.get("numRowsTotal", 0) for o in ops),
+                "rows_removed": sum(
+                    o.get("numRowsRemoved", 0) for o in ops
+                ),
+            }
+            break
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}"), prog
 
 
 # Physical plan of the most recently drained memory-sink query (see
 # run_to_memory_with_progress); read by bench.py --plans.
 LAST_MICROBATCH_PLAN: str | None = None
+
+# Final state-store row counts of the most recently drained query
+# ({"rows_total": N, "rows_removed": M}, None for stateless queries);
+# read by bench.py --scale so stateful streaming cost is a measured
+# artifact row, not prose.
+LAST_STATE_ROWS: dict | None = None

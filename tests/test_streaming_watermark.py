@@ -203,3 +203,81 @@ def test_perkey_max_variant_counts_contract_violations(
         "t_sess_perkey_counter",
     )
     assert counter.value == 1
+
+
+def test_interval_join_hot_key_state_is_horizon_bounded(spark, tmp_path):
+    """Round 6 (the sweep's one standing skew reading): a single HOT
+    user funnelling every event through one interval-join state
+    partition must still have its state EVICTED down to the
+    watermark + interval horizon — state tracks the horizon, not the
+    stream length.  Pinned from the query's own progress metrics
+    (``stateOperators.numRowsTotal/numRowsRemoved`` — the same numbers
+    ``bench.py --scale`` now records into SCALE_r*.json as
+    ``state_rows``)."""
+    import pandas as pd
+
+    from mapreduce_framework_for_mergesort_spark.streaming.joins import (
+        interval_join_events,
+    )
+    from mapreduce_framework_for_mergesort_spark.streaming.sources import (
+        run_to_memory_with_progress,
+    )
+
+    # 8 daily files x 24 hourly events, ALL user 1 (the hot key)
+    n_days, per_day = 8, 24
+    rows = []
+    for d in range(n_days):
+        for hh in range(per_day):
+            rows.append(
+                (1, pd.Timestamp(2024, 1, 1 + d, hh), d * per_day + hh,
+                 "click")
+            )
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    for d in range(n_days):
+        pdf = pd.DataFrame(
+            rows[d * per_day : (d + 1) * per_day],
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        p = tmp_path / f"day{d}.parquet"
+        pdf.to_parquet(p)
+        os.utime(p, (1_700_000_000 + d * 100, 1_700_000_000 + d * 100))
+
+    def rd():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(tmp_path))
+        )
+
+    probes = rd().where("event_id % 4 = 0")
+    joined = interval_join_events(probes, rd(), "6 hours", "1 day")
+    out, prog = run_to_memory_with_progress(
+        joined, "ivj_state_bound", output_mode="append"
+    )
+    # semantics sanity: pairs exist
+    assert out.count() > 0
+
+    totals = [
+        sum(o.get("numRowsTotal", 0) for o in p["stateOperators"])
+        for p in prog
+        if p.get("stateOperators")
+    ]
+    removed = sum(
+        o.get("numRowsRemoved", 0)
+        for p in prog
+        if p.get("stateOperators")
+        for o in p["stateOperators"]
+    )
+    assert removed > 0, "watermark never evicted hot-key state"
+    # Horizon bound: state retains at most the rows still able to find
+    # partners — watermark (1 day) + interval (6 h), plus one full day
+    # of batch lag (eviction uses the PREVIOUS batch's watermark) and
+    # one in-flight batch.  That is < 3.5 days of rows on each side;
+    # with 8 days ingested, a stream-length-sized state would be ~2x
+    # this bound and fail loudly.
+    a_rows = n_days * per_day // 4
+    horizon_days = 3.5
+    bound = int(horizon_days * per_day * (1 + 0.25))  # b side + a side
+    assert totals[-1] <= bound, (totals, bound)
+    assert totals[-1] < (n_days * per_day) + a_rows, "state ~ stream length"
