@@ -1074,15 +1074,38 @@ def positional_ngrams(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     Hot path is the memoized Arrow kernel (``hashing.gram_rows_udf``),
     pinned row-for-row to the canonical SQL spelling
     ``positional_ngrams_sql`` in tests — the same kernel-vs-expression
-    contract as the minhash band and simhash passes.
+    contract as the minhash band and simhash passes.  The kernel runs
+    over DISTINCT texts only (round 6): identical documents produce
+    identical (pos, g) arrays by definition, so the tokenize→window→
+    hash work — measured 40.7 s of the key's 73 s at the 100×
+    replica spot-check, where replicas never share an Arrow batch and
+    the per-task memo cannot fire — is paid once per distinct content
+    and joined back to doc_ids on md5(text).  The join ships one
+    un-exploded gram ARRAY per distinct text plus a skinny
+    (doc_id, hash) corpus projection; the 600 M-row explode happens
+    map-side after the join.  On an all-distinct corpus this adds one
+    cheap distinct+join; on a replica-heavy one it divides the kernel
+    by the duplication factor.
 
     Unlike ``spark_shingles`` this keeps positions and duplicates —
     set semantics would erase exactly the repetition being measured.
     """
-    return documents.select(
-        "doc_id", F.explode(H.gram_rows_udf(k)(F.col("text"))).alias("w")
-    ).select(
-        "doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g")
+    hashed = documents.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("__th")
+    )
+    rep_arrays = (
+        documents.select(
+            F.md5(F.col("text").cast("binary")).alias("__th"), "text"
+        )
+        .dropDuplicates(["__th"])
+        .select("__th", H.gram_rows_udf(k)(F.col("text")).alias("__ws"))
+    )
+    return (
+        hashed.join(rep_arrays, "__th")
+        .select("doc_id", F.explode("__ws").alias("w"))
+        .select(
+            "doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g")
+        )
     )
 
 
