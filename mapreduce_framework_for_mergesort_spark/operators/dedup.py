@@ -600,14 +600,30 @@ def simhash_signatures(
     ``with_text_md5`` appends ``__h = md5(text)`` in the SAME
     projection, so a caller that also needs the exact-dup
     representative collapse (the registered pair tier) derives it from
-    this one materialized pass instead of rescanning the corpus."""
-    cols = [
-        F.col("doc_id"),
-        H.simhash_udf()(F.col("text")).alias("simhash"),
-    ]
+    this one materialized pass instead of rescanning the corpus.
+
+    The kernel runs over DISTINCT texts and joins back on md5(text)
+    (round 6 — the same replica collapse as ``positional_ngrams``): a
+    signature is a pure function of the text, and on replica-heavy
+    corpora the per-task token memo cannot fire across file-appended
+    copies that never share an Arrow batch, so distinct-collapsing the
+    kernel input divides its cost by the duplication factor (the 100×
+    spot-check's simhash floor was exactly this kernel)."""
+    hashed = documents.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("__h")
+    )
+    reps = (
+        documents.select(
+            F.md5(F.col("text").cast("binary")).alias("__h"), "text"
+        )
+        .dropDuplicates(["__h"])
+        .select("__h", H.simhash_udf()(F.col("text")).alias("simhash"))
+    )
+    joined = hashed.join(reps, "__h")
+    cols = [F.col("doc_id"), F.col("simhash")]
     if with_text_md5:
-        cols.append(F.md5(F.col("text").cast("binary")).alias("__h"))
-    return documents.select(*cols)
+        cols.append(F.col("__h"))
+    return joined.select(*cols)
 
 
 # 48-bit signature split into 4 bands of 12 bits.  Pigeonhole: two
