@@ -442,3 +442,53 @@ def test_compact_epochs_crash_recovery(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(out2) if d.startswith("epoch=")
     ) == ["epoch=1", "epoch=2"]
+
+
+def test_compact_epochs_converges_from_every_crash_point(spark, tmp_path):
+    """Sweep the swap's crash window: after phase 1 commits (_SUCCESS
+    exists), a crash may have deleted ANY subset of the source epoch
+    dirs before the rename.  A re-run must converge to the identical
+    row set from every such state — the completed temp is the full
+    copy, so no prefix of deletions can lose data."""
+    import os
+    import shutil
+
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        compact_epochs,
+    )
+
+    n_epochs = 4
+    rows_of = lambda e: [(e * 10 + i, f"doc {e}-{i}") for i in range(3)]
+    want = sorted(r for e in range(n_epochs + 1) for r in rows_of(e))
+
+    # crash after deleting the first k source dirs, k = 0..hi+1
+    for k in range(n_epochs + 1):
+        out = str(tmp_path / f"t{k}")
+        for e in range(n_epochs + 1):  # epoch n_epochs stays latest
+            spark.createDataFrame(
+                rows_of(e), ["doc_id", "text"]
+            ).coalesce(1).write.parquet(f"{out}/epoch={e}")
+        hi = n_epochs - 1
+        # phase 1, exactly as compact_epochs writes it
+        (
+            spark.read.parquet(out)
+            .where(f"epoch <= {hi}")
+            .drop("epoch")
+            .coalesce(1)
+            .write.parquet(f"{out}/.compact-epoch-{hi}")
+        )
+        for e in range(k):  # the crashed swap's partial deletions
+            shutil.rmtree(f"{out}/epoch={e}")
+        stats = compact_epochs(spark, out)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert got == want, (k, stats)
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("epoch=")
+        ) == [f"epoch={hi}", f"epoch={n_epochs}"], k
+        # and a second run has nothing left to do
+        assert compact_epochs(spark, out) is None
