@@ -784,8 +784,21 @@ def contaminated_doc_ids(
             .select(key)
             .distinct()
         )
-    doc_sh = documents.select(
-        key,
+    # Contamination is a pure function of the text, so the shingle
+    # pass runs over DISTINCT texts and flags propagate back to doc
+    # ids through an md5(text) join (round 6 — the same replica
+    # collapse as positional_ngrams/simhash_signatures): on a
+    # replica-heavy corpus the per-byte shingle cost divides by the
+    # duplication factor; on an all-distinct one this adds one
+    # distinct+join.
+    hashed = documents.select(
+        key, F.md5(F.col("text").cast("binary")).alias("__th")
+    )
+    reps = documents.select(
+        F.md5(F.col("text").cast("binary")).alias("__th"), "text"
+    ).dropDuplicates(["__th"])
+    rep_sh = reps.select(
+        "__th",
         F.explode(
             F.expr(H.spark_shingles(H.spark_tokens("text"), n))
         ).alias("s"),
@@ -798,11 +811,12 @@ def contaminated_doc_ids(
         )
         .distinct()
     )
-    return (
-        doc_sh.join(F.broadcast(bench_sh), "s", "semi")
-        .select(key)
+    bad = (
+        rep_sh.join(F.broadcast(bench_sh), "s", "semi")
+        .select("__th")
         .distinct()
     )
+    return hashed.join(bad, "__th", "semi").select(key).distinct()
 
 
 def contamination_report(
