@@ -148,12 +148,13 @@ def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
 
     ``with_fingerprint=True`` appends the winnowing-style content
     fingerprint (min rolling hash over char 8-grams, Arrow kernel) in
-    the same projection — classify + fingerprint share one scan."""
+    the same projection — classify + fingerprint share one scan.
+
+    Classification and fingerprint are pure functions of the text, so
+    both run once per distinct content (``per_content``); the labeled
+    ``lang`` column rides the document side of the join."""
     toks = H.spark_tokens("text")
-    df = documents
     langs = list(LANG_STOPWORDS)
-    for lang, words in LANG_STOPWORDS.items():
-        df = df.withColumn(f"__h_{lang}", F.expr(_hits(toks, words)))
     # Zero-evidence guard first: with only >= tie conditions the first
     # language would win the all-zero tie, making 'und' unreachable —
     # zero-stopword (numeric/foreign-script) docs must classify 'und',
@@ -166,14 +167,58 @@ def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
         )
         branches.append(f"WHEN {cond} THEN '{lang}'")
     pred = f"CASE {' '.join(branches)} ELSE 'und' END"
-    cols = [
+
+    def compute(reps: DataFrame) -> DataFrame:
+        df = reps
+        for lang, words in LANG_STOPWORDS.items():
+            df = df.withColumn(f"__h_{lang}", F.expr(_hits(toks, words)))
+        cols = ["__th", F.expr(pred).alias("pred_lang")]
+        if with_fingerprint:
+            cols.append(
+                H.fingerprint_udf()(F.col("text")).alias("fingerprint")
+            )
+        return df.select(*cols)
+
+    out_cols = [
         F.col("doc_id"),
         F.col("lang").alias("labeled_lang"),
-        F.expr(pred).alias("pred_lang"),
+        F.col("pred_lang"),
     ]
     if with_fingerprint:
-        cols.append(H.fingerprint_udf()(F.col("text")).alias("fingerprint"))
-    return df.select(*cols)
+        out_cols.append(F.col("fingerprint"))
+    return per_content(documents, compute).select(*out_cols)
+
+
+def per_content(documents: DataFrame, compute) -> DataFrame:
+    """Compute text-pure columns once per DISTINCT content and join
+    them back onto every document row (round 6 — the replica collapse
+    the dedup kernels pioneered, factored for the text operators):
+    ``compute`` receives the distinct ``(__th, text)`` frame and must
+    return ``(__th, *computed)``; the result is ``documents``' rows
+    (all original columns) plus the computed columns.
+
+    Scale shape: per-document text analysis is a pure function of the
+    text, so on a replica-heavy corpus — the corpus a curation
+    pipeline actually sees — the expression/kernel cost divides by the
+    duplication factor; the price is one distinct exchange (one text
+    per distinct content) and one hash join on md5(text).  Identical
+    results by construction, so oracles are unchanged."""
+    hashed = documents.withColumn(
+        "__th", F.md5(F.col("text").cast("binary"))
+    )
+    reps = documents.select(
+        F.md5(F.col("text").cast("binary")).alias("__th"), "text"
+    ).dropDuplicates(["__th"])
+    # null-safe equi-join: md5(NULL) is NULL, and a plain inner join
+    # would silently DROP every NULL-text document (caught by the
+    # NULL-bearing-corpus parity test); <=> keeps them as their own
+    # content group, whose computed columns are the expressions'
+    # natural NULLs — matching what the uncollapsed projection (and
+    # DuckDB) produce for NULL text.
+    comp = compute(reps).withColumnRenamed("__th", "__th_r")
+    return hashed.join(
+        comp, F.col("__th").eqNullSafe(F.col("__th_r"))
+    ).drop("__th", "__th_r")
 
 
 def doc_profile(documents: DataFrame) -> DataFrame:
@@ -188,27 +233,45 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     e = text_feature_exprs()
     n_tokens = e["n_tokens"]
     bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r])', 1)"
-    return documents.select(
+
+    # every output column is a pure function of the text, so the whole
+    # projection runs once per distinct content (per_content)
+    def compute(reps: DataFrame) -> DataFrame:
+        return reps.select(
+            "__th",
+            F.expr(n_tokens).cast("long").alias("n_tokens"),
+            F.expr(f"size({bpe})").cast("long").alias("n_subwords"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+            # try_divide: empty/zero-token text → NULL ratios, exactly
+            # DuckDB's x/0 (ANSI '/' would error the scan — round 6
+            # NULL-bearing-corpus audit)
+            F.expr(
+                f"try_divide(CAST({e['punct']} AS DOUBLE), char_length(text))"
+            ).alias("punct_ratio"),
+            F.expr(
+                f"try_divide(CAST({e['stop_hits']} AS DOUBLE), {n_tokens})"
+            ).alias("stopword_ratio"),
+            F.expr(e["quality"]).alias("quality"),
+            F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
+            F.regexp_replace("text", "[0-9]+", "#").alias("no_digits"),
+            F.expr(r"size(regexp_extract_all(text, '([A-Z][a-z]+)', 1))")
+            .cast("long")
+            .alias("n_capitalized"),
+            F.col("text").rlike("https?://").alias("has_url"),
+        )
+
+    return per_content(documents, compute).select(
         "doc_id",
-        F.expr(n_tokens).cast("long").alias("n_tokens"),
-        F.expr(f"size({bpe})").cast("long").alias("n_subwords"),
-        F.length("text").cast("long").alias("n_chars_actual"),
-        # try_divide: empty/zero-token text → NULL ratios, exactly
-        # DuckDB's x/0 (ANSI '/' would error the scan — round 6
-        # NULL-bearing-corpus audit)
-        F.expr(
-            f"try_divide(CAST({e['punct']} AS DOUBLE), char_length(text))"
-        ).alias("punct_ratio"),
-        F.expr(
-            f"try_divide(CAST({e['stop_hits']} AS DOUBLE), {n_tokens})"
-        ).alias("stopword_ratio"),
-        F.expr(e["quality"]).alias("quality"),
-        F.regexp_extract("text", "([0-9]+)", 1).alias("first_num"),
-        F.regexp_replace("text", "[0-9]+", "#").alias("no_digits"),
-        F.expr(r"size(regexp_extract_all(text, '([A-Z][a-z]+)', 1))")
-        .cast("long")
-        .alias("n_capitalized"),
-        F.col("text").rlike("https?://").alias("has_url"),
+        "n_tokens",
+        "n_subwords",
+        "n_chars_actual",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "first_num",
+        "no_digits",
+        "n_capitalized",
+        "has_url",
     )
 
 
