@@ -194,8 +194,10 @@ def per_content(documents: DataFrame, compute) -> DataFrame:
     them back onto every document row (round 6 — the replica collapse
     the dedup kernels pioneered, factored for the text operators):
     ``compute`` receives the distinct ``(__th, text)`` frame and must
-    return ``(__th, *computed)``; the result is ``documents``' rows
-    (all original columns) plus the computed columns.
+    return ``(__th, *computed)`` — one row per content, or several
+    (e.g. per-term rows): the join back to doc ids fans them out.  The
+    result is ``documents``' rows (all original columns) plus the
+    computed columns.
 
     Scale shape: per-document text analysis is a pure function of the
     text, so on a replica-heavy corpus — the corpus a curation
@@ -493,11 +495,21 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     global.
     """
     toks = H.spark_tokens("text")
-    tf = (
-        documents.select("doc_id", F.explode(F.expr(toks)).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+
+    # the (term, tf) multiset is a pure function of the text, so the
+    # explode + count shuffle runs over DISTINCT contents
+    # (per_content's compute may return several rows per content — the
+    # join back to doc ids fans them out); document frequency and the
+    # per-doc window below are computed AFTER the join-back, so df
+    # still counts DOCUMENTS, replicas included
+    def compute(reps: DataFrame) -> DataFrame:
+        return (
+            reps.select("__th", F.explode(F.expr(toks)).alias("term"))
+            .groupBy("__th", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    tf = per_content(documents, compute).select("doc_id", "term", "tf")
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

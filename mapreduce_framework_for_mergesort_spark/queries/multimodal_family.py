@@ -18,8 +18,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.operators import dedup as D
 from mapreduce_framework_for_mergesort_spark.queries import query
 from mapreduce_framework_for_mergesort_spark.sources import multimodal as M
+
+
+def _join_back_to_docs(
+    docs: DataFrame, reps: DataFrame, rep_rows: DataFrame
+) -> DataFrame:
+    """Fan representative-keyed rows (``__rep`` column) back out to
+    every document id sharing the representative's text — the join-back
+    half of the decode-once-per-distinct-content collapse.  Both joins
+    are content-hash equi-joins; md5(text) is non-null here (the
+    fixture and every synthesized modality path require text)."""
+    rep_h = reps.select(
+        F.col("doc_id").alias("__rep"),
+        F.md5(F.col("text").cast("binary")).alias("__th"),
+    )
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("__th")
+    )
+    return hashed.join(rep_h, "__th").join(rep_rows, "__rep").drop(
+        "__th", "__rep"
+    )
 
 
 @query(
@@ -188,22 +209,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the long cast is exact (audio features < 2^24, exact in float32).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # synth + decode run once per DISTINCT text (round 6 — payloads
+    # and features are pure functions of the text, so replicas reuse
+    # their representative's decode; production decodes a payload once
+    # per distinct content, not once per copy): the mapInPandas chain
+    # runs over exact-dup representatives and the per-doc rows come
+    # back through one md5(text) join.
+    reps = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
     b = (
-        M.binarize_documents(docs)
-        .unionByName(M.binarize_audio_documents(docs))
-        .unionByName(M.binarize_image_documents(docs))
-        .unionByName(M.binarize_png_documents(docs))
-        .unionByName(M.binarize_video_documents(docs))
+        M.binarize_documents(reps)
+        .unionByName(M.binarize_audio_documents(reps))
+        .unionByName(M.binarize_image_documents(reps))
+        .unionByName(M.binarize_png_documents(reps))
+        .unionByName(M.binarize_video_documents(reps))
     )
-    feats = M.extract_features(b)
-    return feats.select(
-        "doc_id",
+    feats = M.extract_features(b).select(
+        F.col("doc_id").alias("__rep"),
         "modality",
         "n_bytes",
         F.array_join(
             F.transform(F.col("feature"), lambda x: x.cast("long").cast("string")),
             ",",
         ).alias("feature_csv"),
+    )
+    return _join_back_to_docs(docs, reps, feats).select(
+        "doc_id", "modality", "n_bytes", "feature_csv"
     )
 
 
@@ -266,16 +296,26 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins.  The mapInPandas 1→N plumbing is exercised for real, and its
     row arithmetic is exactly verified."""
     docs = load_table(spark, sf_dir, "documents")
+    # same decode-once-per-distinct-content collapse as the features
+    # key: the synth → frame fan-out → per-doc reduction is a pure
+    # function of the text, so it runs over representatives and the
+    # aggregate rows join back to every doc id
+    reps = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
     b = (
-        M.binarize_documents(docs)
-        .unionByName(M.binarize_image_documents(docs))
-        .unionByName(M.binarize_png_documents(docs))
-        .unionByName(M.binarize_video_documents(docs))
+        M.binarize_documents(reps)
+        .unionByName(M.binarize_image_documents(reps))
+        .unionByName(M.binarize_png_documents(reps))
+        .unionByName(M.binarize_video_documents(reps))
     )
     frames = M.sample_frames(b, every_n=2)
-    return frames.groupBy("doc_id", "modality").agg(
+    per_rep = frames.groupBy(
+        F.col("doc_id").alias("__rep"), F.col("modality")
+    ).agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.max(
             F.when(F.col("frame_idx") == 0, F.col("frame_n_bytes"))
         ).alias("first_frame_bytes"),
+    )
+    return _join_back_to_docs(docs, reps, per_rep).select(
+        "doc_id", "modality", "n_frames", "first_frame_bytes"
     )
