@@ -59,9 +59,8 @@ def main() -> None:
     # microbatch (maxFilesPerTrigger=1 in the reader below)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     docs.repartition(6).write.mode("overwrite").parquet(feed)
-    schema = docs.schema.simpleString().strip("struct<>").replace(":", " ")
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )

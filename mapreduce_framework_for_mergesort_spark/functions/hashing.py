@@ -225,6 +225,13 @@ def gram_rows_udf(k: int):
         win_memo: dict[str, int] = {}
         out = []
         for s in text:
+            if s is None:
+                # NULL text → no windows, matching the SQL spelling
+                # (posexplode of a NULL/empty gram array yields no
+                # rows) — and the kernel must not rely on the caller's
+                # join null-filter inference to keep None out.
+                out.append([])
+                continue
             hit = doc_memo.get(s)
             if hit is None:
                 toks = TOKEN_RE.findall(s)
@@ -325,7 +332,9 @@ def band_structs_udf(n: int = SHINGLE_N):
     def bands(text: pd.Series) -> pd.Series:
         out = []
         for s in text:
-            toks = TOKEN_RE.findall(s)
+            # None → no bands, like <n-token text (the SQL spelling's
+            # NULL shingle array explodes to no rows either way)
+            toks = TOKEN_RE.findall(s) if s is not None else []
             if len(toks) < n:
                 out.append([])
                 continue
@@ -450,6 +459,14 @@ def simhash_udf():
         memo: dict[str, np.ndarray] = {}
         out = np.zeros(len(text), dtype=np.int64)
         for ix, s in enumerate(text):
+            if s is None:
+                # NULL text → 0, matching BOTH SQL spellings: every
+                # bit term's CASE compares against a NULL count and
+                # falls through to its ELSE 0 (the same fall-through
+                # test_fingerprint_kernel_survives_non_ascii_and_null
+                # pins for the fingerprint) — and the kernel must not
+                # rely on callers null-filtering its input.
+                continue
             toks = TOKEN_RE.findall(s)
             if not toks:
                 continue  # no tokens → every vote fails → 0, like the SQL

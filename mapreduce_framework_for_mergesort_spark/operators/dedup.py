@@ -608,7 +608,17 @@ def simhash_signatures(
     corpora the per-task token memo cannot fire across file-appended
     copies that never share an Arrow batch, so distinct-collapsing the
     kernel input divides its cost by the duplication factor (the 100×
-    spot-check's simhash floor was exactly this kernel)."""
+    spot-check's simhash floor was exactly this kernel).
+
+    NULL contract (round 7, advisory): a NULL-text document keeps its
+    row with signature 0 — exactly what the canonical ``spark_simhash``
+    expression (and the DuckDB oracle CTE) yields on NULL text, since
+    every bit term's CASE falls through to 0 on a NULL count.  Round
+    6's plain inner join silently dropped those rows (``md5(NULL)`` is
+    NULL, and inner equi-joins null-filter), disagreeing with
+    ``text.per_content``'s eqNullSafe contract for the same collapse —
+    the join below is eqNullSafe like ``per_content``, and the kernel
+    itself guards None."""
     hashed = documents.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("__h")
     )
@@ -617,9 +627,12 @@ def simhash_signatures(
             F.md5(F.col("text").cast("binary")).alias("__h"), "text"
         )
         .dropDuplicates(["__h"])
-        .select("__h", H.simhash_udf()(F.col("text")).alias("simhash"))
+        .select(
+            F.col("__h").alias("__h_r"),
+            H.simhash_udf()(F.col("text")).alias("simhash"),
+        )
     )
-    joined = hashed.join(reps, "__h")
+    joined = hashed.join(reps, F.col("__h").eqNullSafe(F.col("__h_r")))
     cols = [F.col("doc_id"), F.col("simhash")]
     if with_text_md5:
         cols.append(F.col("__h"))
@@ -756,6 +769,11 @@ def contaminated_doc_ids(
     because the per-task memo can't fire when replicas live in
     different tasks (key-shifted copies are file-appended, never
     batch-local).
+
+    NULL contract: a NULL-text document has no shingles, so it is
+    never flagged — the inner semi-joins below drop the NULL ``__th``
+    group, which IS that semantics (unlike ``simhash_signatures``,
+    where a dropped row changed the output shape).
 
     ``doc_grams`` (the exception, and the real shared-pass win):
     inject a precomputed ``positional_ngrams(documents, n)``-shaped
@@ -1119,6 +1137,12 @@ def positional_ngrams(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
 
     Unlike ``spark_shingles`` this keeps positions and duplicates —
     set semantics would erase exactly the repetition being measured.
+
+    NULL contract: a NULL-text document contributes NO gram rows —
+    the same as the SQL spelling (posexplode of a NULL gram array).
+    The inner join's inferred ``__th IS NOT NULL`` drops the NULL rep
+    before the kernel, and the kernel itself also guards None (round
+    7), so the contract does not depend on optimizer filter inference.
     """
     hashed = documents.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("__th")

@@ -244,12 +244,31 @@ def compact_parquet(
 # Crash safety is a two-phase swap keyed on the parquet `_SUCCESS`
 # marker: (1) consolidated data is fully written to a dot-prefixed
 # temp dir (hidden from partition discovery) BEFORE any source
-# directory is touched; (2) the swap deletes source epoch dirs and
-# renames the temp into place.  A crash anywhere leaves a state a
+# directory is touched; (2) the swap retires the original `epoch=hi`
+# (atomic rename to a hidden `.retire-epoch-hi`), renames the temp
+# into `epoch=hi` (atomic), and only THEN deletes the lower source
+# epochs, the retire dir LAST.  A crash anywhere leaves a state a
 # RE-RUN repairs: temp without _SUCCESS → rewritten from the intact
-# sources; temp with _SUCCESS → rewrite skipped, swap completed (every
-# row of every epoch <= hi is in the temp, so deleting the remaining
-# source dirs loses nothing).  The function is idempotent.
+# sources; temp with _SUCCESS → rewrite skipped, swap resumed from
+# wherever it stopped (every row of every epoch <= hi is in the temp,
+# and the retire dir doubles as the journal that the lower-epoch
+# deletes may still be pending).  The function is idempotent.
+#
+# Concurrent-READER contract (round 7 — previously the swap deleted
+# every source dir before the rename, so a reader in that window saw
+# epoch hi's history MISSING and a dedup semi-join against it could
+# silently re-accept already-shipped rows):
+# * history is never under-reported except during the two back-to-back
+#   metadata renames (retire, then temp-into-place) — a window of two
+#   atomic namenode ops, no data I/O;
+# * during the delete phase readers see transient DUPLICATE history
+#   (folded `epoch=hi` plus not-yet-deleted lower epochs) — harmless
+#   for the hashes/bands decision surfaces, whose consumers are
+#   semi-joins / set-membership;
+# * the corpus surface (`out_path`) transiently double-counts rows in
+#   that same phase, so jobs that AGGREGATE the corpus should quiesce
+#   the surface around compaction (as examples/ingest_and_compact.py
+#   does) or read a snapshot listing.
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -298,7 +317,10 @@ def compact_epochs(
     sub-partitioned surfaces like the band index).  The latest epoch —
     the only one the replay guard permits replaying — is never touched.
     Idempotent and crash-recoverable (protocol above); safe beside a
-    live stream, whose new epochs commit strictly above the source set.
+    live stream's WRITES, whose new epochs commit strictly above the
+    source set.  Concurrent READERS see at-worst transient duplicate
+    history, except a two-metadata-op rename window on epoch ``hi``
+    (full contract in the protocol comment above).
 
     Returns ``{epochs_folded, hi, files_before, files_after}``, or
     ``None`` when there is nothing to do (fewer than two closed
@@ -309,19 +331,38 @@ def compact_epochs(
         return None
 
     def _swap(hi: int, tmp) -> None:
-        # every row of every epoch <= hi is in the temp dir
+        # Every row of every epoch <= hi is in the temp dir.  Order
+        # matters for concurrent readers (module protocol comment):
+        # the only under-reporting window is the two renames; the
+        # delete phase shows at-worst duplicate history, with the
+        # retire dir as the journal that deletes are still pending.
+        target = Path(f"{path}/epoch={hi}")
+        retire = Path(f"{path}/.retire-epoch-{hi}")
+        if fs.exists(target) and fs.exists(tmp):
+            fs.rename(target, retire)
+        if fs.exists(tmp):
+            fs.rename(tmp, target)
         for e in _list_epochs(spark, path):
-            if e <= hi:
+            if e < hi:
                 fs.delete(Path(f"{path}/epoch={e}"), True)
-        fs.rename(tmp, Path(f"{path}/epoch={hi}"))
+        fs.delete(retire, True)
 
     # Recovery FIRST — a crashed prior run must be resolved before any
     # new hi is chosen: a completed temp (_SUCCESS) may be the ONLY
     # copy of epochs whose source dirs the crashed swap already
     # deleted, so it is finished; a partial temp (no _SUCCESS) implies
-    # untouched sources, so it is discarded.
+    # untouched sources, so it is discarded.  An orphan retire dir
+    # (temp already renamed in) means only the delete phase is
+    # pending — _swap's steps are individually idempotent, so re-running
+    # it from any crash point converges.
+    pending: dict[int, object | None] = {}
     for st in list(fs.listStatus(root)):
         name = st.getPath().getName()
+        if name.startswith(".retire-epoch-"):
+            try:
+                pending.setdefault(int(name[len(".retire-epoch-"):]), None)
+            except ValueError:
+                continue
         if not name.startswith(".compact-epoch-"):
             continue
         t = st.getPath()
@@ -330,9 +371,21 @@ def compact_epochs(
         except ValueError:
             continue
         if fs.exists(Path(f"{path}/{name}/_SUCCESS")):
-            _swap(pending_hi, t)
+            pending[pending_hi] = t
         else:
             fs.delete(t, True)
+            pending.pop(pending_hi, None)
+            # unreachable by protocol (retire happens only after
+            # _SUCCESS), but if a retire dir exists with the target
+            # slot empty, restore it rather than strand epoch hi
+            r = Path(f"{path}/.retire-epoch-{pending_hi}")
+            tgt = Path(f"{path}/epoch={pending_hi}")
+            if fs.exists(r) and not fs.exists(tgt):
+                fs.rename(r, tgt)
+    for pending_hi, t in pending.items():
+        _swap(pending_hi, t if t is not None else Path(
+            f"{path}/.compact-epoch-{pending_hi}"
+        ))
 
     epochs = _list_epochs(spark, path)
     if not epochs:

@@ -273,8 +273,13 @@ def compact_ingest_state(
     consolidated partition per surface: the maintenance step a
     long-running stream needs, since exactly-once delivery writes one
     ``epoch=N`` directory per microbatch forever (small-file
-    explosion).  Safe beside the running stream and idempotent —
-    protocol and crash-recovery in ``operators/layout.compact_epochs``.
+    explosion).  Safe beside the running stream's writes and
+    idempotent; a CONCURRENT reader (e.g. a microbatch's
+    ``accept_batch`` semi-join against hashes/bands) sees at-worst
+    transient duplicate history — harmless for the accept decision —
+    except a two-rename metadata window on the folded epoch; protocol,
+    reader contract, and crash-recovery in
+    ``operators/layout.compact_epochs``.
     Returns the per-surface stats dicts (None where nothing to do)."""
     from mapreduce_framework_for_mergesort_spark.operators.layout import (
         compact_epochs,

@@ -994,14 +994,20 @@ def test_simhash_kernel_matches_sql_expression(spark, sf_oracle):
 
     docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text")
     edge = spark.createDataFrame(
-        [(100001, ""), (100002, "tok")], "doc_id: bigint, text: string"
+        [(100001, ""), (100002, "tok"), (100003, None)],
+        "doc_id: bigint, text: string",
     )
     both = docs.unionByName(edge).select(
         "doc_id",
         H.simhash_udf()(F.col("text")).alias("kern"),
         F.expr(H.spark_simhash(H.spark_tokens("text"))).alias("sql"),
     )
-    assert both.where(F.col("kern") != F.col("sql")).count() == 0
+    # null-safe inequality so a kern=NULL/sql=0 divergence can't hide
+    assert both.where(~F.col("kern").eqNullSafe(F.col("sql"))).count() == 0
+    # NULL text → signature 0 on BOTH spellings (round 7: the bit
+    # CASEs fall through to 0 on a NULL count, like empty text)
+    nulls = both.where(F.col("doc_id") == 100003).collect()
+    assert nulls[0]["kern"] == 0 and nulls[0]["sql"] == 0
 
 
 def test_gram_rows_kernel_matches_sql_expression(spark, sf_oracle):
@@ -1520,7 +1526,14 @@ def test_text_keys_null_bearing_corpus(spark, sf_oracle, tmp_path):
               "orders", "lineitem", "events", "embeddings"]:
         os.symlink(f"{sf_oracle}/{t}.parquet", f"{out}/{t}.parquet")
     for key in ["q_text_stats", "q_text_doc_profile", "q_lang_id",
-                "q_tfidf_top_terms"]:
+                "q_tfidf_top_terms",
+                # round 7 (advisory): the dedup/span tiers' distinct-
+                # content collapses must also hold their NULL contracts
+                # against the oracle — the gram kernel previously
+                # relied on join null-filter inference not to crash,
+                # and the simhash collapse silently dropped NULL docs
+                "q_dedup_exact", "q_dedup_simhash",
+                "q_dedup_ngram_jaccard", "q_dedup_minhash_pairs"]:
         compare_query(spark, key, out, QUERIES, ORACLE)
 
 

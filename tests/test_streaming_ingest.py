@@ -492,3 +492,81 @@ def test_compact_epochs_converges_from_every_crash_point(spark, tmp_path):
         ) == [f"epoch={hi}", f"epoch={n_epochs}"], k
         # and a second run has nothing left to do
         assert compact_epochs(spark, out) is None
+
+
+def test_compact_epochs_converges_from_every_swap_step(spark, tmp_path):
+    """Round 7 (reader-safe swap ordering): the swap now runs
+    retire-rename → temp-rename → delete-lowers → delete-retire, so a
+    crash can land BETWEEN any two of those steps.  A re-run must
+    converge to the identical row set and layout from every such
+    state.  Step states swept:
+
+    0. temp complete, nothing swapped (also the old window-1 state);
+    1. original ``epoch=hi`` retired, temp not yet renamed in —
+       the two-metadata-op under-reporting window;
+    2. temp renamed into ``epoch=hi``, no lower deletes yet — the
+       duplicate-history window, retire dir is the journal;
+    3. temp renamed, SOME lowers deleted;
+    4. everything deleted but the retire dir (journal) itself.
+    """
+    import os
+    import shutil
+
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        compact_epochs,
+    )
+
+    n_epochs = 4
+    hi = n_epochs - 1
+    rows_of = lambda e: [(e * 10 + i, f"doc {e}-{i}") for i in range(3)]
+    want = sorted(r for e in range(n_epochs + 1) for r in rows_of(e))
+
+    for step in range(5):
+        out = str(tmp_path / f"s{step}")
+        for e in range(n_epochs + 1):  # epoch n_epochs stays latest
+            spark.createDataFrame(
+                rows_of(e), ["doc_id", "text"]
+            ).coalesce(1).write.parquet(f"{out}/epoch={e}")
+        tmp = f"{out}/.compact-epoch-{hi}"
+        (
+            spark.read.parquet(out)
+            .where(f"epoch <= {hi}")
+            .drop("epoch")
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        retire = f"{out}/.retire-epoch-{hi}"
+        if step >= 1:
+            os.rename(f"{out}/epoch={hi}", retire)
+        if step >= 2:
+            os.rename(tmp, f"{out}/epoch={hi}")
+        if step >= 3:
+            shutil.rmtree(f"{out}/epoch=0")
+        if step >= 4:
+            for e in range(1, hi):
+                shutil.rmtree(f"{out}/epoch={e}")
+
+        # states 2-4 must already read complete-or-duplicate, never
+        # missing history (the reader contract the reorder buys):
+        if step >= 2:
+            seen = {
+                tuple(r)
+                for r in spark.read.parquet(out)
+                .select("doc_id", "text")
+                .collect()
+            }
+            assert seen == set(want), step
+
+        compact_epochs(spark, out)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "text")
+            .collect()
+        )
+        assert got == want, step
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("epoch=")
+        ) == [f"epoch={hi}", f"epoch={n_epochs}"], step
+        assert not os.path.exists(retire), step
+        assert compact_epochs(spark, out) is None
