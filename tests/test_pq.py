@@ -209,23 +209,32 @@ def test_ivfadc_persisted_probe_matches_inline_and_prunes(
 
 
 def test_ann_recall_artifact_monotonicities():
-    """The committed recall-vs-cost artifact (ANN_r06.json, generated
+    """The committed recall-vs-cost artifact (ANN_r07.json, generated
     by ``bench.py --ann``) must exhibit the stack's two GUARANTEED
     monotonicities: IVF recall@10 non-decreasing in nprobe (nested
     candidate sets) and PQ recall@10 non-decreasing in r_cand (nested
     rerank pools).  IVFADC at FIXED r_cand is deliberately not pinned —
     probing more cells can displace true neighbors from the fixed-size
     best-ADC pool, which is exactly the sizing trap the artifact
-    documents for users."""
+    documents for users.
+
+    Round 7 (round-6 verdict item 1): the grid must also be
+    NON-DEGENERATE at scale — the old byte-identical ×10 replication
+    read recall 1.0 for every variant (ten clones of the nearest
+    vector fill any true top-10), so these monotonicity checks
+    trivially passed on a constant column.  The ×10 dataset now comes
+    from ``bench.ensure_ann_dir`` (deterministically perturbed
+    replicas) and the cheapest knobs must measurably MISS."""
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "ANN_r06.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "ANN_r07.json")
     if not os.path.exists(path):
         import pytest
 
         pytest.skip("ANN artifact not generated (run bench.py --ann)")
     doc = json.load(open(path))
+    assert doc["queries_per_point"] >= 20  # 0.02 recall steps resolvable
     for label, ds in doc["datasets"].items():
         v = ds["variants"]
         ivf = [v[f"ivf_nprobe{n}"]["recall_at_10"] for n in (1, 2, 4, 8)]
@@ -234,3 +243,6 @@ def test_ann_recall_artifact_monotonicities():
         pq = [v[f"pq_rcand{r}"]["recall_at_10"] for r in (10, 40, 160)]
         assert pq == sorted(pq), (label, pq)
         assert v["brute"]["recall_at_10"] == 1.0
+        # non-degenerate: partial probes / small rerank pools miss
+        assert ivf[0] < 0.95, (label, ivf)
+        assert pq[0] < 0.95, (label, pq)
