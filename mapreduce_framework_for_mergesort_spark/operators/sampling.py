@@ -101,7 +101,12 @@ def leakage_safe_split(
     one cluster-count-sized aggregate on top.
 
     Singleton documents reduce to ``split_column(md5(text))`` exactly
-    (their cluster key is their own hash) — pinned in tests."""
+    (their cluster key is their own hash) — pinned in tests.
+
+    This is a ONE-SHOT batch routing: re-running it after the corpus
+    grows can re-route documents whose clusters a new arrival merged.
+    For incremental pipelines use ``assign_splits_stable``, which
+    persists assignments and pins first-assignment-wins."""
     from mapreduce_framework_for_mergesort_spark.operators import dedup as D
 
     if clusters is None:
@@ -119,6 +124,157 @@ def leakage_safe_split(
         hashed.join(ckey, "cluster")
         .withColumn("split", split_column(F.col("__ck"), splits))
         .drop("__h", "__ck", "node", "cluster")
+    )
+
+
+def assign_splits_stable(
+    documents: DataFrame,
+    state_path: str,
+    splits: Weights = DEFAULT_SPLITS,
+    key: str = "doc_id",
+    clusters: DataFrame | None = None,
+    epoch: int | None = None,
+) -> DataFrame:
+    """``leakage_safe_split`` with FIRST-ASSIGNMENT-WINS stability
+    across incremental runs (round 7, round-6 verdict item 2).
+
+    ``leakage_safe_split`` routes by the near-dup cluster's min-md5
+    content key, recomputed per run — correct for one batch curation,
+    but under continuous ingestion a later batch can MERGE two
+    clusters (a new document bridges them) and flip the routing key of
+    documents already shipped to a split: silent cross-increment eval
+    leakage.  Here split assignments are PERSISTED at ``state_path``
+    and never revised:
+
+    * a document already in the state keeps its recorded split,
+      verbatim — an assignment, once shipped, is immutable (the same
+      first-arrival-wins discipline ``streaming.ingest.accept_batch``
+      uses for the accept decision);
+    * a NEW document whose cluster contains previously-assigned
+      members INHERITS a prior split — the one recorded for the
+      cluster member with the minimum content hash, so the choice is
+      deterministic and content-addressed even when a bridge has
+      merged clusters whose prior members straddle splits (that
+      straddle is pre-existing, structural leakage this function can
+      no longer fix — surface it with ``split_leakage_report`` and
+      quarantine, rather than silently re-routing shipped docs);
+    * a new document in an all-new cluster routes exactly like
+      ``leakage_safe_split`` (cluster min-md5 through
+      ``split_column``).
+
+    ``documents`` must be the CURRENT CORPUS SNAPSHOT (or at least
+    every member of every cluster touching the rows being assigned) —
+    clusters computed over a lone increment cannot see the near-dup
+    edges that bridge into history.  Pass ``clusters`` (node, cluster)
+    to reuse a clustering the pipeline already computed.
+
+    Persistence mirrors ``accept_batch``: with ``epoch`` the new
+    assignments write to an ``epoch=N`` partition via overwrite
+    (idempotent replay, latest-epoch-only replay guard); ``epoch=None``
+    appends flat (at-least-once, backfills).  Returns ``documents``
+    plus a ``split`` column covering every input row."""
+    from mapreduce_framework_for_mergesort_spark.operators import dedup as D
+    from mapreduce_framework_for_mergesort_spark.streaming.ingest import (
+        _exclude_epoch,
+        _max_persisted_epoch,
+        _read_optional,
+    )
+
+    spark = documents.sparkSession
+    if epoch is not None:
+        persisted = _max_persisted_epoch(spark, state_path)
+        if persisted is not None and epoch < persisted:
+            raise ValueError(
+                f"epoch {epoch} is older than the latest persisted "
+                f"epoch {persisted}: split-assignment replay is only "
+                "idempotent for the latest epoch"
+            )
+    if clusters is None:
+        reps = D.exact_rep_ids(documents, key)
+        pool = documents.join(reps, key, "semi")
+        pairs = D.lsh_candidate_pairs(D.minhash_bands(pool)).unionByName(
+            D.exact_dup_edges(documents, key)
+        )
+        clusters = D.cluster_pairs(pairs, nodes=documents.select(key))
+    hashed = documents.withColumn(
+        "__h", F.md5(F.col("text").cast("binary"))
+    ).join(clusters, F.col(key) == F.col("node"))
+
+    prior = _exclude_epoch(_read_optional(spark, state_path), epoch)
+    if prior is not None:
+        prior = prior.select(key, F.col("split").alias("__prior"))
+        prior = _materialize(prior)
+        hashed = hashed.join(prior, key, "left")
+    else:
+        hashed = hashed.withColumn("__prior", F.lit(None).cast("string"))
+    hashed = _materialize(hashed)
+
+    # deterministic inheritance key: the prior split recorded for the
+    # cluster member with the minimum content hash
+    inherit = (
+        hashed.where(F.col("__prior").isNotNull())
+        .groupBy("cluster")
+        .agg(F.min(F.struct("__h", "__prior")).alias("__m"))
+        .select("cluster", F.col("__m.__prior").alias("__inherit"))
+    )
+    ckey = hashed.groupBy("cluster").agg(F.min("__h").alias("__ck"))
+    assigned = (
+        hashed.join(inherit, "cluster", "left")
+        .join(ckey, "cluster")
+        .withColumn(
+            "split",
+            F.coalesce(
+                F.col("__prior"),
+                F.col("__inherit"),
+                split_column(F.col("__ck"), splits),
+            ),
+        )
+    )
+    new_rows = _materialize(
+        assigned.where(F.col("__prior").isNull()).select(key, "split")
+    )
+    if epoch is None:
+        new_rows.write.mode("append").parquet(state_path)
+    else:
+        new_rows.write.mode("overwrite").parquet(
+            f"{state_path}/epoch={epoch}"
+        )
+    return assigned.drop("__h", "__prior", "__inherit", "__ck",
+                         "node", "cluster")
+
+
+def split_leakage_report(
+    assigned: DataFrame,
+    key: str = "doc_id",
+    clusters: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup clusters whose STABLE assignments straddle more than
+    one split — the structural leakage ``assign_splits_stable`` can
+    detect but must not silently fix (re-routing shipped documents is
+    the worse bug).  Input is the output of ``assign_splits_stable``
+    (documents + ``split``); returns one row per straddling cluster:
+    (cluster, n_docs, n_splits, splits — sorted distinct names).  The
+    pipeline owner's move is to quarantine these clusters from eval
+    sets, and the report is tiny (bounded by straddling clusters, not
+    corpus size)."""
+    from mapreduce_framework_for_mergesort_spark.operators import dedup as D
+
+    if clusters is None:
+        reps = D.exact_rep_ids(assigned, key)
+        pool = assigned.join(reps, key, "semi")
+        pairs = D.lsh_candidate_pairs(D.minhash_bands(pool)).unionByName(
+            D.exact_dup_edges(assigned, key)
+        )
+        clusters = D.cluster_pairs(pairs, nodes=assigned.select(key))
+    return (
+        assigned.join(clusters, F.col(key) == F.col("node"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.sort_array(F.collect_set("split")).alias("splits"),
+        )
+        .where(F.col("n_splits") > 1)
     )
 
 

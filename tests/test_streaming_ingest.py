@@ -570,3 +570,138 @@ def test_compact_epochs_converges_from_every_swap_step(spark, tmp_path):
         ) == [f"epoch={hi}", f"epoch={n_epochs}"], step
         assert not os.path.exists(retire), step
         assert compact_epochs(spark, out) is None
+
+
+# --- split stability under incremental ingestion (round 7) -----------
+
+# A bridge triple, found by brute force against the engine's own band
+# kernel: X ~ BRIDGE and Y ~ BRIDGE band-collide, X !~ Y (separate
+# clusters until the bridge arrives), and the singleton cluster keys
+# md5(md5(text)) route X and Y to DIFFERENT halves of a 50/50 split
+# (buckets 4f / e8).  Y has the smaller md5(text), so a merged cluster
+# inherits Y's split.
+SPLIT_X = ("alpha zebra charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima mike")
+SPLIT_Y = ("alpha bravo charlie delta echo foxtrot golf hotel tango "
+           "juliet kilo lima mike")
+SPLIT_BRIDGE = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                "india juliet kilo lima mike")
+HALVES = [("train", 0.5), ("test", 0.5)]
+
+
+def test_assign_splits_stable_bridging_near_dup(spark, tmp_path):
+    """Round-6 verdict item 2: ``leakage_safe_split`` routes by the
+    cluster's min-md5 content key recomputed per run, so a later batch
+    whose document BRIDGES two clusters flips the routing key of
+    documents already shipped — cross-increment eval leakage.
+    ``assign_splits_stable`` pins first-assignment-wins: every batch-1
+    document keeps its original split after the bridge arrives, the
+    bridge doc inherits deterministically (the prior split of the
+    min-content-hash member), and the now-structural straddle is
+    surfaced by ``split_leakage_report`` instead of silently
+    re-routed."""
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sampling as S,
+    )
+
+    state = str(tmp_path / "split_state")
+    docs1 = spark.createDataFrame(
+        [(1, SPLIT_X), (2, SPLIT_Y)], ["doc_id", "text"]
+    )
+    a1 = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(docs1, state, HALVES).collect()
+    }
+    # first run == the one-shot batch routing, and the fixture routes
+    # the two (not-yet-bridged) clusters to different splits
+    ls1 = {
+        r["doc_id"]: r["split"]
+        for r in S.leakage_safe_split(docs1, HALVES).collect()
+    }
+    assert a1 == ls1 == {1: "train", 2: "test"}
+
+    # batch 2: the bridge arrives; corpus snapshot = all three docs
+    docs2 = spark.createDataFrame(
+        [(1, SPLIT_X), (2, SPLIT_Y), (3, SPLIT_BRIDGE)],
+        ["doc_id", "text"],
+    )
+    assigned2 = S.assign_splits_stable(docs2, state, HALVES)
+    a2 = {r["doc_id"]: r["split"] for r in assigned2.collect()}
+    # every batch-1 document keeps its original split
+    assert a2[1] == a1[1] and a2[2] == a1[2]
+    # the bridge inherits the min-content-hash prior member's split (Y)
+    assert a2[3] == "test"
+
+    # the one-shot routing WOULD have re-routed a shipped document:
+    # the merged cluster routes whole, so doc 1 or doc 2 flips
+    ls2 = {
+        r["doc_id"]: r["split"]
+        for r in S.leakage_safe_split(docs2, HALVES).collect()
+    }
+    assert len(set(ls2.values())) == 1  # one merged cluster, one split
+    assert ls2[1] != a1[1] or ls2[2] != a1[2]
+
+    # the structural straddle is reported, not hidden
+    rep = S.split_leakage_report(assigned2).collect()
+    assert len(rep) == 1
+    assert rep[0]["n_docs"] == 3 and rep[0]["n_splits"] == 2
+    assert rep[0]["splits"] == ["test", "train"]
+
+    # idempotent: re-running on the same snapshot changes nothing
+    a3 = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(docs2, state, HALVES).collect()
+    }
+    assert a3 == a2
+
+
+def test_assign_splits_stable_epoch_replay(spark, tmp_path):
+    """The epoch-keyed state path mirrors ``accept_batch``: replaying
+    the LATEST epoch is byte-idempotent (per-epoch overwrite, decision
+    reads exclude the epoch's own partition); replaying an older epoch
+    is refused."""
+    import pytest
+
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sampling as S,
+    )
+
+    state = str(tmp_path / "split_state_ep")
+    docs1 = spark.createDataFrame(
+        [(1, SPLIT_X), (2, SPLIT_Y)], ["doc_id", "text"]
+    )
+    a1 = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(
+            docs1, state, HALVES, epoch=0
+        ).collect()
+    }
+    docs2 = spark.createDataFrame(
+        [(1, SPLIT_X), (2, SPLIT_Y), (3, SPLIT_BRIDGE)],
+        ["doc_id", "text"],
+    )
+    a2 = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(
+            docs2, state, HALVES, epoch=1
+        ).collect()
+    }
+    assert a2 == {**a1, 3: "test"}
+    # replaying the latest epoch converges to the identical state
+    a2r = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(
+            docs2, state, HALVES, epoch=1
+        ).collect()
+    }
+    assert a2r == a2
+    rows = sorted(
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(state).select(
+            "doc_id", "split"
+        ).collect()
+    )
+    assert rows == sorted(a2.items())
+    # stale replays are refused, as in accept_batch
+    with pytest.raises(ValueError, match="older than the latest"):
+        S.assign_splits_stable(docs1, state, HALVES, epoch=0)
