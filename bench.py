@@ -389,6 +389,40 @@ def ensure_ann_dir(replication: int = 10) -> str:
     return ANN_DIR
 
 
+# Arbitration thresholds (round 7, round-6 verdict item 5): a sweep is
+# 50+ keys back-to-back on one shared JVM, and single-run readings
+# spike on GC/ContextCleaner/page-cache contention — every committed
+# SCALE_r0N.json then carried skew_ratios like 3.15 that the notes
+# re-arbitrated to ~0.9 in prose, leaving misleading numbers in the
+# artifact itself.  The standing warm-isolated re-run rule now lives
+# IN the harness: any key whose skew_ratio exceeds ~1.3 (same volume,
+# should be ~1) or whose x10 ratio exceeds 12 (suspect superlinear;
+# linear = 10) is re-run min-of-2 in isolation at the end of the
+# sweep, the minimum kept, and the row flagged ``arbitrated: true``
+# with the original reading preserved beside it.
+ARBITRATE_SKEW_RATIO = 1.3
+ARBITRATE_X10_RATIO = 12.0
+
+
+def _rerun_key_min2(spark, sf_dir: str, name: str) -> float:
+    """Warm-isolated min-of-2 re-run of one sweep key (the arbitration
+    probe).  Bucketed-join keys are not re-runnable in isolation (they
+    need the one-time table build) and are excluded by the caller."""
+    import gc
+
+    if name == "op_decontaminate":
+        ts = [_decontam_probe(spark, sf_dir) for _ in range(2)]
+        gc.collect()
+        return min(ts)
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, sf_dir))
+        ts.append(time.perf_counter() - t0)
+    gc.collect()
+    return min(ts)
+
+
 def scale_main(out_path: str, skew: bool = False) -> None:
     """Per-key sf0.1 vs 10x sweep over the FULL registry, written as a
     diffable JSON artifact (round-2 verdict item 8: promote the
@@ -396,7 +430,9 @@ def scale_main(out_path: str, skew: bool = False) -> None:
     ``skew=True`` a third sweep runs over the power-law 10x dir;
     ``skew_ratio`` (skewed / uniform at the SAME volume) isolates the
     cost of the distribution from the cost of the data — the number
-    that must stay near 1 for the skew-handling claims to hold."""
+    that must stay near 1 for the skew-handling claims to hold.
+    Contention spikes are re-arbitrated in-harness before the artifact
+    is written (``ARBITRATE_SKEW_RATIO`` / ``ARBITRATE_X10_RATIO``)."""
     ten = ensure_scale_dir()
     spark = get_spark(app_name="msfs-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -417,6 +453,31 @@ def scale_main(out_path: str, skew: bool = False) -> None:
             spark, skew_dir, sorted(QUERIES), state_rows=st_skew
         )
         skewx["op_decontaminate"] = _decontam_probe(spark, skew_dir)
+
+    # In-harness spike arbitration (round 7): re-run flagged keys
+    # warm-isolated min-of-2, keep the min, preserve the first pass
+    # beside it.  Bucketed keys are excluded (not re-runnable without
+    # their one-time table build).
+    arbitrated: dict[str, dict] = {}
+    no_rerun = {"q_bucketed_join", "q_bucketed_join_build"}
+    for k in sorted(tenx):
+        if k in no_rerun:
+            continue
+        flagged = False
+        if skew and tenx.get(k) and skewx[k] / tenx[k] > ARBITRATE_SKEW_RATIO:
+            flagged = True
+        if base.get(k) and tenx[k] / base[k] > ARBITRATE_X10_RATIO:
+            flagged = True
+        if not flagged:
+            continue
+        entry: dict = {"x10_sec_first_pass": tenx[k]}
+        tenx[k] = round(min(tenx[k], _rerun_key_min2(spark, ten, k)), 3)
+        if skew:
+            entry["x10_skew_sec_first_pass"] = skewx[k]
+            skewx[k] = round(
+                min(skewx[k], _rerun_key_min2(spark, skew_dir, k)), 3
+            )
+        arbitrated[k] = entry
     doc = {
         "metric": "scale_sweep",
         "replication": 10,
@@ -443,6 +504,11 @@ def scale_main(out_path: str, skew: bool = False) -> None:
                         ),
                     }
                     if skew
+                    else {}
+                ),
+                **(
+                    {"arbitrated": True, **arbitrated[k]}
+                    if k in arbitrated
                     else {}
                 ),
             }
@@ -627,6 +693,43 @@ def ann_main(out_path: str) -> None:
     print(json.dumps({"metric": "ann_written", "out": out_path}))
 
 
+def _multimodal_modality_times(spark, sf_dir: str) -> dict[str, float]:
+    """Per-modality timing of the multimodal synth→decode→featurize
+    chain (round-6 verdict item 7): the registered key is five
+    modalities × four verbs in ONE tagged union, so its single bench
+    row cannot distinguish "a new modality branch was added" from "a
+    plan regressed" (the round-6 +48% was the former).  The registry
+    key stays one union (driver contract); the bench artifact gets the
+    per-modality decomposition.  Warm min-of-2 per modality, same
+    distinct-representative collapse as the registered key."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        dedup as D,
+    )
+    from mapreduce_framework_for_mergesort_spark.sources import (
+        multimodal as M,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
+    chains = {
+        "text": M.binarize_documents,
+        "audio_wav": M.binarize_audio_documents,
+        "image_bmp": M.binarize_image_documents,
+        "image_png": M.binarize_png_documents,
+        "video_y4m": M.binarize_video_documents,
+    }
+    out = {}
+    for name, fn in chains.items():
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(M.extract_features(fn(reps)))
+            ts.append(time.perf_counter() - t0)
+        out[name] = round(min(ts), 3)
+    return out
+
+
 def main() -> None:
     if "--plans" in sys.argv:
         plans_main()
@@ -645,7 +748,7 @@ def main() -> None:
         out = (
             sys.argv[i + 1]
             if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else "SCALE_r05.json"
+            else "SCALE_r07.json"
         )
         scale_main(out, skew="--skew" in sys.argv)
         return
@@ -671,6 +774,12 @@ def main() -> None:
                 "queries_first_run": first,
                 "first_run_total": round(sum(first.values()), 3),
                 "runs_per_key": 2,
+                # per-modality decomposition of q_multimodal_features
+                # (round 7 — the tagged-union row alone can't tell a
+                # new branch from a regression)
+                "multimodal_per_modality": _multimodal_modality_times(
+                    spark, sf_dir
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -303,9 +303,33 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("__in_sample"), 1)).alias("hsn"),
         F.grouping_id().alias("gid"),
     )
+    # The packing audit consumes only (pack_id, n_tokens), but
+    # ``pack_documents`` returns every input column THROUGH its range
+    # exchange, sort, and Arrow cumsum (mapInPandas blocks column
+    # pruning: the UDF schema names all columns).  Round 7, from a
+    # ×100 branch profile that showed pack_documents at 15.7 s — the
+    # key's real cost center, not the scans the round-6 verdict
+    # guessed: (a) feed it a skinny pre-counted (doc_id, n_tokens)
+    # projection, keeping the corpus TEXT out of the shuffle and the
+    # Arrow boundary; (b) MATERIALIZE that projection, because
+    # repartitionByRange's boundary-sampling job executes its child in
+    # full before the exchange executes it again — an unmaterialized
+    # input pays the corpus tokenize TWICE (measured: 12.7 → 5.2 s at
+    # ×100, a wash at ×1, where the remaining ~4 s is the one
+    # irreducible tokenize pass).
+    pack_in = docs.select(
+        "doc_id",
+        F.expr(f"size({H.spark_tokens('text')})")
+        .cast("long")
+        .alias("n_tokens"),
+    )
     with ThreadPoolExecutor(max_workers=3) as ex:
         f_gs = ex.submit(materialize, gs_plan)
-        f_pack = ex.submit(sampling.pack_documents, docs, PACK_BUDGET)
+        f_pack = ex.submit(
+            lambda: sampling.pack_documents(
+                materialize(pack_in), PACK_BUDGET, count_col="n_tokens"
+            )
+        )
         f_mix = ex.submit(
             lambda: sampling.mix_sources(
                 docs, MIX_WEIGHTS, max_epochs=MIX_EPOCHS
