@@ -717,6 +717,7 @@ def _multimodal_modality_times(spark, sf_dir: str) -> dict[str, float]:
         "audio_wav": M.binarize_audio_documents,
         "image_bmp": M.binarize_image_documents,
         "image_png": M.binarize_png_documents,
+        "image_jpeg": M.binarize_jpeg_documents,
         "video_y4m": M.binarize_video_documents,
     }
     out = {}

@@ -168,6 +168,31 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     UNION ALL
     SELECT doc_id,
+           'jpeg' AS modality,
+           -- fixed header + exactly 2 entropy bytes per 8x8 block
+           -- (one block per source byte; the flat-block encoder's
+           -- 16-bit-per-block Huffman layout is provably stuffing-free
+           -- — see sources/multimodal.py JPEG section)
+           CAST({M.JPEG_HEADER} + 2 * strlen(text) AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               {M.JPEG_WIDTH},
+               8 * strlen(text),
+               64 * strlen(text),
+               ch[1],
+               ch[strlen(text)],
+               list_max(ch),
+               CAST((64 * list_sum(ch)) % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(64 * len(list_filter(ch, c -> c = 32)) AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch
+        FROM documents
+    )
+    UNION ALL
+    SELECT doc_id,
            'video' AS modality,
            CAST({M.VID_HEADER} + {M.VID_FRAME_HDR + M.VID_FRAME_PX}
                 * ((strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX})
@@ -194,14 +219,16 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature vectors,
-    over FOUR modalities: the closed-form text featurizer, a real
-    stdlib WAV/PCM audio parse, a real stdlib BMP image parse, and a
-    real YUV4MPEG2 grayscale video parse (payloads synthesized from
-    the same text bytes, so the oracle recomputes every branch from
-    source — the n_bytes checks even pin the 44-byte RIFF header, the
-    54-byte BMP header + 4-aligned bottom-up rows, and the Y4M
-    stream-header + per-FRAME-marker layout the containers must
-    produce).
+    over SIX modalities: the closed-form text featurizer, a real
+    stdlib WAV/PCM audio parse, a real stdlib BMP image parse, a real
+    zlib PNG parse, a real baseline-JFIF JPEG parse (Huffman + IDCT —
+    round 7), and a real YUV4MPEG2 grayscale video parse (payloads
+    synthesized from the same text bytes, so the oracle recomputes
+    every branch from source — the n_bytes checks even pin the 44-byte
+    RIFF header, the 54-byte BMP header + 4-aligned bottom-up rows,
+    the PNG stored-deflate stream, the JPEG 2-bytes-per-block entropy
+    segment, and the Y4M stream-header + per-FRAME-marker layout the
+    containers must produce).
 
     The feature array is projected to a CSV string because the driver's
     canonicalizer cannot hash array cells (round-1 `unhashable type:
@@ -221,6 +248,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(M.binarize_audio_documents(reps))
         .unionByName(M.binarize_image_documents(reps))
         .unionByName(M.binarize_png_documents(reps))
+        .unionByName(M.binarize_jpeg_documents(reps))
         .unionByName(M.binarize_video_documents(reps))
     )
     feats = M.extract_features(b).select(
@@ -274,6 +302,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE strlen(text) > 0
     UNION ALL
     SELECT doc_id,
+           'jpeg' AS modality,
+           -- one 8-row band per 8x8 block = per source byte, every 2nd
+           CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_frames,
+           -- each band re-encodes as a standalone one-block JPEG
+           CAST({M.JPEG_HEADER + 2} AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
            'video' AS modality,
            CAST((((strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX})
                  + 1) // 2 AS BIGINT) AS n_frames,
@@ -305,6 +342,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.binarize_documents(reps)
         .unionByName(M.binarize_image_documents(reps))
         .unionByName(M.binarize_png_documents(reps))
+        .unionByName(M.binarize_jpeg_documents(reps))
         .unionByName(M.binarize_video_documents(reps))
     )
     frames = M.sample_frames(b, every_n=2)

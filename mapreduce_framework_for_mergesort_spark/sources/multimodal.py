@@ -4,14 +4,16 @@ Design (per the task brief): image/audio/video payloads travel as binary
 columns with a ``modality`` tag and a metadata struct; decode/feature
 steps run as Arrow-batched ``mapInPandas`` over partition-sized batches.
 The Spark-side plumbing — schema, batch shape, UDF signature,
-partitioning — is real and tested.  Four non-text modalities are REAL
+partitioning — is real and tested.  Five non-text modalities are REAL
 stdlib container parses (WAV/PCM audio, 24-bit BMP images, 8-bit
 greyscale PNG — the first COMPRESSED container, built on stdlib zlib
-with CRC-validated chunks and all five scanline filters — and
-YUV4MPEG2 grayscale video) across synthesize/decode/resize/frame
-verbs; only lossy/entropy codecs (mp4/jpeg/mp3 — libraries absent from
-this container) remain an explicit ``NotImplementedError`` seam, never
-a silent fake.
+with CRC-validated chunks and all five scanline filters —
+baseline-JFIF greyscale JPEG — the first ENTROPY-CODED container:
+a general Huffman+IDCT decoder plus a closed-form flat-block encoder,
+see the JPEG section comment — and YUV4MPEG2 grayscale video) across
+synthesize/decode/resize/frame verbs; the remaining library codecs
+(mp4/h264, mp3, color/progressive JPEG) stay an explicit
+``NotImplementedError`` seam, never a silent fake.
 
 Scale notes: payloads dominate row width, so (a) never shuffle decoded
 features together with raw bytes — project bytes away first; (b) decode
@@ -626,6 +628,386 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
     return _encode_png(out, out_w, out_h)
 
 
+# --- baseline JPEG (JFIF), greyscale ---------------------------------
+#
+# The sixth modality and the second COMPRESSED container (round 7,
+# round-6 verdict item 6): a real stdlib-only baseline-JFIF pair —
+# a general baseline greyscale DECODER (marker walk, arbitrary DQT,
+# canonical DHT build, DC/AC Huffman entropy decode with byte-stuffing
+# removal, dezigzag, dequantize, float64 IDCT) and a closed-form
+# flat-block ENCODER for synthesis.
+#
+# Why the synthesized files are exactly oracle-able despite JPEG being
+# lossy: synthesis maps text byte i to one CONSTANT 8x8 block (width
+# fixed at one block = 8 px, height = 8*n).  A flat block of value v
+# has FDCT energy in the DC coefficient alone (DC = 8*(v-128), every
+# AC = 0); with the quantizer fixed at 8, the stored coefficient is
+# exactly v-128, the decoder's IDCT reproduces the flat block exactly
+# (integer in float64), and the level shift returns v.  So
+# decode(synthesize(bytes)) == the 64x block expansion of bytes,
+# bit-for-bit, and every feature is closed-form over the source text.
+#
+# Why the file SIZE is closed-form: the DC Huffman table assigns
+# category c the canonical code of length 15-c (Kraft sum < 1, valid),
+# and the AC table is the 1-bit EOB, so EVERY block emits exactly
+# (15-c) + c + 1 = 16 bits — two bytes, byte-aligned.  No 0xFF can
+# appear in the entropy stream (every code starts '000', so byte 1 has
+# three leading zeros; the EOB bit is 0, so byte 2 has a trailing
+# zero), hence no byte stuffing, no marker ambiguity, and
+# n_bytes = JPEG_HEADER + 2*len(text) exactly — pinned in the oracle
+# the same way the PNG branch pins its stored-deflate size.
+
+JPEG_WIDTH = 8  # one 8x8 block per row: byte i -> block i, no padding
+JPEG_Q = 8  # flat-block DC quantizer: stored DC == v-128 exactly
+# Canonical DC code lengths: category c -> length 15-c (c = 0..11).
+_JPEG_DC_MAXCAT = 11
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dc_codes() -> dict[int, tuple[int, int]]:
+    """category -> (canonical code value, code length).  One code per
+    length 4..15, symbol order [cat 11 .. cat 0] (shortest code to the
+    largest category), exactly as the DHT segment declares them."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    for length in range(4, 16):
+        codes[15 - length] = (code, length)
+        code = (code + 1) << 1
+    return codes
+
+
+def _jpeg_header(height: int) -> bytes:
+    """Every segment before the entropy-coded data (SOI..SOS), fixed
+    except the SOF height field."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([JPEG_Q] * 64))
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, JPEG_WIDTH, 1)
+        + bytes([1, 0x11, 0]),
+    )
+    bits_dc = [0] * 16
+    for length in range(4, 16):
+        bits_dc[length - 1] = 1
+    symbols_dc = [15 - length for length in range(4, 16)]
+    dht_dc = seg(0xFFC4, bytes([0x00] + bits_dc + symbols_dc))
+    bits_ac = [1] + [0] * 15
+    dht_ac = seg(0xFFC4, bytes([0x10] + bits_ac + [0x00]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos
+
+
+# total non-entropy bytes (header + EOI) for the closed-form size oracle
+JPEG_HEADER = len(_jpeg_header(0)) + 2
+
+
+def synthesize_jpeg(data: bytes) -> bytes:
+    """Deterministic baseline-JFIF greyscale JPEG from source bytes:
+    byte i becomes one constant 8x8 block (see the section comment for
+    why the round trip and the file size are exact).  Empty input
+    encodes as a height-0 image with an empty entropy segment,
+    mirroring the height-0 BMP/PNG convention."""
+    n = len(data)
+    if n > 8191:
+        raise ValueError(
+            f"synthesize_jpeg supports at most 8191 blocks (SOF height "
+            f"is 16-bit, height = 8*n), got {n} bytes"
+        )
+    codes = _jpeg_dc_codes()
+    out = bytearray(_jpeg_header(8 * n))
+    prev = 0
+    for b in data:
+        dc = b - 128  # quantized DC with q=8 (FDCT DC of a flat block)
+        d = dc - prev
+        prev = dc
+        cat = abs(d).bit_length()
+        value = d if d >= 0 else d + (1 << cat) - 1
+        code, _length = codes[cat]
+        bits16 = (code << (cat + 1)) | (value << 1)  # | 0 = EOB bit
+        out += bits16.to_bytes(2, "big")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over JPEG entropy data with 0xFF00
+    byte-stuffing removal; raises on marker bytes or exhaustion."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG entropy data exhausted")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.buf):
+                    raise ValueError("JPEG entropy data ends in 0xFF")
+                marker = self.buf[self.pos]
+                if marker == 0x00:
+                    self.pos += 1  # stuffed 0xFF data byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{marker:02X} inside "
+                        "entropy data"
+                    )
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    """Decode one Huffman symbol: extend (length, code) until it hits
+    the canonical table; JPEG codes are at most 16 bits."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code (no match within 16 bits)")
+
+
+def _jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    """Full baseline-JFIF greyscale parse → (width, height, top-down
+    pixels).  GENERAL within the baseline greyscale profile: arbitrary
+    quantization tables, arbitrary canonical Huffman tables, real DC+AC
+    entropy decoding (run/size symbols, ZRL, EOB), byte-stuffing
+    removal, dezigzag, dequantization, and an exact float64 IDCT.
+    Loud ValueError on anything outside the profile: progressive SOF2,
+    multi-component (color) scans, restart intervals, 16-bit DQT,
+    truncation.  jpeg/mp3/mp4 LIBRARY decode stays out of scope — this
+    is the stdlib discipline the PNG modality established, one codec
+    deeper."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: leading bytes {payload[:2]!r}")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    scan_comp: tuple[int, int] | None = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG reached EOI before any scan data")
+        if marker in (0xC2,):
+            raise ValueError("progressive JPEG (SOF2) is not baseline")
+        if marker == 0xDD:
+            raise ValueError("restart intervals (DRI) are unsupported")
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError(f"truncated JPEG segment 0xFF{marker:02X}")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT precision unsupported")
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    f"only 8-bit single-component (greyscale) baseline "
+                    f"supported, got precision={prec} components={ncomp}"
+                )
+            cid, sampling, tq = body[6], body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling unsupported for greyscale")
+            sof = (w, h, cid, tq)
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                counts = list(body[off + 1 : off + 17])
+                syms = body[off + 17 : off + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + sum(counts)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            scan_comp = (body[1], body[2])  # (component id, Td<<4|Ta)
+            pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan_comp is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    w, h, cid, tq = sof
+    if scan_comp[0] != cid:
+        raise ValueError("scan component does not match SOF component")
+    if tq not in qtables:
+        raise ValueError(f"missing quantization table {tq}")
+    td, ta = scan_comp[1] >> 4, scan_comp[1] & 0x0F
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("missing Huffman table(s) referenced by scan")
+    dc_table, ac_table = huff[(0, td)], huff[(1, ta)]
+    q = np.array(qtables[tq], dtype=np.float64)
+
+    # float64 IDCT basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+    xs = np.arange(8)
+    C = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
+    C[0] *= 1 / np.sqrt(2)
+
+    bw = -(-w // 8)
+    bh = -(-h // 8)
+    reader = _BitReader(payload, pos)
+    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            cat = _huff_decode(reader, dc_table)
+            if cat > 15:
+                raise ValueError(f"invalid DC category {cat}")
+            if cat:
+                v = reader.read_bits(cat)
+                if v < (1 << (cat - 1)):  # negative branch
+                    v -= (1 << cat) - 1
+            else:
+                v = 0
+            prev_dc += v
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(reader, ac_table)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"invalid AC symbol 0x{sym:02X}")
+                    k += 16  # ZRL: sixteen zeros
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                v = reader.read_bits(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                zz[k] = v
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = zz * q
+            block = C.T @ coef.reshape(8, 8) @ C
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    px = np.clip(np.rint(img + 128), 0, 255).astype(np.int64)
+    return w, h, [int(v) for v in px[:h, :w].reshape(-1)]
+
+
+def decode_jpeg(payload: bytes) -> list[float]:
+    """JPEG decode → the SAME FEATURE_DIM features as decode_bmp /
+    decode_png (identical pixel semantics, third container): [width,
+    height, n_pixels, first, last, max, Σ mod 9973, #value-32]."""
+    width, h, px = _jpeg_pixels(payload)
+    if not px:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(width),
+        float(h),
+        float(len(px)),
+        float(px[0]),
+        float(px[-1]),
+        float(max(px)),
+        float(sum(px) % AUDIO_SUM_MOD),
+        float(sum(1 for v in px if v == 32)),
+    ]
+
+
+def binarize_jpeg_documents(documents: DataFrame) -> DataFrame:
+    """Manufacture a JPEG-modality table (modality tag ``jpeg``, mime
+    ``image/jpeg``) — the entropy-coded twin of
+    ``binarize_png_documents``."""
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_jpeg(t.encode("utf-8")) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "jpeg",
+                    "payload": payloads,
+                    "meta_mime": "image/jpeg",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth_batches, MODALITY_SCHEMA
+    )
+
+
+def resize_jpeg(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Block-granular JPEG resize: decode, average-pool each output
+    8x8 block's nearest source block, re-encode through the flat-block
+    encoder.  Output dimensions must be block multiples with one block
+    per row (the synthesis profile).  A real pooling resize for ANY
+    baseline greyscale input; EXACT (value-preserving) when the source
+    blocks are flat, as synthesized payloads are."""
+    if out_w != 8 or out_h <= 0 or out_h % 8:
+        raise ValueError(
+            "resize_jpeg emits the synthesis profile: out_w must be 8 "
+            f"and out_h a positive block multiple, got {out_w}x{out_h}"
+        )
+    w, h, px = _jpeg_pixels(payload)
+    if not px:
+        return synthesize_jpeg(bytes(out_h // 8))
+    bh_out = out_h // 8
+    vals = []
+    for by in range(bh_out):
+        # nearest source BLOCK row (block-granular nearest-neighbor,
+        # same arithmetic as resize_bmp one level up), averaged over
+        # the whole 8-row band and ALL columns (rows clamped for
+        # heights that are not block multiples) — exact for flat
+        # synthesized blocks (mean of a constant band is its value)
+        bh_src = -(-h // 8)
+        sy = (by * bh_src // bh_out) * 8
+        rows = [min(sy + r, h - 1) for r in range(8)]
+        band = [px[r * w + c] for r in rows for c in range(w)]
+        vals.append(sum(band) // len(band))
+    return synthesize_jpeg(bytes(vals))
+
+
 VID_WIDTH = 8
 VID_HEIGHT = 4
 VID_FRAME_PX = VID_WIDTH * VID_HEIGHT  # 32 luma bytes per frame
@@ -841,6 +1223,8 @@ def decode_stub(payload: bytes, modality: str) -> list[float]:
         return decode_bmp(payload)
     if modality == "png":
         return decode_png(payload)
+    if modality == "jpeg":
+        return decode_jpeg(payload)
     if modality == "video":
         return decode_y4m(payload)
     raise NotImplementedError(
@@ -922,6 +1306,20 @@ def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[
             )
             for y in range(0, h, IMG_BAND_ROWS)
         ]
+    if modality == "jpeg":
+        # band tiling at BLOCK granularity (8 rows — the JPEG analog
+        # of the 4-row BMP/PNG bands): each band re-encodes through
+        # the flat-block encoder as a standalone decodable JPEG.
+        # Exact for synthesized payloads (one flat block per band);
+        # for general inputs each band stores its block-row averages
+        # (the same pooling contract as resize_jpeg).
+        w, h, px = _jpeg_pixels(payload)
+        out = []
+        for y in range(0, h, 8):
+            rows = range(y, min(y + 8, h))
+            band = [px[r * w + c] for r in rows for c in range(w)]
+            out.append(synthesize_jpeg(bytes([sum(band) // len(band)])))
+        return out
     if modality == "video":
         # REAL temporal frame extraction: parse the Y4M container and
         # re-encode each frame as a standalone single-frame clip

@@ -1149,6 +1149,201 @@ def test_png_container_roundtrip_and_real_compression():
         M._png_pixels(png[:-4])
 
 
+def test_jpeg_container_roundtrip_size_and_features():
+    """Round 7 (round-6 verdict item 6): the JPEG seam is a REAL
+    baseline-JFIF container.  The flat-block synthesis profile is
+    bit-exact on round trip (DC-only blocks survive quantize/IDCT
+    unchanged — the closed-form-oracle trick), its size is the oracle
+    formula JPEG_HEADER + 2·n with a provably stuffing-free entropy
+    stream, and features equal the BMP/PNG formula over the 64×
+    block-expanded bytes."""
+    data = b"hello world this is a longer test string with spaces!!"
+    p = M.synthesize_jpeg(data)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert len(p) == M.JPEG_HEADER + 2 * len(data)
+    # no 0xFF anywhere in the entropy segment — no stuffing needed,
+    # the closed-form size proof's load-bearing property
+    assert b"\xff" not in p[len(p) - 2 - 2 * len(data):-2]
+    w, h, px = M._jpeg_pixels(p)
+    assert (w, h) == (M.JPEG_WIDTH, 8 * len(data))
+    assert px == [b for b in data for _ in range(64)]
+    n = len(data)
+    assert M.decode_jpeg(p) == [
+        8.0, float(8 * n), float(64 * n), float(data[0]), float(data[-1]),
+        float(max(data)), float(64 * sum(data) % M.AUDIO_SUM_MOD),
+        float(64 * data.count(32)),
+    ]
+    assert M.decode_jpeg(M.synthesize_jpeg(b"")) == [0.0] * M.FEATURE_DIM
+
+    # resize pools block rows (exact for flat sources) and re-encodes
+    # through the same profile; frames are standalone decodable JPEGs
+    r = M.resize_jpeg(M.synthesize_jpeg(b"abcdef"), 8, 24)
+    assert [M._jpeg_pixels(r)[2][i * 64] for i in range(3)] == [
+        ord("a"), ord("c"), ord("e"),
+    ]
+    frames = M.frame_stub(M.synthesize_jpeg(b"xyz"), "jpeg")
+    assert [M._jpeg_pixels(f)[2][0] for f in frames] == [120, 121, 122]
+    assert all(len(f) == M.JPEG_HEADER + 2 for f in frames)
+
+    # corruption is loud, never an empty decode
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M._jpeg_pixels(b"BM" + bytes(60))
+    with pytest.raises(ValueError, match="exhausted|truncated"):
+        M._jpeg_pixels(p[:-10])
+    with pytest.raises(ValueError, match="at most 8191"):
+        M.synthesize_jpeg(bytes(9000))
+
+
+def test_jpeg_decoder_general_baseline_path():
+    """The decoder must be GENERAL within baseline greyscale, not just
+    the synthesis profile's inverse: arbitrary quantization tables,
+    arbitrary canonical Huffman tables, real AC coefficients
+    (run/size, ZRL, EOB), byte STUFFING, and multi-block-per-row
+    geometry.  This test carries its own independent encoder (standard
+    Annex-K-style tables, a plain bit-writer WITH stuffing) and an
+    independent numpy IDCT reference — agreement here can't come from
+    shared code."""
+    import struct
+
+    import numpy as np
+
+    # --- independent test encoder ------------------------------------
+    # DC table: the ITU T.81 Annex K luminance DC layout
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    # AC table: a small custom canonical table covering exactly the
+    # symbols emitted below (EOB, run0/size1, run0/size2, ZRL) — NOT
+    # the engine's table, so DHT parsing is genuinely exercised
+    AC_BITS = [0, 2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    AC_VALS = [0x00, 0x01, 0x02, 0xF0]
+
+    def canon(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_c, ac_c = canon(DC_BITS, DC_VALS), canon(AC_BITS, AC_VALS)
+
+    class W:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, code, ln):
+            self.bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+
+        def bytes_(self):
+            bs, out = self.bits + [1] * (-len(self.bits) % 8), bytearray()
+            for i in range(0, len(bs), 8):
+                b = int("".join(map(str, bs[i : i + 8])), 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)  # byte stuffing
+            return bytes(out)
+
+    def cat_bits(v):
+        c = abs(v).bit_length()
+        return c, (v if v >= 0 else v + (1 << c) - 1)
+
+    def encode(blocks):
+        wtr, prev = W(), 0
+        for blk in blocks:
+            c, vb = cat_bits(blk.get(0, 0) - prev)
+            prev = blk.get(0, 0)
+            wtr.put(*dc_c[c])
+            if c:
+                wtr.put(vb, c)
+            last = 0
+            for k in sorted(k for k in blk if k > 0):
+                run = k - last - 1
+                while run >= 16:
+                    wtr.put(*ac_c[0xF0])
+                    run -= 16
+                c2, vb2 = cat_bits(blk[k])
+                sym = (run << 4) | c2
+                assert sym in ac_c, f"test table missing AC {sym:#04x}"
+                wtr.put(*ac_c[sym])
+                wtr.put(vb2, c2)
+                last = k
+            if not blk or max(blk) < 63:
+                wtr.put(*ac_c[0x00])  # EOB
+        return wtr.bytes_()
+
+    # blocks in COEFFICIENT space (zigzag positions), varied quant
+    q = [3 + (i % 5) for i in range(64)]
+    blocks = [
+        {0: 40},                   # DC-only
+        {0: -31, 1: 1, 2: -2},     # adjacent low-frequency AC
+        {0: 0, 17: 1},             # zero-run of 16 -> ZRL then size 1
+        {0: 127, 1: -1, 18: 1},    # negative AC + a second ZRL run
+    ]
+    entropy = encode(blocks)
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def jfif(entropy_bytes):
+        return (
+            b"\xff\xd8"
+            + seg(0xFFDB, bytes([0x00]) + bytes(q))
+            + seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]),
+            )
+            + seg(0xFFC4, bytes([0x00] + DC_BITS + DC_VALS))
+            + seg(0xFFC4, bytes([0x10] + AC_BITS + AC_VALS))
+            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + entropy_bytes
+            + b"\xff\xd9"
+        )
+
+    # --- independent reference decode --------------------------------
+    xs = np.arange(8)
+    C = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
+    C[0] *= 1 / np.sqrt(2)
+
+    def reference(blocks):
+        want = np.zeros((16, 16))
+        for i, blk in enumerate(blocks):
+            zz = np.zeros(64)
+            for k, v in blk.items():
+                zz[k] = v * q[k]
+            coef = np.zeros(64)
+            coef[M._ZIGZAG] = zz
+            by, bx = divmod(i, 2)
+            want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ coef.reshape(8, 8) @ C
+            )
+        return [
+            int(v)
+            for v in np.clip(np.rint(want + 128), 0, 255)
+            .astype(int)
+            .reshape(-1)
+        ]
+
+    w, h, px = M._jpeg_pixels(jfif(entropy))
+    assert (w, h) == (16, 16)
+    assert px == reference(blocks)
+
+    # byte-STUFFING path: search deterministic DC values until the
+    # encoder emits a stuffed 0xFF00, then require exact decode
+    stuffed = None
+    for dc in range(256):
+        cand = [{0: dc}, {0: dc - 255}, {0: dc}, {0: dc - 255}]
+        ent = encode(cand)
+        if b"\xff\x00" in ent:
+            stuffed = (cand, ent)
+            break
+    assert stuffed is not None, "no stuffed byte found in search space"
+    cand, ent = stuffed
+    w, h, px = M._jpeg_pixels(jfif(ent))
+    assert px == reference(cand)
+
+
 def test_bmp_synthesis_roundtrip():
     """The image seam is a REAL Windows BMP: 'BM' magic, 54-byte
     header, 24-bit 4-aligned BOTTOM-UP rows, and decode inverts
