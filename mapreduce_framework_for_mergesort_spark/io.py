@@ -42,37 +42,47 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.
 
-    .. warning:: loading ``events`` MUTATES THE SESSION GLOBALLY: it sets
-       ``spark.sql.session.timeZone=UTC`` and
-       ``spark.sql.legacy.parquet.nanosAsLong=true`` for the session's
-       remaining lifetime, changing timestamp semantics for unrelated
-       queries run later on the same session in a non-UTC environment.
-       This is deliberate and cannot be scoped: the confs are consulted
-       at *execution* time, so a save/restore around this (lazy) read
-       would silently corrupt the returned DataFrame's later runs.
-       Rationale: events.parquet has shipped as TIMESTAMP(NANOS) (which
-       Spark's parquet reader rejects outright without the legacy conf)
-       and as TIMESTAMP(MICROS, isAdjustedToUTC=false), and the caller
-       may hand us a *vanilla* SparkSession (the correctness driver does
-       exactly that), so the session-factory conf in ``session.py``
-       cannot be relied on.  UTC pins hour()/window() semantics of the
-       normalized TIMESTAMP_LTZ to match the timezone-naive DuckDB
-       oracle.  Library users who fully consume the DataFrame at a
-       known point can avoid the lasting mutation with
-       ``scoped_session_confs`` (which restores prior values on exit).
+    The batch ``events`` read leaves the session untouched: the
+    nanos-as-long legacy conf (without which Spark's parquet reader
+    rejects a TIMESTAMP(NANOS) footer outright) is consulted only at
+    schema-inference time — probed: a DataFrame created under the conf
+    keeps executing correctly after the conf is restored, including the
+    executor-side footer reads — so it is set around the eager
+    ``spark.read.parquet`` and restored in a ``finally``.  The session
+    timezone is NOT touched either: ``normalize_events_ts`` rebuilds the
+    LTZ column from integer epoch microseconds (timezone-free
+    constructors only), and every downstream batch consumer computes in
+    epoch-micros arithmetic, so results match the timezone-naive DuckDB
+    oracle under ANY session timezone.  Only the *rendering* of the LTZ
+    values at ``collect()`` follows the session timezone — inherent to
+    TIMESTAMP_LTZ, not a property of this loader.
+
+    (The streaming twin, ``streaming.sources.stream_events``, still pins
+    the confs globally: a running query re-plans microbatches for its
+    whole lifetime, so a scoped restore would corrupt it mid-stream.)
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        set_events_read_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = normalize_events_ts(df)
-    return df
+    if name != "events":
+        return spark.read.parquet(table_path(sf_dir, name))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return normalize_events_ts(df)
 
 
-# The runtime confs the events read depends on (see the ``load_table``
-# warning).  Exposed as data so callers can scope them explicitly.
+# The runtime confs the STREAMING events read depends on (see
+# ``streaming.sources.stream_events``).  The batch path no longer needs
+# them: ``load_table`` scopes the nanos conf around schema inference and
+# ``normalize_events_ts`` is timezone-free.  Exposed as data so streaming
+# callers can scope them explicitly.
 EVENTS_READ_CONFS: tuple[tuple[str, str], ...] = (
     ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ("spark.sql.session.timeZone", "UTC"),
@@ -80,8 +90,10 @@ EVENTS_READ_CONFS: tuple[tuple[str, str], ...] = (
 
 
 def set_events_read_confs(spark: SparkSession) -> None:
-    """Runtime confs the events read depends on, set idempotently (see
-    the ``load_table`` warning about the deliberate global mutation)."""
+    """Runtime confs the *streaming* events read depends on, set
+    idempotently (a running streaming query re-plans microbatches for
+    its whole lifetime, so these cannot be scoped there — see
+    ``streaming.sources.stream_events``)."""
     for k, v in EVENTS_READ_CONFS:
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
@@ -94,22 +106,22 @@ def scoped_session_confs(
 ):
     """Set session confs for the scope of a ``with`` block and restore
     the previous values (or unset, if a key was unset) on exit — the
-    library-polite alternative to ``load_table``'s global mutation::
+    library-polite alternative to ``stream_events``'s global mutation
+    for callers who fully consume a *bounded* streaming run inside the
+    block (``trigger(availableNow=...)`` + ``awaitTermination``)::
 
         with scoped_session_confs(spark):
-            rows = load_table(spark, sf_dir, "events").collect()
+            run_bounded_stream(spark, ...)
 
-    .. warning:: only safe when every DataFrame whose read depends on
-       these confs is FULLY EXECUTED inside the block.  Spark consults
-       session confs at *execution* time, not plan time, so a lazy
-       DataFrame that escapes the scope executes under the RESTORED
-       confs — for the events table that means a rejected
-       TIMESTAMP(NANOS) read or hour()/window() results shifted by the
-       local timezone.  That execution-time semantics is exactly why
-       ``load_table`` cannot scope the confs itself: it returns a lazy
-       DataFrame, so the narrow setting would silently corrupt later
-       runs.  Use this helper when you control the consumption point;
-       let ``load_table`` mutate globally when you don't.
+    .. warning:: only safe when every query whose execution depends on
+       these confs FULLY TERMINATES inside the block.  Spark consults
+       session confs at *execution* time, not plan time, so a streaming
+       query still running when the scope exits re-plans its next
+       microbatch under the RESTORED confs — a rejected
+       TIMESTAMP(NANOS) read or window() results shifted by the local
+       timezone.  (The batch ``load_table`` path no longer needs any of
+       this: its confs are scoped internally and its timestamp algebra
+       is timezone-free.)
     """
     prev = {k: spark.conf.get(k, None) for k, _ in confs}
     try:
@@ -124,25 +136,47 @@ def scoped_session_confs(
                 spark.conf.set(k, old)
 
 
+def epoch_ntz() -> F.Column:
+    """Timezone-free NTZ epoch literal — the zero point for epoch-micros
+    algebra over TIMESTAMP_NTZ columns (string→NTZ cast parses the wall
+    clock with no timezone consultation).  A function, not a module
+    constant: building a Column requires the live py4j gateway."""
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
+def ntz_epoch_micros(col) -> F.Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ column, treating its wall
+    clock as UTC — timezone-free (NTZ−NTZ difference never consults the
+    session timezone; ``unix_micros`` only accepts LTZ)."""
+    return F.timestamp_diff(
+        "MICROSECOND", epoch_ntz(), F.col(col) if isinstance(col, str) else col
+    )
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to a microsecond TIMESTAMP_LTZ whatever
-    the on-disk encoding was:
+    the on-disk encoding was — via TIMEZONE-FREE constructors only, so
+    the result is identical under any session timezone:
 
     * TIMESTAMP(NANOS) read as raw ns longs via
       ``spark.sql.legacy.parquet.nanosAsLong`` → rebuild with exact
       integer division (DuckDB truncates the same nanos to µs, so both
-      engines agree bit-for-bit).
+      engines agree bit-for-bit).  ``timestamp_micros`` is epoch-based,
+      no timezone consulted.
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ →
-      relabel to LTZ.  The session timezone is pinned to UTC first, so
-      the cast keeps the wall-clock value and is deterministic; DuckDB
-      reads the same column timezone-naive, so hour()/window()/epoch
-      arithmetic matches exactly.
+      relabel the wall clock as UTC by going through integer epoch
+      micros (NTZ−NTZ diff, then the epoch-based LTZ constructor).  A
+      plain ``.cast("timestamp")`` would interpret the wall clock in
+      the *session* timezone — the historical reason the loader had to
+      pin ``spark.sql.session.timeZone=UTC`` globally.  DuckDB reads
+      the same column timezone-naive, so epoch arithmetic matches
+      exactly.
     """
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dt == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn("ts", F.timestamp_micros(ntz_epoch_micros("ts")))
     return df
 
 

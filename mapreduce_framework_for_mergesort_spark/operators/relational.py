@@ -81,9 +81,20 @@ def pricing_summary(lineitem: DataFrame, cutoff: str) -> DataFrame:
 
 def hourly_event_agg(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows over the event stream (batch form; the
-    Structured Streaming twin lives in ``streaming/``)."""
+    Structured Streaming twin lives in ``streaming/``).
+
+    The hour boundary is integer epoch-micros arithmetic, not
+    ``date_trunc``: ``date_trunc`` truncates an LTZ in the *session*
+    timezone, which matches the timezone-naive oracle only when the
+    session happens to be UTC.  ``unix_micros``/``timestamp_micros``
+    are epoch-based (timezone-free), so this groups by the same UTC
+    hour under any session timezone.  Hours are a fixed 3 600 s in UTC
+    (no DST), so modulo arithmetic IS hour truncation.
+    """
+    us = F.unix_micros(F.col("ts"))
+    hour = F.timestamp_micros(us - us % F.lit(3_600_000_000))
     return events.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        hour.alias("hour"),
         F.col("event_type"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -245,10 +256,22 @@ def asof_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
 
     At equal timestamps the order sorts before the event (``_kind``
     0 < 1), matching the ``<=`` contract.
+
+    ``o_orderdate`` ships as TIMESTAMP_NTZ while ``ts`` is LTZ; a plain
+    union would coerce NTZ→LTZ in the *session* timezone, shifting the
+    order side relative to the events and corrupting the merge order
+    anywhere outside UTC.  The NTZ wall clock is relabeled UTC through
+    integer epoch micros instead (timezone-free) — same internal value
+    the old path produced under the pinned-UTC session.
     """
+    from mapreduce_framework_for_mergesort_spark.io import ntz_epoch_micros
+
+    t_ord = F.col("o_orderdate")
+    if dict(orders.dtypes).get("o_orderdate") == "timestamp_ntz":
+        t_ord = F.timestamp_micros(ntz_epoch_micros("o_orderdate"))
     o = orders.select(
         F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("t"),
+        t_ord.alias("t"),
         F.lit(0).alias("_kind"),
         F.lit(None).cast("long").alias("event_id"),
         F.struct("o_orderdate", "o_orderkey").alias("_ord"),
