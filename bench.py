@@ -718,6 +718,7 @@ def _multimodal_modality_times(spark, sf_dir: str) -> dict[str, float]:
         "image_bmp": M.binarize_image_documents,
         "image_png": M.binarize_png_documents,
         "image_jpeg": M.binarize_jpeg_documents,
+        "image_jpeg_color": M.binarize_jpeg_color_documents,
         "video_y4m": M.binarize_video_documents,
     }
     out = {}

@@ -193,6 +193,52 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     UNION ALL
     SELECT doc_id,
+           'jpeg_color' AS modality,
+           -- fixed color header + one 4:4:4 MCU (3 DC-only blocks =
+           -- 6 entropy bytes) per source byte, stuffing-free like the
+           -- greyscale layout
+           CAST({M.JPEGC_HEADER} + 6 * strlen(text) AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               {M.JPEG_WIDTH},
+               8 * strlen(text),
+               192 * strlen(text),
+               rs[1],
+               bs[strlen(text)],
+               greatest(list_max(rs), list_max(gs), list_max(bs)),
+               CAST((64 * (list_sum(rs) + list_sum(gs) + list_sum(bs)))
+                    % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(64 * (len(list_filter(rs, v -> v = 32))
+                          + len(list_filter(gs, v -> v = 32))
+                          + len(list_filter(bs, v -> v = 32)))
+                    AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        -- synthesis maps byte c to the flat MCU (Y=c, Cb=255-c,
+        -- Cr=(3c+7)%256); decode recovers those integers exactly and
+        -- converts with the pinned JFIF formula — floor(x+0.5), the
+        -- same literals and op order as the engine's numpy twin, so
+        -- the doubles agree bit-for-bit
+        SELECT doc_id, text,
+               list_transform(ch, c -> CAST(greatest(0, least(255,
+                   floor(c + {M._JPEGC_R_CR} * (((3*c+7) % 256) - 128)
+                         + 0.5))) AS BIGINT)) AS rs,
+               list_transform(ch, c -> CAST(greatest(0, least(255,
+                   floor(c - {M._JPEGC_G_CB} * ((255-c) - 128)
+                           - {M._JPEGC_G_CR} * (((3*c+7) % 256) - 128)
+                         + 0.5))) AS BIGINT)) AS gs,
+               list_transform(ch, c -> CAST(greatest(0, least(255,
+                   floor(c + {M._JPEGC_B_CB} * ((255-c) - 128)
+                         + 0.5))) AS BIGINT)) AS bs
+        FROM (
+            SELECT doc_id, text,
+                   list_transform(range(1, strlen(text) + 1),
+                                  i -> unicode(substr(text, i, 1))) AS ch
+            FROM documents
+        )
+    )
+    UNION ALL
+    SELECT doc_id,
            'video' AS modality,
            CAST({M.VID_HEADER} + {M.VID_FRAME_HDR + M.VID_FRAME_PX}
                 * ((strlen(text) + {M.VID_FRAME_PX - 1}) // {M.VID_FRAME_PX})
@@ -219,10 +265,12 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature vectors,
-    over SIX modalities: the closed-form text featurizer, a real
+    over SEVEN branches: the closed-form text featurizer, a real
     stdlib WAV/PCM audio parse, a real stdlib BMP image parse, a real
-    zlib PNG parse, a real baseline-JFIF JPEG parse (Huffman + IDCT —
-    round 7), and a real YUV4MPEG2 grayscale video parse (payloads
+    zlib PNG parse, real baseline-JFIF JPEG parses in BOTH greyscale
+    and YCbCr color (Huffman + IDCT + the pinned floor(x+0.5) JFIF
+    RGB conversion — round 7), and a real YUV4MPEG2 grayscale video
+    parse (payloads
     synthesized from the same text bytes, so the oracle recomputes
     every branch from source — the n_bytes checks even pin the 44-byte
     RIFF header, the 54-byte BMP header + 4-aligned bottom-up rows,
@@ -249,6 +297,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(M.binarize_image_documents(reps))
         .unionByName(M.binarize_png_documents(reps))
         .unionByName(M.binarize_jpeg_documents(reps))
+        .unionByName(M.binarize_jpeg_color_documents(reps))
         .unionByName(M.binarize_video_documents(reps))
     )
     feats = M.extract_features(b).select(
@@ -303,10 +352,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT doc_id,
            'jpeg' AS modality,
-           -- one 8-row band per 8x8 block = per source byte, every 2nd
-           CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_frames,
-           -- each band re-encodes as a standalone one-block JPEG
-           CAST({M.JPEG_HEADER + 2} AS BIGINT) AS first_frame_bytes
+           -- one band per JPEG_BAND_BLOCKS source bytes, every 2nd
+           CAST(((strlen(text) + {M.JPEG_BAND_BLOCKS - 1})
+                 // {M.JPEG_BAND_BLOCKS} + 1) // 2 AS BIGINT) AS n_frames,
+           -- each band re-encodes as a standalone <=8-block JPEG
+           CAST({M.JPEG_HEADER}
+                + 2 * least(strlen(text), {M.JPEG_BAND_BLOCKS})
+                AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
+           'jpeg_color' AS modality,
+           CAST(((strlen(text) + {M.JPEG_BAND_BLOCKS - 1})
+                 // {M.JPEG_BAND_BLOCKS} + 1) // 2 AS BIGINT) AS n_frames,
+           -- each band re-encodes as a standalone <=8-MCU color JPEG
+           CAST({M.JPEGC_HEADER}
+                + 6 * least(strlen(text), {M.JPEG_BAND_BLOCKS})
+                AS BIGINT) AS first_frame_bytes
     FROM documents
     WHERE strlen(text) > 0
     UNION ALL
@@ -326,12 +389,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples every 2nd 64-byte window; the image branch TILES the real
     BMP into 4-row band BMPs (the vision patching op) and samples every
     2nd band — its first_frame_bytes pins the band re-encode's full
-    54-byte-header + 48-byte-row layout; the video branch extracts
-    every 2nd temporal FRAME from the real Y4M container, each
-    re-encoded as a standalone single-frame clip whose 36-byte header
-    + FRAME marker + 32-byte plane the constant first_frame_bytes
-    pins.  The mapInPandas 1→N plumbing is exercised for real, and its
-    row arithmetic is exactly verified."""
+    54-byte-header + 48-byte-row layout; the JPEG branches (greyscale
+    AND YCbCr color — round 7) tile at multi-block granularity
+    (``JPEG_BAND_BLOCKS`` blocks per band, so bands carry ~the same
+    source bytes as the other branches), every band a standalone
+    decodable JPEG whose closed-form size first_frame_bytes pins; the
+    video branch extracts every 2nd temporal FRAME from the real Y4M
+    container, each re-encoded as a standalone single-frame clip whose
+    36-byte header + FRAME marker + 32-byte plane the constant
+    first_frame_bytes pins.  The mapInPandas 1→N plumbing is exercised
+    for real, and its row arithmetic is exactly verified."""
     docs = load_table(spark, sf_dir, "documents")
     # same decode-once-per-distinct-content collapse as the features
     # key: the synth → frame fan-out → per-doc reduction is a pure
@@ -343,6 +410,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(M.binarize_image_documents(reps))
         .unionByName(M.binarize_png_documents(reps))
         .unionByName(M.binarize_jpeg_documents(reps))
+        .unionByName(M.binarize_jpeg_color_documents(reps))
         .unionByName(M.binarize_video_documents(reps))
     )
     frames = M.sample_frames(b, every_n=2)

@@ -4,16 +4,17 @@ Design (per the task brief): image/audio/video payloads travel as binary
 columns with a ``modality`` tag and a metadata struct; decode/feature
 steps run as Arrow-batched ``mapInPandas`` over partition-sized batches.
 The Spark-side plumbing — schema, batch shape, UDF signature,
-partitioning — is real and tested.  Five non-text modalities are REAL
+partitioning — is real and tested.  Six non-text modalities are REAL
 stdlib container parses (WAV/PCM audio, 24-bit BMP images, 8-bit
 greyscale PNG — the first COMPRESSED container, built on stdlib zlib
 with CRC-validated chunks and all five scanline filters —
-baseline-JFIF greyscale JPEG — the first ENTROPY-CODED container:
-a general Huffman+IDCT decoder plus a closed-form flat-block encoder,
-see the JPEG section comment — and YUV4MPEG2 grayscale video) across
-synthesize/decode/resize/frame verbs; the remaining library codecs
-(mp4/h264, mp3, color/progressive JPEG) stay an explicit
-``NotImplementedError`` seam, never a silent fake.
+baseline-JFIF greyscale AND YCbCr color JPEG — the entropy-coded
+containers: one general Huffman+IDCT decoder covering 1/3-component
+frames and sampling factors up to 2x2 (4:4:4 and 4:2:0), plus
+closed-form flat-block encoders, see the JPEG section comments — and
+YUV4MPEG2 grayscale video) across synthesize/decode/resize/frame
+verbs; the remaining library codecs (mp4/h264, mp3, progressive JPEG)
+stay an explicit ``NotImplementedError`` seam, never a silent fake.
 
 Scale notes: payloads dominate row width, so (a) never shuffle decoded
 features together with raw bytes — project bytes away first; (b) decode
@@ -659,6 +660,9 @@ def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
 
 JPEG_WIDTH = 8  # one 8x8 block per row: byte i -> block i, no padding
 JPEG_Q = 8  # flat-block DC quantizer: stored DC == v-128 exactly
+# frame-tiling granularity: blocks per band (bands then carry ~the
+# same source bytes as the text/BMP/PNG branches' 64-byte windows)
+JPEG_BAND_BLOCKS = 8
 # Canonical DC code lengths: category c -> length 15-c (c = 0..11).
 _JPEG_DC_MAXCAT = 11
 _ZIGZAG = [
@@ -683,7 +687,17 @@ def _jpeg_dc_codes() -> dict[int, tuple[int, int]]:
 
 def _jpeg_header(height: int) -> bytes:
     """Every segment before the entropy-coded data (SOI..SOS), fixed
-    except the SOF height field."""
+    except the SOF height field.  Memoized — band tiling re-encodes
+    one short header per band and decode re-derives the expected
+    header per payload."""
+    return _jpeg_header_cached(height)
+
+
+from functools import lru_cache  # noqa: E402 (scoped to the JPEG section)
+
+
+@lru_cache(maxsize=16384)
+def _jpeg_header_cached(height: int) -> bytes:
     import struct
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -711,32 +725,50 @@ def _jpeg_header(height: int) -> bytes:
 JPEG_HEADER = len(_jpeg_header(0)) + 2
 
 
+def _jpeg_unit16(d):
+    """Elementwise 16-bit entropy unit for a DC *difference* array (DC
+    code + value bits + 0-valued EOB) — the exact arithmetic of the
+    scalar encoder (pinned in tests), vectorized."""
+    import numpy as np
+
+    d = np.asarray(d, dtype=np.int64)
+    # bit_length via frexp: exact for |d| <= 255 (integers are exact
+    # float64, frexp exponent IS the bit length; d == 0 -> 0)
+    cat = np.frexp(np.abs(d).astype(np.float64))[1].astype(np.int64)
+    value = np.where(d >= 0, d, d + (1 << cat) - 1)
+    codes = _jpeg_dc_codes()
+    code_by_cat = np.array(
+        [codes[c][0] for c in range(_JPEG_DC_MAXCAT + 1)], dtype=np.int64
+    )
+    return (code_by_cat[cat] << (cat + 1)) | (value << 1)  # | 0 = EOB
+
+
+def _jpeg_dc_units(dcs) -> bytes:
+    """Vectorized entropy segment for one DC chain: quantized DC values
+    → the per-block 16-bit units, big-endian bytes."""
+    import numpy as np
+
+    dc = np.asarray(dcs, dtype=np.int64)
+    return _jpeg_unit16(np.diff(dc, prepend=0)).astype(">u2").tobytes()
+
+
 def synthesize_jpeg(data: bytes) -> bytes:
     """Deterministic baseline-JFIF greyscale JPEG from source bytes:
     byte i becomes one constant 8x8 block (see the section comment for
     why the round trip and the file size are exact).  Empty input
     encodes as a height-0 image with an empty entropy segment,
     mirroring the height-0 BMP/PNG convention."""
+    import numpy as np
+
     n = len(data)
     if n > 8191:
         raise ValueError(
             f"synthesize_jpeg supports at most 8191 blocks (SOF height "
             f"is 16-bit, height = 8*n), got {n} bytes"
         )
-    codes = _jpeg_dc_codes()
-    out = bytearray(_jpeg_header(8 * n))
-    prev = 0
-    for b in data:
-        dc = b - 128  # quantized DC with q=8 (FDCT DC of a flat block)
-        d = dc - prev
-        prev = dc
-        cat = abs(d).bit_length()
-        value = d if d >= 0 else d + (1 << cat) - 1
-        code, _length = codes[cat]
-        bits16 = (code << (cat + 1)) | (value << 1)  # | 0 = EOB bit
-        out += bits16.to_bytes(2, "big")
-    out += b"\xff\xd9"
-    return bytes(out)
+    # quantized DC with q=8 (FDCT DC of a flat block) = v - 128
+    dcs = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    return _jpeg_header(8 * n) + _jpeg_dc_units(dcs) + b"\xff\xd9"
 
 
 class _BitReader:
@@ -790,17 +822,23 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code (no match within 16 bits)")
 
 
-def _jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
-    """Full baseline-JFIF greyscale parse → (width, height, top-down
-    pixels).  GENERAL within the baseline greyscale profile: arbitrary
-    quantization tables, arbitrary canonical Huffman tables, real DC+AC
-    entropy decoding (run/size symbols, ZRL, EOB), byte-stuffing
-    removal, dezigzag, dequantization, and an exact float64 IDCT.
-    Loud ValueError on anything outside the profile: progressive SOF2,
-    multi-component (color) scans, restart intervals, 16-bit DQT,
-    truncation.  jpeg/mp3/mp4 LIBRARY decode stays out of scope — this
-    is the stdlib discipline the PNG modality established, one codec
-    deeper."""
+def _jpeg_decode_planes(payload: bytes):
+    """General baseline-JFIF parse → ``(w, h, comps)`` where ``comps``
+    is the SOF-ordered list of ``(comp_id, Hi, Vi, plane)`` and
+    ``plane`` is that component's OWN-resolution int array (already
+    level-shifted and clamped), padded to the MCU grid.
+
+    GENERAL within the baseline profile: 1- or 3-component frames,
+    sampling factors up to 2×2 (so 4:4:4 and the real-corpora-default
+    4:2:0 both decode), arbitrary quantization tables, arbitrary
+    canonical Huffman tables with per-component DC/AC selectors and
+    per-component DC predictors, real DC+AC entropy decoding (run/size
+    symbols, ZRL, EOB), byte-stuffing removal, dezigzag,
+    dequantization, and an exact float64 IDCT.  Loud ValueError on
+    anything outside the profile: progressive SOF2, restart intervals,
+    16-bit DQT, sampling factors above 2, truncation.  jpeg/mp3/mp4
+    LIBRARY decode stays out of scope — this is the stdlib discipline
+    the PNG modality established, one codec deeper."""
     import struct
 
     import numpy as np
@@ -811,7 +849,7 @@ def _jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
-    scan_comp: tuple[int, int] | None = None
+    scan: list[tuple[int, int]] | None = None
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -836,15 +874,24 @@ def _jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
                 off += 65
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise ValueError(
-                    f"only 8-bit single-component (greyscale) baseline "
-                    f"supported, got precision={prec} components={ncomp}"
+                    f"only 8-bit 1- or 3-component baseline supported, "
+                    f"got precision={prec} components={ncomp}"
                 )
-            cid, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
+            comps = []
+            for i in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(
+                        f"sampling factors {hi}x{vi} outside the "
+                        "supported 1..2 range"
+                    )
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1 and comps[0][1:3] != (1, 1):
                 raise ValueError("subsampling unsupported for greyscale")
-            sof = (w, h, cid, tq)
+            sof = (w, h, comps)
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(body):
@@ -863,92 +910,216 @@ def _jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
                 off += 17 + sum(counts)
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            scan_comp = (body[1], body[2])  # (component id, Td<<4|Ta)
+            scan = [
+                (body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)
+            ]  # (component id, Td<<4|Ta) per scan component
             pos = pos + 2 + ln
             break
         pos += 2 + ln
-    if sof is None or scan_comp is None:
+    if sof is None or scan is None:
         raise ValueError("JPEG missing SOF or SOS")
-    w, h, cid, tq = sof
-    if scan_comp[0] != cid:
-        raise ValueError("scan component does not match SOF component")
-    if tq not in qtables:
-        raise ValueError(f"missing quantization table {tq}")
-    td, ta = scan_comp[1] >> 4, scan_comp[1] & 0x0F
-    if (0, td) not in huff or (1, ta) not in huff:
-        raise ValueError("missing Huffman table(s) referenced by scan")
-    dc_table, ac_table = huff[(0, td)], huff[(1, ta)]
-    q = np.array(qtables[tq], dtype=np.float64)
+    w, h, comps = sof
+    if [c[0] for c in scan] != [c[0] for c in comps]:
+        raise ValueError(
+            "scan components do not match SOF components (a single "
+            "interleaved scan over all frame components is required)"
+        )
+    sel = {cid: (tt >> 4, tt & 0x0F) for cid, tt in scan}
+    for cid, _hi, _vi, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        td, ta = sel[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("missing Huffman table(s) referenced by scan")
 
     # float64 IDCT basis: C[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
     xs = np.arange(8)
     C = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
     C[0] *= 1 / np.sqrt(2)
 
-    bw = -(-w // 8)
-    bh = -(-h // 8)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _tq in comps
+    }
+    prev_dc = {cid: 0 for cid, *_ in comps}
     reader = _BitReader(payload, pos)
-    img = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-    prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw):
-            zz = np.zeros(64, dtype=np.float64)
-            cat = _huff_decode(reader, dc_table)
-            if cat > 15:
-                raise ValueError(f"invalid DC category {cat}")
-            if cat:
-                v = reader.read_bits(cat)
-                if v < (1 << (cat - 1)):  # negative branch
-                    v -= (1 << cat) - 1
-            else:
-                v = 0
-            prev_dc += v
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_decode(reader, ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"invalid AC symbol 0x{sym:02X}")
-                    k += 16  # ZRL: sixteen zeros
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                v = reader.read_bits(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                zz[k] = v
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz * q
-            block = C.T @ coef.reshape(8, 8) @ C
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    px = np.clip(np.rint(img + 128), 0, 255).astype(np.int64)
-    return w, h, [int(v) for v in px[:h, :w].reshape(-1)]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, hi, vi, tq in comps:
+                td, ta = sel[cid]
+                dc_table, ac_table = huff[(0, td)], huff[(1, ta)]
+                q = np.array(qtables[tq], dtype=np.float64)
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = np.zeros(64, dtype=np.float64)
+                        cat = _huff_decode(reader, dc_table)
+                        if cat > 15:
+                            raise ValueError(f"invalid DC category {cat}")
+                        if cat:
+                            v = reader.read_bits(cat)
+                            if v < (1 << (cat - 1)):  # negative branch
+                                v -= (1 << cat) - 1
+                        else:
+                            v = 0
+                        prev_dc[cid] += v
+                        zz[0] = prev_dc[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_table)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"invalid AC symbol 0x{sym:02X}"
+                                    )
+                                k += 16  # ZRL: sixteen zeros
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            v = reader.read_bits(size)
+                            if v < (1 << (size - 1)):
+                                v -= (1 << size) - 1
+                            zz[k] = v
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * q
+                        block = C.T @ coef.reshape(8, 8) @ C
+                        ry, rx = (my * vi + by) * 8, (mx * hi + bx) * 8
+                        planes[cid][ry : ry + 8, rx : rx + 8] = block
+    out = []
+    for cid, hi, vi, _tq in comps:
+        px = np.clip(np.rint(planes[cid] + 128), 0, 255).astype(np.int64)
+        out.append((cid, hi, vi, px))
+    return w, h, out
+
+
+_JPEG_UNIT_LUT = None
+
+
+def _jpeg_unit_lut():
+    """65536-entry lookup: 16-bit entropy unit → DC diff (or the
+    -32768 'not a flat-profile unit' sentinel).  The flat-block
+    encoders emit every block as exactly one such unit (DC code +
+    value bits + 0-valued EOB), so a whole entropy segment decodes as
+    one vectorized ``np.take`` + ``cumsum`` — the fast path that keeps
+    the decode seam O(bytes) instead of O(bits of Python loop)."""
+    global _JPEG_UNIT_LUT
+    if _JPEG_UNIT_LUT is None:
+        import numpy as np
+
+        lut = np.full(65536, -32768, dtype=np.int32)
+        for cat, (code, _length) in _jpeg_dc_codes().items():
+            for value in range(1 << cat) if cat else (0,):
+                unit = (code << (cat + 1)) | (value << 1)
+                if cat and value < (1 << (cat - 1)):
+                    d = value - ((1 << cat) - 1)
+                else:
+                    d = value
+                lut[unit] = d
+        _JPEG_UNIT_LUT = lut
+    return _JPEG_UNIT_LUT
+
+
+def _jpeg_flat_units(payload: bytes, header: bytes, per_mcu: int):
+    """Shared fast-path gate: if ``payload`` is byte-identical to what
+    the flat-block encoder produces (exact header for its height, EOI
+    trailer, and an entropy segment of valid 16-bit DC-only units),
+    return the per-block values (``np.ndarray``, one row per MCU,
+    ``per_mcu`` columns, already level-unshifted to 0..255); else
+    ``None`` → caller falls back to the general entropy decoder.
+    Sound because the general decoder provably produces exactly these
+    values on such files: flat DC-only blocks IDCT back to their
+    constant bit-for-bit (integer in float64)."""
+    import numpy as np
+
+    body = len(payload) - len(header) - 2
+    if body < 0 or body % (2 * per_mcu):
+        return None
+    if payload[: len(header)] != header or payload[-2:] != b"\xff\xd9":
+        return None
+    units = np.frombuffer(payload, dtype=">u2", offset=len(header), count=body // 2)
+    diffs = _jpeg_unit_lut()[units]
+    if (diffs == -32768).any():
+        return None
+    vals = np.cumsum(diffs.reshape(-1, per_mcu), axis=0) + 128
+    if vals.size and (vals.min() < 0 or vals.max() > 255):
+        return None
+    return vals
+
+
+def _jpeg_pixels_array(payload: bytes):
+    """Baseline-JFIF GREYSCALE parse → (width, height, flat int64
+    ndarray of top-down pixels): the single-component wrapper over
+    ``_jpeg_decode_planes`` (the general 1/3-component machinery —
+    color goes through ``_jpeg_ycbcr``/``decode_jpeg_color``), with
+    the vectorized flat-profile fast path in front."""
+    import numpy as np
+
+    n = (len(payload) - JPEG_HEADER) // 2
+    if n >= 0 and len(payload) == JPEG_HEADER + 2 * n:
+        vals = _jpeg_flat_units(payload, _jpeg_header(8 * n), 1)
+        if vals is not None:
+            return JPEG_WIDTH, 8 * n, np.repeat(vals.reshape(-1), 64)
+    w, h, comps = _jpeg_decode_planes(payload)
+    if len(comps) != 1:
+        raise ValueError(
+            f"greyscale decode of a {len(comps)}-component JPEG — use "
+            "the jpeg_color verbs"
+        )
+    px = comps[0][3]
+    return w, h, px[:h, :w].reshape(-1)
+
+
+def _jpeg_pixels(payload: bytes) -> tuple[int, int, list[int]]:
+    w, h, px = _jpeg_pixels_array(payload)
+    return w, h, [int(v) for v in px]
 
 
 def decode_jpeg(payload: bytes) -> list[float]:
     """JPEG decode → the SAME FEATURE_DIM features as decode_bmp /
     decode_png (identical pixel semantics, third container): [width,
-    height, n_pixels, first, last, max, Σ mod 9973, #value-32]."""
-    width, h, px = _jpeg_pixels(payload)
-    if not px:
+    height, n_pixels, first, last, max, Σ mod 9973, #value-32].
+    Aggregates vectorized (this runs per distinct document inside the
+    Arrow decode seam); the flat synthesis profile aggregates at block
+    granularity — every pixel of block i has the block's value, so
+    each block contributes with weight 64 and the 64x expansion never
+    materializes."""
+    n = (len(payload) - JPEG_HEADER) // 2
+    if n >= 0 and len(payload) == JPEG_HEADER + 2 * n:
+        vals = _jpeg_flat_units(payload, _jpeg_header(8 * n), 1)
+        if vals is not None:
+            if n == 0:
+                return [0.0] * FEATURE_DIM
+            v = vals.reshape(-1)
+            return [
+                float(JPEG_WIDTH),
+                float(8 * n),
+                float(64 * n),
+                float(v[0]),
+                float(v[-1]),
+                float(v.max()),
+                float(64 * int(v.sum()) % AUDIO_SUM_MOD),
+                float(64 * int((v == 32).sum())),
+            ]
+    width, h, px = _jpeg_pixels_array(payload)
+    if px.size == 0:
         return [0.0] * FEATURE_DIM
     return [
         float(width),
         float(h),
-        float(len(px)),
+        float(px.size),
         float(px[0]),
         float(px[-1]),
-        float(max(px)),
-        float(sum(px) % AUDIO_SUM_MOD),
-        float(sum(1 for v in px if v == 32)),
+        float(px.max()),
+        float(int(px.sum()) % AUDIO_SUM_MOD),
+        float(int((px == 32).sum())),
     ]
 
 
@@ -1006,6 +1177,382 @@ def resize_jpeg(payload: bytes, out_w: int, out_h: int) -> bytes:
         band = [px[r * w + c] for r in rows for c in range(w)]
         vals.append(sum(band) // len(band))
     return synthesize_jpeg(bytes(vals))
+
+
+# --- baseline JPEG (JFIF), YCbCr color -------------------------------
+#
+# The color half of the JPEG modality (round 7): 4:4:4 baseline color
+# SYNTHESIS through the same closed-form flat-block discipline, and a
+# color decode built on the general `_jpeg_decode_planes` machinery
+# (which also decodes 4:2:0 — sampling factors up to 2x2 — so the
+# decoder covers the real-corpora-default subsampled layout; pinned in
+# tests against an independent test-side 4:2:0 encoder).
+#
+# Why color stays exactly oracle-able: source byte v becomes one flat
+# 8x8 block PER COMPONENT with Y = v, Cb = 255-v, Cr = (3v+7)%256 —
+# each component's DC chain is the same 16-bit-per-block layout as the
+# greyscale encoder (per-component DC predictors, same canonical DC
+# table for all three scan selectors), so an MCU is exactly 3 blocks =
+# 6 bytes, no byte ever 0xFF (every code starts '000', every block
+# ends in the 0-valued EOB bit), and
+# n_bytes = JPEGC_HEADER + 6*len(text) closed-form.  The decoder IDCTs
+# each plane back to the exact flat integers, and the YCbCr->RGB
+# conversion is pinned to floor(x + 0.5) with the JFIF/BT.601 literal
+# constants so DuckDB replicates every channel value bit-for-bit from
+# the source text.
+
+# JFIF YCbCr->RGB constants (ITU-R BT.601 as used by JFIF).  The SQL
+# oracle uses the same literals and the same floor(x+0.5) rounding.
+_JPEGC_R_CR = 1.402
+_JPEGC_G_CB = 0.344136
+_JPEGC_G_CR = 0.714136
+_JPEGC_B_CB = 1.772
+
+
+def _jpegc_cb(v: int) -> int:
+    """Synthesis chroma-blue channel for source byte v (any bijective
+    byte map works; this one keeps the SQL oracle a one-liner)."""
+    return 255 - v
+
+
+def _jpegc_cr(v: int) -> int:
+    """Synthesis chroma-red channel for source byte v."""
+    return (3 * v + 7) % 256
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF color conversion over EXACT integer inputs, rounded with
+    floor(x + 0.5) and clamped — the exact expression tree the DuckDB
+    oracle replicates (identical literals, identical op order, so the
+    IEEE doubles agree bit-for-bit)."""
+    import math
+
+    def cl(x: float) -> int:
+        return max(0, min(255, math.floor(x + 0.5)))
+
+    r = cl(y + _JPEGC_R_CR * (cr - 128))
+    g = cl(y - _JPEGC_G_CB * (cb - 128) - _JPEGC_G_CR * (cr - 128))
+    b = cl(y + _JPEGC_B_CB * (cb - 128))
+    return r, g, b
+
+
+def _jpegc_header(height: int) -> bytes:
+    """Every segment before the color entropy data: two DQTs (luma
+    table 0, chroma table 1 — same flat quantizer so the DC algebra
+    stays closed-form), a 3-component 4:4:4 SOF0, the same canonical
+    DC/AC tables as the greyscale encoder (all three scan selectors
+    reference table 0), and a 3-component interleaved SOS.  Memoized
+    like ``_jpeg_header``."""
+    return _jpegc_header_cached(height)
+
+
+@lru_cache(maxsize=16384)
+def _jpegc_header_cached(height: int) -> bytes:
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    app0 = seg(0xFFE0, b"JFIF\x00" + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0]))
+    dqt0 = seg(0xFFDB, bytes([0x00]) + bytes([JPEG_Q] * 64))
+    dqt1 = seg(0xFFDB, bytes([0x01]) + bytes([JPEG_Q] * 64))
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, JPEG_WIDTH, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    bits_dc = [0] * 16
+    for length in range(4, 16):
+        bits_dc[length - 1] = 1
+    symbols_dc = [15 - length for length in range(4, 16)]
+    dht_dc = seg(0xFFC4, bytes([0x00] + bits_dc + symbols_dc))
+    bits_ac = [1] + [0] * 15
+    dht_ac = seg(0xFFC4, bytes([0x10] + bits_ac + [0x00]))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt0 + dqt1 + sof0 + dht_dc + dht_ac + sos
+
+
+# total non-entropy bytes (header + EOI) for the closed-form size oracle
+JPEGC_HEADER = len(_jpegc_header(0)) + 2
+
+
+def _encode_jpegc_blocks(blocks: list[tuple[int, int, int]]) -> bytes:
+    """The ONE color flat-block encoder (synthesis, resize and band
+    tiling share it): each (y, cb, cr) triple becomes one 4:4:4 MCU of
+    three DC-only blocks — 16 bits per block, 6 bytes per MCU,
+    per-component DC predictors, provably stuffing-free."""
+    import numpy as np
+
+    n = len(blocks)
+    if n > 8191:
+        raise ValueError(
+            f"color JPEG synthesis supports at most 8191 MCUs (SOF "
+            f"height is 16-bit, height = 8*n), got {n}"
+        )
+    if n == 0:
+        return _jpegc_header(0) + b"\xff\xd9"
+    # three independent DC chains (per-component predictors), encoded
+    # with the shared vectorized unit emitter and re-interleaved
+    dc = np.asarray(blocks, dtype=np.int64) - 128
+    per_comp = [
+        np.frombuffer(_jpeg_dc_units(dc[:, ci]), dtype=">u2")
+        for ci in range(3)
+    ]
+    units = np.stack(per_comp, axis=1).reshape(-1)
+    return _jpegc_header(8 * n) + units.astype(">u2").tobytes() + b"\xff\xd9"
+
+
+def synthesize_jpeg_color(data: bytes) -> bytes:
+    """Deterministic baseline-JFIF 4:4:4 COLOR JPEG from source bytes:
+    byte i becomes one flat color MCU (Y=v, Cb=255-v, Cr=(3v+7)%256 —
+    see the color section comment for why the round trip and the file
+    size stay exact despite the lossy codec)."""
+    return _encode_jpegc_blocks(
+        [(v, _jpegc_cb(v), _jpegc_cr(v)) for v in data]
+    )
+
+
+def _jpeg_ycbcr(payload: bytes) -> tuple[int, int, list, list, list]:
+    """Color JPEG → full-resolution integer (Y, Cb, Cr) planes:
+    decode each component at its own resolution, then replicate-
+    upsample chroma to the luma grid (the standard box upsample —
+    identity for 4:4:4, 2x pixel replication for 4:2:0).  Synthesized
+    flat-MCU payloads take the vectorized unit fast path."""
+    import numpy as np
+
+    n = (len(payload) - JPEGC_HEADER) // 6
+    if n >= 0 and len(payload) == JPEGC_HEADER + 6 * n:
+        vals = _jpeg_flat_units(payload, _jpegc_header(8 * n), 3)
+        if vals is not None:
+            planes = [
+                np.repeat(vals[:, ci], 64).reshape(-1, 8) for ci in range(3)
+            ]
+            return JPEG_WIDTH, 8 * n, planes[0], planes[1], planes[2]
+    w, h, comps = _jpeg_decode_planes(payload)
+    if len(comps) != 3:
+        raise ValueError(
+            f"color decode of a {len(comps)}-component JPEG — use the "
+            "greyscale jpeg verbs"
+        )
+    if [c[0] for c in comps] != [1, 2, 3]:
+        raise ValueError(
+            "expected JFIF component ids (1=Y, 2=Cb, 3=Cr), got "
+            f"{[c[0] for c in comps]}"
+        )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ys = np.arange(h)
+    xs = np.arange(w)
+    planes = []
+    for _cid, hi, vi, px in comps:
+        # replicate-upsample to the luma grid via integer index maps
+        planes.append(px[np.ix_(ys * vi // vmax, xs * hi // hmax)])
+    return w, h, planes[0], planes[1], planes[2]
+
+
+def _rgb_from_ycbcr_rows(vals):
+    """Vectorized JFIF conversion over an (n, 3) int array of
+    (Y, Cb, Cr) rows → (n, 3) int64 (R, G, B) rows — the array twin of
+    ``_ycbcr_to_rgb`` (same literals, same op order, same floor(x+0.5)
+    rounding, so the float64 results are identical — pinned against
+    the scalar form in tests)."""
+    import numpy as np
+
+    a = np.asarray(vals, dtype=np.float64)
+    y, cb, cr = a[..., 0], a[..., 1], a[..., 2]
+
+    def cl(x):
+        return np.clip(np.floor(x + 0.5), 0, 255)
+
+    r = cl(y + _JPEGC_R_CR * (cr - 128))
+    g = cl(y - _JPEGC_G_CB * (cb - 128) - _JPEGC_G_CR * (cr - 128))
+    b = cl(y + _JPEGC_B_CB * (cb - 128))
+    return np.stack([r, g, b], axis=-1).astype(np.int64)
+
+
+def _jpeg_rgb_array(payload: bytes):
+    """Color JPEG → (width, height, flat int64 ndarray of interleaved
+    [R,G,B,...] channel values) via the pinned JFIF conversion."""
+    import numpy as np
+
+    w, h, yp, cbp, crp = _jpeg_ycbcr(payload)
+    ycc = np.stack(
+        [np.asarray(p, dtype=np.int64) for p in (yp, cbp, crp)], axis=-1
+    )
+    return w, h, _rgb_from_ycbcr_rows(ycc).reshape(-1)
+
+
+def _jpeg_rgb(payload: bytes) -> tuple[int, int, list[int]]:
+    w, h, rgb = _jpeg_rgb_array(payload)
+    return w, h, rgb.tolist()
+
+
+def decode_jpeg_color(payload: bytes) -> list[float]:
+    """Color JPEG decode → the SAME FEATURE_DIM layout as the other
+    image branches, over the interleaved RGB channel sequence: [width,
+    height, n_channel_values, first (R of px 0), last (B of last px),
+    max, Σ mod 9973, #value==32].  All aggregates vectorized — this
+    runs inside the Arrow decode seam for every distinct document; the
+    flat synthesis profile converts and aggregates at MCU granularity
+    (one RGB triple per MCU, weight 64) so the pixel expansion never
+    materializes."""
+    import numpy as np
+
+    n = (len(payload) - JPEGC_HEADER) // 6
+    if n >= 0 and len(payload) == JPEGC_HEADER + 6 * n:
+        vals = _jpeg_flat_units(payload, _jpegc_header(8 * n), 3)
+        if vals is not None:
+            if n == 0:
+                return [0.0] * FEATURE_DIM
+            rgbb = _rgb_from_ycbcr_rows(vals)
+            return [
+                float(JPEG_WIDTH),
+                float(8 * n),
+                float(64 * 3 * n),
+                float(rgbb[0, 0]),
+                float(rgbb[-1, 2]),
+                float(rgbb.max()),
+                float(64 * int(rgbb.sum()) % AUDIO_SUM_MOD),
+                float(64 * int((rgbb == 32).sum())),
+            ]
+    width, h, rgb = _jpeg_rgb_array(payload)
+    if rgb.size == 0:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(width),
+        float(h),
+        float(rgb.size),
+        float(rgb[0]),
+        float(rgb[-1]),
+        float(rgb.max()),
+        float(int(rgb.sum()) % AUDIO_SUM_MOD),
+        float(int((rgb == 32).sum())),
+    ]
+
+
+def binarize_jpeg_color_documents(documents: DataFrame) -> DataFrame:
+    """Manufacture a color-JPEG modality table (modality tag
+    ``jpeg_color``, mime ``image/jpeg``) — the 3-component twin of
+    ``binarize_jpeg_documents``."""
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_jpeg_color(t.encode("utf-8")) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "jpeg_color",
+                    "payload": payloads,
+                    "meta_mime": "image/jpeg",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth_batches, MODALITY_SCHEMA
+    )
+
+
+def _block_row_avgs(plane, h: int):
+    """Exact integer 8-row band averages (floor) of a 2-D plane — the
+    sum(band)//len(band) arithmetic, one vectorized pass for the
+    block-multiple prefix plus a scalar tail for ragged heights."""
+    import numpy as np
+
+    full = h // 8
+    out = []
+    if full:
+        head = np.asarray(plane[: full * 8], dtype=np.int64)
+        w = head.shape[1]
+        out = list(head.reshape(full, 8 * w).sum(axis=1) // (8 * w))
+    if h % 8:
+        tail = np.asarray(plane[full * 8 : h], dtype=np.int64)
+        out.append(int(tail.sum()) // int(tail.size))
+    return [int(v) for v in out]
+
+
+def _band_payloads(vals2d, headers, per_block_bytes: int) -> list[bytes]:
+    """Shared batched band emitter: ``vals2d`` is the (n_blocks, c)
+    int array of per-block component values in MCU order; bands of
+    ``JPEG_BAND_BLOCKS`` blocks each restart their DC predictors, so
+    ALL bands' units compute in one elementwise pass over per-band
+    diffs; ``headers(k)`` builds the k-block header."""
+    import numpy as np
+
+    vals = np.asarray(vals2d, dtype=np.int64)
+    n, c = vals.shape
+    if n == 0:
+        return []
+    b = JPEG_BAND_BLOCKS
+    nb = -(-n // b)
+    dc = np.zeros((nb * b, c), dtype=np.int64)
+    dc[:n] = vals - 128
+    dc = dc.reshape(nb, b, c)
+    diffs = np.diff(dc, axis=1, prepend=0)
+    by = _jpeg_unit16(diffs).astype(">u2").tobytes()
+    stride = 2 * c * b
+    out = []
+    for i in range(nb):
+        k = min(b, n - i * b)
+        out.append(
+            headers(k)
+            + by[i * stride : i * stride + per_block_bytes * k]
+            + b"\xff\xd9"
+        )
+    return out
+
+
+def jpegc_band_encode(payload: bytes) -> list[bytes]:
+    """Band tiling for color JPEG: pool each 8-row block PER COMPONENT
+    (YCbCr domain, like the greyscale pooling — chroma survives the
+    re-encode), group ``JPEG_BAND_BLOCKS`` blocks per band, and emit
+    every band as a standalone decodable multi-MCU color JPEG.  Exact
+    for flat synthesized MCUs (each band carries its MCUs' triples
+    verbatim).  Pooling and unit emission are whole-payload vectorized
+    passes — per-band Python work is one slice + join."""
+    import numpy as np
+
+    _w, h, yp, cbp, crp = _jpeg_ycbcr(payload)
+    triples = np.stack(
+        [
+            np.asarray(_block_row_avgs(p, h), dtype=np.int64)
+            for p in (yp, cbp, crp)
+        ],
+        axis=-1,
+    ) if h else np.zeros((0, 3), dtype=np.int64)
+    return _band_payloads(triples, lambda k: _jpegc_header(8 * k), 6)
+
+
+def resize_jpeg_color(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Block-granular color JPEG resize: decode, average-pool each
+    output MCU's nearest source band PER COMPONENT, re-encode through
+    the shared color flat-block encoder.  Same contract as
+    ``resize_jpeg`` (out_w fixed at 8, out_h a block multiple); exact
+    (value-preserving, chroma included) on flat synthesized MCUs."""
+    if out_w != 8 or out_h <= 0 or out_h % 8:
+        raise ValueError(
+            "resize_jpeg_color emits the synthesis profile: out_w must "
+            f"be 8 and out_h a positive block multiple, got {out_w}x{out_h}"
+        )
+    w, h, yp, cbp, crp = _jpeg_ycbcr(payload)
+    if h == 0:
+        return synthesize_jpeg_color(bytes(out_h // 8))
+    bh_out = out_h // 8
+    bh_src = -(-h // 8)
+    triples = []
+    for by in range(bh_out):
+        sy = (by * bh_src // bh_out) * 8
+        rows = [min(sy + r, h - 1) for r in range(8)]
+        n = len(rows) * w
+        triples.append(
+            tuple(
+                int(sum(int(p[r, c]) for r in rows for c in range(w)) // n)
+                for p in (yp, cbp, crp)
+            )
+        )
+    return _encode_jpegc_blocks(triples)
 
 
 VID_WIDTH = 8
@@ -1225,6 +1772,8 @@ def decode_stub(payload: bytes, modality: str) -> list[float]:
         return decode_png(payload)
     if modality == "jpeg":
         return decode_jpeg(payload)
+    if modality == "jpeg_color":
+        return decode_jpeg_color(payload)
     if modality == "video":
         return decode_y4m(payload)
     raise NotImplementedError(
@@ -1307,19 +1856,30 @@ def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[
             for y in range(0, h, IMG_BAND_ROWS)
         ]
     if modality == "jpeg":
-        # band tiling at BLOCK granularity (8 rows — the JPEG analog
-        # of the 4-row BMP/PNG bands): each band re-encodes through
-        # the flat-block encoder as a standalone decodable JPEG.
-        # Exact for synthesized payloads (one flat block per band);
-        # for general inputs each band stores its block-row averages
-        # (the same pooling contract as resize_jpeg).
-        w, h, px = _jpeg_pixels(payload)
-        out = []
-        for y in range(0, h, 8):
-            rows = range(y, min(y + 8, h))
-            band = [px[r * w + c] for r in rows for c in range(w)]
-            out.append(synthesize_jpeg(bytes([sum(band) // len(band)])))
-        return out
+        # band tiling at MULTI-BLOCK granularity: each band covers
+        # JPEG_BAND_BLOCKS consecutive 8-row blocks, so a band carries
+        # ~the same source bytes as the text/BMP/PNG branches (one
+        # block per band would fan out 8-64x more frame rows than any
+        # other modality and dominate the key at scale — measured
+        # 1.1 s -> 17.8 s at sf0.1 before the grouping).  Each band
+        # re-encodes through the flat-block encoder as a standalone
+        # decodable JPEG; exact for synthesized payloads (the band
+        # carries its blocks' values verbatim), and for general inputs
+        # each block stores its 8-row-band average (the same pooling
+        # contract as resize_jpeg).  Pooling and unit emission are
+        # whole-payload vectorized passes (shared with the color twin).
+        import numpy as np
+
+        w, h, px = _jpeg_pixels_array(payload)
+        img = px.reshape(h, w)
+        vals = np.asarray(_block_row_avgs(img, h), dtype=np.int64)
+        return _band_payloads(
+            vals.reshape(-1, 1), lambda k: _jpeg_header(8 * k), 2
+        )
+    if modality == "jpeg_color":
+        # the color twin: per-component (YCbCr) block pooling, every
+        # band a standalone decodable JPEG_BAND_BLOCKS-MCU color JPEG
+        return jpegc_band_encode(payload)
     if modality == "video":
         # REAL temporal frame extraction: parse the Y4M container and
         # re-encode each frame as a standalone single-frame clip

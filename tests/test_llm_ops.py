@@ -1181,9 +1181,16 @@ def test_jpeg_container_roundtrip_size_and_features():
     assert [M._jpeg_pixels(r)[2][i * 64] for i in range(3)] == [
         ord("a"), ord("c"), ord("e"),
     ]
+    # bands group JPEG_BAND_BLOCKS blocks (~the other branches' 64-byte
+    # windows); a short payload is one band carrying its blocks verbatim
     frames = M.frame_stub(M.synthesize_jpeg(b"xyz"), "jpeg")
-    assert [M._jpeg_pixels(f)[2][0] for f in frames] == [120, 121, 122]
-    assert all(len(f) == M.JPEG_HEADER + 2 for f in frames)
+    assert frames == [M.synthesize_jpeg(b"xyz")]
+    long = bytes(range(64, 64 + 20))
+    frames = M.frame_stub(M.synthesize_jpeg(long), "jpeg")
+    assert [len(f) for f in frames] == [
+        M.JPEG_HEADER + 16, M.JPEG_HEADER + 16, M.JPEG_HEADER + 8,
+    ]
+    assert frames[1] == M.synthesize_jpeg(long[8:16])
 
     # corruption is loud, never an empty decode
     with pytest.raises(ValueError, match="not a JPEG"):
@@ -2828,3 +2835,288 @@ def test_feature_hash_embed_parity_and_retrieval(spark, sf_oracle):
     )
     bf = [r["vec_id"] for r in S.brute_force_topk(vecs, 0, 5).collect()]
     assert len(bf) == 5 and bf[0] == 0  # self-similarity tops the list
+
+
+def test_jpeg_color_container_roundtrip_size_and_features():
+    """Round 7: the COLOR half of the JPEG modality — 4:4:4 baseline
+    synthesis with the same closed-form discipline (one flat MCU per
+    source byte, 6 entropy bytes, stuffing-free), exact YCbCr round
+    trip, and the pinned floor(x+0.5) JFIF RGB conversion."""
+    import math
+
+    data = b"The quick brown fox! \x00\xff\x7f"
+    p = M.synthesize_jpeg_color(data)
+    assert len(p) == M.JPEGC_HEADER + 6 * len(data)
+    assert b"\xff" not in p[len(M._jpegc_header(8 * len(data))) : -2]
+    w, h, yp, cbp, crp = M._jpeg_ycbcr(p)
+    assert (w, h) == (M.JPEG_WIDTH, 8 * len(data))
+    for i, v in enumerate(data):
+        assert int(yp[8 * i][3]) == v
+        assert int(cbp[8 * i][3]) == 255 - v
+        assert int(crp[8 * i][3]) == (3 * v + 7) % 256
+
+    # pinned conversion: vectorized twin == scalar form, channel by
+    # channel, including clamp-active extremes
+    _w, _h, rgb = M._jpeg_rgb(p)
+    for i, v in enumerate(data):
+        want = M._ycbcr_to_rgb(v, 255 - v, (3 * v + 7) % 256)
+        assert tuple(rgb[i * 192 : i * 192 + 3]) == want
+        # and the scalar form really is floor(x+0.5) with the literals
+        cl = lambda x: max(0, min(255, math.floor(x + 0.5)))
+        cb, cr = 255 - v, (3 * v + 7) % 256
+        assert want == (
+            cl(v + 1.402 * (cr - 128)),
+            cl(v - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+            cl(v + 1.772 * (cb - 128)),
+        )
+
+    # features: fast path == general entropy decoder (COM segment
+    # defeats the byte-identical header gate) — for grey too
+    import struct
+
+    com = struct.pack(">HH", 0xFFFE, 9) + b"comment"
+    assert M.decode_jpeg_color(p) == M.decode_jpeg_color(p[:2] + com + p[2:])
+    g = M.synthesize_jpeg(data)
+    assert M.decode_jpeg(g) == M.decode_jpeg(g[:2] + com + g[2:])
+    assert M.decode_jpeg_color(M.synthesize_jpeg_color(b"")) == [0.0] * M.FEATURE_DIM
+
+    # resize pools per COMPONENT (chroma survives), frames are
+    # standalone decodable color JPEGs carrying their MCUs verbatim
+    frames = M.frame_stub(M.synthesize_jpeg_color(b"xyz"), "jpeg_color")
+    assert frames == [M.synthesize_jpeg_color(b"xyz")]
+    long = bytes(range(64, 64 + 20))
+    frames = M.frame_stub(M.synthesize_jpeg_color(long), "jpeg_color")
+    assert [len(f) for f in frames] == [
+        M.JPEGC_HEADER + 48, M.JPEGC_HEADER + 48, M.JPEGC_HEADER + 24,
+    ]
+    assert frames[1] == M.synthesize_jpeg_color(long[8:16])
+    r = M.resize_jpeg_color(M.synthesize_jpeg_color(b"abcdef"), 8, 24)
+    _w2, h2, yp2, cbp2, crp2 = M._jpeg_ycbcr(r)
+    assert h2 == 24
+    assert [int(yp2[8 * i][0]) for i in range(3)] == [
+        ord("a"), ord("c"), ord("e"),
+    ]
+    assert [int(cbp2[8 * i][0]) for i in range(3)] == [
+        255 - ord("a"), 255 - ord("c"), 255 - ord("e"),
+    ]
+
+    # cross-profile misuse is a loud error, both directions
+    with pytest.raises(ValueError, match="use the jpeg_color verbs"):
+        M._jpeg_pixels(p)
+    with pytest.raises(ValueError, match="use the\n?.*greyscale jpeg verbs"):
+        M._jpeg_ycbcr(M.synthesize_jpeg(b"abc"))
+    with pytest.raises(ValueError, match="at most 8191"):
+        M.synthesize_jpeg_color(bytes(9000))
+
+
+def test_jpeg_vectorized_encoder_matches_scalar_reference():
+    """The numpy unit emitter must be bit-identical to the scalar
+    per-block Huffman arithmetic it replaced (independent inline
+    reimplementation, random payloads incl. max-swing diffs)."""
+    import random
+
+    def scalar_units(dcs):
+        codes = M._jpeg_dc_codes()
+        out = bytearray()
+        prev = 0
+        for dc in dcs:
+            d = dc - prev
+            prev = dc
+            cat = abs(d).bit_length()
+            value = d if d >= 0 else d + (1 << cat) - 1
+            code, _ln = codes[cat]
+            out += (((code << (cat + 1)) | (value << 1))).to_bytes(2, "big")
+        return bytes(out)
+
+    rng = random.Random(1234)
+    for trial in range(25):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        dcs = [b - 128 for b in data]
+        assert M._jpeg_dc_units(dcs) == scalar_units(dcs), trial
+        assert M.synthesize_jpeg(data) == (
+            M._jpeg_header(8 * len(data)) + scalar_units(dcs) + b"\xff\xd9"
+        ), trial
+    # max-swing chain 0<->255 exercises category 8 both signs
+    swing = bytes([0, 255] * 100)
+    dcs = [b - 128 for b in swing]
+    assert M._jpeg_dc_units(dcs) == scalar_units(dcs)
+
+
+def test_jpeg_color_decoder_general_baseline_path():
+    """The color decoder must be GENERAL within baseline color, not
+    just the synthesis profile's inverse: 3-component interleaved
+    scans, DISTINCT per-component quant tables and Huffman selectors,
+    real AC coefficients, 4:2:0 SUBSAMPLING (2x2 luma sampling with
+    replicate chroma upsample), and byte stuffing.  Independent
+    test-side encoder + independent numpy reference, as in the
+    greyscale twin."""
+    import struct
+
+    import numpy as np
+
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_BITS = [0, 2, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    AC_VALS = [0x00, 0x01, 0x02, 0xF0, 0x11]  # incl. run-1/size-1
+    # a SECOND, differently-shaped DC table for the chroma selector
+    DC2_BITS = [0, 0, 4, 4, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    DC2_VALS = list(range(12))
+
+    def canon(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc0, dc1 = canon(DC_BITS, DC_VALS), canon(DC2_BITS, DC2_VALS)
+    ac0 = canon(AC_BITS, AC_VALS)
+
+    class W:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, code, ln):
+            self.bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+
+        def bytes_(self):
+            bs, out = self.bits + [1] * (-len(self.bits) % 8), bytearray()
+            for i in range(0, len(bs), 8):
+                b = int("".join(map(str, bs[i : i + 8])), 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def cat_bits(v):
+        c = abs(v).bit_length()
+        return c, (v if v >= 0 else v + (1 << c) - 1)
+
+    def put_block(wtr, blk, prev, dc_tab):
+        c, vb = cat_bits(blk.get(0, 0) - prev)
+        wtr.put(*dc_tab[c])
+        if c:
+            wtr.put(vb, c)
+        last = 0
+        for k in sorted(k for k in blk if k > 0):
+            run = k - last - 1
+            while run >= 16:
+                wtr.put(*ac0[0xF0])
+                run -= 16
+            c2, vb2 = cat_bits(blk[k])
+            wtr.put(*ac0[(run << 4) | c2])
+            wtr.put(vb2, c2)
+            last = k
+        if not blk or max(blk) < 63:
+            wtr.put(*ac0[0x00])
+        return blk.get(0, 0)
+
+    qy = [2 + (i % 4) for i in range(64)]
+    qc = [5 + (i % 3) for i in range(64)]
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def jfif_420(y_blocks, cb_block, cr_block):
+        # one 4:2:0 MCU: image 16x16, Y sampled 2x2, chroma 1x1
+        wtr = W()
+        prev = 0
+        for blk in y_blocks:
+            prev = put_block(wtr, blk, prev, dc0)
+        put_block(wtr, cb_block, 0, dc1)
+        put_block(wtr, cr_block, 0, dc1)
+        return (
+            b"\xff\xd8"
+            + seg(0xFFDB, bytes([0x00]) + bytes(qy))
+            + seg(0xFFDB, bytes([0x01]) + bytes(qc))
+            + seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, 16, 16, 3)
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            )
+            + seg(0xFFC4, bytes([0x00] + DC_BITS + DC_VALS))
+            + seg(0xFFC4, bytes([0x01] + DC2_BITS + DC2_VALS))
+            + seg(0xFFC4, bytes([0x10] + AC_BITS + AC_VALS))
+            + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 63, 0]))
+            + wtr.bytes_()
+            + b"\xff\xd9"
+        )
+
+    y_blocks = [
+        {0: 40},
+        {0: -31, 1: 1, 2: -2},
+        {0: 0, 17: 1},
+        {0: 127, 1: -1, 18: 1},
+    ]
+    cb_block = {0: 12, 1: 2}
+    cr_block = {0: -9, 2: -1}
+    payload = jfif_420(y_blocks, cb_block, cr_block)
+
+    # --- independent reference --------------------------------------
+    xs = np.arange(8)
+    C = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
+    C[0] *= 1 / np.sqrt(2)
+
+    def idct_plane(blocks, q, bw_blocks):
+        n = len(blocks)
+        bh_blocks = n // bw_blocks
+        out = np.zeros((bh_blocks * 8, bw_blocks * 8))
+        prev = 0
+        for i, blk in enumerate(blocks):
+            zz = np.zeros(64)
+            dc = blk.get(0, 0)
+            for k, v in blk.items():
+                zz[k] = v * q[k]
+            zz[0] = dc * q[0]
+            coef = np.zeros(64)
+            coef[M._ZIGZAG] = zz
+            by, bx = divmod(i, bw_blocks)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ coef.reshape(8, 8) @ C
+            )
+            prev = dc
+        return np.clip(np.rint(out + 128), 0, 255).astype(np.int64)
+
+    # the encoder wrote DC DIFFS per chain implicitly via put_block's
+    # prev threading; blocks hold ABSOLUTE DC in position 0 already
+    yref = idct_plane(y_blocks, qy, 2)          # 16x16 luma
+    cbref = idct_plane([cb_block], qc, 1)        # 8x8 chroma
+    crref = idct_plane([cr_block], qc, 1)
+
+    w, h, yp, cbp, crp = M._jpeg_ycbcr(payload)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(np.asarray(yp), yref)
+    # replicate upsample: chroma pixel (x, y) <- plane (x//2, y//2)
+    up = lambda p: p[np.arange(16) // 2][:, np.arange(16) // 2]
+    assert np.array_equal(np.asarray(cbp), up(cbref))
+    assert np.array_equal(np.asarray(crp), up(crref))
+
+    # RGB conversion on the general path equals the scalar pinned form
+    _w, _h, rgb = M._jpeg_rgb(payload)
+    want00 = M._ycbcr_to_rgb(int(yref[0, 0]), int(cbref[0, 0]), int(crref[0, 0]))
+    assert tuple(rgb[0:3]) == want00
+
+    # byte-stuffing branch: drive both chroma DCs until the stream
+    # stuffs a 0xFF00, then require exact decode of every plane.  DC
+    # coefficients live in quantized-coefficient space (not pixel
+    # space), so large categories are legal — a cat-11 DC emits 11
+    # consecutive one-bits, which is what lines a 0xFF up
+    stuffed = None
+    for dcb in range(-2047, 2048, 3):
+        for dcr in range(-255, 256, 7):
+            cand = jfif_420(y_blocks, {0: dcb}, {0: dcr})
+            ent = cand[cand.index(b"\xff\xda") + 14 : -2]
+            if b"\xff\x00" in ent:
+                stuffed = (dcb, dcr, cand)
+                break
+        if stuffed:
+            break
+    assert stuffed is not None, "no stuffed byte found in search space"
+    dcb, dcr, cand = stuffed
+    _w3, _h3, yp3, cbp3, crp3 = M._jpeg_ycbcr(cand)
+    assert np.array_equal(np.asarray(yp3), yref)
+    assert np.array_equal(np.asarray(cbp3), up(idct_plane([{0: dcb}], qc, 1)))
+    assert np.array_equal(np.asarray(crp3), up(idct_plane([{0: dcr}], qc, 1)))
