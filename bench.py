@@ -402,6 +402,11 @@ def ensure_ann_dir(replication: int = 10) -> str:
 # with the original reading preserved beside it.
 ARBITRATE_SKEW_RATIO = 1.3
 ARBITRATE_X10_RATIO = 12.0
+# The skew dir holds the SAME volume as the plain x10 dir, so a key
+# whose skewed run is markedly FASTER is a contention tell on the x10
+# reading itself (round 7: jaccard read 18.8 s in-sweep at x10 with a
+# 7.8 s skew twin; warm-isolated it re-measures 8.2 s).
+ARBITRATE_SKEW_FASTER = 0.75
 
 
 def _rerun_key_min2(spark, sf_dir: str, name: str) -> float:
@@ -465,6 +470,10 @@ def scale_main(out_path: str, skew: bool = False) -> None:
             continue
         flagged = False
         if skew and tenx.get(k) and skewx[k] / tenx[k] > ARBITRATE_SKEW_RATIO:
+            flagged = True
+        if skew and tenx.get(k) and skewx[k] / tenx[k] < ARBITRATE_SKEW_FASTER:
+            # skewed-but-same-volume markedly faster -> the x10 reading
+            # itself is the suspect one
             flagged = True
         if base.get(k) and tenx[k] / base[k] > ARBITRATE_X10_RATIO:
             flagged = True
