@@ -344,6 +344,67 @@ def write_ivfadc_index(
     return cents, books
 
 
+def append_ivfadc_index(
+    new_embeddings: DataFrame, path: str, batch_id: str
+) -> bool:
+    """Incremental append to a persisted IVFADC index — the production
+    lifecycle step ``write_ivfadc_index`` alone can't cover: vectors
+    keep arriving after the index is built, and re-training + a full
+    re-encode per batch is a corpus-scale job at 100 TB.
+
+    Contract: the trained metadata (IVF centroids + PQ codebooks) is
+    FROZEN — new vectors are assigned and encoded against the stored
+    tables, exactly like a stored vector would have been, so a probe
+    over (base + batches) is bit-identical to a probe over one
+    monolithic dir encoded with the same metadata (pinned in tests).
+    No retrain means recall drifts only as the data distribution
+    drifts; the refresh story is a periodic ``write_ivfadc_index``
+    rebuild, which folds all batches AND re-trains (the same
+    staleness-vs-cost dial every production ANN index exposes).
+
+    Durability: two-phase + rename-last, the ``accept_batch``
+    discipline — codes land in ``<path>/batches/.tmp-<id>`` (partitioned
+    by ``cell``, same directory pruning as the base dir), then one
+    filesystem rename publishes ``<path>/batches/<id>``.  A retry of an
+    already-published batch is a no-op (returns False); a crash before
+    the rename leaves only a temp dir the retry overwrites.  Claim
+    checks are path-existence only — no data scan."""
+    spark = new_embeddings.sparkSession
+    if "/" in batch_id or batch_id.startswith("."):
+        raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/batches/{batch_id}")
+    fs = final.getFileSystem(conf)
+    if fs.exists(final):
+        return False
+    cents = read_ivfadc_centroids(spark, path)
+    books = read_codebooks(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/batches/.tmp-{batch_id}")
+    coded = pq_encode(S.assign_cells(new_embeddings, cents), books)
+    coded.select("vec_id", "code", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(str(tmp))
+    if not fs.rename(tmp, final):
+        raise OSError(f"could not publish IVFADC batch {batch_id!r}")
+    return True
+
+
+def _ivfadc_code_dirs(spark, path: str) -> list[str]:
+    """The base codes dir plus every PUBLISHED append batch (filesystem
+    listing only; unpublished ``.tmp-*`` dirs are invisible)."""
+    dirs = [f"{path}/codes"]
+    jvm = spark._jvm
+    broot = jvm.org.apache.hadoop.fs.Path(f"{path}/batches")
+    fs = broot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(broot):
+        for st in fs.listStatus(broot):
+            name = st.getPath().getName()
+            if st.isDirectory() and not name.startswith("."):
+                dirs.append(f"{path}/batches/{name}")
+    return dirs
+
+
 def read_ivfadc_centroids(spark, path: str) -> S.Cents:
     """Load the persisted IVF centroids (index metadata — C rows)."""
     return [
@@ -371,7 +432,11 @@ def probe_ivfadc_index(
     ADC-score only those cells' codes, deterministic ``r_cand`` cut,
     exact-cosine rerank against the raw ``embeddings`` by key.  The
     query round-trips through the corpus ``array<float>`` schema (same
-    rule as ``probe_ivf_index``/``probe_pq_index``)."""
+    rule as ``probe_ivf_index``/``probe_pq_index``).  Reads the base
+    codes dir PLUS every published ``append_ivfadc_index`` batch —
+    each dir shares the cell partitioning, so the nprobe pruning
+    applies per directory and the probe still opens only nprobe cell
+    subdirs of each."""
     r_cand = r_cand if r_cand is not None else 4 * k
     books = read_codebooks(spark, path)
     cents = read_ivfadc_centroids(spark, path)
@@ -381,9 +446,12 @@ def probe_ivfadc_index(
     qe = qdf.collect()[0]["embedding"]
     probe = S.nearest_cells(qe, cents, nprobe)
     tables = _adc_tables(qe, books, dim)
+    codes = None
+    for d in _ivfadc_code_dirs(spark, path):
+        part = spark.read.parquet(d).where(F.col("cell").isin(probe))
+        codes = part if codes is None else codes.unionByName(part)
     cand = (
-        spark.read.parquet(f"{path}/codes")
-        .where(F.col("cell").isin(probe))
+        codes
         .select("vec_id", F.expr(_adc_expr(tables)).alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("vec_id"))
         .limit(r_cand)

@@ -246,3 +246,88 @@ def test_ann_recall_artifact_monotonicities():
         # non-degenerate: partial probes / small rerank pools miss
         assert ivf[0] < 0.95, (label, ivf)
         assert pq[0] < 0.95, (label, pq)
+
+
+def test_ivfadc_incremental_append_lifecycle(spark, emb, tmp_path):
+    """append_ivfadc_index (round 7): the incremental half of the
+    write-once/probe-many index.  (a) EQUIVALENCE: a probe over
+    (base-on-80% + one appended 20% batch) is row-identical to a probe
+    over a monolithic codes dir holding every vector encoded against
+    the SAME frozen metadata — appending changes durability layout,
+    never scoring.  (b) IDEMPOTENCE: re-appending a published batch_id
+    is a no-op.  (c) CRASH WINDOW: a temp dir left by a crash before
+    the publish rename is invisible to probes and a retry converges.
+    (d) PRUNING: batch dirs share the cell partitioning, so the probe
+    still carries partition filters inside them."""
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.where(F.col("vec_id") % 5 == 0)
+
+    path = str(tmp_path / "inc")
+    P.write_ivfadc_index(base, path, DIM, num_centroids=8)
+    assert P.append_ivfadc_index(extra, path, "b1") is True
+
+    # monolithic twin: encode EVERYTHING with the index's frozen
+    # metadata into a fresh dir (same cents/books — copied, not
+    # retrained)
+    mono = str(tmp_path / "mono")
+    cents = P.read_ivfadc_centroids(spark, path)
+    books = P.read_codebooks(spark, path)
+    coded = P.pq_encode(S.assign_cells(emb, cents), books)
+    coded.select("vec_id", "code", "cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{mono}/codes")
+    spark.read.parquet(f"{path}/books").write.parquet(f"{mono}/books")
+    spark.read.parquet(f"{path}/cents").write.parquet(f"{mono}/cents")
+
+    qe = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    got = [
+        (r["vec_id"], r["score"])
+        for r in P.probe_ivfadc_index(
+            spark, path, emb, qe, 10, DIM, nprobe=2
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["score"])
+        for r in P.probe_ivfadc_index(
+            spark, mono, emb, qe, 10, DIM, nprobe=2
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
+
+    # idempotence: the published batch refuses a re-append, and the
+    # probe result is unchanged
+    assert P.append_ivfadc_index(extra, path, "b1") is False
+    again = [
+        (r["vec_id"], r["score"])
+        for r in P.probe_ivfadc_index(
+            spark, path, emb, qe, 10, DIM, nprobe=2
+        ).collect()
+    ]
+    assert again == got
+
+    # crash window: a leftover temp (crash before the rename) is
+    # invisible; the retry overwrites it and publishes
+    import shutil
+
+    crash_tmp = f"{path}/batches/.tmp-b2"
+    shutil.copytree(f"{path}/batches/b1", crash_tmp)
+    dirs = P._ivfadc_code_dirs(spark, path)
+    assert not any(".tmp-" in d for d in dirs)
+    assert P.append_ivfadc_index(extra.limit(7), path, "b2") is True
+    assert any(d.endswith("/batches/b2") for d in P._ivfadc_code_dirs(spark, path))
+
+    # pruning inside a batch dir
+    cand = (
+        spark.read.parquet(f"{path}/batches/b1")
+        .where(F.col("cell").isin([0, 1]))
+        .select("vec_id")
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan
+
+    # slug validation
+    with pytest.raises(ValueError, match="plain slug"):
+        P.append_ivfadc_index(extra, path, "../evil")
