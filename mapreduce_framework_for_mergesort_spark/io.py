@@ -9,6 +9,7 @@ goes, and a projection that reaches the parquet footer (``ReadSchema`` in
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,10 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+# Serializes the scoped nanos-conf window in load_table("events") —
+# see the comment at its use site.
+_EVENTS_READ_LOCK = threading.Lock()
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -66,15 +71,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(table_path(sf_dir, name))
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        df = spark.read.parquet(table_path(sf_dir, name))
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    # The conf is session-global, so the set/restore is serialized: two
+    # threads interleaving on one session could otherwise unset the
+    # conf under the other's in-flight schema inference, or "restore"
+    # the other thread's transient value permanently (the repo's own
+    # query builders run on ThreadPoolExecutors).  In-process lock only
+    # — the conf is per-SparkSession, which is per-process here.
+    with _EVENTS_READ_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     return normalize_events_ts(df)
 
 

@@ -355,14 +355,20 @@ def compact_epochs(
     # (temp already renamed in) means only the delete phase is
     # pending — _swap's steps are individually idempotent, so re-running
     # it from any crash point converges.
+    # Two passes over ONE listing snapshot, compact temps FIRST: the
+    # no-_SUCCESS branch below discards the temp and restores the
+    # retire dir, which RESOLVES that hi — the retire pass must then
+    # skip it.  A single interleaved loop was listing-order dependent:
+    # '.compact-epoch-N' sorts before '.retire-epoch-N', so the stale
+    # retire entry re-queued hi with no temp and the final _swap's
+    # delete phase removed every lower epoch with no folded copy
+    # anywhere (found in round-7 review; regression-pinned in
+    # tests/test_streaming_ingest.py).
     pending: dict[int, object | None] = {}
-    for st in list(fs.listStatus(root)):
+    resolved: set[int] = set()
+    entries = list(fs.listStatus(root))
+    for st in entries:
         name = st.getPath().getName()
-        if name.startswith(".retire-epoch-"):
-            try:
-                pending.setdefault(int(name[len(".retire-epoch-"):]), None)
-            except ValueError:
-                continue
         if not name.startswith(".compact-epoch-"):
             continue
         t = st.getPath()
@@ -374,14 +380,27 @@ def compact_epochs(
             pending[pending_hi] = t
         else:
             fs.delete(t, True)
-            pending.pop(pending_hi, None)
+            resolved.add(pending_hi)
             # unreachable by protocol (retire happens only after
             # _SUCCESS), but if a retire dir exists with the target
-            # slot empty, restore it rather than strand epoch hi
+            # slot empty, restore it rather than strand epoch hi.  If
+            # the target is occupied the retire dir is left in place —
+            # janitorial residue; without a folded temp the delete
+            # phase must NEVER run for this hi.
             r = Path(f"{path}/.retire-epoch-{pending_hi}")
             tgt = Path(f"{path}/epoch={pending_hi}")
             if fs.exists(r) and not fs.exists(tgt):
                 fs.rename(r, tgt)
+    for st in entries:
+        name = st.getPath().getName()
+        if not name.startswith(".retire-epoch-"):
+            continue
+        try:
+            pending_hi = int(name[len(".retire-epoch-"):])
+        except ValueError:
+            continue
+        if pending_hi not in pending and pending_hi not in resolved:
+            pending[pending_hi] = None
     for pending_hi, t in pending.items():
         _swap(pending_hi, t if t is not None else Path(
             f"{path}/.compact-epoch-{pending_hi}"

@@ -370,7 +370,7 @@ def append_ivfadc_index(
     the rename leaves only a temp dir the retry overwrites.  Claim
     checks are path-existence only — no data scan."""
     spark = new_embeddings.sparkSession
-    if "/" in batch_id or batch_id.startswith("."):
+    if not batch_id or "/" in batch_id or batch_id.startswith("."):
         raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -388,6 +388,14 @@ def append_ivfadc_index(
     if not fs.rename(tmp, final):
         raise OSError(f"could not publish IVFADC batch {batch_id!r}")
     return True
+
+
+#: The codes-dir schema, held explicitly so readers never depend on
+#: schema inference: an EMPTY appended batch (a day with no new
+#: vectors is a routine input) writes only a _SUCCESS marker, and an
+#: inference-based read of that directory would raise
+#: UNABLE_TO_INFER_SCHEMA — poisoning every later probe of the index.
+CODES_SCHEMA = "vec_id bigint, code array<bigint>, cell int"
 
 
 def _ivfadc_code_dirs(spark, path: str) -> list[str]:
@@ -448,7 +456,13 @@ def probe_ivfadc_index(
     tables = _adc_tables(qe, books, dim)
     codes = None
     for d in _ivfadc_code_dirs(spark, path):
-        part = spark.read.parquet(d).where(F.col("cell").isin(probe))
+        # explicit schema: an empty batch dir holds only _SUCCESS and
+        # must read as zero rows, not an inference failure
+        part = (
+            spark.read.schema(CODES_SCHEMA)
+            .parquet(d)
+            .where(F.col("cell").isin(probe))
+        )
         codes = part if codes is None else codes.unionByName(part)
     cand = (
         codes

@@ -89,10 +89,13 @@ def hourly_event_agg(events: DataFrame) -> DataFrame:
     session happens to be UTC.  ``unix_micros``/``timestamp_micros``
     are epoch-based (timezone-free), so this groups by the same UTC
     hour under any session timezone.  Hours are a fixed 3 600 s in UTC
-    (no DST), so modulo arithmetic IS hour truncation.
+    (no DST), so modulo arithmetic IS hour truncation — ``pmod``, not
+    ``%``: Spark's ``%`` follows the dividend's sign, which would
+    round pre-1970 timestamps toward zero (one hour late) where
+    ``date_trunc`` and the DuckDB oracle floor.
     """
     us = F.unix_micros(F.col("ts"))
-    hour = F.timestamp_micros(us - us % F.lit(3_600_000_000))
+    hour = F.timestamp_micros(us - F.pmod(us, F.lit(3_600_000_000)))
     return events.groupBy(
         hour.alias("hour"),
         F.col("event_type"),

@@ -143,3 +143,57 @@ def test_nanos_encoded_events_scoped_read(spark, tmp_path):
             spark.conf.unset(NANOS_KEY)
         else:
             spark.conf.set(NANOS_KEY, prev)
+
+
+def test_hour_truncation_floors_pre_epoch_timestamps(spark):
+    """Round-7 review: epoch-modulo hour truncation must FLOOR for
+    negative epoch micros too (Spark's ``%`` follows the dividend's
+    sign; ``pmod`` floors) — a 1969 event belongs to its own 23:00
+    bucket, not to 1970-01-01 00:00."""
+    from datetime import datetime
+
+    from mapreduce_framework_for_mergesort_spark.operators.relational import (
+        hourly_event_agg,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(1969, 12, 31, 23, 59, 59), "late", 1.0),
+            (2, datetime(1970, 1, 1, 0, 0, 1), "early", 1.0),
+        ],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+    with _SessionTZ(spark, "UTC"):
+        got = {
+            (r["hour"].isoformat(), r["event_type"])
+            for r in hourly_event_agg(ev).collect()
+        }
+    assert got == {
+        ("1969-12-31T23:00:00", "late"),
+        ("1970-01-01T00:00:00", "early"),
+    }
+
+
+def test_load_table_events_concurrent_loads_restore_conf(spark, sf_smoke):
+    """Round-7 review: the scoped nanos-conf window is serialized, so
+    concurrent events loads on one session neither fail mid-inference
+    nor leak the conf."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    prev = spark.conf.get(NANOS_KEY, None)
+    try:
+        spark.conf.unset(NANOS_KEY)
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            counts = list(
+                ex.map(
+                    lambda _: load_table(spark, sf_smoke, "events").count(),
+                    range(4),
+                )
+            )
+        assert len(set(counts)) == 1 and counts[0] > 0
+        assert spark.conf.get(NANOS_KEY, None) is None
+    finally:
+        if prev is None:
+            spark.conf.unset(NANOS_KEY)
+        else:
+            spark.conf.set(NANOS_KEY, prev)

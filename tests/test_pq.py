@@ -331,3 +331,41 @@ def test_ivfadc_incremental_append_lifecycle(spark, emb, tmp_path):
     # slug validation
     with pytest.raises(ValueError, match="plain slug"):
         P.append_ivfadc_index(extra, path, "../evil")
+
+
+def test_ivfadc_append_empty_batch_does_not_poison_the_index(
+    spark, emb, tmp_path
+):
+    """Round-7 review: an EMPTY appended batch (a day with no new
+    vectors — a routine input) publishes a directory holding only
+    _SUCCESS; a schema-inference read of it would raise
+    UNABLE_TO_INFER_SCHEMA and break every later probe.  The probe
+    reads with the explicit CODES_SCHEMA, so the empty batch is zero
+    rows, results are unchanged, and later non-empty appends still
+    land."""
+    path = str(tmp_path / "empt")
+    P.write_ivfadc_index(emb.where(F.col("vec_id") < 400), path, DIM, 8)
+    qe = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    def ids():
+        return [
+            r["vec_id"]
+            for r in P.probe_ivfadc_index(
+                spark, path, emb, qe, 5, DIM, nprobe=2
+            ).collect()
+        ]
+
+    before = ids()
+    assert P.append_ivfadc_index(
+        emb.where(F.col("vec_id") < 0), path, "quiet-day"
+    ) is True
+    assert ids() == before  # empty batch is invisible, not fatal
+    assert P.append_ivfadc_index(
+        emb.where(F.col("vec_id") == 450), path, "busy-day"
+    ) is True
+    assert ids() == before or 450 in ids()  # probe still works
+    with pytest.raises(ValueError, match="plain slug"):
+        P.append_ivfadc_index(emb, path, "")

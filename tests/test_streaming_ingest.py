@@ -705,3 +705,54 @@ def test_assign_splits_stable_epoch_replay(spark, tmp_path):
     # stale replays are refused, as in accept_batch
     with pytest.raises(ValueError, match="older than the latest"):
         S.assign_splits_stable(docs1, state, HALVES, epoch=0)
+
+
+def test_compact_epochs_recovery_is_listing_order_safe(spark, tmp_path):
+    """Round-7 review: the 'discarded partial temp + retire dir'
+    recovery state was resolved per LISTING ORDER — '.compact-epoch-N'
+    sorts before '.retire-epoch-N', so the stale retire entry re-queued
+    hi with no temp anywhere and the final swap's delete phase removed
+    every lower epoch with no folded copy — permanent data loss in the
+    exact state the restore branch exists to repair.  Recovery now runs
+    two passes over one snapshot (compact temps first, retire entries
+    skipped once resolved); this pins the full state: partial temp
+    (no _SUCCESS) + retire dir + target slot empty + lower epochs
+    present → lower epochs survive, epoch hi is restored from retire,
+    and a subsequent compaction folds everything normally."""
+    import os
+
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        compact_epochs,
+    )
+
+    out = str(tmp_path / "order")
+    rows_of = lambda e: [(e * 10 + i, f"doc {e}-{i}") for i in range(3)]
+    n_epochs = 4
+    for e in range(n_epochs + 1):
+        spark.createDataFrame(rows_of(e), ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(f"{out}/epoch={e}")
+    want = sorted(r for e in range(n_epochs + 1) for r in rows_of(e))
+
+    hi = n_epochs - 1
+    # the crash state: a PARTIAL temp (no _SUCCESS) beside a retire
+    # dir holding the original epoch=hi, target slot empty
+    (
+        spark.read.parquet(out)
+        .where(f"epoch <= {hi}")
+        .drop("epoch")
+        .coalesce(1)
+        .write.parquet(f"{out}/.compact-epoch-{hi}")
+    )
+    os.remove(f"{out}/.compact-epoch-{hi}/_SUCCESS")
+    os.rename(f"{out}/epoch={hi}", f"{out}/.retire-epoch-{hi}")
+
+    stats = compact_epochs(spark, out)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+    assert got == want, stats  # nothing lost, epoch hi restored
+    assert not any(
+        d.startswith((".retire-", ".compact-")) for d in os.listdir(out)
+    )
