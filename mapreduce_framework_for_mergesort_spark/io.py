@@ -35,9 +35,16 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# Serializes the scoped nanos-conf window in load_table("events") —
-# see the comment at its use site.
-_EVENTS_READ_LOCK = threading.Lock()
+# Serializes EVERY writer of the session-global events-read confs —
+# load_table's scoped nanos window, set_events_read_confs, and the
+# whole scoped_session_confs block (round-7 review: locking only
+# load_table left scoped_session_confs able to capture another
+# thread's transient value as "previous" and re-pin it on exit, or to
+# have its confs stripped mid-stream).  Re-entrant so code inside a
+# scoped_session_confs block can still call load_table on the same
+# thread; a cross-thread load_table simply waits for the scope to
+# close, which is exactly the serialization the shared key needs.
+_EVENTS_READ_LOCK = threading.RLock()
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -106,9 +113,10 @@ def set_events_read_confs(spark: SparkSession) -> None:
     idempotently (a running streaming query re-plans microbatches for
     its whole lifetime, so these cannot be scoped there — see
     ``streaming.sources.stream_events``)."""
-    for k, v in EVENTS_READ_CONFS:
-        if spark.conf.get(k, None) != v:
-            spark.conf.set(k, v)
+    with _EVENTS_READ_LOCK:
+        for k, v in EVENTS_READ_CONFS:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
 
 
 @contextmanager
@@ -135,17 +143,24 @@ def scoped_session_confs(
        this: its confs are scoped internally and its timestamp algebra
        is timezone-free.)
     """
-    prev = {k: spark.conf.get(k, None) for k, _ in confs}
-    try:
-        for k, v in confs:
-            spark.conf.set(k, v)
-        yield spark
-    finally:
-        for k, old in prev.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)
+    # Hold the events-conf lock for the WHOLE scope: capturing "prev"
+    # outside it could snapshot another thread's transient value and
+    # re-pin it on exit, and another thread's scoped restore could
+    # strip the confs from under this block's running queries.  The
+    # lock is re-entrant, so load_table("events") inside the block
+    # still works; cross-thread writers wait for the scope to close.
+    with _EVENTS_READ_LOCK:
+        prev = {k: spark.conf.get(k, None) for k, _ in confs}
+        try:
+            for k, v in confs:
+                spark.conf.set(k, v)
+            yield spark
+        finally:
+            for k, old in prev.items():
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
 
 
 def epoch_ntz() -> F.Column:

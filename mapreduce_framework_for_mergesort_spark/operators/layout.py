@@ -271,6 +271,12 @@ def compact_parquet(
 #   does) or read a snapshot listing.
 
 
+# Marker file phase 1 writes into the consolidated temp (and which the
+# rename carries into ``epoch=hi``): the proof that the dir is a FOLDED
+# copy of every lower epoch, gating _swap's delete phase (see there).
+_FOLDED_MARKER = "_FOLDED"
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -342,6 +348,23 @@ def compact_epochs(
             fs.rename(target, retire)
         if fs.exists(tmp):
             fs.rename(tmp, target)
+        if not fs.exists(target):
+            # nothing folded and nothing to fold — restore the retired
+            # original rather than proceed to deletes (a queued retire
+            # entry whose temp vanished must never cost data)
+            if fs.exists(retire):
+                fs.rename(retire, target)
+            return
+        # The delete phase is gated on the _FOLDED marker phase 1
+        # writes into the temp (round-7 review): it proves the dir now
+        # sitting at epoch=hi is the CONSOLIDATED copy carrying every
+        # lower epoch's rows.  Without it (a defensive, protocol-
+        # unreachable state where the target is the un-folded
+        # original), deleting the lower epochs would lose their rows —
+        # leave everything in place instead; the retire dir stays as
+        # inert janitorial residue.
+        if not fs.exists(Path(f"{path}/epoch={hi}/{_FOLDED_MARKER}")):
+            return
         for e in _list_epochs(spark, path):
             if e < hi:
                 fs.delete(Path(f"{path}/epoch={e}"), True)
@@ -379,18 +402,24 @@ def compact_epochs(
         if fs.exists(Path(f"{path}/{name}/_SUCCESS")):
             pending[pending_hi] = t
         else:
-            fs.delete(t, True)
-            resolved.add(pending_hi)
             # unreachable by protocol (retire happens only after
             # _SUCCESS), but if a retire dir exists with the target
-            # slot empty, restore it rather than strand epoch hi.  If
-            # the target is occupied the retire dir is left in place —
-            # janitorial residue; without a folded temp the delete
-            # phase must NEVER run for this hi.
+            # slot empty, restore it rather than strand epoch hi —
+            # and restore BEFORE discarding the temp (round-7 review:
+            # the reverse order left a crash window between the two
+            # where a re-run saw only the orphan retire dir and its
+            # delete phase lost every lower epoch; with the restore
+            # first, a crash before the temp delete just re-enters
+            # this branch with the target already occupied).  If the
+            # target is occupied the retire dir is left in place —
+            # janitorial residue the _FOLDED gate in _swap keeps
+            # harmless forever.
             r = Path(f"{path}/.retire-epoch-{pending_hi}")
             tgt = Path(f"{path}/epoch={pending_hi}")
             if fs.exists(r) and not fs.exists(tgt):
                 fs.rename(r, tgt)
+            fs.delete(t, True)
+            resolved.add(pending_hi)
     for st in entries:
         name = st.getPath().getName()
         if not name.startswith(".retire-epoch-"):
@@ -436,6 +465,12 @@ def compact_epochs(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(str(tmp))
+    # The consolidation proof: rides the temp through the rename, so
+    # _swap's delete phase can verify — in any later recovery run too —
+    # that what sits at epoch=hi really carries every lower epoch's
+    # rows before it deletes them.  An underscore file, invisible to
+    # partition discovery (like _SUCCESS).
+    fs.createNewFile(Path(f"{tmp}/{_FOLDED_MARKER}"))
     # phase 2
     _swap(hi, tmp)
     return {

@@ -432,6 +432,7 @@ def test_compact_epochs_crash_recovery(spark, tmp_path):
         .coalesce(1)
         .write.parquet(tmp)
     )
+    open(os.path.join(tmp, "_FOLDED"), "w").close()  # phase-1 marker
     shutil.rmtree(os.path.join(out2, "epoch=0"))  # the crashed swap
     stats = compact_epochs(spark, out2)
     got = sorted(
@@ -477,6 +478,7 @@ def test_compact_epochs_converges_from_every_crash_point(spark, tmp_path):
             .coalesce(1)
             .write.parquet(f"{out}/.compact-epoch-{hi}")
         )
+        open(f"{out}/.compact-epoch-{hi}/_FOLDED", "w").close()
         for e in range(k):  # the crashed swap's partial deletions
             shutil.rmtree(f"{out}/epoch={e}")
         stats = compact_epochs(spark, out)
@@ -535,6 +537,7 @@ def test_compact_epochs_converges_from_every_swap_step(spark, tmp_path):
             .coalesce(1)
             .write.parquet(tmp)
         )
+        open(f"{tmp}/_FOLDED", "w").close()  # phase-1 marker
         retire = f"{out}/.retire-epoch-{hi}"
         if step >= 1:
             os.rename(f"{out}/epoch={hi}", retire)
@@ -756,3 +759,61 @@ def test_compact_epochs_recovery_is_listing_order_safe(spark, tmp_path):
     assert not any(
         d.startswith((".retire-", ".compact-")) for d in os.listdir(out)
     )
+
+
+def test_compact_epochs_recovery_restore_crash_and_occupied_target(
+    spark, tmp_path
+):
+    """Round-7 review (second pass): recovery itself must be
+    crash-safe.  Two follow-on states of the 'partial temp + retire'
+    repair are pinned:
+
+    1. the repair crashed AFTER discarding the temp but BEFORE (the
+       old ordering) restoring the retire dir — a later run sees ONLY
+       the orphan retire dir with the target slot empty.  _swap must
+       restore it and must NOT run the delete phase (the target is the
+       un-folded original; the _FOLDED gate proves it);
+    2. retire dir + OCCUPIED target + no temp — the janitorial-residue
+       state.  A later run must leave the lower epochs alone forever
+       (no folded copy exists anywhere), not complete a delete phase.
+    """
+    import os
+
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        compact_epochs,
+    )
+
+    rows_of = lambda e: [(e * 10 + i, f"doc {e}-{i}") for i in range(3)]
+    n_epochs = 4
+    hi = n_epochs - 1
+    want = sorted(r for e in range(n_epochs + 1) for r in rows_of(e))
+
+    # state 1: orphan retire, target empty, no temp anywhere
+    out = str(tmp_path / "orphan")
+    for e in range(n_epochs + 1):
+        spark.createDataFrame(rows_of(e), ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(f"{out}/epoch={e}")
+    os.rename(f"{out}/epoch={hi}", f"{out}/.retire-epoch-{hi}")
+    compact_epochs(spark, out)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+    assert got == want  # restored, nothing deleted without a fold
+
+    # state 2: retire beside an occupied target, no temp
+    out2 = str(tmp_path / "occupied")
+    for e in range(n_epochs + 1):
+        spark.createDataFrame(rows_of(e), ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(f"{out2}/epoch={e}")
+    spark.createDataFrame(
+        rows_of(hi), ["doc_id", "text"]
+    ).coalesce(1).write.parquet(f"{out2}/.retire-epoch-{hi}")
+    compact_epochs(spark, out2)
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out2).select("doc_id", "text").collect()
+    )
+    assert got2 == want  # lower epochs survive; residue is inert
