@@ -409,6 +409,70 @@ ARBITRATE_X10_RATIO = 12.0
 ARBITRATE_SKEW_FASTER = 0.75
 
 
+def fixture_fingerprint(sf_dir: str = "/root/testdata/sf0.1") -> dict:
+    """Per-table ``{rows, hash}`` of a fixture directory — the
+    provenance record every scale artifact now carries (round-7
+    verdict item 1: ``/root/testdata`` is REGENERATED each round, and
+    a vintage shift once moved the jaccard ×100 row 42.6 → 56.8 s with
+    the code getting *better*; proving that cost a re-measure +
+    ablation session because the artifacts recorded nothing about the
+    data they measured).  The hash is DuckDB's 64-bit struct hash
+    bit_xor-folded over all rows — order-independent (parquet row
+    order is not part of content) and cheap (one scan, no sort)."""
+    import duckdb
+
+    con = duckdb.connect()
+    out = {}
+    for name in sorted(os.listdir(sf_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        n, h = con.execute(
+            "SELECT count(*), bit_xor(hash(t)) FROM read_parquet(?) t",
+            [os.path.join(sf_dir, name)],
+        ).fetchone()
+        out[name.removesuffix(".parquet")] = {
+            "rows": int(n),
+            "hash": f"{(h or 0) & 0xFFFFFFFFFFFFFFFF:016x}",
+        }
+    return out
+
+
+def fingerprint_vintage(tables: dict, out_path: str) -> dict:
+    """Compare ``tables`` (a fixture_fingerprint) against the most
+    recent prior ``SCALE_r*.json`` that carries one, so cross-round
+    comparisons can state same/changed vintage MECHANICALLY instead of
+    by forensic ablation.  Returns ``{prior, same_vintage,
+    changed_tables}``; ``prior: None`` when no prior artifact has a
+    fingerprint (the round-8 bootstrap)."""
+    import glob
+
+    priors = sorted(
+        p
+        for p in glob.glob("SCALE_r*.json")
+        if os.path.abspath(p) != os.path.abspath(out_path)
+    )
+    for p in reversed(priors):
+        try:
+            with open(p) as f:
+                prior_doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        prior_fp = prior_doc.get("fixture_fingerprint", {}).get("tables")
+        if not prior_fp:
+            continue
+        changed = sorted(
+            t
+            for t in set(tables) | set(prior_fp)
+            if tables.get(t) != prior_fp.get(t)
+        )
+        return {
+            "prior": p,
+            "same_vintage": not changed,
+            "changed_tables": changed,
+        }
+    return {"prior": None, "same_vintage": None, "changed_tables": []}
+
+
 def _rerun_key_min2(spark, sf_dir: str, name: str) -> float:
     """Warm-isolated min-of-2 re-run of one sweep key (the arbitration
     probe).  Bucketed-join keys are not re-runnable in isolation (they
@@ -438,6 +502,13 @@ def scale_main(out_path: str, skew: bool = False) -> None:
     that must stay near 1 for the skew-handling claims to hold.
     Contention spikes are re-arbitrated in-harness before the artifact
     is written (``ARBITRATE_SKEW_RATIO`` / ``ARBITRATE_X10_RATIO``)."""
+    # Provenance FIRST (round-7 verdict item 1): fingerprint the sf0.1
+    # source the scale dirs are generated from, and diff it against the
+    # prior round's artifact — cross-round comparisons can then state
+    # same/changed vintage mechanically.
+    fp_tables = fixture_fingerprint("/root/testdata/sf0.1")
+    vintage = fingerprint_vintage(fp_tables, out_path)
+    print(json.dumps({"metric": "fixture_vintage", **vintage}))
     ten = ensure_scale_dir()
     spark = get_spark(app_name="msfs-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -491,6 +562,11 @@ def scale_main(out_path: str, skew: bool = False) -> None:
         "metric": "scale_sweep",
         "replication": 10,
         "skew": skew,
+        "fixture_fingerprint": {
+            "sf_dir": "/root/testdata/sf0.1",
+            "tables": fp_tables,
+        },
+        "fixture_vintage_vs_prior": vintage,
         "keys": {
             k: {
                 "sf0.1_sec": base[k],
@@ -753,6 +829,28 @@ def main() -> None:
             else "ANN_r07.json"
         )
         ann_main(out)
+        return
+    if "--fingerprint" in sys.argv:
+        # provenance probe for the manual ×100 spot-check workflow:
+        # prints the fixture fingerprint plus its vintage delta vs the
+        # latest SCALE_r*.json, for pasting into SCALE_NOTES.md
+        i = sys.argv.index("--fingerprint")
+        d = (
+            sys.argv[i + 1]
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else "/root/testdata/sf0.1"
+        )
+        fp = fixture_fingerprint(d)
+        print(json.dumps({
+            "metric": "fixture_fingerprint",
+            "sf_dir": d,
+            "tables": fp,
+            **(
+                {"vintage_vs_latest_artifact": fingerprint_vintage(fp, "")}
+                if d == "/root/testdata/sf0.1"
+                else {}
+            ),
+        }, indent=1, sort_keys=True))
         return
     if "--scale" in sys.argv:
         i = sys.argv.index("--scale")

@@ -400,6 +400,17 @@ def compact_epochs(
         except ValueError:
             continue
         if fs.exists(Path(f"{path}/{name}/_SUCCESS")):
+            # A committed compact temp IS the consolidated copy by
+            # protocol (phase 1 commits _SUCCESS only once every lower
+            # epoch's rows are in the temp), but a crash between the
+            # _SUCCESS commit and phase 1's createNewFile leaves the
+            # _FOLDED proof missing.  Recreate it here (idempotent) —
+            # without it, _swap would rename the temp into epoch=hi
+            # and then SKIP the gated delete phase, stranding the
+            # lower epochs beside the fold; the next compaction would
+            # read both and bake duplicate rows in permanently
+            # (round-8 review, regression-pinned).
+            fs.createNewFile(Path(f"{path}/{name}/{_FOLDED_MARKER}"))
             pending[pending_hi] = t
         else:
             # unreachable by protocol (retire happens only after

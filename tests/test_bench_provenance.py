@@ -1,0 +1,87 @@
+"""Fixture provenance for the scale artifacts (round-7 verdict item 1).
+
+``/root/testdata`` is regenerated every round, and a vintage shift once
+moved the jaccard ×100 row 42.6 → 56.8 s with the code getting
+*better* — proving that cost a re-measure + ablation session because
+``SCALE_r*.json`` recorded nothing about the data it measured.  Every
+scale artifact now carries ``fixture_fingerprint`` (per-table rows + an
+order-independent 64-bit content hash) and a mechanical vintage delta
+vs the prior round's artifact.  These tests pin the fingerprint's
+contract: deterministic, row-order-independent, content-sensitive; and
+the vintage diff's: latest-prior selection, same/changed verdicts, and
+the no-prior bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import bench
+
+
+def test_fixture_fingerprint_shape_and_determinism():
+    fp = bench.fixture_fingerprint("/root/testdata/sf0.001")
+    assert set(fp) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert fp["region"]["rows"] == 5 and fp["nation"]["rows"] == 25
+    for t, v in fp.items():
+        assert len(v["hash"]) == 16 and int(v["hash"], 16) >= 0, t
+    assert fp == bench.fixture_fingerprint("/root/testdata/sf0.001")
+
+
+def test_fixture_fingerprint_order_independent_content_sensitive(tmp_path):
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    for name, data in (
+        ("fwd", rows),
+        ("rev", rows[::-1]),
+        ("mut", [(1, "a"), (2, "b"), (3, "X")]),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"k": [r[0] for r in data], "v": [r[1] for r in data]}),
+            str(d / "t.parquet"),
+        )
+    fwd = bench.fixture_fingerprint(str(tmp_path / "fwd"))["t"]
+    rev = bench.fixture_fingerprint(str(tmp_path / "rev"))["t"]
+    mut = bench.fixture_fingerprint(str(tmp_path / "mut"))["t"]
+    # parquet row order is not content: same multiset -> same hash
+    assert fwd == rev
+    # one changed value -> different hash, same rows
+    assert mut["rows"] == fwd["rows"] and mut["hash"] != fwd["hash"]
+
+
+def test_fingerprint_vintage_diff(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    fp = {"lineitem": {"rows": 10, "hash": "aa"},
+          "orders": {"rows": 5, "hash": "bb"}}
+
+    # bootstrap: no prior artifact carries a fingerprint
+    (tmp_path / "SCALE_r07.json").write_text(json.dumps({"keys": {}}))
+    v = bench.fingerprint_vintage(fp, "SCALE_r08.json")
+    assert v == {"prior": None, "same_vintage": None, "changed_tables": []}
+
+    # same vintage vs the latest fingerprint-bearing prior
+    (tmp_path / "SCALE_r08.json").write_text(
+        json.dumps({"fixture_fingerprint": {"tables": fp}})
+    )
+    v = bench.fingerprint_vintage(dict(fp), "SCALE_r09.json")
+    assert v["prior"] == "SCALE_r08.json"
+    assert v["same_vintage"] is True and v["changed_tables"] == []
+
+    # changed vintage: one table re-rolled, one table added
+    newer = {"lineitem": {"rows": 10, "hash": "cc"},
+             "orders": {"rows": 5, "hash": "bb"},
+             "extra": {"rows": 1, "hash": "dd"}}
+    v = bench.fingerprint_vintage(newer, "SCALE_r09.json")
+    assert v["same_vintage"] is False
+    assert v["changed_tables"] == ["extra", "lineitem"]
+
+    # the artifact being written never diffs against itself
+    v = bench.fingerprint_vintage(newer, "SCALE_r08.json")
+    assert v["prior"] is None

@@ -369,3 +369,57 @@ def test_ivfadc_append_empty_batch_does_not_poison_the_index(
     assert ids() == before or 450 in ids()  # probe still works
     with pytest.raises(ValueError, match="plain slug"):
         P.append_ivfadc_index(emb, path, "")
+
+
+def test_publish_rename_losing_writer_is_noop_without_residue(
+    spark, tmp_path
+):
+    """Round-8 ADVICE: Hadoop FileSystem.rename(tmp, final) with an
+    EXISTING final directory does not fail — it moves tmp INSIDE final
+    as a hidden child and returns true, so before the recheck a LOSING
+    concurrent publisher of the same batch_id also returned True
+    ('published') and left residue in the winner's batch dir.  Pins
+    both losing interleavings against the real Hadoop local FS:
+    (a) the winner's final lands between the loser's exists-check and
+    its rename — loser's tmp is swallowed into final, detected,
+    residue deleted, False returned; (b) the loser's rename itself
+    fails because its tmp is gone (renamed by a twin) while final
+    exists — also the False path.  The winner's content survives
+    byte-for-byte in both."""
+    import os
+
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = str(tmp_path / "pub")
+    os.makedirs(root)
+    fs = Path(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def mkdir_with(tag, name):
+        d = os.path.join(root, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "payload"), "w") as f:
+            f.write(tag)
+        return d
+
+    # (a) winner published; loser's completed tmp renames into it
+    final = mkdir_with("winner", "b1")
+    mkdir_with("loser", ".tmp-b1")
+    assert P._publish_rename(
+        fs, jvm, f"{root}/.tmp-b1", f"{root}/b1"
+    ) is False
+    assert open(os.path.join(final, "payload")).read() == "winner"
+    assert os.listdir(final) == ["payload"]  # no swallowed residue
+    assert not os.path.exists(f"{root}/.tmp-b1")
+
+    # (b) tmp already gone (a twin renamed it), final exists
+    assert P._publish_rename(
+        fs, jvm, f"{root}/.tmp-b1", f"{root}/b1"
+    ) is False
+    assert open(os.path.join(final, "payload")).read() == "winner"
+
+    # and the plain uncontended publish still returns True
+    mkdir_with("solo", ".tmp-b2")
+    assert P._publish_rename(
+        fs, jvm, f"{root}/.tmp-b2", f"{root}/b2"
+    ) is True
+    assert open(os.path.join(root, "b2", "payload")).read() == "solo"

@@ -817,3 +817,78 @@ def test_compact_epochs_recovery_restore_crash_and_occupied_target(
         for r in spark.read.parquet(out2).select("doc_id", "text").collect()
     )
     assert got2 == want  # lower epochs survive; residue is inert
+
+
+def test_compact_epochs_recovers_success_but_no_folded_temp(
+    spark, tmp_path
+):
+    """Round-8 review: phase 1 commits the parquet _SUCCESS and only
+    THEN creates the _FOLDED proof — a crash in that window leaves a
+    committed temp with no marker.  The old recovery swapped the temp
+    into epoch=hi but the _FOLDED gate then skipped the delete phase,
+    so the lower epochs survived beside the consolidated copy and the
+    NEXT compaction read both and permanently baked duplicate rows
+    into the fold (reproduced: 24 rows vs 15 expected after one
+    recovery+fold cycle).  Recovery now recreates _FOLDED on any
+    _SUCCESS-bearing temp — by protocol a committed compact temp IS
+    the consolidated copy.  This pins the full cycle: recover, verify
+    the lower epochs are actually deleted, then fold AGAIN and verify
+    no duplication."""
+    import os
+
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        compact_epochs,
+    )
+
+    out = str(tmp_path / "nofolded")
+    rows_of = lambda e: [(e * 10 + i, f"doc {e}-{i}") for i in range(3)]
+    n_epochs = 4
+    for e in range(n_epochs + 1):
+        spark.createDataFrame(rows_of(e), ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(f"{out}/epoch={e}")
+    want = sorted(r for e in range(n_epochs + 1) for r in rows_of(e))
+
+    hi = n_epochs - 1
+    # the crash state: committed temp (_SUCCESS present), _FOLDED
+    # marker NOT yet created, sources untouched
+    (
+        spark.read.parquet(out)
+        .where(f"epoch <= {hi}")
+        .drop("epoch")
+        .coalesce(1)
+        .write.parquet(f"{out}/.compact-epoch-{hi}")
+    )
+    assert os.path.exists(f"{out}/.compact-epoch-{hi}/_SUCCESS")
+    assert not os.path.exists(f"{out}/.compact-epoch-{hi}/_FOLDED")
+
+    stats = compact_epochs(spark, out)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+    assert got == want, stats
+    # the delete phase MUST have run: lower epochs gone, not stranded
+    # beside the fold
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("epoch=")
+    ) == [f"epoch={hi}", f"epoch={n_epochs}"]
+    assert not any(
+        d.startswith((".retire-", ".compact-")) for d in os.listdir(out)
+    )
+
+    # the duplication trigger: append two more epochs and fold again —
+    # with stranded lower epochs this re-read both copies
+    for e in (n_epochs + 1, n_epochs + 2):
+        spark.createDataFrame(rows_of(e), ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(f"{out}/epoch={e}")
+    compact_epochs(spark, out)
+    want2 = sorted(
+        r for e in range(n_epochs + 3) for r in rows_of(e)
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    )
+    assert got2 == want2  # exactly once — no baked-in duplicates
