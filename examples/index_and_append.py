@@ -16,9 +16,14 @@ lifecycle over the embeddings fixture:
    retrievable, base-resident results are unchanged (appending is
    score-neutral for vectors already indexed), and the probe's scan
    still carries cell partition filters inside the batch directory;
-4. point at the REFRESH step: a periodic ``write_ivfadc_index``
-   rebuild folds all batches and re-trains — the staleness-vs-cost
-   dial every production ANN index exposes.
+4. DELETE a vector with ``pq.delete_from_ivfadc_index`` — a takedown
+   publishes a two-phase TOMBSTONE batch the probe anti-joins; the
+   stored codes are untouched (removal is metadata, like the append
+   side), and a retry of the same tombstone id is a no-op;
+5. REFRESH with a ``write_ivfadc_index`` rebuild over the retained
+   corpus — folds all batches AND tombstones away physically and
+   re-trains: the staleness-vs-cost dial every production ANN index
+   exposes.
 
 Run:  python examples/index_and_append.py [sf_dir] [work_dir]
 """
@@ -106,9 +111,33 @@ def main() -> None:
     assert "PartitionFilters" in plan
     print("[5] batch scan carries cell PartitionFilters (directory pruning)")
 
+    # 4. takedown: tombstone the current leader — removal is metadata
+    # (a published tombstone batch the probe anti-joins), never a
+    # corpus re-encode
+    print(f"[6] deleting vec_id {want_id} as tombstone batch 'takedown-001' ...")
+    assert P.delete_from_ivfadc_index(
+        spark, [want_id], path, "takedown-001"
+    ) is True
+    assert P.delete_from_ivfadc_index(
+        spark, [want_id], path, "takedown-001"
+    ) is False
+    print("    retry of the published tombstone id: no-op (exactly-once)")
+    after_del = probe_ids()
+    print(f"[7] probe after delete : top-5 {after_del}")
+    assert want_id not in after_del, "tombstoned vector must not surface"
+
+    # 5. refresh: a rebuild over the RETAINED corpus folds the batch
+    # and tombstone dirs away physically and re-trains the metadata
+    retained = emb.where(F.col("vec_id") != want_id)
+    print(f"[8] rebuilding over the {retained.count()} retained vectors ...")
+    P.write_ivfadc_index(retained, path, DIM, num_centroids=8)
+    assert not os.path.exists(f"{path}/batches")
+    assert not os.path.exists(f"{path}/tombstones")
+    rebuilt = probe_ids()
+    assert want_id not in rebuilt
     print(
-        "[6] refresh step (not run here): a periodic write_ivfadc_index "
-        "rebuild folds all batches and re-trains the metadata."
+        f"[9] probe after rebuild: top-5 {rebuilt} — batches and "
+        "tombstones folded away"
     )
     print(f"done — index at {path}")
 

@@ -321,7 +321,20 @@ def write_ivfadc_index(
     them (~2% of the bytes of ~nprobe/C of the corpus; the two
     amortizations of ``write_ivf_index`` and ``write_pq_index``
     multiplied).  ``<path>/books`` and ``<path>/cents`` carry the two
-    trained metadata sets.  Returns (centroids, codebooks)."""
+    trained metadata sets.  Returns (centroids, codebooks).
+
+    Rebuilding over an EXISTING index path is the lifecycle's fold
+    step: the new codes carry exactly the corpus passed in (appends
+    re-encoded, deletions omitted by the caller), so the previous
+    generation's ``batches/`` and ``tombstones/`` dirs are removed —
+    batch dirs first (a crash in between leaves transient DUPLICATE
+    history, the same at-worst-duplicates discipline as
+    ``layout.compact_epochs``, and the probe's candidate distinct
+    keeps the top-k clean), tombstones LAST (they must outlive any
+    stale batch copy of a deleted vector they mask).  An in-place
+    rebuild is not atomic against concurrent probes — production
+    rebuilds write a fresh path and swap a pointer; re-running a
+    crashed rebuild converges."""
     cents = S._trained_cents(embeddings, num_centroids)
     books = train_codebooks(embeddings, dim, m, k_codes, iters)
     coded = pq_encode(S.assign_cells(embeddings, cents), books)
@@ -341,6 +354,16 @@ def write_ivfadc_index(
         [(int(cid), [int(v) for v in c]) for cid, c in cents],
         "cid: bigint, c: array<bigint>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/cents")
+    # the fold, LAST — only once the whole new generation is committed
+    # (ordering contract in the docstring: batches before tombstones)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(f"{path}/codes").getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for sub in ("batches", "tombstones"):
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        if fs.exists(p):
+            fs.delete(p, True)
     return cents, books
 
 
@@ -539,7 +562,10 @@ def probe_ivfadc_index(
     codes dir PLUS every published ``append_ivfadc_index`` batch —
     each dir shares the cell partitioning, so the nprobe pruning
     applies per directory and the probe still opens only nprobe cell
-    subdirs of each."""
+    subdirs of each — MINUS every published
+    ``delete_from_ivfadc_index`` tombstone (broadcast anti-join before
+    the candidate cut, so deleted vectors neither surface nor eat
+    ``r_cand`` slots; zero cost when no takedown has ever run)."""
     r_cand = r_cand if r_cand is not None else 4 * k
     books = read_codebooks(spark, path)
     cents = read_ivfadc_centroids(spark, path)
@@ -559,12 +585,21 @@ def probe_ivfadc_index(
             .where(F.col("cell").isin(probe))
         )
         codes = part if codes is None else codes.unionByName(part)
+    tombs = _ivfadc_tombstones(spark, path)
+    if tombs is not None:
+        codes = codes.join(F.broadcast(tombs), "vec_id", "left_anti")
     cand = (
         codes
         .select("vec_id", F.expr(_adc_expr(tables)).alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("vec_id"))
         .limit(r_cand)
+        # duplicate vec_ids across dirs exist only in one transient
+        # window (a crashed in-place rebuild that committed new codes
+        # but hadn't yet folded the batch dirs away); the distinct is
+        # free in the steady state (r_cand rows) and keeps the top-k
+        # duplicate-free in that window
         .select("vec_id")
+        .distinct()
     )
     scored = embeddings.join(cand, "vec_id").select(
         "vec_id",

@@ -371,6 +371,98 @@ def test_ivfadc_append_empty_batch_does_not_poison_the_index(
         P.append_ivfadc_index(emb, path, "")
 
 
+def test_ivfadc_delete_lifecycle(spark, emb, tmp_path):
+    """delete_from_ivfadc_index (round-7 verdict item 3): the removal
+    half of the index lifecycle — takedowns and dedup-driven
+    retractions must not require a corpus-scale re-encode.
+
+    (a) EXCLUSION-EQUIVALENCE: after tombstoning a mix of
+    base-resident and append-batch-resident vec_ids, a probe is
+    row-identical to a probe over a monolithic codes dir holding only
+    the RETAINED vectors encoded with the SAME frozen metadata —
+    deletion is metadata, never scoring, and tombstoned vectors don't
+    eat r_cand slots.  (b) IDEMPOTENCE: re-publishing a tombstone
+    batch_id is a no-op.  (c) CRASH WINDOW: a temp left before the
+    publish rename is invisible and a fresh-id retry lands.  (d) EMPTY
+    TAKEDOWN: a round that matched nothing publishes an empty batch
+    that poisons nothing.  (e) REBUILD FOLD: write_ivfadc_index over
+    the retained corpus removes batches/ + tombstones/ and the probe
+    still excludes the deleted vectors."""
+    import os
+
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    extra = emb.where(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "del")
+    P.write_ivfadc_index(base, path, DIM, num_centroids=8)
+    assert P.append_ivfadc_index(extra, path, "b1") is True
+
+    qe = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+
+    def probe(p, corpus):
+        return [
+            (r["vec_id"], r["score"])
+            for r in P.probe_ivfadc_index(
+                spark, p, corpus, qe, 10, DIM, nprobe=2
+            ).collect()
+        ]
+
+    before = probe(path, emb)
+    # delete two of the current top hits (one base-resident, one from
+    # the appended batch if present) plus an arbitrary mid-corpus id —
+    # exclusion must be observable at the top of the ranking
+    top_ids = [v for v, _ in before]
+    doomed = sorted({top_ids[0], top_ids[1], 777})
+    assert P.delete_from_ivfadc_index(spark, doomed, path, "t1") is True
+
+    retained = emb.where(~F.col("vec_id").isin(doomed))
+    after = probe(path, retained)
+    assert not set(doomed) & {v for v, _ in after}
+    assert after != before
+
+    # the frozen-metadata twin over ONLY the retained vectors
+    mono = str(tmp_path / "mono")
+    cents = P.read_ivfadc_centroids(spark, path)
+    books = P.read_codebooks(spark, path)
+    coded = P.pq_encode(S.assign_cells(retained, cents), books)
+    coded.select("vec_id", "code", "cell").write.partitionBy(
+        "cell"
+    ).parquet(f"{mono}/codes")
+    spark.read.parquet(f"{path}/books").write.parquet(f"{mono}/books")
+    spark.read.parquet(f"{path}/cents").write.parquet(f"{mono}/cents")
+    assert after == probe(mono, retained)
+
+    # (b) idempotence; (d) empty takedown; slug validation
+    assert P.delete_from_ivfadc_index(spark, doomed, path, "t1") is False
+    assert probe(path, retained) == after
+    assert P.delete_from_ivfadc_index(spark, [], path, "t-empty") is True
+    assert probe(path, retained) == after
+    with pytest.raises(ValueError, match="plain slug"):
+        P.delete_from_ivfadc_index(spark, [1], path, ".hidden")
+
+    # (c) crash window: a stray temp is invisible to the probe
+    import shutil
+
+    shutil.copytree(f"{path}/tombstones/t1", f"{path}/tombstones/.tmp-t2")
+    assert probe(path, retained) == after
+    # DataFrame-typed takedown list also lands
+    assert P.delete_from_ivfadc_index(
+        spark, emb.where(F.col("vec_id") == 999).select("vec_id"),
+        path, "t2",
+    ) is True
+    assert 999 not in {v for v, _ in probe(path, retained)}
+
+    # (e) rebuild over the retained corpus folds every lifecycle dir
+    retained2 = retained.where(F.col("vec_id") != 999)
+    P.write_ivfadc_index(retained2, path, DIM, num_centroids=8)
+    assert not os.path.exists(f"{path}/batches")
+    assert not os.path.exists(f"{path}/tombstones")
+    rebuilt = probe(path, retained2)
+    assert not ({*doomed, 999} & {v for v, _ in rebuilt})
+
+
 def test_publish_rename_losing_writer_is_noop_without_residue(
     spark, tmp_path
 ):
