@@ -90,6 +90,8 @@ def curate_documents(
     decontam_n: int = D.DECONTAM_N,
     cluster_cap: int | None = None,
     split_mode: str = "hash",
+    split_state_path: str | None = None,
+    split_epoch: int | None = None,
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
@@ -164,6 +166,15 @@ def curate_documents(
       what ``dedup_tiers`` requested; only the routing graph widens.
       ``split_on`` is ignored (the key is content-derived by
       construction).
+    * ``"stable"`` — ``sampling.assign_splits_stable`` over the SAME
+      shared routing clusters, with assignments persisted at
+      ``split_state_path`` (first-assignment-wins across incremental
+      runs; ``split_epoch`` passes through for idempotent replay).
+      Assignment is at SURVIVOR grain — the persisted state keys the
+      deduped corpus the pipeline actually ships.  The output carries
+      an extra ``split_cluster`` column (the routing-cluster label) so
+      ``prepare_training_shards``' straddle quarantine is one
+      aggregate over it, not a second candidate generation.
 
     Redaction runs FIRST (before features and dedup) so documents that
     differ only in embedded PII become exact duplicates and collapse,
@@ -174,11 +185,13 @@ def curate_documents(
         redact_pii,
     )
 
-    if split_mode not in ("hash", "leakage_safe"):
+    if split_mode not in ("hash", "leakage_safe", "stable"):
         raise ValueError(
             f"unknown split_mode {split_mode!r}; "
-            "known: 'hash', 'leakage_safe'"
+            "known: 'hash', 'leakage_safe', 'stable'"
         )
+    if split_mode == "stable" and not split_state_path:
+        raise ValueError("split_mode='stable' requires split_state_path")
     if redact:
         documents = redact_pii(documents)
     if strip_spans:
@@ -241,7 +254,7 @@ def curate_documents(
             kept, benchmark, n=decontam_n, doc_grams=shared_grams
         )
     split_clusters = None
-    if split_mode == "leakage_safe":
+    if split_mode in ("leakage_safe", "stable"):
         # Inline near_dedup_documents' stages so the candidate pairs
         # and cluster labels are computed ONCE and shared between
         # survivor selection and split routing (the whole point of the
@@ -345,6 +358,22 @@ def curate_documents(
         return sampling.leakage_safe_split(
             deduped, splits=splits, clusters=split_clusters
         )
+    if split_mode == "stable":
+        assigned = sampling.assign_splits_stable(
+            deduped,
+            split_state_path,
+            splits=splits,
+            clusters=split_clusters,
+            epoch=split_epoch,
+        )
+        # carry the routing-cluster label out (assign_splits_stable
+        # drops its internal copy): downstream straddle detection is
+        # then ONE aggregate over ``split_cluster`` instead of a
+        # second candidate generation over the corpus
+        return assigned.join(
+            split_clusters.withColumnRenamed("cluster", "split_cluster"),
+            F.col("doc_id") == F.col("node"),
+        ).drop("node")
     return sampling.hash_split(deduped, split_on, splits)
 
 
@@ -360,6 +389,7 @@ def prepare_training_shards(
     mix_stratum: str = "source",
     mix_total: int | None = None,
     input_checks: list | None = None,
+    quarantine_straddlers: bool = False,
     **curate_kwargs,
 ) -> dict:
     """The last mile: curated corpus → on-disk training shards.
@@ -401,6 +431,19 @@ def prepare_training_shards(
       conditional-aggregate scan, and a failing check raises with
       every violated constraint listed — a corrupt landing zone can't
       burn curation/tokenizer cost or leave partial shard output.
+    * ``quarantine_straddlers`` (round-7 verdict item 4; requires
+      ``split_mode='stable'`` in the curate kwargs): a near-dup
+      cluster whose PERSISTED assignments straddle splits — the
+      structural leakage a later bridge document creates, which
+      ``assign_splits_stable`` correctly refuses to re-route — is
+      quarantined from the EVAL side before packing: its val/test
+      members are dropped, its train members kept (train is the safe
+      side; a leaked eval example corrupts measurement, a dropped one
+      doesn't).  The manifest records ``straddling_clusters`` and
+      ``docs_quarantined_from_eval``, so the drop is auditable, never
+      silent.  Detection is one aggregate over the ``split_cluster``
+      column the stable router already carries — no second candidate
+      generation.
 
     Determinism end to end: every stage is a pure function of content
     (hash split, hash dedup survivors, key-ordered packing), so a
@@ -446,6 +489,55 @@ def prepare_training_shards(
         )
         count_col = "n_bpe_tokens"
     curated = materialize(curated, eager=False)
+    quarantine_stats = None
+    if quarantine_straddlers:
+        if "split_cluster" not in curated.columns:
+            raise ValueError(
+                "quarantine_straddlers requires split_mode='stable' "
+                "(the hash and leakage_safe routers route whole "
+                "clusters, so straddles cannot exist)"
+            )
+        train_name = splits[0][0]
+        # straddling clusters + their eval-side doc count, one
+        # aggregate over the materialized survivors (split_cluster is
+        # the routing label the stable router carried out)
+        straddle = materialize(
+            curated.groupBy("split_cluster")
+            .agg(
+                F.countDistinct("split").alias("__n_splits"),
+                F.sum(
+                    F.when(F.col("split") != train_name, 1).otherwise(0)
+                ).alias("__n_eval_docs"),
+            )
+            .where(F.col("__n_splits") > 1)
+            .select("split_cluster", "__n_eval_docs")
+        )
+        stats = straddle.agg(
+            F.count(F.lit(1)).alias("clusters"),
+            F.coalesce(F.sum("__n_eval_docs"), F.lit(0)).alias("docs"),
+        ).collect()[0]
+        quarantine_stats = {
+            "straddling_clusters": int(stats["clusters"]),
+            "docs_quarantined_from_eval": int(stats["docs"]),
+            "kept_in": train_name,
+        }
+        # the quarantine: eval-side members of straddling clusters are
+        # dropped; train-side members kept (tiny straddle set — AQE
+        # broadcasts the flag join)
+        flagged = straddle.select("split_cluster").withColumn(
+            "__straddle", F.lit(True)
+        )
+        curated = (
+            curated.join(flagged, "split_cluster", "left")
+            .where(
+                F.col("__straddle").isNull()
+                | (F.col("split") == train_name)
+            )
+            .drop("__straddle")
+        )
+    if "split_cluster" in curated.columns:
+        # routing metadata, not training data — never ships in a shard
+        curated = curated.drop("split_cluster")
     pack_key = "doc_id"
     if mix_weights is not None:
         # after the materialize: mix_sources collects per-stratum
@@ -469,6 +561,11 @@ def prepare_training_shards(
         "budget": budget,
         "token_unit": "bpe" if bpe_merges is not None else "whitespace",
         "splits": {},
+        **(
+            {"quarantine": quarantine_stats}
+            if quarantine_stats is not None
+            else {}
+        ),
     }
     for split, _w in splits:
         sub = curated.where(F.col("split") == split).drop("split")

@@ -710,6 +710,78 @@ def test_assign_splits_stable_epoch_replay(spark, tmp_path):
         S.assign_splits_stable(docs1, state, HALVES, epoch=0)
 
 
+def test_assign_splits_stable_null_text_edges(spark, tmp_path):
+    """Round-7 verdict item 7: ``assign_splits_stable`` hashes
+    ``md5(text cast binary)``, so a NULL-text document carries a NULL
+    content hash through the inherit/ckey aggregates — this pins that
+    every NULL/empty/whitespace-text edge routes DETERMINISTICALLY
+    and STABLY across round trips:
+
+    * a new singleton NULL-text doc routes via ``split_column``'s NULL
+      guard to the FIRST split (never null, never the silent
+      otherwise() branch);
+    * replay is byte-idempotent (the NULL doc's persisted assignment
+      is honored, not recomputed);
+    * a LATER NULL-text doc joins the first one's exact-dup cluster
+      (groupBy groups NULLs together) and INHERITS its split — the
+      min(struct(__h, __prior)) aggregate is deterministic with a
+      NULL first field;
+    * already-assigned docs never move when the NULL docs arrive."""
+    from mapreduce_framework_for_mergesort_spark.operators import (
+        sampling as S,
+    )
+
+    state = str(tmp_path / "split_state_null")
+    docs1 = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, SPLIT_X)],
+        "doc_id: bigint, text: string",
+    )
+    a1 = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(docs1, state, HALVES).collect()
+    }
+    assert set(a1) == {1, 2, 3, 4}
+    assert all(s in ("train", "test") for s in a1.values())
+    # NULL content key -> the explicit first-split guard, both here
+    # and in the one-shot router
+    assert a1[1] == "train"
+    one_shot = {
+        r["doc_id"]: r["split"]
+        for r in S.leakage_safe_split(docs1, HALVES).collect()
+    }
+    assert one_shot == a1
+
+    # round trip: replay changes nothing
+    a1r = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(docs1, state, HALVES).collect()
+    }
+    assert a1r == a1
+
+    # a second NULL-text doc inherits the first one's split through
+    # their exact-dup cluster; everyone else is untouched
+    docs2 = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, SPLIT_X), (5, None)],
+        "doc_id: bigint, text: string",
+    )
+    a2 = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(docs2, state, HALVES).collect()
+    }
+    assert a2 == {**a1, 5: a1[1]}
+    # and once more: the inherited assignment is now persisted too
+    a2r = {
+        r["doc_id"]: r["split"]
+        for r in S.assign_splits_stable(docs2, state, HALVES).collect()
+    }
+    assert a2r == a2
+    state_rows = dict(
+        (r["doc_id"], r["split"])
+        for r in spark.read.parquet(state).collect()
+    )
+    assert state_rows == a2
+
+
 def test_compact_epochs_recovery_is_listing_order_safe(spark, tmp_path):
     """Round-7 review: the 'discarded partial temp + retire dir'
     recovery state was resolved per LISTING ORDER — '.compact-epoch-N'
