@@ -417,8 +417,12 @@ def fixture_fingerprint(sf_dir: str = "/root/testdata/sf0.1") -> dict:
     the code getting *better*; proving that cost a re-measure +
     ablation session because the artifacts recorded nothing about the
     data they measured).  The hash is DuckDB's 64-bit struct hash
-    bit_xor-folded over all rows — order-independent (parquet row
-    order is not part of content) and cheap (one scan, no sort)."""
+    SUM-folded (mod 2^64) over all rows — order-independent (parquet
+    row order is not part of content), MULTIPLICITY-sensitive (a
+    bit_xor fold cancels any even change to row multiplicities — two
+    swapped duplicate pairs hashed identical, the exact false
+    'same data' verdict this record exists to prevent; round-8
+    review), and cheap (one scan, no sort)."""
     import duckdb
 
     con = duckdb.connect()
@@ -427,7 +431,7 @@ def fixture_fingerprint(sf_dir: str = "/root/testdata/sf0.1") -> dict:
         if not name.endswith(".parquet"):
             continue
         n, h = con.execute(
-            "SELECT count(*), bit_xor(hash(t)) FROM read_parquet(?) t",
+            "SELECT count(*), sum(hash(t)) FROM read_parquet(?) t",
             [os.path.join(sf_dir, name)],
         ).fetchone()
         out[name.removesuffix(".parquet")] = {
@@ -826,7 +830,7 @@ def main() -> None:
         out = (
             sys.argv[i + 1]
             if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else "ANN_r07.json"
+            else "ANN_r08.json"
         )
         ann_main(out)
         return
@@ -857,7 +861,7 @@ def main() -> None:
         out = (
             sys.argv[i + 1]
             if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
-            else "SCALE_r07.json"
+            else "SCALE_r08.json"
         )
         scale_main(out, skew="--skew" in sys.argv)
         return

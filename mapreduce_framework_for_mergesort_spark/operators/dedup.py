@@ -1198,31 +1198,89 @@ def positional_gram_flags(
     groupBy+join AND ``strip_dup_spans``'s separate groupBy+join with
     a single exchange-on-g + window).
 
+    Round 8 (round-7 verdict item 5): when the pass builds its own
+    grams, the per-gram WINDOW runs at DISTINCT-CONTENT grain —
+    (text-hash, pos, g) rows carrying each text's replica count —
+    instead of over the post-explode per-document table, and the
+    per-document expansion is a sort-free hash join afterwards.  On
+    the ×100 replica spot-check this shrinks the window's sort input
+    by the duplication factor (600 M rows → 6 M), which is exactly the
+    buffer the observed GCLocker allocation stalls pointed at; on an
+    all-distinct corpus it degenerates to the same volume plus one
+    cheap join.  EXACT equivalence, not approximation:
+
+    * ``__cnt`` — the original counts (doc, pos) occurrence rows per
+      gram; every distinct-grain (text, pos) row stands for exactly
+      ``__n`` replicas, so ``sum(__n)`` over the gram equals the row
+      count;
+    * ``__is_first`` — the original's winner is ``min(struct(doc_id,
+      pos))``.  All replicas of a text share its positions, so each
+      (text, pos) row's best candidate is (min_doc(text), pos); a doc
+      has one text, so min_doc values are distinct across texts and
+      ``min(struct(min_doc, pos))`` picks the same (doc, pos) — the
+      pos tie-break resolves within the winning text's own rows.
+    Pinned row-for-row against the direct per-occurrence window in
+    tests (replica-heavy + NULL-text corpus).
+
     Both flags come from UNORDERED window aggregates (count +
     struct-min) on purpose: an ordered spelling (``row_number``) would
     make WindowExec sort every gram row by (g, doc_id, pos), while the
-    unordered form sorts by g alone — on the corpus-sized gram table
-    that sort width is the measured difference at 100× volume.
+    unordered form sorts by g alone.
 
     Scale shape (100 TB): one hash exchange on the uniform int64 gram
-    key; window state is bounded per gram value (occurrences of one
-    window), and the hot-gram case is exactly the duplication being
-    measured.  Materialize the result when both ``dup_spans`` and
-    ``strip_dup_spans`` consume it (the registered key does)."""
+    key at distinct-content volume, then one hash join expanding to
+    document grain keyed on a 16-byte binary md5 (no sort anywhere at
+    corpus volume).  Materialize the result when both ``dup_spans``
+    and ``strip_dup_spans`` consume it (the registered key does).
+    With an injected per-document ``grams`` table the direct
+    per-occurrence window is kept — the injector owns the grain."""
     from pyspark.sql import Window
 
-    if grams is None:
-        grams = positional_ngrams(documents, k)
+    if grams is not None:
+        w = Window.partitionBy("g")
+        first = F.min(F.struct("doc_id", "pos")).over(w)
+        return grams.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(w).alias("__cnt"),
+            (
+                (F.col("doc_id") == first["doc_id"])
+                & (F.col("pos") == first["pos"])
+            ).alias("__is_first"),
+        )
+    th = F.unhex(F.md5(F.col("text").cast("binary")))  # 16-byte key
+    hashed = documents.select("doc_id", th.alias("__th"))
+    reps = hashed.groupBy("__th").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("doc_id").alias("__min_doc"),
+    )
+    tg = (
+        documents.select(th.alias("__th"), "text")
+        .dropDuplicates(["__th"])
+        .select("__th", H.gram_rows_udf(k)(F.col("text")).alias("__ws"))
+        .select("__th", F.explode("__ws").alias("w"))
+        .select("__th", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
+        .join(reps, "__th")  # distinct-text grain: AQE broadcasts reps
+    )
     w = Window.partitionBy("g")
-    first = F.min(F.struct("doc_id", "pos")).over(w)
-    return grams.select(
+    first = F.min(F.struct(F.col("__min_doc").alias("d"), F.col("pos").alias("p"))).over(w)
+    flagged = tg.select(
+        "__th",
+        "pos",
+        "__min_doc",
+        F.sum("__n").over(w).alias("__cnt"),
+        (
+            (F.col("__min_doc") == first["d"])
+            & (F.col("pos") == first["p"])
+        ).alias("__f"),
+    )
+    return hashed.join(flagged, "__th").select(
         "doc_id",
         "pos",
-        F.count(F.lit(1)).over(w).alias("__cnt"),
-        (
-            (F.col("doc_id") == first["doc_id"])
-            & (F.col("pos") == first["pos"])
-        ).alias("__is_first"),
+        "__cnt",
+        (F.col("__f") & (F.col("doc_id") == F.col("__min_doc"))).alias(
+            "__is_first"
+        ),
     )
 
 

@@ -332,9 +332,15 @@ def write_ivfadc_index(
     ``layout.compact_epochs``, and the probe's candidate distinct
     keeps the top-k clean), tombstones LAST (they must outlive any
     stale batch copy of a deleted vector they mask).  An in-place
-    rebuild is not atomic against concurrent probes — production
-    rebuilds write a fresh path and swap a pointer; re-running a
-    crashed rebuild converges."""
+    rebuild is not atomic against concurrent probes OR concurrent
+    publishers: quiesce ``append_ivfadc_index`` /
+    ``delete_from_ivfadc_index`` while it runs — a batch published
+    after the rebuild's input snapshot is either folded away by the
+    delete below or, if kept, would carry codes encoded against the
+    superseded metadata and score garbage under the retrained books
+    (deleting is the lesser harm, so the fold deletes).  Production
+    rebuilds write a fresh path and swap a pointer, which removes both
+    races; re-running a crashed in-place rebuild converges."""
     cents = S._trained_cents(embeddings, num_centroids)
     books = train_codebooks(embeddings, dim, m, k_codes, iters)
     coded = pq_encode(S.assign_cells(embeddings, cents), books)
@@ -420,8 +426,17 @@ def _publish_rename(fs, jvm, tmp: str, final: str) -> bool:
     'published' True plus residue in the winner's dir.  After the
     rename, the loser is detected by its tmp basename having landed
     under final; the residue is deleted (dot-prefixed, so readers
-    never saw it) and the no-op False path taken.  Returns True only
-    for the writer whose temp actually became ``final``."""
+    never saw it) and the no-op False path taken.
+
+    Boolean contract under a same-id race: the durable invariant is
+    that ``final`` holds exactly one complete copy and no residue —
+    guaranteed.  Which of two racing writers sees True can cross in
+    one interleaving (the loser's rewrite of the SHARED temp lands
+    between the winner's rename and its swallow check: the winner then
+    finds residue and reports False, the loser finds it already gone
+    and reports True).  Same batch_id means same logical content by
+    the idempotence contract, so the crossed booleans never misreport
+    WHAT was published — only who gets credit."""
     Path = jvm.org.apache.hadoop.fs.Path
     tmp_p, final_p = Path(tmp), Path(final)
     if not fs.exists(tmp_p):

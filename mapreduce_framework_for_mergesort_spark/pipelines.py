@@ -192,6 +192,15 @@ def curate_documents(
         )
     if split_mode == "stable" and not split_state_path:
         raise ValueError("split_mode='stable' requires split_state_path")
+    if split_mode == "stable" and "split_cluster" in documents.columns:
+        # the stable router emits this column; a silent overwrite (or
+        # a downstream quarantine aggregating over user data) is worse
+        # than a loud rename request (round-8 review)
+        raise ValueError(
+            "documents already carry a 'split_cluster' column, which "
+            "split_mode='stable' reserves for its routing-cluster "
+            "label — rename the input column"
+        )
     if redact:
         documents = redact_pii(documents)
     if strip_spans:
@@ -491,13 +500,24 @@ def prepare_training_shards(
     curated = materialize(curated, eager=False)
     quarantine_stats = None
     if quarantine_straddlers:
-        if "split_cluster" not in curated.columns:
+        # keyed on the REQUESTED mode, not column presence: a user
+        # corpus carrying its own 'split_cluster' column under another
+        # router must not smuggle arbitrary data into the quarantine
+        # aggregate (round-8 review)
+        if curate_kwargs.get("split_mode") != "stable":
             raise ValueError(
                 "quarantine_straddlers requires split_mode='stable' "
                 "(the hash and leakage_safe routers route whole "
                 "clusters, so straddles cannot exist)"
             )
-        train_name = splits[0][0]
+        # keep-side: the literal 'train' split when one exists, else
+        # the first split (the module convention puts train/largest
+        # first) — positional-only keying silently inverted the
+        # documented train-kept/eval-dropped behavior for callers who
+        # order splits differently (round-8 review)
+        train_name = next(
+            (n for n, _w in splits if n == "train"), splits[0][0]
+        )
         # straddling clusters + their eval-side doc count, one
         # aggregate over the materialized survivors (split_cluster is
         # the routing label the stable router carried out)
@@ -535,8 +555,12 @@ def prepare_training_shards(
             )
             .drop("__straddle")
         )
-    if "split_cluster" in curated.columns:
-        # routing metadata, not training data — never ships in a shard
+    if curate_kwargs.get("split_mode") == "stable":
+        # routing metadata, not training data — never ships in a
+        # shard.  Dropped only when THIS call put it there (stable
+        # mode): a user corpus legitimately carrying a column of this
+        # name under another router must pass through untouched
+        # (round-8 review).
         curated = curated.drop("split_cluster")
     pack_key = "doc_id"
     if mix_weights is not None:

@@ -40,6 +40,11 @@ def test_fixture_fingerprint_order_independent_content_sensitive(tmp_path):
         ("fwd", rows),
         ("rev", rows[::-1]),
         ("mut", [(1, "a"), (2, "b"), (3, "X")]),
+        # round-8 review: a bit_xor fold cancelled any EVEN change to
+        # row multiplicities — these two tables (one row duplicated
+        # vs another) xor-hashed IDENTICAL; the sum fold must not
+        ("dupa", [(1, "a"), (1, "a"), (2, "b")]),
+        ("dupb", [(1, "a"), (2, "b"), (2, "b")]),
     ):
         d = tmp_path / name
         d.mkdir()
@@ -47,13 +52,18 @@ def test_fixture_fingerprint_order_independent_content_sensitive(tmp_path):
             pa.table({"k": [r[0] for r in data], "v": [r[1] for r in data]}),
             str(d / "t.parquet"),
         )
-    fwd = bench.fixture_fingerprint(str(tmp_path / "fwd"))["t"]
-    rev = bench.fixture_fingerprint(str(tmp_path / "rev"))["t"]
-    mut = bench.fixture_fingerprint(str(tmp_path / "mut"))["t"]
+    fp = {
+        n: bench.fixture_fingerprint(str(tmp_path / n))["t"]
+        for n in ("fwd", "rev", "mut", "dupa", "dupb")
+    }
     # parquet row order is not content: same multiset -> same hash
-    assert fwd == rev
+    assert fp["fwd"] == fp["rev"]
     # one changed value -> different hash, same rows
-    assert mut["rows"] == fwd["rows"] and mut["hash"] != fwd["hash"]
+    assert fp["mut"]["rows"] == fp["fwd"]["rows"]
+    assert fp["mut"]["hash"] != fp["fwd"]["hash"]
+    # multiplicity shift at equal row count -> different hash
+    assert fp["dupa"]["rows"] == fp["dupb"]["rows"]
+    assert fp["dupa"]["hash"] != fp["dupb"]["hash"]
 
 
 def test_fingerprint_vintage_diff(tmp_path, monkeypatch):

@@ -586,6 +586,29 @@ def test_prepare_training_shards_quarantines_straddlers(spark, tmp_path):
             budget=64, min_quality=0.0, langs=langs,
         )
 
+    # round-8 review follow-ups: (a) the keep-side is the literal
+    # 'train' split even when the caller orders splits eval-first;
+    # (b) an input corpus already carrying 'split_cluster' is refused
+    # loudly in stable mode (the router reserves that name)
+    state2 = str(tmp_path / "split_state_rev")
+    assert {
+        r["doc_id"]: r["split"]
+        for r in SA.assign_splits_stable(
+            docs1, state2, [("test", 0.5), ("train", 0.5)]
+        ).collect()
+    }
+    man3 = pipelines.prepare_training_shards(
+        docs2, str(tmp_path / "rev"), quarantine_straddlers=True,
+        **{**kwargs, "splits": [("test", 0.5), ("train", 0.5)],
+           "split_state_path": state2},
+    )
+    assert man3["quarantine"]["kept_in"] == "train"
+    with pytest.raises(ValueError, match="split_cluster"):
+        pipelines.prepare_training_shards(
+            docs2.withColumn("split_cluster", docs2.doc_id),
+            str(tmp_path / "resv"), **kwargs,
+        )
+
 
 def test_curation_features_match_operator_outputs(spark, sf_oracle):
     """The fused one-scan feature projection must agree row-for-row
@@ -2385,6 +2408,48 @@ def corpus_with_spans(spark):
         (5, "too short"),
     ]
     return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_positional_gram_flags_distinct_grain_equals_direct_window(spark):
+    """Round 8 (round-7 verdict item 5): the flags pass now runs its
+    per-gram window at DISTINCT-CONTENT grain with replica weights and
+    expands per document through a sort-free join — this pins it
+    row-for-row against the direct per-occurrence window (the
+    ``grams``-injected path, the original spelling) on the adversarial
+    corpus: replica-heavy (the weighted ``__cnt`` must equal the
+    occurrence count), interleaved doc ids (the first-occurrence
+    winner must be the global ``min(struct(doc_id, pos))``, not a
+    per-text artifact), within-doc repetition, NULL text (no rows),
+    and a sub-k doc (no windows)."""
+    boiler = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (7, f"one unique lead {boiler} tail one"),
+        (2, f"two other start {boiler} two finish here"),
+        (9, f"one unique lead {boiler} tail one"),   # replica of 7
+        (1, f"one unique lead {boiler} tail one"),   # replica, SMALLER id
+        (3, "p q r s filler words p q r s"),
+        (4, None),
+        (5, "too short"),
+        (6, f"two other start {boiler} two finish here"),  # replica of 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+    got = sorted(
+        map(tuple, D.positional_gram_flags(docs, k=4).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            D.positional_gram_flags(
+                docs, k=4, grams=D.positional_ngrams(docs, k=4)
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # the replica group's first occurrence sits on the SMALLEST doc id
+    firsts = {
+        (d, p) for d, p, _c, f in got if f and d in (1, 7, 9)
+    }
+    assert firsts and all(d == 1 for d, _p in firsts)
 
 
 def test_dup_spans_known_structure(corpus_with_spans):

@@ -209,8 +209,8 @@ def test_ivfadc_persisted_probe_matches_inline_and_prunes(
 
 
 def test_ann_recall_artifact_monotonicities():
-    """The committed recall-vs-cost artifact (ANN_r07.json, generated
-    by ``bench.py --ann``) must exhibit the stack's two GUARANTEED
+    """The committed recall-vs-cost artifact (the latest ANN_r*.json,
+    generated by ``bench.py --ann``) must exhibit the stack's two GUARANTEED
     monotonicities: IVF recall@10 non-decreasing in nprobe (nested
     candidate sets) and PQ recall@10 non-decreasing in r_cand (nested
     rerank pools).  IVFADC at FIXED r_cand is deliberately not pinned —
@@ -228,11 +228,18 @@ def test_ann_recall_artifact_monotonicities():
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "ANN_r07.json")
-    if not os.path.exists(path):
+    import glob
+
+    arts = sorted(
+        glob.glob(
+            os.path.join(os.path.dirname(__file__), "..", "ANN_r*.json")
+        )
+    )
+    if not arts:
         import pytest
 
         pytest.skip("ANN artifact not generated (run bench.py --ann)")
+    path = arts[-1]  # the current round's artifact
     doc = json.load(open(path))
     assert doc["queries_per_point"] >= 20  # 0.02 recall steps resolvable
     for label, ds in doc["datasets"].items():
