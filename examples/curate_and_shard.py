@@ -19,7 +19,11 @@ in its module):
    set, a Count-Min frequency sketch with its ≥-true guarantee,
    sliding-window chunking (whitespace AND tokenizer-true BPE
    budgets), a per-benchmark-item contamination report, and
-   sort-free quantiles from the dyadic Count-Min sketch.
+   sort-free quantiles from the dyadic Count-Min sketch;
+5. INCREMENTAL curation (round 8): ``split_mode='stable'`` persists
+   first-assignment-wins split routing across growing batches, and
+   ``quarantine_straddlers=True`` drops structural straddles from the
+   eval splits, recorded in the manifest.
 
 Everything here is deterministic: rerunning produces the same rows,
 splits, packs, and estimates (hash-keyed decisions, no RNG state).
@@ -137,6 +141,51 @@ def main() -> None:
         dsk.collect(), [0.25, 0.5, 0.75], levels=16
     )
     print("token-count quartiles from the dyadic sketch:", qs)
+
+    # 5. INCREMENTAL curation (round 8): corpora are feeds, not
+    # snapshots.  split_mode='stable' persists split assignments at a
+    # state path with first-assignment-wins — a document shipped to a
+    # split in batch 1 NEVER moves when batch 2's near-dup bridges
+    # merge clusters — and quarantine_straddlers=True drops the
+    # val/test members of any cluster whose persisted assignments
+    # straddle splits (train members kept: a leaked eval example
+    # corrupts measurement, a dropped one doesn't), recording the drop
+    # in the manifest.
+    state = os.path.join(out_dir, "_split_state")
+    # fresh state per example run, so the two-batch story below always
+    # shows a real increment (in production the state persists — that
+    # is its whole point; replays append nothing either way)
+    import shutil
+
+    shutil.rmtree(state, ignore_errors=True)
+    batch1 = docs.where(F.col("doc_id") % 5 != 0)
+    man1 = pipelines.prepare_training_shards(
+        batch1, os.path.join(out_dir, "inc1"),
+        budget=256, shards_per_split=2, min_quality=0.3, langs=("en",),
+        split_mode="stable", split_state_path=state,
+        quarantine_straddlers=True,
+    )
+    a1 = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(state).collect()
+    }
+    man2 = pipelines.prepare_training_shards(
+        docs, os.path.join(out_dir, "inc2"),  # the grown corpus
+        budget=256, shards_per_split=2, min_quality=0.3, langs=("en",),
+        split_mode="stable", split_state_path=state,
+        quarantine_straddlers=True,
+    )
+    a2 = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(state).collect()
+    }
+    moved = {d for d in a1 if a2.get(d) != a1[d]}
+    assert not moved, f"shipped assignments must never move: {moved}"
+    print(
+        "\nincremental split: batch-1 assignments preserved "
+        f"({len(a1)} docs), batch 2 added {len(a2) - len(a1)}; "
+        f"quarantine: {man1['quarantine']} -> {man2['quarantine']}"
+    )
 
     # 4f. model-free vector retrieval over the chunks (round 5):
     # feature-hash embeddings are a pure deterministic function of the
