@@ -142,6 +142,27 @@ def main() -> None:
     )
     print("token-count quartiles from the dyadic sketch:", qs)
 
+    # 4f. model-free vector retrieval over the chunks (round 5):
+    # feature-hash embeddings are a pure deterministic function of the
+    # text, so the whole ANN stack runs with no external model — here
+    # a brute-force cosine top-3 of chunks for a text query embedded
+    # through the same operator
+    chunk_ids = bchunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("vec_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    qdf = spark.createDataFrame(
+        [(-1, "merge sort spark shuffle")], ["vec_id", "text"]
+    )
+    pool = similarity.feature_hash_embed(
+        chunk_ids.unionByName(qdf), dim=64
+    ).select("vec_id", "embedding")
+    hits = similarity.brute_force_topk(pool, -1, 4).where(
+        F.col("vec_id") != -1
+    )
+    print("feature-hash chunk retrieval for 'merge sort spark shuffle':")
+    hits.show(3)
+
     # 5. INCREMENTAL curation (round 8): corpora are feeds, not
     # snapshots.  split_mode='stable' persists split assignments at a
     # state path with first-assignment-wins — a document shipped to a
@@ -179,34 +200,28 @@ def main() -> None:
         r["doc_id"]: r["split"]
         for r in spark.read.parquet(state).collect()
     }
-    moved = {d for d in a1 if a2.get(d) != a1[d]}
+    # stability check on the SHARD OUTPUTS (what a training job
+    # reads), not just the append-only state file: every doc shipped
+    # to a split by batch 1 sits in the SAME split of batch 2's shards
+    def shard_splits(root):
+        out = {}
+        for split in ("train", "val", "test"):
+            for r in (
+                spark.read.parquet(os.path.join(root, split))
+                .select("doc_id").collect()
+            ):
+                out[r["doc_id"]] = split
+        return out
+
+    s1 = shard_splits(os.path.join(out_dir, "inc1"))
+    s2 = shard_splits(os.path.join(out_dir, "inc2"))
+    moved = {d for d in s1 if d in s2 and s2[d] != s1[d]}
     assert not moved, f"shipped assignments must never move: {moved}"
     print(
         "\nincremental split: batch-1 assignments preserved "
         f"({len(a1)} docs), batch 2 added {len(a2) - len(a1)}; "
         f"quarantine: {man1['quarantine']} -> {man2['quarantine']}"
     )
-
-    # 4f. model-free vector retrieval over the chunks (round 5):
-    # feature-hash embeddings are a pure deterministic function of the
-    # text, so the whole ANN stack runs with no external model — here
-    # a brute-force cosine top-3 of chunks for a text query embedded
-    # through the same operator
-    chunk_ids = bchunks.select(
-        (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("vec_id"),
-        F.col("chunk_text").alias("text"),
-    )
-    qdf = spark.createDataFrame(
-        [(-1, "merge sort spark shuffle")], ["vec_id", "text"]
-    )
-    pool = similarity.feature_hash_embed(
-        chunk_ids.unionByName(qdf), dim=64
-    ).select("vec_id", "embedding")
-    hits = similarity.brute_force_topk(pool, -1, 4).where(
-        F.col("vec_id") != -1
-    )
-    print("feature-hash chunk retrieval for 'merge sort spark shuffle':")
-    hits.show(3)
 
 
 if __name__ == "__main__":

@@ -1144,22 +1144,40 @@ def positional_ngrams(documents: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
     before the kernel, and the kernel itself also guards None (round
     7), so the contract does not depend on optimizer filter inference.
     """
-    hashed = documents.select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("__th")
-    )
-    rep_arrays = (
-        documents.select(
-            F.md5(F.col("text").cast("binary")).alias("__th"), "text"
-        )
-        .dropDuplicates(["__th"])
-        .select("__th", H.gram_rows_udf(k)(F.col("text")).alias("__ws"))
-    )
     return (
-        hashed.join(rep_arrays, "__th")
+        _text_hashes(documents)
+        .join(_distinct_text_gram_arrays(documents, k), "__th")
         .select("doc_id", F.explode("__ws").alias("w"))
         .select(
             "doc_id", F.col("w.pos").alias("pos"), F.col("w.g").alias("g")
         )
+    )
+
+
+def _text_hashes(documents: DataFrame) -> DataFrame:
+    """(doc_id, __th) — the 16-byte binary md5 content key the gram
+    passes share (binary, not the 32-char hex string: half the join/
+    shuffle width for the same exactness)."""
+    return documents.select(
+        "doc_id",
+        F.unhex(F.md5(F.col("text").cast("binary"))).alias("__th"),
+    )
+
+
+def _distinct_text_gram_arrays(documents: DataFrame, k: int) -> DataFrame:
+    """(__th, __ws = array<struct<pos, g>>) per DISTINCT text — the one
+    tokenize→window→hash kernel pass both ``positional_ngrams`` (which
+    joins the un-exploded arrays to doc ids and explodes map-side) and
+    ``positional_gram_flags``' distinct-grain window (which explodes at
+    distinct grain) derive from.  One key spelling for both (round-8
+    review: two divergent inline copies could drift)."""
+    return (
+        documents.select(
+            F.unhex(F.md5(F.col("text").cast("binary"))).alias("__th"),
+            "text",
+        )
+        .dropDuplicates(["__th"])
+        .select("__th", H.gram_rows_udf(k)(F.col("text")).alias("__ws"))
     )
 
 
@@ -1248,16 +1266,13 @@ def positional_gram_flags(
                 & (F.col("pos") == first["pos"])
             ).alias("__is_first"),
         )
-    th = F.unhex(F.md5(F.col("text").cast("binary")))  # 16-byte key
-    hashed = documents.select("doc_id", th.alias("__th"))
+    hashed = _text_hashes(documents)
     reps = hashed.groupBy("__th").agg(
         F.count(F.lit(1)).alias("__n"),
         F.min("doc_id").alias("__min_doc"),
     )
     tg = (
-        documents.select(th.alias("__th"), "text")
-        .dropDuplicates(["__th"])
-        .select("__th", H.gram_rows_udf(k)(F.col("text")).alias("__ws"))
+        _distinct_text_gram_arrays(documents, k)
         .select("__th", F.explode("__ws").alias("w"))
         .select("__th", F.col("w.pos").alias("pos"), F.col("w.g").alias("g"))
         .join(reps, "__th")  # distinct-text grain: AQE broadcasts reps

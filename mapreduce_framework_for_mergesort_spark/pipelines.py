@@ -468,6 +468,21 @@ def prepare_training_shards(
         materialize,
     )
 
+    if (
+        quarantine_straddlers
+        and curate_kwargs.get("split_mode") != "stable"
+    ):
+        # argument-only validation belongs at function entry — before
+        # the input-checks full-corpus scan or any curation cost is
+        # paid (round-8 review pass 2).  Keyed on the REQUESTED mode,
+        # not column presence: a user corpus carrying its own
+        # 'split_cluster' column under another router must not smuggle
+        # arbitrary data into the quarantine aggregate.
+        raise ValueError(
+            "quarantine_straddlers requires split_mode='stable' "
+            "(the hash and leakage_safe routers route whole "
+            "clusters, so straddles cannot exist)"
+        )
     if input_checks:
         # Data-quality gate FIRST (operators/quality.py — one
         # conditional-aggregate scan): a corrupt landing zone (null
@@ -499,17 +514,7 @@ def prepare_training_shards(
         count_col = "n_bpe_tokens"
     curated = materialize(curated, eager=False)
     quarantine_stats = None
-    if quarantine_straddlers:
-        # keyed on the REQUESTED mode, not column presence: a user
-        # corpus carrying its own 'split_cluster' column under another
-        # router must not smuggle arbitrary data into the quarantine
-        # aggregate (round-8 review)
-        if curate_kwargs.get("split_mode") != "stable":
-            raise ValueError(
-                "quarantine_straddlers requires split_mode='stable' "
-                "(the hash and leakage_safe routers route whole "
-                "clusters, so straddles cannot exist)"
-            )
+    if quarantine_straddlers:  # mode validated at function entry
         # keep-side: the literal 'train' split when one exists, else
         # the first split (the module convention puts train/largest
         # first) — positional-only keying silently inverted the
