@@ -217,3 +217,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     SQL entry point."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def publish_rename(fs, jvm, tmp: str, final: str) -> bool:
+    """Publish ``tmp`` as ``final`` via one filesystem rename, safe
+    against a concurrent publisher of the same id (round-8 review;
+    shared by the IVFADC batch/tombstone publishes and the LSH-index
+    tombstones): Hadoop ``FileSystem.rename(tmp, final)`` with an
+    EXISTING final directory does not fail — it moves tmp INSIDE final
+    as a hidden child and returns true, so a naive check hands the
+    losing writer a 'published' True plus residue in the winner's dir.
+    After the rename, the loser is detected by its tmp basename having
+    landed under final; the residue is deleted (dot-prefixed, so
+    readers never saw it) and the no-op False path taken.
+
+    Boolean contract under a same-id race: the durable invariant is
+    that ``final`` holds exactly one complete copy and no residue —
+    guaranteed.  Which of two racing writers sees True can cross in
+    one interleaving (the loser's rewrite of the SHARED temp lands
+    between the winner's rename and its swallow check: the winner then
+    finds residue and reports False, the loser finds it already gone
+    and reports True).  Same id means same logical content by the
+    idempotence contract, so the crossed booleans never misreport WHAT
+    was published — only who gets credit."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp_p, final_p = Path(tmp), Path(final)
+    if not fs.exists(tmp_p):
+        # a twin already renamed our shared temp away (some Hadoop
+        # filesystems RAISE on a missing rename source, not false)
+        if fs.exists(final_p):
+            return False
+        raise OSError(f"could not publish {final!r}: temp {tmp!r} missing")
+    if not fs.rename(tmp_p, final_p):
+        if fs.exists(final_p):  # lost the race before our rename ran
+            fs.delete(tmp_p, True)
+            return False
+        raise OSError(f"could not publish {final!r}")
+    swallowed = Path(f"{final}/{tmp_p.getName()}")
+    if fs.exists(swallowed):
+        fs.delete(swallowed, True)
+        return False
+    return True

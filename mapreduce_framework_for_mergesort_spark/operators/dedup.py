@@ -1095,6 +1095,85 @@ def incremental_candidate_pairs(
     return new_new.unionByName(cross).distinct()
 
 
+#: LSH-index tombstone schema, explicit so an EMPTY takedown batch
+#: (only a _SUCCESS marker) reads as zero rows, never an
+#: UNABLE_TO_INFER_SCHEMA that poisons every later probe — the same
+#: contract as the IVFADC index's tombstones.
+LSH_TOMBSTONE_SCHEMA = "doc_id bigint"
+
+
+def delete_from_lsh_index(spark, doc_ids, path: str, batch_id: str) -> bool:
+    """Deletion half of the incremental-dedup index lifecycle (round 8
+    — the symmetric gap to ``pq.delete_from_ivfadc_index``): takedowns
+    and retractions must not require re-banding the corpus.  Publishes
+    ``doc_ids`` as a tombstone batch under ``<path>/_tombstones/<id>``
+    (underscore-prefixed: invisible to the plain parquet read of the
+    band partitions); ``lsh_index_bands`` anti-joins the union of
+    published tombstones so a retracted document's bands stop
+    generating candidate pairs.  The stored band rows are untouched —
+    deletion is metadata — and a full ``write_lsh_index(retained,
+    mode='overwrite')`` rebuild replaces the whole directory, folding
+    band rows and tombstones away together.
+
+    Note the POLICY this encodes: after deletion, a future copy of the
+    removed content no longer pairs against it (right for
+    quality-driven removals — a fresh copy deserves fresh judgment).
+    Legal-takedown pipelines that must keep CATCHING re-uploads of
+    removed content want ``decontaminate``/``contaminated_doc_ids``
+    against a retained blocklist instead — don't repurpose tombstones
+    for that.
+
+    Same durability discipline as the IVFADC side: two-phase write +
+    single-rename publish (``io.publish_rename``), idempotent retry of
+    a published ``batch_id`` returns False, a crash before the rename
+    leaves only an invisible temp the retry overwrites.  ``doc_ids``
+    is a list of ints or a single-column DataFrame of ``doc_id``."""
+    from mapreduce_framework_for_mergesort_spark.io import publish_rename
+
+    if not batch_id or "/" in batch_id or batch_id.startswith("."):
+        raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    final = jvm.org.apache.hadoop.fs.Path(f"{path}/_tombstones/{batch_id}")
+    fs = final.getFileSystem(conf)
+    if fs.exists(final):
+        return False
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("bigint"))
+    else:
+        df = spark.createDataFrame(
+            [(int(v),) for v in doc_ids], LSH_TOMBSTONE_SCHEMA
+        )
+    tmp = f"{path}/_tombstones/.tmp-{batch_id}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    return publish_rename(fs, jvm, tmp, str(final))
+
+
+def lsh_index_bands(spark, path: str) -> DataFrame:
+    """The stored band index MINUS published tombstones — the read
+    surface incremental probes should use (plain
+    ``spark.read.parquet(path)`` still works when no takedown has ever
+    run; this wrapper costs nothing in that case).  Tombstones are a
+    bounded broadcast anti-join, exactly like the IVFADC probe's."""
+    bands = spark.read.parquet(path)
+    jvm = spark._jvm
+    troot = jvm.org.apache.hadoop.fs.Path(f"{path}/_tombstones")
+    fs = troot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(troot):
+        return bands
+    dirs = [
+        f"{path}/_tombstones/{st.getPath().getName()}"
+        for st in fs.listStatus(troot)
+        if st.isDirectory() and not st.getPath().getName().startswith(".")
+    ]
+    if not dirs:
+        return bands
+    tombs = (
+        spark.read.schema(LSH_TOMBSTONE_SCHEMA).parquet(*dirs).distinct()
+    )
+    return bands.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+
 # --- duplicate-substring spans (tier 6: position-level dedup) --------------
 # Document-level tiers (2-5) decide KEEP/DROP per doc; training corpora
 # also need the finer grain of Lee et al. '21 ("Deduplicating Training

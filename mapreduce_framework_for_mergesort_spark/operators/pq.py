@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.functions import vector as V
+from mapreduce_framework_for_mergesort_spark.io import (
+    publish_rename as _publish_rename,  # moved to io.py in round 8
+)
 from mapreduce_framework_for_mergesort_spark.operators import similarity as S
 
 PQ_M = 4  # subspaces (64-dim -> 16-dim subvectors)
@@ -415,46 +418,6 @@ def append_ivfadc_index(
         "overwrite"
     ).partitionBy("cell").parquet(str(tmp))
     return _publish_rename(fs, jvm, str(tmp), str(final))
-
-
-def _publish_rename(fs, jvm, tmp: str, final: str) -> bool:
-    """Publish ``tmp`` as ``final`` via one filesystem rename, safe
-    against a concurrent publisher of the same id (round-8 ADVICE):
-    Hadoop ``FileSystem.rename(tmp, final)`` with an EXISTING final
-    directory does not fail — it moves tmp INSIDE final as a hidden
-    child and returns true, so a naive check hands the losing writer a
-    'published' True plus residue in the winner's dir.  After the
-    rename, the loser is detected by its tmp basename having landed
-    under final; the residue is deleted (dot-prefixed, so readers
-    never saw it) and the no-op False path taken.
-
-    Boolean contract under a same-id race: the durable invariant is
-    that ``final`` holds exactly one complete copy and no residue —
-    guaranteed.  Which of two racing writers sees True can cross in
-    one interleaving (the loser's rewrite of the SHARED temp lands
-    between the winner's rename and its swallow check: the winner then
-    finds residue and reports False, the loser finds it already gone
-    and reports True).  Same batch_id means same logical content by
-    the idempotence contract, so the crossed booleans never misreport
-    WHAT was published — only who gets credit."""
-    Path = jvm.org.apache.hadoop.fs.Path
-    tmp_p, final_p = Path(tmp), Path(final)
-    if not fs.exists(tmp_p):
-        # a twin already renamed our shared temp away (some Hadoop
-        # filesystems RAISE on a missing rename source, not false)
-        if fs.exists(final_p):
-            return False
-        raise OSError(f"could not publish {final!r}: temp {tmp!r} missing")
-    if not fs.rename(tmp_p, final_p):
-        if fs.exists(final_p):  # lost the race before our rename ran
-            fs.delete(tmp_p, True)
-            return False
-        raise OSError(f"could not publish {final!r}")
-    swallowed = Path(f"{final}/{tmp_p.getName()}")
-    if fs.exists(swallowed):
-        fs.delete(swallowed, True)
-        return False
-    return True
 
 
 #: The codes-dir schema, held explicitly so readers never depend on

@@ -2352,6 +2352,95 @@ def test_incremental_lsh_index_equals_batch(spark, sf_oracle, tmp_path):
     assert inc, "fixture corpus must produce cross-half candidates"
 
 
+def test_lsh_index_delete_lifecycle(spark, sf_oracle, tmp_path):
+    """delete_from_lsh_index (round 8 — the dedup-index twin of the
+    IVFADC tombstones): a retracted document's bands stop generating
+    candidate pairs without re-banding the corpus.
+
+    (a) EXCLUSION-EQUIVALENCE: after tombstoning, incremental pairs
+    against ``lsh_index_bands`` equal pairs against an index built
+    WITHOUT the deleted docs; (b) IDEMPOTENCE + slug validation;
+    (c) EMPTY takedown publishes harmlessly; (d) a crash-leftover temp
+    is invisible; (e) the plain parquet read of the band partitions is
+    untouched (tombstones are metadata under an underscore dir);
+    (f) a ``write_lsh_index(retained, mode='overwrite')`` rebuild
+    folds band rows AND tombstones away physically."""
+    import os
+
+    docs = load_table(spark, sf_oracle, "documents")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    path = str(tmp_path / "lsh_del")
+    D.write_lsh_index(old, path)
+
+    # choose victims that actually participate in cross-half pairs
+    base_inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.lsh_index_bands(spark, path)
+        ).collect()
+    }
+    assert base_inc
+    indexed_in_pairs = sorted(
+        {a for a, _b in base_inc} | {b for _a, b in base_inc}
+    )
+    doomed = [d for d in indexed_in_pairs if d % 2 == 0][:2]
+    assert doomed, "need indexed docs participating in pairs"
+
+    assert D.delete_from_lsh_index(spark, doomed, path, "t1") is True
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.lsh_index_bands(spark, path)
+        ).collect()
+    }
+    retained_index = old.where(~F.col("doc_id").isin(doomed))
+    path2 = str(tmp_path / "lsh_retained")
+    D.write_lsh_index(retained_index, path2)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.lsh_index_bands(spark, path2)
+        ).collect()
+    }
+    assert after == want and after != base_inc
+
+    # idempotence, slug validation, empty takedown, crash leftover
+    assert D.delete_from_lsh_index(spark, doomed, path, "t1") is False
+    with pytest.raises(ValueError, match="plain slug"):
+        D.delete_from_lsh_index(spark, [1], path, ".bad")
+    assert D.delete_from_lsh_index(spark, [], path, "t-empty") is True
+    import shutil
+
+    shutil.copytree(
+        f"{path}/_tombstones/t1", f"{path}/_tombstones/.tmp-t2"
+    )
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.lsh_index_bands(spark, path)
+        ).collect()
+    } == want
+
+    # the raw band partitions are untouched by deletion
+    assert spark.read.parquet(path).where(
+        F.col("doc_id").isin(doomed)
+    ).count() > 0
+
+    # rebuild folds everything
+    D.write_lsh_index(retained_index, path, mode="overwrite")
+    assert not os.path.exists(f"{path}/_tombstones")
+    assert spark.read.parquet(path).where(
+        F.col("doc_id").isin(doomed)
+    ).count() == 0
+    assert {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.lsh_index_bands(spark, path)
+        ).collect()
+    } == want
+
+
 def test_near_dedup_collapse_exact_identical_kept_set(spark, sf_oracle):
     """Exact-first collapse must keep the IDENTICAL doc set as the
     uncollapsed pipeline on a replica-heavy corpus, for minhash and for
