@@ -16,7 +16,12 @@ the streaming composition over the documents fixture:
    that leaves the latest (replayable) epoch untouched;
 3. prove nothing observable changed: identical accepted rows before
    and after, and the next microbatch ingests on top of the compacted
-   layout unchanged.
+   layout unchanged;
+4. TAKEDOWN (round 8): ``retract_documents`` publishes a tombstone
+   batch — ``read_corpus`` masks the rows immediately, the accept
+   decision stops vetoing future copies, and the next
+   ``compact_ingest_state`` fold removes them physically from every
+   closed epoch of all three surfaces.
 
 Run:  python examples/ingest_and_compact.py [sf_dir] [work_dir]
 """
@@ -111,6 +116,29 @@ def main() -> None:
     assert final == len(before), (final, len(before))
     print("post-compaction batch of 50 known docs: all rejected, "
           f"corpus still {final} rows")
+
+    # 4. TAKEDOWN (round 8): documents leave corpora too.  Retract one
+    # shipped doc — read_corpus masks it immediately; its index rows
+    # stop vetoing future copies (fresh judgment); and the NEXT fold
+    # makes the removal physical on every closed epoch.
+    victim = int(
+        spark.read.parquet(out).select("doc_id").orderBy("doc_id")
+        .first()["doc_id"]
+    )
+    assert I.retract_documents(spark, out, [victim], "takedown-001")
+    assert I.retract_documents(spark, out, [victim], "takedown-001") is False
+    masked = I.read_corpus(spark, out).count()
+    assert masked == final - 1
+    print(f"retracted doc {victim}: read_corpus {final} -> {masked} rows "
+          "(retry was a no-op)")
+    I.compact_ingest_state(spark, idx, out)
+    physically = spark.read.parquet(out).where(
+        f"doc_id = {victim}"
+    ).count()
+    assert I.read_corpus(spark, out).count() == masked
+    print(f"after the fold: {physically} physical rows of doc {victim} "
+          "in closed epochs (0 unless it rode the live epoch); "
+          "read_corpus unchanged")
 
 
 if __name__ == "__main__":

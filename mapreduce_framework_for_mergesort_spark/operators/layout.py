@@ -315,6 +315,7 @@ def compact_epochs(
     target_files: int = 1,
     partition_by: tuple[str, ...] = (),
     up_to: int | None = None,
+    transform=None,
 ) -> dict | None:
     """Fold every CLOSED ``epoch=N`` partition under ``path`` (ids
     strictly below the latest persisted epoch, optionally also capped
@@ -327,6 +328,20 @@ def compact_epochs(
     source set.  Concurrent READERS see at-worst transient duplicate
     history, except a two-metadata-op rename window on epoch ``hi``
     (full contract in the protocol comment above).
+
+    ``transform`` (optional, ``DataFrame -> DataFrame``) filters or
+    rewrites rows DURING the phase-1 consolidated rewrite — the
+    retraction fold hook (``streaming.ingest.compact_ingest_state``
+    passes the tombstone anti-join so takedowns become physical at the
+    natural rewrite point instead of needing their own corpus pass).
+    With a transform, the ``_FOLDED`` proof reads "carries every lower
+    epoch's RETAINED rows" — the delete phase is as safe as before
+    because the dropped rows were dropped deliberately, and a crash
+    recovery of a committed temp needs no knowledge of the transform
+    (the temp already IS the retained copy).  Rows it removes must be
+    rows the surface's readers already MASK (tombstoned): until the
+    fold runs, epochs above ``hi`` — including the live one — still
+    carry them physically.
 
     Returns ``{epochs_folded, hi, files_before, files_after}``, or
     ``None`` when there is nothing to do (fewer than two closed
@@ -467,6 +482,8 @@ def compact_epochs(
         .where(F.col("epoch") <= F.lit(hi))
         .drop("epoch")
     )
+    if transform is not None:
+        df = transform(df)
     shaped = (
         df.repartition(max(1, target_files), *partition_by)
         if partition_by

@@ -179,9 +179,15 @@ def accept_batch(
     # cannot see
     reps = hashed.groupBy("__h").agg(F.min("doc_id").alias("doc_id"))
     pool = hashed.join(reps, ["doc_id", "__h"], "semi")
-    # exact tier, against history
-    idx_hashes = _exclude_epoch(
-        _read_optional(spark, f"{index_path}/hashes"), epoch
+    # exact tier, against history — minus retracted docs (round 8:
+    # a retracted document must not veto a future copy; its index
+    # rows are masked here and removed physically at the next fold)
+    idx_hashes = _exclude_retracted(
+        _exclude_epoch(
+            _read_optional(spark, f"{index_path}/hashes"), epoch
+        ),
+        spark,
+        out_path,
     )
     if idx_hashes is not None:
         pool = pool.join(idx_hashes.select("__h"), "__h", "anti")
@@ -189,8 +195,12 @@ def accept_batch(
     # ONE banding pass serves the within-batch pair tier, the index
     # probe, and the index append below
     bands = materialize(minhash_bands(pool))
-    idx_bands = _exclude_epoch(
-        _read_optional(spark, f"{index_path}/bands"), epoch
+    idx_bands = _exclude_retracted(
+        _exclude_epoch(
+            _read_optional(spark, f"{index_path}/bands"), epoch
+        ),
+        spark,
+        out_path,
     )
     if idx_bands is not None:
         hit = (
@@ -237,6 +247,108 @@ def accept_batch(
     ).partitionBy("band_id").parquet(f"{index_path}/bands{sfx}")
 
 
+#: Retraction-tombstone schema, explicit so an EMPTY takedown batch
+#: (only a _SUCCESS marker) reads as zero rows, never an inference
+#: failure — the same contract as the two batch indices' tombstones.
+RETRACTION_SCHEMA = "doc_id bigint"
+
+
+def retract_documents(spark, out_path: str, doc_ids, batch_id: str) -> bool:
+    """Takedown from the continuously-ingested corpus (round 8 — the
+    lifecycle step that completes the feed story: documents leave
+    corpora too, for legal, consent, or quality reasons, and a feed
+    that can only ever grow is not a production corpus).  Publishes
+    ``doc_ids`` as a tombstone batch under ``<out_path>/_tombstones/``
+    (underscore-prefixed: invisible to the epoch-partition reads and
+    to ``_list_epochs``); from then on
+
+    * ``read_corpus`` masks the rows (broadcast anti-join — the
+      consumer-facing corpus read);
+    * ``accept_batch`` excludes the retracted docs' index rows from
+      its exact-hash and band decisions, so a FUTURE copy of retracted
+      content gets fresh judgment instead of silently deduping against
+      a document that no longer ships (same policy note as
+      ``dedup.delete_from_lsh_index`` — legal-takedown pipelines that
+      must keep CATCHING re-uploads want a retained blocklist through
+      ``dedup.decontaminate``, not tombstones);
+    * the next ``compact_ingest_state`` fold makes the removal
+      PHYSICAL on every closed epoch of all three surfaces (corpus,
+      hashes, bands) via ``compact_epochs``' transform hook — no
+      dedicated rewrite pass.  Tombstones are kept after folding (the
+      live epoch may still carry the rows physically); they are
+      bounded by takedown volume and fold away only on a full
+      overwrite rebuild.
+
+    Same durability discipline as every publish in this engine:
+    two-phase write + single-rename (``io.publish_rename``),
+    idempotent retry returns False, a crash leaves an invisible temp.
+    Ordering contract: retraction is a janitorial operation — do not
+    interleave it with an in-flight epoch's crash-replay window (a
+    replay that suddenly sees fewer index rows could accept docs the
+    original run rejected, breaking byte-identical replay; quiesce,
+    exactly like compaction)."""
+    from mapreduce_framework_for_mergesort_spark.io import publish_rename
+
+    if not batch_id or "/" in batch_id or batch_id.startswith("."):
+        raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    final = jvm.org.apache.hadoop.fs.Path(
+        f"{out_path}/_tombstones/{batch_id}"
+    )
+    fs = final.getFileSystem(conf)
+    if fs.exists(final):
+        return False
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col("doc_id").cast("bigint"))
+    else:
+        df = spark.createDataFrame(
+            [(int(v),) for v in doc_ids], RETRACTION_SCHEMA
+        )
+    tmp = f"{out_path}/_tombstones/.tmp-{batch_id}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    return publish_rename(fs, jvm, tmp, str(final))
+
+
+def _retraction_tombstones(spark, out_path: str) -> DataFrame | None:
+    """Union of published retraction batches, or None when no takedown
+    has ever run (the common case — it must cost readers nothing)."""
+    jvm = spark._jvm
+    troot = jvm.org.apache.hadoop.fs.Path(f"{out_path}/_tombstones")
+    fs = troot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(troot):
+        return None
+    dirs = [
+        f"{out_path}/_tombstones/{st.getPath().getName()}"
+        for st in fs.listStatus(troot)
+        if st.isDirectory() and not st.getPath().getName().startswith(".")
+    ]
+    if not dirs:
+        return None
+    return spark.read.schema(RETRACTION_SCHEMA).parquet(*dirs).distinct()
+
+
+def _exclude_retracted(df, spark, out_path: str):
+    """Anti-join ``df`` (any doc_id-keyed surface) against the
+    published retraction tombstones; identity when none exist."""
+    if df is None:
+        return None
+    tombs = _retraction_tombstones(spark, out_path)
+    if tombs is None:
+        return df
+    return df.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+
+def read_corpus(spark, out_path: str) -> DataFrame:
+    """The consumer-facing corpus read: every accepted document MINUS
+    published retractions.  Plain ``spark.read.parquet(out_path)``
+    still works when no takedown has ever run; after one it
+    under-masks — always read the feed through this."""
+    return _exclude_retracted(
+        spark.read.parquet(out_path), spark, out_path
+    )
+
+
 def ingest_documents_stream(
     docs_stream: DataFrame,
     index_path: str,
@@ -280,20 +392,42 @@ def compact_ingest_state(
     except a two-rename metadata window on the folded epoch; protocol,
     reader contract, and crash-recovery in
     ``operators/layout.compact_epochs``.
+
+    When retraction tombstones exist (``retract_documents``), the fold
+    also makes those removals PHYSICAL on every closed epoch of all
+    three surfaces — see the transform note below and the ordering
+    contract on ``retract_documents``.
     Returns the per-surface stats dicts (None where nothing to do)."""
     from mapreduce_framework_for_mergesort_spark.operators.layout import (
         compact_epochs,
     )
 
+    # retraction fold (round 8): when takedowns have been published,
+    # the consolidated rewrite drops their rows from every CLOSED
+    # epoch of all three doc_id-keyed surfaces — physical removal at
+    # the rewrite the fold pays anyway.  Readers were already masking
+    # these rows, so the fold changes bytes, never answers; the
+    # tombstones stay (the live epoch may still carry the rows).
+    tombs = _retraction_tombstones(spark, out_path)
+    tr = None
+    if tombs is not None:
+        tombs = materialize(tombs)
+        tr = lambda df: df.join(  # noqa: E731
+            F.broadcast(tombs), "doc_id", "left_anti"
+        )
+
     return {
-        "corpus": compact_epochs(spark, out_path, target_files),
+        "corpus": compact_epochs(
+            spark, out_path, target_files, transform=tr
+        ),
         "hashes": compact_epochs(
-            spark, f"{index_path}/hashes", target_files
+            spark, f"{index_path}/hashes", target_files, transform=tr
         ),
         "bands": compact_epochs(
             spark,
             f"{index_path}/bands",
             target_files,
             partition_by=("band_id",),
+            transform=tr,
         ),
     }

@@ -964,3 +964,89 @@ def test_compact_epochs_recovers_success_but_no_folded_temp(
         for r in spark.read.parquet(out).select("doc_id", "text").collect()
     )
     assert got2 == want2  # exactly once — no baked-in duplicates
+
+
+def test_retract_documents_lifecycle(spark, tmp_path):
+    """retract_documents (round 8): takedown from the continuously
+    ingested corpus, end to end.
+
+    (a) MASKING: read_corpus excludes the retracted doc immediately,
+    while the raw epoch partitions still hold it (deletion is
+    metadata until the fold);
+    (b) FRESH JUDGMENT: a later batch carrying a byte-identical copy
+    of the RETRACTED text is accepted (its index rows are excluded
+    from the exact and band decisions), while a copy of a
+    NON-retracted doc is still rejected;
+    (c) exactly-once hygiene: idempotent retry, slug validation, empty
+    takedown, crash-leftover temp invisible;
+    (d) PHYSICAL FOLD: compact_ingest_state removes the retracted rows
+    from every closed epoch of all three surfaces via the transform
+    hook, read_corpus is unchanged by the fold, tombstones survive it
+    (the live epoch may still carry rows), and the stream keeps
+    accepting afterwards."""
+    import os
+
+    out = str(tmp_path / "ret_corpus")
+    idx = str(tmp_path / "ret_idx")
+    batch = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+
+    I.accept_batch(batch([(1, BASE), (4, OTHER)]), idx, out, epoch=0)
+    I.accept_batch(batch([(5, THIRD)]), idx, out, epoch=1)
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {1, 4, 5}
+
+    # (a) retract doc 1; masked logically, present physically
+    assert I.retract_documents(spark, out, [1], "takedown-1") is True
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {4, 5}
+    assert spark.read.parquet(out).where("doc_id = 1").count() == 1
+
+    # (c) hygiene
+    assert I.retract_documents(spark, out, [1], "takedown-1") is False
+    with pytest.raises(ValueError, match="plain slug"):
+        I.retract_documents(spark, out, [1], ".bad")
+    assert I.retract_documents(spark, out, [], "takedown-empty") is True
+    import shutil
+
+    shutil.copytree(
+        f"{out}/_tombstones/takedown-1", f"{out}/_tombstones/.tmp-x"
+    )
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {4, 5}
+
+    # (b) a new copy of the retracted BASE text is accepted; a copy of
+    # the still-shipped OTHER text stays rejected
+    I.accept_batch(batch([(11, BASE), (14, OTHER)]), idx, out, epoch=2)
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {4, 5, 11}
+
+    # (d) fold: epochs 0 and 1 are closed (latest is 2) — retracted
+    # rows leave every surface physically; answers unchanged
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats["corpus"] is not None
+    assert spark.read.parquet(out).where("doc_id = 1").count() == 0
+    assert (
+        spark.read.parquet(f"{idx}/hashes").where("doc_id = 1").count()
+        == 0
+    )
+    assert (
+        spark.read.parquet(f"{idx}/bands").where("doc_id = 1").count()
+        == 0
+    )
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {4, 5, 11}
+    assert os.path.isdir(f"{out}/_tombstones/takedown-1")  # kept
+
+    # the feed keeps flowing on the folded, tombstoned layout — and a
+    # NEAR-dup of the retracted text now also gets fresh judgment
+    # through the band tier (doc 11 is its new representative, so a
+    # near-dup of BASE is rejected against 11, not against history)
+    I.accept_batch(batch([(21, NEAR), (24, "fresh content here ok")]),
+                   idx, out, epoch=3)
+    got = {r["doc_id"] for r in I.read_corpus(spark, out).collect()}
+    assert 24 in got and 21 not in got  # NEAR near-dups accepted 11
