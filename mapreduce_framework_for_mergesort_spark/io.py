@@ -258,3 +258,57 @@ def publish_rename(fs, jvm, tmp: str, final: str) -> bool:
         fs.delete(swallowed, True)
         return False
     return True
+
+
+def publish_tombstone_batch(
+    spark: SparkSession, root: str, schema: str, ids, batch_id: str
+) -> bool:
+    """The ONE tombstone-batch publisher (round-8 review: the IVFADC
+    index, the LSH dedup index, and the ingest corpus each had a
+    hand-copied ~40-line variant — slug rules and hidden-dir filters
+    must not drift apart).  Writes ``ids`` (a list of ints or a
+    single-column DataFrame named by ``schema``'s one column) to
+    ``<root>/.tmp-<batch_id>`` and publishes with one rename
+    (``publish_rename``).  Idempotent: a published ``batch_id``
+    returns False; a crash before the rename leaves only an invisible
+    temp the retry overwrites.  ``schema`` is explicit (e.g.
+    ``"doc_id bigint"``) so an EMPTY batch — a takedown round that
+    matched nothing still publishes its audit trail — reads back as
+    zero rows, never an inference failure."""
+    id_col = schema.split()[0]
+    if not batch_id or "/" in batch_id or batch_id.startswith("."):
+        raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
+    jvm = spark._jvm
+    final = jvm.org.apache.hadoop.fs.Path(f"{root}/{batch_id}")
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(final):
+        return False
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(id_col).cast("bigint"))
+    else:
+        df = spark.createDataFrame([(int(v),) for v in ids], schema)
+    tmp = f"{root}/.tmp-{batch_id}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    return publish_rename(fs, jvm, tmp, str(final))
+
+
+def read_tombstone_batches(
+    spark: SparkSession, root: str, schema: str
+) -> DataFrame | None:
+    """Union of the PUBLISHED tombstone batches under ``root``
+    (filesystem listing only; unpublished ``.tmp-*`` dirs invisible),
+    or None when no takedown has ever run — the common case, which
+    must cost readers nothing."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    dirs = [
+        f"{root}/{st.getPath().getName()}"
+        for st in fs.listStatus(p)
+        if st.isDirectory() and not st.getPath().getName().startswith(".")
+    ]
+    if not dirs:
+        return None
+    return spark.read.schema(schema).parquet(*dirs).distinct()

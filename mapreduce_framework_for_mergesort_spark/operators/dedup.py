@@ -1056,7 +1056,22 @@ def write_lsh_index(
     band-aligned files; at real scale write it as a BUCKETED table on
     (band_id, band_val) (``operators/bucketing.py``) and the probe join
     needs no shuffle at all.  ``mode='append'`` adds an ingest batch's
-    bands to the index after its pairs have been emitted."""
+    bands to the index after its pairs have been emitted.
+
+    ``mode='overwrite'`` is the REBUILD: it deletes the index root
+    explicitly before writing, so the fold-away of ``_tombstones`` and
+    of band partitions absent from the new corpus cannot depend on the
+    session's ``partitionOverwriteMode`` — under ``dynamic`` a
+    partitioned overwrite replaces only the partitions present in the
+    write and would leave stale tombstones masking re-included docs
+    forever (round-8 review)."""
+    if mode == "overwrite":
+        spark = documents.sparkSession
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     minhash_bands(documents).write.mode(mode).partitionBy(
         "band_id"
     ).parquet(path)
@@ -1127,26 +1142,20 @@ def delete_from_lsh_index(spark, doc_ids, path: str, batch_id: str) -> bool:
     single-rename publish (``io.publish_rename``), idempotent retry of
     a published ``batch_id`` returns False, a crash before the rename
     leaves only an invisible temp the retry overwrites.  ``doc_ids``
-    is a list of ints or a single-column DataFrame of ``doc_id``."""
-    from mapreduce_framework_for_mergesort_spark.io import publish_rename
+    is a list of ints or a single-column DataFrame of ``doc_id``.
 
-    if not batch_id or "/" in batch_id or batch_id.startswith("."):
-        raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/_tombstones/{batch_id}")
-    fs = final.getFileSystem(conf)
-    if fs.exists(final):
-        return False
-    if isinstance(doc_ids, DataFrame):
-        df = doc_ids.select(F.col("doc_id").cast("bigint"))
-    else:
-        df = spark.createDataFrame(
-            [(int(v),) for v in doc_ids], LSH_TOMBSTONE_SCHEMA
-        )
-    tmp = f"{path}/_tombstones/.tmp-{batch_id}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    return publish_rename(fs, jvm, tmp, str(final))
+    A tombstoned doc_id is DEAD until a full overwrite rebuild: a
+    later ``write_lsh_index(mode='append')`` carrying the same id
+    stores band rows the read surface keeps masking — re-admission of
+    retracted content must use a NEW doc_id (round-8 review)."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        publish_tombstone_batch,
+    )
+
+    return publish_tombstone_batch(
+        spark, f"{path}/_tombstones", LSH_TOMBSTONE_SCHEMA, doc_ids,
+        batch_id,
+    )
 
 
 def lsh_index_bands(spark, path: str) -> DataFrame:
@@ -1155,22 +1164,16 @@ def lsh_index_bands(spark, path: str) -> DataFrame:
     ``spark.read.parquet(path)`` still works when no takedown has ever
     run; this wrapper costs nothing in that case).  Tombstones are a
     bounded broadcast anti-join, exactly like the IVFADC probe's."""
-    bands = spark.read.parquet(path)
-    jvm = spark._jvm
-    troot = jvm.org.apache.hadoop.fs.Path(f"{path}/_tombstones")
-    fs = troot.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(troot):
-        return bands
-    dirs = [
-        f"{path}/_tombstones/{st.getPath().getName()}"
-        for st in fs.listStatus(troot)
-        if st.isDirectory() and not st.getPath().getName().startswith(".")
-    ]
-    if not dirs:
-        return bands
-    tombs = (
-        spark.read.schema(LSH_TOMBSTONE_SCHEMA).parquet(*dirs).distinct()
+    from mapreduce_framework_for_mergesort_spark.io import (
+        read_tombstone_batches,
     )
+
+    bands = spark.read.parquet(path)
+    tombs = read_tombstone_batches(
+        spark, f"{path}/_tombstones", LSH_TOMBSTONE_SCHEMA
+    )
+    if tombs is None:
+        return bands
     return bands.join(F.broadcast(tombs), "doc_id", "left_anti")
 
 

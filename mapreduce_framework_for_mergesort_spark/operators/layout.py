@@ -469,7 +469,14 @@ def compact_epochs(
         e for e in epochs
         if e < latest and (up_to is None or e <= up_to)
     ]
-    if len(closed) < 2:
+    # The <2 guard is small-file ECONOMICS (folding one epoch onto
+    # itself saves nothing); with a transform the rewrite IS the point
+    # (retraction must become physical even when only one closed epoch
+    # exists — round-8 review: the takedown promise silently never
+    # fired on an already-compacted surface), so a single closed epoch
+    # folds too.  Callers who want to avoid repeated single-epoch
+    # rewrites should pass the transform only while it has work to do.
+    if not closed or (len(closed) < 2 and transform is None):
         return None
     hi = max(closed)
     tmp = Path(f"{path}/.compact-epoch-{hi}")

@@ -455,43 +455,26 @@ def delete_from_ivfadc_index(
     published ``batch_id`` returns False, a crash before the rename
     leaves only an invisible temp the retry overwrites.  ``vec_ids``
     is a list of ints or a single-column DataFrame of ``vec_id``."""
-    if not batch_id or "/" in batch_id or batch_id.startswith("."):
-        raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    final = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones/{batch_id}")
-    fs = final.getFileSystem(conf)
-    if fs.exists(final):
-        return False
-    if isinstance(vec_ids, DataFrame):
-        df = vec_ids.select(F.col("vec_id").cast("bigint"))
-    else:
-        df = spark.createDataFrame(
-            [(int(v),) for v in vec_ids], TOMBSTONE_SCHEMA
-        )
-    tmp = f"{path}/tombstones/.tmp-{batch_id}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    return _publish_rename(fs, jvm, tmp, str(final))
+    from mapreduce_framework_for_mergesort_spark.io import (
+        publish_tombstone_batch,
+    )
+
+    return publish_tombstone_batch(
+        spark, f"{path}/tombstones", TOMBSTONE_SCHEMA, vec_ids, batch_id
+    )
 
 
 def _ivfadc_tombstones(spark, path: str) -> DataFrame | None:
-    """Union of all PUBLISHED tombstone batches (filesystem listing
-    only, unpublished ``.tmp-*`` invisible), or None when no takedown
-    has ever run — the common case, which must cost the probe
-    nothing."""
-    jvm = spark._jvm
-    troot = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
-    fs = troot.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(troot):
-        return None
-    dirs = [
-        f"{path}/tombstones/{st.getPath().getName()}"
-        for st in fs.listStatus(troot)
-        if st.isDirectory() and not st.getPath().getName().startswith(".")
-    ]
-    if not dirs:
-        return None
-    return spark.read.schema(TOMBSTONE_SCHEMA).parquet(*dirs).distinct()
+    """Union of all PUBLISHED tombstone batches, or None when no
+    takedown has ever run — the common case, which must cost the probe
+    nothing (``io.read_tombstone_batches``)."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        read_tombstone_batches,
+    )
+
+    return read_tombstone_batches(
+        spark, f"{path}/tombstones", TOMBSTONE_SCHEMA
+    )
 
 
 def _ivfadc_code_dirs(spark, path: str) -> list[str]:

@@ -171,6 +171,22 @@ def accept_batch(
                 "latest epoch (older epochs' accept decisions would "
                 "see later history and diverge)"
             )
+    # one tombstone read per microbatch, shared by the three
+    # exclusions below (round-8 review: building the same broadcast
+    # twice on the hot path)
+    tombs = _retraction_tombstones(spark, out_path)
+
+    def _minus_retracted(df):
+        if df is None or tombs is None:
+            return df
+        return df.join(F.broadcast(tombs), "doc_id", "left_anti")
+
+    # A retracted doc_id is DEAD: the tombstone keys the IDENTITY, so
+    # an incoming row reusing it is dropped here — accepting it would
+    # create rows read_corpus masks forever and the next fold deletes
+    # (silent loss of an "accepted" doc; round-8 review).  Re-admission
+    # of retracted content must arrive under a NEW doc_id.
+    batch = _minus_retracted(batch)
     hashed = batch.withColumn(
         "__h", F.md5(F.col("text").cast("binary"))
     )
@@ -182,12 +198,10 @@ def accept_batch(
     # exact tier, against history — minus retracted docs (round 8:
     # a retracted document must not veto a future copy; its index
     # rows are masked here and removed physically at the next fold)
-    idx_hashes = _exclude_retracted(
+    idx_hashes = _minus_retracted(
         _exclude_epoch(
             _read_optional(spark, f"{index_path}/hashes"), epoch
-        ),
-        spark,
-        out_path,
+        )
     )
     if idx_hashes is not None:
         pool = pool.join(idx_hashes.select("__h"), "__h", "anti")
@@ -195,12 +209,10 @@ def accept_batch(
     # ONE banding pass serves the within-batch pair tier, the index
     # probe, and the index append below
     bands = materialize(minhash_bands(pool))
-    idx_bands = _exclude_retracted(
+    idx_bands = _minus_retracted(
         _exclude_epoch(
             _read_optional(spark, f"{index_path}/bands"), epoch
-        ),
-        spark,
-        out_path,
+        )
     )
     if idx_bands is not None:
         hit = (
@@ -278,6 +290,13 @@ def retract_documents(spark, out_path: str, doc_ids, batch_id: str) -> bool:
       live epoch may still carry the rows physically); they are
       bounded by takedown volume and fold away only on a full
       overwrite rebuild.
+
+    A retracted ``doc_id`` is DEAD: the tombstone keys the identity,
+    so ``accept_batch`` drops incoming rows that reuse it (accepting
+    one would create rows ``read_corpus`` masks forever and the next
+    fold deletes).  Re-admission of retracted content must arrive
+    under a NEW doc_id — which the fresh-judgment index masking then
+    accepts.
 
     Same durability discipline as every publish in this engine:
     two-phase write + single-rename (``io.publish_rename``),

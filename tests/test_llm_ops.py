@@ -3550,3 +3550,35 @@ def test_jpeg_decoder_restart_intervals():
     # a wrong restart-marker index is corruption, not silently skipped
     with pytest.raises(ValueError, match="expected RST0"):
         M._jpeg_ycbcr(build([1, 0]))
+
+
+def test_lsh_index_rebuild_folds_tombstones_under_dynamic_overwrite(
+    spark, sf_oracle, tmp_path
+):
+    """Round-8 review: the rebuild's 'overwrite folds tombstones away'
+    contract relied on STATIC partitionOverwriteMode semantics — under
+    ``dynamic`` (a common production session default) a partitioned
+    overwrite replaces only the band partitions present in the write
+    and left ``_tombstones`` alive, masking re-included docs forever.
+    write_lsh_index now deletes the index root explicitly on
+    overwrite; pin the fold under the dynamic mode."""
+    import os
+
+    docs = load_table(spark, sf_oracle, "documents").limit(60)
+    path = str(tmp_path / "lsh_dyn")
+    D.write_lsh_index(docs, path)
+    doomed = [int(docs.first()["doc_id"])]
+    assert D.delete_from_lsh_index(spark, doomed, path, "t1") is True
+    assert os.path.isdir(f"{path}/_tombstones")
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        D.write_lsh_index(docs, path, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert not os.path.exists(f"{path}/_tombstones")
+    # the re-included doc's bands are live again
+    assert D.lsh_index_bands(spark, path).where(
+        F.col("doc_id").isin(doomed)
+    ).count() > 0

@@ -1050,3 +1050,72 @@ def test_retract_documents_lifecycle(spark, tmp_path):
                    idx, out, epoch=3)
     got = {r["doc_id"] for r in I.read_corpus(spark, out).collect()}
     assert 24 in got and 21 not in got  # NEAR near-dups accepted 11
+
+
+def test_retract_fold_fires_with_single_closed_epoch(spark, tmp_path):
+    """Round-8 review: compact_epochs' <2-closed-epochs economics
+    guard silently skipped the retraction fold on an ALREADY-COMPACTED
+    surface (epochs {hi, live} — the steady state every compacted feed
+    sits in), leaving takedown rows physical indefinitely while the
+    stats dict read 'nothing to do'.  With a transform, a single
+    closed epoch folds: pin the takedown becoming physical from
+    exactly that state."""
+    out = str(tmp_path / "one_corpus")
+    idx = str(tmp_path / "one_idx")
+    batch = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    I.accept_batch(batch([(1, BASE), (4, OTHER)]), idx, out, epoch=0)
+    I.accept_batch(batch([(5, THIRD)]), idx, out, epoch=1)
+    I.compact_ingest_state(spark, idx, out)  # steady state: {0(hi), 1}
+    assert sorted(
+        d for d in __import__("os").listdir(out) if d.startswith("epoch=")
+    ) == ["epoch=0", "epoch=1"]
+
+    assert I.retract_documents(spark, out, [1], "t1") is True
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats["corpus"] is not None  # the fold FIRED
+    assert spark.read.parquet(out).where("doc_id = 1").count() == 0
+    assert (
+        spark.read.parquet(f"{idx}/hashes").where("doc_id = 1").count()
+        == 0
+    )
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {4, 5}
+    # plain maintenance compaction (no tombstones pending elsewhere)
+    # keeps its economics: a tombstone-free surface with one closed
+    # epoch still returns None
+    out2 = str(tmp_path / "plain")
+    idx2 = str(tmp_path / "plain_idx")
+    I.accept_batch(batch([(1, BASE)]), idx2, out2, epoch=0)
+    I.accept_batch(batch([(5, THIRD)]), idx2, out2, epoch=1)
+    # one closed epoch, no tombstones -> the economics guard holds
+    assert I.compact_ingest_state(spark, idx2, out2)["corpus"] is None
+
+
+def test_retracted_doc_id_is_dead_on_reingest(spark, tmp_path):
+    """Round-8 review: accept_batch accepted an incoming row that
+    REUSED a retracted doc_id — creating rows read_corpus masks
+    forever and the next fold physically deletes (silent loss of an
+    'accepted' document).  The tombstone keys the identity: the
+    incoming row is dropped, and the same content under a NEW doc_id
+    is accepted (fresh judgment)."""
+    out = str(tmp_path / "dead_corpus")
+    idx = str(tmp_path / "dead_idx")
+    batch = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    I.accept_batch(batch([(7, BASE), (4, OTHER)]), idx, out, epoch=0)
+    assert I.retract_documents(spark, out, [7], "t1") is True
+
+    # re-delivery under the SAME id: dropped, nowhere on any surface
+    I.accept_batch(batch([(7, BASE)]), idx, out, epoch=1)
+    assert spark.read.parquet(out).where(
+        "doc_id = 7 AND epoch = 1"
+    ).count() == 0
+    assert spark.read.parquet(f"{idx}/hashes").where(
+        "doc_id = 7 AND epoch = 1"
+    ).count() == 0
+
+    # the same content under a NEW id: accepted (fresh judgment)
+    I.accept_batch(batch([(70, BASE)]), idx, out, epoch=2)
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {4, 70}
