@@ -2352,6 +2352,51 @@ def test_incremental_lsh_index_equals_batch(spark, sf_oracle, tmp_path):
     assert inc, "fixture corpus must produce cross-half candidates"
 
 
+def test_lsh_index_bucketed_probe_is_index_shuffle_free(spark, sf_oracle):
+    """write_lsh_index_bucketed (round 8): the docstring claim
+    'bucketed index -> the probe join needs no index-side shuffle'
+    becomes pinned behavior.  (a) the probe plan has exactly ONE
+    Exchange — the tiny batch side hash-partitioning to the bucket
+    layout — and the index FileScan is ``Bucketed: true`` with no
+    Exchange above it; (b) incremental pairs over the bucketed index
+    equal those over the parquet-path index."""
+    import re
+
+    docs = load_table(spark, sf_oracle, "documents")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    D.write_lsh_index_bucketed(old, "lsh_idx_bucketed_test", num_buckets=8)
+    idx = D.read_lsh_index_bucketed(spark, "lsh_idx_bucketed_test")
+
+    n, o = D.minhash_bands(new).alias("n"), idx.alias("o")
+    probe = n.join(
+        o,
+        (F.col("n.band_id") == F.col("o.band_id"))
+        & (F.col("n.band_val") == F.col("o.band_val"))
+        & (F.col("n.doc_id") != F.col("o.doc_id")),
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert "Bucketed: true" in plan, plan
+    # the one exchange hangs over the BATCH scan, not the index scan:
+    # no Exchange line may mention the bucketed table's columns' side
+    idx_scan = [l for l in plan.splitlines() if "lsh_idx_bucketed_test" in l]
+    assert idx_scan and all("Exchange" not in l for l in idx_scan)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(new, idx).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.minhash_bands(old)
+        ).collect()
+    }
+    assert got == want and got
+    spark.sql("DROP TABLE IF EXISTS lsh_idx_bucketed_test")
+
+
 def test_lsh_index_delete_lifecycle(spark, sf_oracle, tmp_path):
     """delete_from_lsh_index (round 8 — the dedup-index twin of the
     IVFADC tombstones): a retracted document's bands stop generating
