@@ -260,8 +260,50 @@ def publish_rename(fs, jvm, tmp: str, final: str) -> bool:
     return True
 
 
+def write_small_file(spark: SparkSession, path: str, data: str) -> None:
+    """Create/overwrite one tiny UTF-8 metadata file via the Hadoop FS
+    API (works on any scheme, no Spark job).  For the engine's
+    marker/sidecar files only — never data."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(data.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_small_file(spark: SparkSession, path: str) -> str | None:
+    """Contents of one tiny UTF-8 metadata file, or None if absent.
+    Byte-at-a-time py4j read — fine for the <1 KB marker/sidecar files
+    this pairs with ``write_small_file`` for, wrong for anything
+    data-sized."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        buf = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            buf.append(b)
+    finally:
+        stream.close()
+    return buf.decode("utf-8")
+
+
 def publish_tombstone_batch(
-    spark: SparkSession, root: str, schema: str, ids, batch_id: str
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    ids,
+    batch_id: str,
+    meta: dict[str, str] | None = None,
 ) -> bool:
     """The ONE tombstone-batch publisher (round-8 review: the IVFADC
     index, the LSH dedup index, and the ingest corpus each had a
@@ -274,10 +316,24 @@ def publish_tombstone_batch(
     temp the retry overwrites.  ``schema`` is explicit (e.g.
     ``"doc_id bigint"``) so an EMPTY batch — a takedown round that
     matched nothing still publishes its audit trail — reads back as
-    zero rows, never an inference failure."""
+    zero rows, never an inference failure.
+
+    ``meta``: optional tiny sidecar files (name → UTF-8 contents)
+    written into the temp BEFORE the rename, so they publish
+    atomically with the batch (a sidecar written after the rename
+    could be lost to a crash, silently changing downstream policy —
+    the reason the ingest fold's high-water mark rides here).  Names
+    must start with ``_`` or ``.`` so parquet partition discovery and
+    the batch read never see them."""
     id_col = schema.split()[0]
     if not batch_id or "/" in batch_id or batch_id.startswith("."):
         raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
+    for name in meta or {}:
+        if not name.startswith(("_", ".")):
+            raise ValueError(
+                f"meta sidecar {name!r} must start with '_' or '.' to "
+                "stay invisible to parquet reads"
+            )
     jvm = spark._jvm
     final = jvm.org.apache.hadoop.fs.Path(f"{root}/{batch_id}")
     fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -289,26 +345,46 @@ def publish_tombstone_batch(
         df = spark.createDataFrame([(int(v),) for v in ids], schema)
     tmp = f"{root}/.tmp-{batch_id}"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for name, data in (meta or {}).items():
+        write_small_file(spark, f"{tmp}/{name}", data)
     return publish_rename(fs, jvm, tmp, str(final))
 
 
-def read_tombstone_batches(
-    spark: SparkSession, root: str, schema: str
-) -> DataFrame | None:
-    """Union of the PUBLISHED tombstone batches under ``root``
-    (filesystem listing only; unpublished ``.tmp-*`` dirs invisible),
-    or None when no takedown has ever run — the common case, which
-    must cost readers nothing."""
+def list_tombstone_batch_ids(spark: SparkSession, root: str) -> list[str]:
+    """Sorted ids of the PUBLISHED tombstone batches under ``root``
+    (filesystem listing only; unpublished ``.tmp-*`` dirs and marker
+    FILES invisible).  Split out of ``read_tombstone_batches`` so a
+    caller that both records and reads the set (the ingest quiesce
+    check) can do it from ONE listing — two listings could straddle a
+    concurrent publish and record a set that differs from the rows the
+    decision actually read."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(root)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(p):
-        return None
-    dirs = [
-        f"{root}/{st.getPath().getName()}"
+        return []
+    return sorted(
+        st.getPath().getName()
         for st in fs.listStatus(p)
         if st.isDirectory() and not st.getPath().getName().startswith(".")
-    ]
-    if not dirs:
+    )
+
+
+def read_tombstone_batches(
+    spark: SparkSession,
+    root: str,
+    schema: str,
+    batch_ids: list[str] | None = None,
+) -> DataFrame | None:
+    """Union of the PUBLISHED tombstone batches under ``root``, or None
+    when no takedown has ever run — the common case, which must cost
+    readers nothing.  ``batch_ids`` (e.g. a snapshot from
+    ``list_tombstone_batch_ids``) pins the exact set read; the default
+    lists afresh."""
+    if batch_ids is None:
+        batch_ids = list_tombstone_batch_ids(spark, root)
+    if not batch_ids:
         return None
-    return spark.read.schema(schema).parquet(*dirs).distinct()
+    return spark.read.schema(schema).parquet(
+        *(f"{root}/{b}" for b in batch_ids)
+    ).distinct()

@@ -160,8 +160,28 @@ def accept_batch(
     leaving the epoch's partition silently different instead of
     byte-identical.  Structured Streaming's serialized epochs never
     hit this; the guard exists for the directly-callable backfill
-    path, which raises ``ValueError`` instead of corrupting state."""
+    path, which raises ``ValueError`` instead of corrupting state.
+
+    Quiesce contract, MECHANICAL (round 9 — previously a docstring
+    plea on ``retract_documents``): the only decision input that can
+    legally change between an epoch's original run and its replay is
+    the published retraction-tombstone set, so each epoch records the
+    set it decided against in ``<index_path>/_decisions/epoch-N``
+    (tiny sidecar, written BEFORE any data write so every crash window
+    is covered).  A replay whose listing differs from the record
+    raises ``RuntimeError`` instead of silently writing a partition
+    that diverges from what downstream consumers may already have
+    read.  Records below the latest epoch are garbage-collected (the
+    replay guard already forbids replaying those)."""
     spark = batch.sparkSession
+    from mapreduce_framework_for_mergesort_spark.io import (
+        list_tombstone_batch_ids,
+    )
+
+    # ONE listing feeds both the decision record and the tombstone
+    # read below — two listings could straddle a concurrent publish
+    # and record a set that differs from the rows actually read
+    tomb_ids = list_tombstone_batch_ids(spark, f"{out_path}/_tombstones")
     if epoch is not None:
         persisted = _max_persisted_epoch(spark, f"{index_path}/hashes")
         if persisted is not None and epoch < persisted:
@@ -171,10 +191,27 @@ def accept_batch(
                 "latest epoch (older epochs' accept decisions would "
                 "see later history and diverge)"
             )
+        recorded = _read_decision_record(spark, index_path, epoch)
+        if recorded is not None and recorded != tomb_ids:
+            raise RuntimeError(
+                f"epoch {epoch} replay sees retraction batches "
+                f"{tomb_ids} but originally decided against "
+                f"{recorded}: a retraction was published inside this "
+                "epoch's replay window, so re-deciding could silently "
+                "diverge from rows downstream consumers already read. "
+                "Quiesce retractions around replays; to recover, "
+                f"delete this epoch's partitions ({out_path}/epoch="
+                f"{epoch} and the index's hashes/bands epoch={epoch}) "
+                "plus the _decisions record, then re-run the epoch to "
+                "rebuild it under the current tombstone set."
+            )
+        if recorded is None:
+            _write_decision_record(spark, index_path, epoch, tomb_ids)
+            _gc_decision_records(spark, index_path, below=epoch)
     # one tombstone read per microbatch, shared by the three
     # exclusions below (round-8 review: building the same broadcast
     # twice on the hot path)
-    tombs = _retraction_tombstones(spark, out_path)
+    tombs = _retraction_tombstones(spark, out_path, batch_ids=tomb_ids)
 
     def _minus_retracted(df):
         if df is None or tombs is None:
@@ -264,6 +301,25 @@ def accept_batch(
 #: failure — the same contract as the two batch indices' tombstones.
 RETRACTION_SCHEMA = "doc_id bigint"
 
+#: Sidecar inside each tombstone batch dir recording the first epoch
+#: that CANNOT physically carry the batch's doc_ids (max persisted
+#: epoch at publish time + 1 — every later accept_batch drops them at
+#: entry, and +1 covers an epoch in flight during the publish).  The
+#: fold high-water mark: once a fold's hi reaches this on all three
+#: surfaces the batch is physically gone from every epoch it could
+#: have touched and retires from the compaction transform.
+_PUBLISH_EPOCH_FILE = "_PUBLISH_EPOCH"
+
+#: Marker file under ``_tombstones/`` holding the retraction-fold
+#: high-water marks: ``retired`` (batch id → fold hi that finished it)
+#: and ``folded_through`` (still-active batch id → highest fold hi it
+#: has been anti-joined through).  ``compact_ingest_state`` passes the
+#: transform only when some batch would see NEWLY-closed epochs
+#: (round-9 advice: without the marks, the first takedown made every
+#: later compaction rewrite the full folded history of all three
+#: surfaces forever, even with no new tombstones and no new epochs).
+_FOLD_STATE_MARKER = "_RETRACTION_FOLDS"
+
 
 def retract_documents(spark, out_path: str, doc_ids, batch_id: str) -> bool:
     """Takedown from the continuously-ingested corpus (round 8 — the
@@ -289,7 +345,13 @@ def retract_documents(spark, out_path: str, doc_ids, batch_id: str) -> bool:
       dedicated rewrite pass.  Tombstones are kept after folding (the
       live epoch may still carry the rows physically); they are
       bounded by takedown volume and fold away only on a full
-      overwrite rebuild.
+      overwrite rebuild.  Each batch records the max persisted epoch
+      at publish time (+1, the ``_PUBLISH_EPOCH`` sidecar — riding the
+      atomic rename, so a crash can't publish a batch without it);
+      once a fold covers that epoch on all three surfaces the batch
+      RETIRES from the transform, so takedowns cost a bounded number
+      of rewrites instead of rewriting the folded history forever
+      (round-9 advice).
 
     A retracted ``doc_id`` is DEAD: the tombstone keys the identity,
     so ``accept_batch`` drops incoming rows that reuse it (accepting
@@ -298,53 +360,104 @@ def retract_documents(spark, out_path: str, doc_ids, batch_id: str) -> bool:
     under a NEW doc_id — which the fresh-judgment index masking then
     accepts.
 
-    Same durability discipline as every publish in this engine:
-    two-phase write + single-rename (``io.publish_rename``),
+    Same durability discipline as every publish in this engine
+    (delegated to ``io.publish_tombstone_batch``, shared with the
+    IVFADC and LSH index takedowns): two-phase write + single-rename,
     idempotent retry returns False, a crash leaves an invisible temp.
-    Ordering contract: retraction is a janitorial operation — do not
-    interleave it with an in-flight epoch's crash-replay window (a
-    replay that suddenly sees fewer index rows could accept docs the
-    original run rejected, breaking byte-identical replay; quiesce,
-    exactly like compaction)."""
-    from mapreduce_framework_for_mergesort_spark.io import publish_rename
-
-    if not batch_id or "/" in batch_id or batch_id.startswith("."):
-        raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    final = jvm.org.apache.hadoop.fs.Path(
-        f"{out_path}/_tombstones/{batch_id}"
+    Ordering contract, ENFORCED since round 9: a retraction published
+    inside an in-flight epoch's crash-replay window makes the replay
+    fail loudly (``accept_batch`` compares the tombstone set against
+    the epoch's recorded decision inputs) instead of silently
+    diverging — still quiesce, but a violation is now a loud error,
+    not corruption."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        publish_tombstone_batch,
     )
-    fs = final.getFileSystem(conf)
-    if fs.exists(final):
-        return False
-    if isinstance(doc_ids, DataFrame):
-        df = doc_ids.select(F.col("doc_id").cast("bigint"))
-    else:
-        df = spark.createDataFrame(
-            [(int(v),) for v in doc_ids], RETRACTION_SCHEMA
-        )
-    tmp = f"{out_path}/_tombstones/.tmp-{batch_id}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    return publish_rename(fs, jvm, tmp, str(final))
+    from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        _list_epochs,
+    )
+
+    epochs = _list_epochs(spark, out_path)
+    publish_epoch = (epochs[-1] if epochs else -1) + 1
+    return publish_tombstone_batch(
+        spark,
+        f"{out_path}/_tombstones",
+        RETRACTION_SCHEMA,
+        doc_ids,
+        batch_id,
+        meta={_PUBLISH_EPOCH_FILE: str(publish_epoch)},
+    )
 
 
-def _retraction_tombstones(spark, out_path: str) -> DataFrame | None:
-    """Union of published retraction batches, or None when no takedown
-    has ever run (the common case — it must cost readers nothing)."""
+def _retraction_tombstones(
+    spark, out_path: str, batch_ids: list[str] | None = None
+) -> DataFrame | None:
+    """Union of published retraction batches (optionally pinned to a
+    listing snapshot), or None when no takedown has ever run (the
+    common case — it must cost readers nothing)."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        read_tombstone_batches,
+    )
+
+    return read_tombstone_batches(
+        spark, f"{out_path}/_tombstones", RETRACTION_SCHEMA, batch_ids
+    )
+
+
+def _decision_record_path(index_path: str, epoch: int) -> str:
+    return f"{index_path}/_decisions/epoch-{epoch}"
+
+
+def _read_decision_record(
+    spark, index_path: str, epoch: int
+) -> list[str] | None:
+    """The tombstone-batch-id set ``epoch`` originally decided
+    against, or None if the epoch never started (no record)."""
+    from mapreduce_framework_for_mergesort_spark.io import read_small_file
+
+    s = read_small_file(spark, _decision_record_path(index_path, epoch))
+    if s is None:
+        return None
+    return [line for line in s.split("\n") if line]
+
+
+def _write_decision_record(
+    spark, index_path: str, epoch: int, tomb_ids: list[str]
+) -> None:
+    """Publish the epoch's decision-input record (two-phase: hidden
+    temp + rename, so a crash mid-write can't leave a half record a
+    replay would 'mismatch' against)."""
+    from mapreduce_framework_for_mergesort_spark.io import write_small_file
+
+    final = _decision_record_path(index_path, epoch)
+    tmp = f"{index_path}/_decisions/.tmp-epoch-{epoch}"
+    write_small_file(spark, tmp, "\n".join(tomb_ids))
     jvm = spark._jvm
-    troot = jvm.org.apache.hadoop.fs.Path(f"{out_path}/_tombstones")
-    fs = troot.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(troot):
-        return None
-    dirs = [
-        f"{out_path}/_tombstones/{st.getPath().getName()}"
-        for st in fs.listStatus(troot)
-        if st.isDirectory() and not st.getPath().getName().startswith(".")
-    ]
-    if not dirs:
-        return None
-    return spark.read.schema(RETRACTION_SCHEMA).parquet(*dirs).distinct()
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(final).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.rename(Path(tmp), Path(final))
+
+
+def _gc_decision_records(spark, index_path: str, below: int) -> None:
+    """Drop decision records for epochs ``< below`` — the replay guard
+    already forbids replaying them, so their records can never be
+    consulted again.  Keeps ``_decisions/`` at O(1) files."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(f"{index_path}/_decisions")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("epoch-"):
+            continue
+        try:
+            e = int(name[len("epoch-"):])
+        except ValueError:
+            continue
+        if e < below:
+            fs.delete(st.getPath(), False)
 
 
 def _exclude_retracted(df, spark, out_path: str):
@@ -415,27 +528,73 @@ def compact_ingest_state(
     When retraction tombstones exist (``retract_documents``), the fold
     also makes those removals PHYSICAL on every closed epoch of all
     three surfaces — see the transform note below and the ordering
-    contract on ``retract_documents``.
+    contract on ``retract_documents``.  The transform is passed only
+    while it has work to do (round 9): each batch carries a
+    ``folded_through`` high-water mark, so a compaction where no
+    active batch would see a newly-closed epoch runs transform-free,
+    and a batch RETIRES outright once a fold covers its recorded
+    publish epoch on all three surfaces (``_RETRACTION_FOLDS``
+    marker) — the fix for the first takedown turning every subsequent
+    compaction into a full-history rewrite of all three surfaces
+    forever.  (Batches published before the sidecar existed retire at
+    the first fold that runs — their closed-epoch rows are removed by
+    that fold; rows in the then-live epoch stay masked until a full
+    rebuild.)
     Returns the per-surface stats dicts (None where nothing to do)."""
+    import math
+
+    from mapreduce_framework_for_mergesort_spark.io import (
+        list_tombstone_batch_ids,
+        read_small_file,
+    )
     from mapreduce_framework_for_mergesort_spark.operators.layout import (
+        _list_epochs,
         compact_epochs,
     )
 
-    # retraction fold (round 8): when takedowns have been published,
-    # the consolidated rewrite drops their rows from every CLOSED
-    # epoch of all three doc_id-keyed surfaces — physical removal at
-    # the rewrite the fold pays anyway.  Readers were already masking
-    # these rows, so the fold changes bytes, never answers; the
-    # tombstones stay (the live epoch may still carry the rows).
-    tombs = _retraction_tombstones(spark, out_path)
-    tr = None
-    if tombs is not None:
-        tombs = materialize(tombs)
-        tr = lambda df: df.join(  # noqa: E731
-            F.broadcast(tombs), "doc_id", "left_anti"
-        )
+    # retraction fold (round 8; high-water marks round 9): while any
+    # published takedown still has NEWLY-closed epochs to fold
+    # through, the consolidated rewrite drops ALL tombstoned rows from
+    # every closed epoch of all three doc_id-keyed surfaces — physical
+    # removal at the rewrite the fold pays anyway.  Readers were
+    # already masking these rows, so the fold changes bytes, never
+    # answers; the tombstone batches stay (audit trail + the
+    # accept-time identity check), only their transform participation
+    # retires.
+    troot = f"{out_path}/_tombstones"
+    surfaces = (out_path, f"{index_path}/hashes", f"{index_path}/bands")
+    all_ids = list_tombstone_batch_ids(spark, troot)
+    state = _read_fold_state(spark, troot)
+    retired, folded_through = state["retired"], state["folded_through"]
+    active = [b for b in all_ids if b not in retired]
 
-    return {
+    def _expected_covered(path: str) -> float:
+        # the hi this compaction WOULD fold through on `path` — same
+        # arithmetic as compact_epochs (max closed epoch); +inf when
+        # the surface has no epoch layout (never held the rows), -1
+        # when nothing is closed (nothing foldable)
+        epochs = _list_epochs(spark, path)
+        if not epochs:
+            return math.inf
+        closed = [e for e in epochs if e < epochs[-1]]
+        return float(max(closed)) if closed else -1.0
+
+    tr = None
+    if active:
+        exp_cov = min(_expected_covered(p) for p in surfaces)
+        if any(folded_through.get(b, -1) < exp_cov for b in active):
+            # the anti-join uses the FULL tombstone union, not just
+            # the active batches — same single broadcast either way,
+            # and it keeps the fold's "retained rows" proof
+            # independent of the retirement bookkeeping
+            tombs = materialize(
+                _retraction_tombstones(spark, out_path, batch_ids=all_ids)
+            )
+            tr = lambda df: df.join(  # noqa: E731
+                F.broadcast(tombs), "doc_id", "left_anti"
+            )
+
+    stats = {
         "corpus": compact_epochs(
             spark, out_path, target_files, transform=tr
         ),
@@ -450,3 +609,75 @@ def compact_ingest_state(
             transform=tr,
         ),
     }
+
+    if tr is not None:
+        # Post-fold bookkeeping: batch B is fully physical-removed
+        # once a fold has covered all epochs <= B's recorded publish
+        # epoch on every surface.  A surface that has epochs but
+        # didn't fold this time blocks (covered = -1).
+        def _covered(path: str, st: dict | None) -> float:
+            if st is not None:
+                return st["hi"]
+            return math.inf if not _list_epochs(spark, path) else -1.0
+
+        cov = min(
+            _covered(p, stats[k])
+            for p, k in zip(surfaces, ("corpus", "hashes", "bands"))
+        )
+        cov_i = int(cov) if math.isfinite(cov) else -1
+        changed = False
+        for b in active:
+            raw = read_small_file(
+                spark, f"{troot}/{b}/{_PUBLISH_EPOCH_FILE}"
+            )
+            # a pre-sidecar batch retires at the first fold that runs:
+            # its closed-epoch rows are removed by that fold; rows in
+            # the then-live epoch stay masked until a full rebuild
+            e_b = int(raw) if raw is not None else -1
+            if cov >= e_b:
+                retired[b] = cov_i
+                folded_through.pop(b, None)
+                changed = True
+            elif cov > folded_through.get(b, -1):
+                folded_through[b] = cov_i
+                changed = True
+        if changed:
+            _write_fold_state(
+                spark,
+                troot,
+                {"retired": retired, "folded_through": folded_through},
+            )
+    return stats
+
+
+def _read_fold_state(spark, troot: str) -> dict:
+    """The retraction-fold high-water marks (see ``_FOLD_STATE_MARKER``)
+    — empty when no transform fold has completed yet."""
+    import json
+
+    from mapreduce_framework_for_mergesort_spark.io import read_small_file
+
+    s = read_small_file(spark, f"{troot}/{_FOLD_STATE_MARKER}")
+    if not s:
+        return {"retired": {}, "folded_through": {}}
+    return json.loads(s)
+
+
+def _write_fold_state(spark, troot: str, state: dict) -> None:
+    """Replace the fold-state marker (hidden temp, delete old, rename
+    in).  The delete→rename window is economics-only: a crash there
+    re-treats every batch as unfolded, costing one extra transform
+    fold, never data."""
+    import json
+
+    from mapreduce_framework_for_mergesort_spark.io import write_small_file
+
+    tmp = f"{troot}/.{_FOLD_STATE_MARKER}.tmp"
+    write_small_file(spark, tmp, json.dumps(state, sort_keys=True))
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    final = Path(f"{troot}/{_FOLD_STATE_MARKER}")
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(Path(tmp), final)

@@ -1119,3 +1119,124 @@ def test_retracted_doc_id_is_dead_on_reingest(spark, tmp_path):
     assert {
         r["doc_id"] for r in I.read_corpus(spark, out).collect()
     } == {4, 70}
+
+
+def test_replay_quiesce_mismatch_fails_loudly(spark, tmp_path):
+    """Round 9: the retraction/replay quiesce contract is MECHANICAL.
+    Each epoch records the tombstone-batch set it decided against
+    (written before any data write); a replay that sees a different
+    set raises instead of silently writing a partition that diverges
+    from rows downstream consumers already read.  Recovery per the
+    error's instruction (delete the epoch's partitions + record,
+    re-run) rebuilds the epoch under the new set; a replay with an
+    UNCHANGED set stays byte-identical and quiet."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "q_corpus")
+    idx = str(tmp_path / "q_idx")
+    batch = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    I.accept_batch(batch([(1, BASE), (4, OTHER)]), idx, out, epoch=0)
+    I.accept_batch(batch([(5, THIRD)]), idx, out, epoch=1)
+
+    # a retraction lands inside epoch 1's replay window
+    assert I.retract_documents(spark, out, [4], "t1") is True
+    with pytest.raises(RuntimeError, match="replay window"):
+        I.accept_batch(batch([(5, THIRD)]), idx, out, epoch=1)
+    # the loud failure wrote nothing: epoch 1 still holds doc 5
+    assert spark.read.parquet(out).where(
+        "doc_id = 5 AND epoch = 1"
+    ).count() == 1
+
+    # recovery per the error message: drop the epoch's partitions and
+    # its decision record, then re-run the epoch
+    for d in (
+        f"{out}/epoch=1",
+        f"{idx}/hashes/epoch=1",
+        f"{idx}/bands/epoch=1",
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+    os.remove(f"{idx}/_decisions/epoch-1")
+    I.accept_batch(batch([(5, THIRD)]), idx, out, epoch=1)
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {1, 5}
+
+    # replay with the UNCHANGED set: quiet and idempotent
+    I.accept_batch(batch([(5, THIRD)]), idx, out, epoch=1)
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {1, 5}
+
+    # records below the latest epoch are garbage-collected (ignore
+    # the local filesystem's .crc shadow files)
+    I.accept_batch(batch([(9, "entirely new content for epoch two")]),
+                   idx, out, epoch=2)
+    assert sorted(
+        n for n in os.listdir(f"{idx}/_decisions") if not n.startswith(".")
+    ) == ["epoch-2"]
+
+
+def test_retraction_fold_retires_and_stops_rewriting(spark, tmp_path):
+    """Round-9 advice (medium): the first takedown must not turn every
+    later compaction into a full-history rewrite of all three surfaces
+    forever.  The fold records per-batch high-water marks: a batch
+    RETIRES once a fold covers its publish epoch on all surfaces, and
+    an unretired batch triggers a rewrite only when a NEWLY-closed
+    epoch exists — a no-progress compaction is transform-free (all
+    stats None)."""
+    T4 = "fourth piece of writing about catalyst rules and pruning now"
+    T5 = "fifth piece regarding shuffle partitions and memory spills ok"
+    T6 = "sixth piece on broadcast joins and adaptive execution paths"
+    out = str(tmp_path / "hw_corpus")
+    idx = str(tmp_path / "hw_idx")
+    batch = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    I.accept_batch(batch([(1, BASE), (4, OTHER)]), idx, out, epoch=0)
+    I.accept_batch(batch([(5, THIRD)]), idx, out, epoch=1)
+
+    # takedown of doc 1 while epochs {0,1} exist -> publish epoch 2
+    assert I.retract_documents(spark, out, [1], "t1") is True
+    I.accept_batch(batch([(6, T4)]), idx, out, epoch=2)
+    I.accept_batch(batch([(8, T5)]), idx, out, epoch=3)
+
+    # fold 1 covers epochs 0..2 >= t1's publish epoch -> t1 retires
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats["corpus"]["hi"] == 2
+    assert spark.read.parquet(out).where("doc_id = 1").count() == 0
+    state = I._read_fold_state(spark, f"{out}/_tombstones")
+    assert state["retired"] == {"t1": 2}
+
+    # no new tombstones, no new closed epochs: transform-free no-op
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats == {"corpus": None, "hashes": None, "bands": None}
+
+    # a NEW takedown re-activates the transform exactly once per
+    # closed-epoch progress: fold fires now (doc 5's rows leave the
+    # folded partition), then goes quiet until more epochs close
+    assert I.retract_documents(spark, out, [5], "t2") is True
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats["corpus"] is not None
+    assert spark.read.parquet(out).where("doc_id = 5").count() == 0
+    stats = I.compact_ingest_state(spark, idx, out)  # no progress
+    assert stats == {"corpus": None, "hashes": None, "bands": None}
+    state = I._read_fold_state(spark, f"{out}/_tombstones")
+    assert state["folded_through"] == {"t2": 2}
+
+    # epochs close past t2's publish epoch (4) -> next fold retires it
+    I.accept_batch(batch([(9, T6)]), idx, out, epoch=4)
+    I.accept_batch(
+        batch([(10, "seventh text naming window frames and salting")]),
+        idx, out, epoch=5,
+    )
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats["corpus"]["hi"] == 4
+    state = I._read_fold_state(spark, f"{out}/_tombstones")
+    assert state["retired"] == {"t1": 2, "t2": 4}
+    assert state["folded_through"] == {}
+    stats = I.compact_ingest_state(spark, idx, out)
+    assert stats == {"corpus": None, "hashes": None, "bands": None}
+
+    # masking never wavered through any of it
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {4, 6, 8, 9, 10}
