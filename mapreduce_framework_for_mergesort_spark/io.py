@@ -380,11 +380,18 @@ def read_tombstone_batches(
     when no takedown has ever run — the common case, which must cost
     readers nothing.  ``batch_ids`` (e.g. a snapshot from
     ``list_tombstone_batch_ids``) pins the exact set read; the default
-    lists afresh."""
+    lists afresh.
+
+    NOT deduplicated: every consumer is a broadcast anti-join, for
+    which an id repeated across batches is harmless — a ``.distinct()``
+    here would add a shuffle stage to every probe for nothing (it cost
+    the bucketed band probe its zero-index-exchange plan shape before
+    round 9).  Repeats only inflate the broadcast, bounded by takedown
+    volume."""
     if batch_ids is None:
         batch_ids = list_tombstone_batch_ids(spark, root)
     if not batch_ids:
         return None
     return spark.read.schema(schema).parquet(
         *(f"{root}/{b}" for b in batch_ids)
-    ).distinct()
+    )

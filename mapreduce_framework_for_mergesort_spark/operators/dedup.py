@@ -1064,7 +1064,11 @@ def write_lsh_index(
     session's ``partitionOverwriteMode`` — under ``dynamic`` a
     partitioned overwrite replaces only the partitions present in the
     write and would leave stale tombstones masking re-included docs
-    forever (round-8 review)."""
+    forever (round-8 review).  The delete→rewrite is NOT atomic:
+    quiesce concurrent incremental probes around a rebuild (they would
+    see a missing or partial index in the window), or write the
+    rebuild to a fresh path and swap a pointer — the same rebuild
+    contract as ``pq.write_ivfadc_index``."""
     if mode == "overwrite":
         spark = documents.sparkSession
         jvm = spark._jvm
@@ -1125,10 +1129,16 @@ def write_lsh_index_bucketed(
     parquet-path index.  Probe with
     ``incremental_candidate_pairs(new, read_lsh_index_bucketed(...))``.
 
-    This variant is the write-once layout optimization; the
-    tombstone/delete lifecycle lives on the parquet-path layout
-    (``write_lsh_index`` / ``delete_from_lsh_index``) — rebuilding the
-    bucketed table IS its fold."""
+    Takedowns compose (round 9 — previously the real-scale layout
+    punted deletion to the parquet-path layout, so the layout
+    recommended at 100 TB couldn't take a retraction without a full
+    rebuild): ``delete_from_lsh_index_bucketed`` publishes tombstone
+    batches under the table location's ``_tombstones/`` dir and
+    ``read_lsh_index_bucketed`` anti-joins them (bounded broadcast —
+    the index-side scan stays exchange-free, plan-pinned).  A rebuild
+    through this function replaces the whole table location, folding
+    band rows and tombstones away together (``bucketing.write_bucketed``
+    clears the location explicitly)."""
     from mapreduce_framework_for_mergesort_spark.operators import (
         bucketing,
     )
@@ -1141,12 +1151,68 @@ def write_lsh_index_bucketed(
     )
 
 
+def _bucketed_table_location(spark, table: str) -> str:
+    """Storage location of a catalog table (the root the bucketed band
+    index's tombstones live under)."""
+    rows = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .where("col_name = 'Location'")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"table {table!r} has no Location (not found?)")
+    return rows[0]["data_type"]
+
+
 def read_lsh_index_bucketed(spark, table: str) -> DataFrame:
-    """The bucketed band index, MERGE-hinted so the probe join keeps
-    sort-merge shape (a broadcast of the batch side would ALSO skip
-    the index shuffle, but the hint makes the bucketing guarantee —
-    not AQE's size estimate — carry the plan)."""
-    return spark.table(table).hint("MERGE")
+    """The bucketed band index MINUS published tombstones, MERGE-hinted
+    so the probe join keeps sort-merge shape (a broadcast of the batch
+    side would ALSO skip the index shuffle, but the hint makes the
+    bucketing guarantee — not AQE's size estimate — carry the plan).
+    Tombstones are a bounded broadcast anti-join, so the index-side
+    scan still reaches the probe with ZERO shuffle exchanges (the
+    anti-join preserves the scan's bucketed distribution); the hint is
+    applied ABOVE the anti-join so it binds to the probe join, not to
+    the tombstone join."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        read_tombstone_batches,
+    )
+
+    bands = spark.table(table)
+    tombs = read_tombstone_batches(
+        spark,
+        f"{_bucketed_table_location(spark, table)}/_tombstones",
+        LSH_TOMBSTONE_SCHEMA,
+    )
+    if tombs is not None:
+        bands = bands.join(F.broadcast(tombs), "doc_id", "left_anti")
+    return bands.hint("MERGE")
+
+
+def delete_from_lsh_index_bucketed(
+    spark, doc_ids, table: str, batch_id: str
+) -> bool:
+    """Takedown from the BUCKETED band index (round 9 — closes the gap
+    where the layout recommended at real scale was the only persisted
+    surface without a delete path).  Publishes ``doc_ids`` as a
+    tombstone batch under ``<table location>/_tombstones/<batch_id>``
+    (underscore dir: invisible to the table scan);
+    ``read_lsh_index_bucketed`` masks the rows from then on.  Same
+    policy, durability, and dead-doc_id semantics as
+    ``delete_from_lsh_index`` (parquet-path layout) — see there; a
+    full ``write_lsh_index_bucketed`` rebuild folds rows and
+    tombstones away together."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        publish_tombstone_batch,
+    )
+
+    return publish_tombstone_batch(
+        spark,
+        f"{_bucketed_table_location(spark, table)}/_tombstones",
+        LSH_TOMBSTONE_SCHEMA,
+        doc_ids,
+        batch_id,
+    )
 
 
 #: LSH-index tombstone schema, explicit so an EMPTY takedown batch

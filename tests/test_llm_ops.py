@@ -3627,3 +3627,102 @@ def test_lsh_index_rebuild_folds_tombstones_under_dynamic_overwrite(
     assert D.lsh_index_bands(spark, path).where(
         F.col("doc_id").isin(doomed)
     ).count() > 0
+
+
+def test_lsh_index_bucketed_delete_lifecycle(spark, sf_oracle):
+    """Round 9: the bucketed band index — the layout recommended at
+    real scale — takes a takedown WITHOUT a full rebuild, composing
+    the two halves of round 8's work.  (a) after the same delete, the
+    bucketed probe's pairs equal the parquet-path probe's; (b) the
+    probe plan keeps ZERO shuffle exchanges on the index side (the
+    tombstone anti-join is a broadcast, the index scan stays
+    ``Bucketed: true``); (c) idempotence + empty batch + crash
+    leftovers behave like every other tombstone surface; (d) a rebuild
+    through write_lsh_index_bucketed folds tombstones away."""
+    import os
+    import shutil
+
+    docs = load_table(spark, sf_oracle, "documents")
+    old = docs.where("doc_id % 2 = 0")
+    new = docs.where("doc_id % 2 = 1")
+    table = "lsh_idx_bucketed_del_test"
+    D.write_lsh_index_bucketed(old, table, num_buckets=8)
+
+    base = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.read_lsh_index_bucketed(spark, table)
+        ).collect()
+    }
+    assert base
+    participants = sorted({a for a, _ in base} | {b for _, b in base})
+    doomed = [d for d in participants if d % 2 == 0][:2]
+    assert doomed
+
+    # (c) publish + hygiene
+    assert D.delete_from_lsh_index_bucketed(spark, doomed, table, "t1")
+    assert (
+        D.delete_from_lsh_index_bucketed(spark, doomed, table, "t1")
+        is False
+    )
+    assert D.delete_from_lsh_index_bucketed(spark, [], table, "t-empty")
+    loc = D._bucketed_table_location(spark, table).removeprefix("file:")
+    shutil.copytree(
+        f"{loc}/_tombstones/t1", f"{loc}/_tombstones/.tmp-x"
+    )
+
+    # (a) pair-identical to the parquet-path layout after the same
+    # delete (exclusion-equivalence)
+    idx = D.read_lsh_index_bucketed(spark, table)
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(new, idx).collect()
+    }
+    import tempfile
+
+    pdir = tempfile.mkdtemp(prefix="lsh_parquet_")
+    try:
+        D.write_lsh_index(old, pdir)
+        assert D.delete_from_lsh_index(spark, doomed, pdir, "t1") is True
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.incremental_candidate_pairs(
+                new, D.lsh_index_bands(spark, pdir)
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(pdir, ignore_errors=True)
+    assert after == want and after != base
+
+    # (b) index side still shuffle-free: every Exchange in the probe
+    # plan is either the batch side's hash-partitioning or the
+    # tombstones' broadcast; the index scan stays bucketed with no
+    # shuffle above it
+    n, o = D.minhash_bands(new).alias("n"), idx.alias("o")
+    probe = n.join(
+        o,
+        (F.col("n.band_id") == F.col("o.band_id"))
+        & (F.col("n.band_val") == F.col("o.band_val"))
+        & (F.col("n.doc_id") != F.col("o.doc_id")),
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) == 1, plan  # the batch side only
+    assert "Bucketed: true" in plan, plan
+    idx_scan = [l for l in plan.splitlines() if table in l]
+    assert idx_scan and all("Exchange" not in l for l in idx_scan)
+
+    # (d) rebuild folds rows and tombstones away together
+    D.write_lsh_index_bucketed(old, table, num_buckets=8)
+    assert not os.path.exists(f"{loc}/_tombstones")
+    rebuilt = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.incremental_candidate_pairs(
+            new, D.read_lsh_index_bucketed(spark, table)
+        ).collect()
+    }
+    assert rebuilt == base
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
