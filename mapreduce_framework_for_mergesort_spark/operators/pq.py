@@ -233,13 +233,22 @@ def ivfadc_topk(
       from the ADC cut, so strict nprobe-monotonicity is NOT a theorem
       — same honest caveat as any IVFADC.)
 
+    The DEFAULT ``r_cand`` scales with the probe set — ``4·k·nprobe``
+    (round 9): a fixed default (previously ``4·k``) silently nullified
+    the nprobe knob — probing more cells grew the pool but the ADC cut
+    stayed the same size, so recall@10 sat flat (~0.35 at ×10 in
+    ``ANN_r08.json``) while users followed "raise nprobe for recall".
+    With the scaled default each probed cell keeps contributing
+    candidates; strict monotonicity is still only guaranteed on the
+    two axes above, but the default no longer traps.
+
     ``cents``/``cells``/``books`` inject a shared index build
     (train-once/probe-many, like ``ivf_topk``); variant-encoding note:
     codes are built over RAW vectors, not per-cell residuals — residual
     coding buys accuracy at the cost of per-cell code spaces, and the
     exactness discipline here favors one oracle-replicable code space
     (the rerank is exact either way)."""
-    r_cand = r_cand if r_cand is not None else 4 * k
+    r_cand = r_cand if r_cand is not None else 4 * k * max(1, nprobe)
     if cents is None:
         cents = S._trained_cents(embeddings, num_centroids)
     if books is None:
@@ -526,8 +535,11 @@ def probe_ivfadc_index(
     subdirs of each — MINUS every published
     ``delete_from_ivfadc_index`` tombstone (broadcast anti-join before
     the candidate cut, so deleted vectors neither surface nor eat
-    ``r_cand`` slots; zero cost when no takedown has ever run)."""
-    r_cand = r_cand if r_cand is not None else 4 * k
+    ``r_cand`` slots; zero cost when no takedown has ever run).
+    Default ``r_cand`` scales with nprobe (``4·k·nprobe``) — same
+    round-9 fix as ``ivfadc_topk``: a fixed default nullified the
+    nprobe knob."""
+    r_cand = r_cand if r_cand is not None else 4 * k * max(1, nprobe)
     books = read_codebooks(spark, path)
     cents = read_ivfadc_centroids(spark, path)
     qdf = spark.createDataFrame(

@@ -84,7 +84,7 @@ NUM_CENTROIDS = 8
       SELECT vec_id FROM padc
       WHERE vec_id IN (SELECT vec_id FROM cells
                        WHERE cell IN (SELECT cid FROM qc WHERE rn <= 2))
-      ORDER BY adc, vec_id LIMIT {4 * TOPK}),
+      ORDER BY adc, vec_id LIMIT {4 * TOPK * 2}),
     iscored AS (
       SELECT e.vec_id,
              {V.duckdb_cosine('e.embedding', 'qe', DIM)} AS score
@@ -115,8 +115,9 @@ def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``ivfadc`` — the composed tier (round 5): ADC scoring restricted
       to the query's nprobe=2 IVF cells before the candidate cut — the
       oracle reuses the kmeans CTE's cell assignment AND the PQ
-      chain's ADC table, filtered (``icand``), so the full composition
-      is value-verified too.
+      chain's ADC table, filtered (``icand``, whose ``LIMIT
+      4·k·nprobe`` mirrors the round-9 scaled default r_cand), so the
+      full composition is value-verified too.
 
     Unlike the LSH variant, every step — k-means training, probe-cell
     selection, rerank — is exact deterministic arithmetic, so the

@@ -173,6 +173,21 @@ def test_ivfadc_recall_surface_guaranteed_axes(spark, emb):
         last = r
     assert last == 1.0  # nprobe = C, full cut: brute force exactly
 
+    # round 9: the DEFAULT r_cand scales with nprobe (4·k·nprobe), so
+    # raising nprobe at the default actually buys recall — previously a
+    # fixed default kept the ADC cut constant and the knob did nothing
+    # (the ANN_r08 trap: recall flat ~0.35 across nprobe).  Empirical
+    # pin on this deterministic fixture: non-decreasing, and strictly
+    # better at nprobe=C than nprobe=1.
+    last = -1.0
+    defaults = []
+    for nprobe in (1, 2, 4, C):
+        r = recall(nprobe, None)
+        assert r >= last, (nprobe, r, last)
+        last = r
+        defaults.append(r)
+    assert defaults[-1] > defaults[0], defaults
+
 
 def test_ivfadc_persisted_probe_matches_inline_and_prunes(
     spark, emb, tmp_path
@@ -253,6 +268,17 @@ def test_ann_recall_artifact_monotonicities():
         # non-degenerate: partial probes / small rerank pools miss
         assert ivf[0] < 0.95, (label, ivf)
         assert pq[0] < 0.95, (label, pq)
+        # round 9: artifacts generated at the scaled default r_cand
+        # (4·k·nprobe — the field marks them) must show the nprobe
+        # knob WORKING for ivfadc: recall non-decreasing and the
+        # deepest probe strictly above the shallowest (the ANN_r08
+        # trap was a flat ~0.35 line)
+        if "ivfadc_default_r_cand" in doc:
+            ia = [
+                v[f"ivfadc_nprobe{n}"]["recall_at_10"] for n in (1, 2, 4)
+            ]
+            assert ia == sorted(ia), (label, ia)
+            assert ia[-1] > ia[0], (label, ia)
 
 
 def test_ivfadc_incremental_append_lifecycle(spark, emb, tmp_path):
