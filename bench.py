@@ -477,6 +477,56 @@ def fingerprint_vintage(tables: dict, out_path: str) -> dict:
     return {"prior": None, "same_vintage": None, "changed_tables": []}
 
 
+def _record_bench_provenance(
+    sf_dir: str, total: float, times: dict
+) -> dict:
+    """Append this bench run's fixture fingerprint + per-key times to
+    ``BENCH_PROVENANCE.json`` (round-8 verdict item 4: the scale
+    artifacts carry provenance, the driver bench didn't — so r8's +8%
+    warm headline with 1.3–1.6× moves on seven small keys could not be
+    mechanically attributed to the regenerated fixture).  A SIDE
+    artifact, not the stdout line: the driver's tail capture is
+    length-limited and r8's line already overflowed it
+    (``BENCH_r08.json`` ``parsed: null``).  Returns a tiny vintage
+    verdict for the stdout line.  History is bounded (last 20 runs)."""
+    fp = fixture_fingerprint(sf_dir)
+    path = "BENCH_PROVENANCE.json"
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        runs = doc.get("runs", [])
+    except (OSError, ValueError):
+        runs = []
+    prior = runs[-1] if runs else None
+    if prior and prior.get("sf_dir") == sf_dir:
+        prior_fp = prior.get("tables", {})
+        changed = sorted(
+            t
+            for t in set(fp) | set(prior_fp)
+            if fp.get(t) != prior_fp.get(t)
+        )
+        same = not changed
+    else:
+        changed, same = [], None
+    entry = {
+        "unix": int(time.time()),
+        "sf_dir": sf_dir,
+        "tables": fp,
+        "same_vintage_as_prior_run": same,
+        "changed_tables_vs_prior_run": changed,
+        "total": total,
+        "queries": times,
+    }
+    with open(path, "w") as f:
+        json.dump({"runs": (runs + [entry])[-20:]}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
+    return {
+        "fixture_same_vintage_as_prior": same,
+        "fixture_changed_tables": changed,
+    }
+
+
 def _rerun_key_min2(spark, sf_dir: str, name: str) -> float:
     """Warm-isolated min-of-2 re-run of one sweep key (the arbitration
     probe).  Bucketed-join keys are not re-runnable in isolation (they
@@ -719,7 +769,13 @@ def ann_main(out_path: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     doc: dict = {"metric": "ann_recall_cost", "k": K,
                  "queries_per_point": len(QUERY_IDS),
-                 "x10_perturb": _ANN_PERTURB, "datasets": {}}
+                 "x10_perturb": _ANN_PERTURB,
+                 # round 9: ivfadc variants run at the scaled default
+                 # r_cand (4·k·nprobe) — artifacts carrying this field
+                 # are expected to show ivfadc recall monotone in
+                 # nprobe (tests/test_pq.py pins it)
+                 "ivfadc_default_r_cand": "4*k*nprobe",
+                 "datasets": {}}
     # the ANN-specific x10 dir (perturbed replicas), NOT the dedup
     # sweep's byte-identical one — see ensure_ann_dir
     ten = ensure_ann_dir()
@@ -874,12 +930,17 @@ def main() -> None:
     times, first = _timed_sweep(spark, sf_dir, HEADLINE, runs=2)
 
     total = round(sum(times.values()), 3)
+    # provenance side artifact + tiny stdout verdict (round-8 verdict
+    # item 4) — BEFORE printing so a crash there can't leave a line
+    # without its provenance record
+    vintage = _record_bench_provenance(sf_dir, total, times)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                **vintage,
                 "queries": times,
                 # first-of-2 per key: cold-start (worker pool, codegen)
                 # visibility next to the steady-state min (round-3

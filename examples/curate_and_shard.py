@@ -7,6 +7,10 @@ bundled test data.
 What it exercises (each stage is the 100 TB-shaped operator documented
 in its module):
 
+0. the corpus FEED as input (round 9): the landing table is backfilled
+   through ``streaming.ingest.accept_batch`` and read back through
+   ``read_corpus`` — the retraction-masked read — so the documented
+   default path is the one that stays correct after a takedown;
 1. a declarative data-quality gate on the landing zone
    (``operators/quality.py`` — one conditional-aggregate scan);
 2. the curation pipeline (``pipelines.curate_documents``): PII
@@ -60,7 +64,25 @@ def main() -> None:
     spark = get_spark(app_name="example-curate-and-shard")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = load_table(spark, sf_dir, "documents")
+    # 0. route the input through the corpus FEED surface
+    # (streaming/ingest.py) instead of reading the landing parquet
+    # directly: a production corpus is continuously ingested AND
+    # supports takedown, and plain spark.read.parquet(feed)
+    # UNDER-MASKS once any retraction has been published (tombstones
+    # are metadata until the next compaction fold makes the removal
+    # physical) — read_corpus is the read that stays correct.  The
+    # backfill is one epoch-keyed accept_batch; a real deployment
+    # would have ingest_documents_stream maintaining the feed.
+    from mapreduce_framework_for_mergesort_spark.streaming import ingest
+
+    feed = os.path.join(out_dir, "feed")
+    ingest.accept_batch(
+        load_table(spark, sf_dir, "documents"),
+        os.path.join(out_dir, "feed_idx"),
+        feed,
+        epoch=0,
+    )
+    docs = ingest.read_corpus(spark, feed).drop("epoch")
 
     # 1+2+3 in one call: the input gate runs first (a corrupt landing
     # zone fails loudly here, before any curation cost), then

@@ -95,3 +95,45 @@ def test_fingerprint_vintage_diff(tmp_path, monkeypatch):
     # the artifact being written never diffs against itself
     v = bench.fingerprint_vintage(newer, "SCALE_r08.json")
     assert v["prior"] is None
+
+
+def test_record_bench_provenance_side_artifact(tmp_path, monkeypatch):
+    """Round-8 verdict item 4: the DRIVER bench now records fixture
+    provenance too — as a side artifact (the stdout line is length-
+    limited by the driver's tail capture; r8's line already overflowed
+    it).  Pin: bootstrap run has no verdict, an unchanged fixture
+    reads same-vintage, a re-rolled table flips the verdict and names
+    the table, and history stays bounded."""
+    monkeypatch.chdir(tmp_path)
+    d = tmp_path / "sf"
+    d.mkdir()
+
+    def write(val):
+        pq.write_table(
+            pa.table({"k": [1, 2], "v": ["a", val]}),
+            str(d / "t.parquet"),
+        )
+
+    write("b")
+    v1 = bench._record_bench_provenance(str(d), 1.0, {"q": 1.0})
+    assert v1["fixture_same_vintage_as_prior"] is None
+
+    v2 = bench._record_bench_provenance(str(d), 1.1, {"q": 1.1})
+    assert v2 == {
+        "fixture_same_vintage_as_prior": True,
+        "fixture_changed_tables": [],
+    }
+
+    write("X")  # the fixture regenerated between rounds
+    v3 = bench._record_bench_provenance(str(d), 1.2, {"q": 1.2})
+    assert v3["fixture_same_vintage_as_prior"] is False
+    assert v3["fixture_changed_tables"] == ["t"]
+
+    doc = json.load(open(tmp_path / "BENCH_PROVENANCE.json"))
+    assert [r["total"] for r in doc["runs"]] == [1.0, 1.1, 1.2]
+    assert doc["runs"][-1]["queries"] == {"q": 1.2}
+
+    for i in range(25):  # bounded history
+        bench._record_bench_provenance(str(d), 2.0 + i, {"q": 1.0})
+    doc = json.load(open(tmp_path / "BENCH_PROVENANCE.json"))
+    assert len(doc["runs"]) == 20
