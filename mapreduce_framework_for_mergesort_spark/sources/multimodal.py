@@ -8,13 +8,15 @@ partitioning — is real and tested.  Six non-text modalities are REAL
 stdlib container parses (WAV/PCM audio, 24-bit BMP images, 8-bit
 greyscale PNG — the first COMPRESSED container, built on stdlib zlib
 with CRC-validated chunks and all five scanline filters —
-baseline-JFIF greyscale AND YCbCr color JPEG — the entropy-coded
-containers: one general Huffman+IDCT decoder covering 1/3-component
-frames and sampling factors up to 2x2 (4:4:4 and 4:2:0), plus
-closed-form flat-block encoders, see the JPEG section comments — and
-YUV4MPEG2 grayscale video) across synthesize/decode/resize/frame
-verbs; the remaining library codecs (mp4/h264, mp3, progressive JPEG)
-stay an explicit ``NotImplementedError`` seam, never a silent fake.
+baseline AND progressive (SOF2) JFIF greyscale AND YCbCr color JPEG —
+the entropy-coded containers: one general Huffman+IDCT decoder
+covering 1/3-component frames, sampling factors up to 2x2 (4:4:4 and
+4:2:0), restart intervals, and multi-scan progressive coefficient
+accumulation (spectral selection + successive approximation, round 9),
+plus closed-form flat-block encoders, see the JPEG section comments —
+and YUV4MPEG2 grayscale video) across synthesize/decode/resize/frame
+verbs; the remaining library codecs (mp4/h264, mp3) stay an explicit
+``NotImplementedError`` seam, never a silent fake.
 
 Scale notes: payloads dominate row width, so (a) never shuffle decoded
 features together with raw bytes — project bytes away first; (b) decode
@@ -855,9 +857,10 @@ def _jpeg_decode_planes(payload: bytes):
     symbols, ZRL, EOB), byte-stuffing removal, restart intervals
     (DRI/RSTn: byte-align, consume the cycling marker, reset every DC
     predictor — camera-output baseline JPEGs routinely carry them),
-    dezigzag, dequantization, and an exact float64 IDCT.  Loud
-    ValueError on anything outside the profile: progressive SOF2,
-    16-bit DQT, sampling factors above 2, truncation.  jpeg/mp3/mp4
+    dezigzag, dequantization, and an exact float64 IDCT.  Progressive
+    frames (SOF2) delegate to ``_jpeg_decode_planes_progressive``
+    (round 9).  Loud ValueError on anything outside the profile:
+    16-bit DQT, sampling factors above 2, truncation.  mp3/mp4
     LIBRARY decode stays out of scope — this is the stdlib discipline
     the PNG modality established, one codec deeper."""
     import struct
@@ -879,7 +882,11 @@ def _jpeg_decode_planes(payload: bytes):
         if marker == 0xD9:  # EOI
             raise ValueError("JPEG reached EOI before any scan data")
         if marker in (0xC2,):
-            raise ValueError("progressive JPEG (SOF2) is not baseline")
+            # progressive frame: hand the whole stream to the
+            # multi-scan coefficient-accumulating decoder (round 9 —
+            # previously the honest NotImplemented seam; real web
+            # corpora are a double-digit fraction progressive)
+            return _jpeg_decode_planes_progressive(payload)
         (ln,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + ln]
         if len(body) != ln - 2:
@@ -1034,6 +1041,382 @@ def _jpeg_decode_planes(payload: bytes):
         px = np.clip(np.rint(planes[cid] + 128), 0, 255).astype(np.int64)
         out.append((cid, hi, vi, px))
     return w, h, out
+
+
+def _jpeg_receive_extend(reader: _BitReader, size: int) -> int:
+    """T.81 RECEIVE+EXTEND: ``size`` magnitude bits → signed value."""
+    v = reader.read_bits(size)
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def _jpeg_next_marker(payload: bytes, pos: int) -> int:
+    """First offset ``>= pos`` holding a real marker (0xFF followed by
+    neither a stuffed 0x00 nor a fill 0xFF) — how the walk re-syncs
+    after a scan's entropy data, whose exact byte length only the
+    decode itself knows."""
+    while pos < len(payload) - 1:
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("JPEG ended without EOI after a scan")
+
+
+def _jpeg_decode_planes_progressive(payload: bytes):
+    """Progressive-JFIF (SOF2) parse → the same ``(w, h, comps)``
+    contract as ``_jpeg_decode_planes`` (round 9 — the largest
+    remaining modality seam; real web corpora carry progressive JPEGs
+    at double-digit percentages).
+
+    A progressive frame spreads each block's 64 coefficients over
+    MULTIPLE scans: spectral selection (each scan carries one
+    coefficient band ``Ss..Se``) × successive approximation (a first
+    pass delivers each coefficient's high bits at point transform
+    ``Al``, later passes refine one bit at a time, ``Ah = Al+1``).
+    So the decoder accumulates COEFFICIENTS across scans — per
+    component, per block, in zigzag order — and only dequantizes +
+    IDCTs once, after the last scan:
+
+    * DC scans (``Ss=0``): interleaved over the MCU grid when the scan
+      carries several components, non-interleaved over the component's
+      own block grid when it carries one; first pass = Huffman diff
+      coding shifted left by ``Al``, refinement = one raw bit per
+      block ORed into bit ``Al``;
+    * AC scans (``Ss>=1``): always single-component (T.81), over the
+      component's own block grid — NOT the MCU-padded grid, the
+      classic progressive trap; first pass = run/size symbols with
+      EOBn runs (``(run<15, size=0)`` → ``2^run + bits(run)`` blocks
+      whose band is all-zero from here) and ZRL; refinement = the
+      correction-bit walk (newly-nonzero coefficients arrive as ±2^Al,
+      every already-nonzero coefficient consumes one bit that may add
+      2^Al toward its sign), with EOB runs carrying correction bits
+      for the blocks they cover;
+    * DHT may redefine tables between scans; DRI/RSTn apply inside a
+      scan (byte-align, cycling marker, reset DC predictors AND the
+      EOB run).
+
+    Same loudness discipline as the baseline path: unexpected symbols,
+    out-of-band runs, wrong restart markers, and truncation all raise
+    ValueError.  Performance note: this is the test/long-tail path —
+    the bench-hot synthesized fixtures are baseline and keep the LUT
+    fast path."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: leading bytes {payload[:2]!r}")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    coefs: dict[int, "np.ndarray"] = {}  # cid -> (bh, bw, 64) zigzag
+    comp_blocks: dict[int, tuple[int, int]] = {}  # cid -> (bw, bh) own grid
+    saw_scan = False
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError(f"truncated JPEG segment 0xFF{marker:02X}")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit DQT precision unsupported")
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC2:  # SOF2 (progressive)
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError(
+                    f"only 8-bit 1- or 3-component progressive "
+                    f"supported, got precision={prec} components={ncomp}"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError(
+                        f"sampling factors {hi}x{vi} outside the "
+                        "supported 1..2 range"
+                    )
+                comps.append((cid, hi, vi, tq))
+            if ncomp == 1 and comps[0][1:3] != (1, 1):
+                raise ValueError("subsampling unsupported for greyscale")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hi, vi, _tq in comps:
+                # the FULL (MCU-padded) grid backs storage; the own
+                # grid bounds non-interleaved traversal
+                coefs[cid] = np.zeros(
+                    (mcuy * vi, mcux * hi, 64), dtype=np.int32
+                )
+                # ceil(ceil(w·hi/hmax)/8) == ceil(w·hi/(hmax·8)) for
+                # positive divisors (nested-ceiling identity)
+                comp_blocks[cid] = (
+                    -(-(w * hi) // (hmax * 8)),
+                    -(-(h * vi) // (vmax * 8)),
+                )
+            sof = (w, h, comps, hmax, vmax, mcux, mcuy)
+        elif marker in (0xC0, 0xC1):
+            raise ValueError(
+                "baseline SOF inside the progressive decoder (mixed "
+                "frame types)"
+            )
+        elif marker == 0xC4:  # DHT — may redefine tables between scans
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                counts = list(body[off + 1 : off + 17])
+                syms = body[off + 17 : off + 17 + sum(counts)]
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                off += 17 + sum(counts)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — one of several scans
+            if sof is None:
+                raise ValueError("progressive scan before SOF2")
+            end = _jpeg_decode_progressive_scan(
+                payload, pos + 2 + ln, body, sof, coefs, comp_blocks,
+                huff, restart_interval,
+            )
+            saw_scan = True
+            pos = _jpeg_next_marker(payload, end)
+            continue
+        pos += 2 + ln
+    if sof is None or not saw_scan:
+        raise ValueError("JPEG missing SOF or SOS")
+
+    w, h, comps, _hmax, _vmax, _mcux, _mcuy = sof
+    xs = np.arange(8)
+    C = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
+    C[0] *= 1 / np.sqrt(2)
+    out = []
+    for cid, hi, vi, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        zz = coefs[cid].astype(np.float64) * np.array(
+            qtables[tq], dtype=np.float64
+        )
+        bh, bw = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, _ZIGZAG] = zz
+        blocks = nat.reshape(bh, bw, 8, 8)
+        # IDCT every block at once: out = C.T @ block @ C
+        px = np.einsum("ku,yxkl,lv->yxuv", C, blocks, C)
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        out.append((
+            cid, hi, vi,
+            np.clip(np.rint(plane + 128), 0, 255).astype(np.int64),
+        ))
+    return w, h, out
+
+
+def _jpeg_decode_progressive_scan(
+    payload: bytes,
+    data_pos: int,
+    body: bytes,
+    sof,
+    coefs,
+    comp_blocks,
+    huff,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    accumulators; returns the offset just past the data consumed.  The
+    scan header's ``Ss/Se/Ah/Al`` select the band and the successive-
+    approximation stage (see ``_jpeg_decode_planes_progressive``)."""
+    w, h, comps, hmax, vmax, mcux, mcuy = sof
+    ns = body[0]
+    scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+    if ss > se or se > 63:
+        raise ValueError(f"invalid spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scans carry exactly one component")
+    if ah and ah != al + 1:
+        raise ValueError(f"invalid successive approximation {ah}->{al}")
+    by_id = {c[0]: c for c in comps}
+    for cid, _tt in scan:
+        if cid not in by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+
+    reader = _BitReader(payload, data_pos)
+    rst_n = 0
+    prev_dc = {cid: 0 for cid, _tt in scan}
+    eobrun = 0
+    p1 = 1 << al
+
+    def maybe_restart(unit_idx: int) -> None:
+        nonlocal rst_n, eobrun
+        if (
+            restart_interval
+            and unit_idx
+            and unit_idx % restart_interval == 0
+        ):
+            reader.consume_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            for cid in prev_dc:
+                prev_dc[cid] = 0
+            eobrun = 0
+
+    def dc_first(cid: int, dc_table, bx: int, by: int) -> None:
+        cat = _huff_decode(reader, dc_table)
+        if cat > 15:
+            raise ValueError(f"invalid DC category {cat}")
+        prev_dc[cid] += _jpeg_receive_extend(reader, cat) if cat else 0
+        coefs[cid][by, bx, 0] = prev_dc[cid] << al
+
+    def dc_refine(cid: int, bx: int, by: int) -> None:
+        if reader.read_bit():
+            coefs[cid][by, bx, 0] |= p1
+
+    def ac_first(cid: int, ac_table, bx: int, by: int) -> None:
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        blk = coefs[cid][by, bx]
+        k = ss
+        while k <= se:
+            sym = _huff_decode(reader, ac_table)
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:  # EOBn: 2^run (+ run extra bits) blocks
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC run past end of spectral band")
+            blk[k] = _jpeg_receive_extend(reader, size) << al
+            k += 1
+
+    def ac_refine(cid: int, ac_table, bx: int, by: int) -> None:
+        # T.81 G.1.2.3 / G.1.2.2: every already-nonzero coefficient in
+        # the band consumes one correction bit; newly-nonzero ones
+        # arrive as ±2^Al after `run` ZERO-HISTORY positions
+        nonlocal eobrun
+        blk = coefs[cid][by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(reader, ac_table)
+                run, size = sym >> 4, sym & 0x0F
+                newval = 0
+                if size == 0:
+                    if run != 15:
+                        eobrun = (1 << run)
+                        if run:
+                            eobrun += reader.read_bits(run)
+                        break
+                    # ZRL: sixteen zero-history positions
+                else:
+                    if size != 1:
+                        raise ValueError(
+                            f"invalid refinement AC symbol 0x{sym:02X}"
+                        )
+                    newval = p1 if reader.read_bit() else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else -p1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError(
+                            "refinement coefficient lands past the band"
+                        )
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                k += 1
+            eobrun -= 1
+
+    if ss == 0 and ns > 1:
+        # interleaved DC scan: MCU traversal over the FULL padded grid
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(unit)
+                unit += 1
+                for cid, tt in scan:
+                    _c, hi, vi, _tq = by_id[cid]
+                    for iy in range(vi):
+                        for ix in range(hi):
+                            bx, by = mx * hi + ix, my * vi + iy
+                            if ah == 0:
+                                dc_first(cid, huff[(0, tt >> 4)], bx, by)
+                            else:
+                                dc_refine(cid, bx, by)
+    else:
+        # single-component scan: the component's OWN block grid (not
+        # MCU-padded — padding blocks are never coded here)
+        cid, tt = scan[0]
+        bw, bh = comp_blocks[cid]
+        if ss == 0:
+            # DC refinement is raw bits — no table consulted
+            table = huff.get((0, tt >> 4)) if ah == 0 else None
+            if ah == 0 and table is None:
+                raise ValueError("missing DC Huffman table for scan")
+        else:
+            table = huff.get((1, tt & 0x0F))
+            if table is None:
+                raise ValueError("missing AC Huffman table for scan")
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(unit)
+                unit += 1
+                if ss == 0:
+                    if ah == 0:
+                        dc_first(cid, table, bx, by)
+                    else:
+                        dc_refine(cid, bx, by)
+                elif ah == 0:
+                    ac_first(cid, table, bx, by)
+                else:
+                    ac_refine(cid, table, bx, by)
+
+    # the scan's data ends at the current reader byte (pad bits belong
+    # to it); trailing EOB runs carry no bytes
+    return reader.pos
 
 
 _JPEG_UNIT_LUT = None

@@ -3726,3 +3726,393 @@ def test_lsh_index_bucketed_delete_lifecycle(spark, sf_oracle):
     }
     assert rebuilt == base
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _prog_jpeg_toolkit():
+    """Shared pieces of the INDEPENDENT test-side progressive encoder
+    (round 9 — the encoder twin the DRI test established for baseline,
+    extended to multi-scan emission: spectral selection, successive
+    approximation with buffered correction bits, EOBn runs, ZRL in
+    both passes, restartable DC scans).  Nothing here is shared with
+    the engine decoder — agreement can't come from shared code."""
+    import struct
+
+    DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    DC_VALS = list(range(12))
+    AC_VALS = sorted(
+        {0x00, 0x10, 0x20, 0x30, 0xF0}
+        | {(r << 4) | s for r in range(16) for s in (1, 2, 3)}
+    )
+    AC_BITS = [0, 0, 0, 0, 0, len(AC_VALS)] + [0] * 10
+
+    def canon(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_c, ac_c = canon(DC_BITS, DC_VALS), canon(AC_BITS, AC_VALS)
+
+    class W:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, code, ln):
+            self.bits += [(code >> (ln - 1 - i)) & 1 for i in range(ln)]
+
+        def put_bit(self, b):
+            self.bits.append(b)
+
+        def bytes_(self):
+            bs = self.bits + [1] * (-len(self.bits) % 8)
+            out = bytearray()
+            for i in range(0, len(bs), 8):
+                b = int("".join(map(str, bs[i : i + 8])), 2)
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            return bytes(out)
+
+    def cat_bits(v):
+        c = abs(v).bit_length()
+        return c, (v if v >= 0 else v + (1 << c) - 1)
+
+    def emit_eobn(wtr, eobrun):
+        run = eobrun.bit_length() - 1
+        wtr.put(*ac_c[run << 4])
+        if run:
+            wtr.put(eobrun - (1 << run), run)
+
+    def dc_first_scan(mcus, al, restart=0):
+        # mcus: list of MCUs, each a list of (cid, dc) in traversal
+        # order; a restarted scan resets predictors and byte-aligns
+        out, wtr, prev, rst_n = bytearray(), W(), {}, 0
+        for count, mcu in enumerate(mcus):
+            if restart and count and count % restart == 0:
+                out += wtr.bytes_()
+                out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) & 7
+                wtr, prev = W(), {}
+            for cid, dc in mcu:
+                v = dc >> al  # DC point transform: arithmetic shift
+                c, vb = cat_bits(v - prev.get(cid, 0))
+                prev[cid] = v
+                wtr.put(*dc_c[c])
+                if c:
+                    wtr.put(vb, c)
+        out += wtr.bytes_()
+        return bytes(out)
+
+    def dc_refine_scan(dcs, al):
+        wtr = W()
+        for dc in dcs:
+            wtr.put_bit((dc >> al) & 1)
+        return wtr.bytes_()
+
+    def ac_first_scan(blocks, ss, se, al):
+        # AC point transform truncates toward zero: sign * (|v| >> al)
+        wtr, eobrun = W(), 0
+        for blk in blocks:
+            band = {}
+            for k, v in blk.items():
+                if ss <= k <= se and abs(v) >> al:
+                    band[k] = (abs(v) >> al) * (1 if v > 0 else -1)
+            if not band:
+                eobrun += 1
+                continue
+            if eobrun:
+                emit_eobn(wtr, eobrun)
+                eobrun = 0
+            r = 0
+            for k in range(ss, se + 1):
+                v = band.get(k, 0)
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    wtr.put(*ac_c[0xF0])
+                    r -= 16
+                c, vb = cat_bits(v)
+                wtr.put(*ac_c[(r << 4) | c])
+                wtr.put(vb, c)
+                r = 0
+            if max(band) < se:
+                eobrun += 1
+        if eobrun:
+            emit_eobn(wtr, eobrun)
+        return wtr.bytes_()
+
+    def ac_refine_scan(blocks, ss, se, al):
+        # the libjpeg-shaped refinement emitter: newly-nonzero coefs
+        # (|v|>>al == 1) carry run/size=1 + sign; already-nonzero ones
+        # buffer one correction bit each, appended after the next
+        # symbol (or after the EOBn covering their block)
+        wtr, eobrun, be = W(), 0, []
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                emit_eobn(wtr, eobrun)
+                for b in be:
+                    wtr.put_bit(b)
+                eobrun, be = 0, []
+
+        for blk in blocks:
+            absv = {}
+            for k, v in blk.items():
+                if ss <= k <= se and abs(v) >> al:
+                    absv[k] = (abs(v) >> al, 1 if v > 0 else 0)
+            eob_k = max(
+                (k for k, (t, _s) in absv.items() if t == 1),
+                default=ss - 1,
+            )
+            r, br = 0, []
+            for k in range(ss, se + 1):
+                t, sign = absv.get(k, (0, 0))
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    flush_eob()
+                    wtr.put(*ac_c[0xF0])
+                    r -= 16
+                    for b in br:
+                        wtr.put_bit(b)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                wtr.put(*ac_c[(r << 4) | 1])
+                wtr.put_bit(sign)
+                for b in br:
+                    wtr.put_bit(b)
+                br, r = [], 0
+            if r > 0 or br:
+                eobrun += 1
+                be += br
+        flush_eob()
+        return wtr.bytes_()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(scan_comps, ss, se, ah, al):
+        body = bytes([len(scan_comps)])
+        for cid, tt in scan_comps:
+            body += bytes([cid, tt])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    tables = (
+        seg(0xFFC4, bytes([0x00] + DC_BITS + DC_VALS))
+        + seg(0xFFC4, bytes([0x10] + AC_BITS + AC_VALS))
+    )
+    return {
+        "seg": seg, "sos": sos, "tables": tables,
+        "dc_first": dc_first_scan, "dc_refine": dc_refine_scan,
+        "ac_first": ac_first_scan, "ac_refine": ac_refine_scan,
+    }
+
+
+def _idct_ref(blk, q):
+    """Independent numpy IDCT reference (same as the baseline tests)."""
+    import numpy as np
+
+    xs = np.arange(8)
+    C = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2
+    C[0] *= 1 / np.sqrt(2)
+    zz = np.zeros(64)
+    for k, v in blk.items():
+        zz[k] = v * q[k]
+    coef = np.zeros(64)
+    coef[M._ZIGZAG] = zz
+    return C.T @ coef.reshape(8, 8) @ C
+
+
+def test_jpeg_decoder_progressive_greyscale():
+    """Round 9 (round-8 verdict item 2): progressive JPEG (SOF2)
+    decodes on the general path.  A 16x16 grey fixture from the
+    independent test-side progressive encoder spreads its coefficients
+    over SIX scans — DC first at Al=1, two spectral AC bands (1..20,
+    21..63) at Al=1, then one refinement scan for each — and the
+    decoded pixels must equal the independent IDCT reference exactly.
+    The coefficients exercise: DC successive approximation on negative
+    and odd values; an EOB run of 3 with an extra-bit count (band
+    21..63: three empty blocks before the coded one); ZRL in the first
+    pass (runs of 38 and 22 zeros); a refinement ZRL (16 zero-history
+    positions before a newly-nonzero -1); newly-nonzero refinement
+    coefficients of both signs; correction bits of both values; and
+    correction bits buffered under an EOB run (block 0's band-2
+    corrections ride the EOBn)."""
+    import struct
+
+    import numpy as np
+
+    t = _prog_jpeg_toolkit()
+    q = [3 + (i % 5) for i in range(64)]
+    blocks = [
+        {0: 40, 1: 5, 20: -2},
+        {0: -31},
+        {0: 0},
+        {0: 127, 2: 1, 19: -1, 40: 3, 63: -6},
+    ]
+    AL = 1
+    payload = (
+        b"\xff\xd8"
+        + t["seg"](0xFFDB, bytes([0x00]) + bytes(q))
+        + t["seg"](
+            0xFFC2,
+            struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]),
+        )
+        + t["tables"]
+        + t["sos"]([(1, 0x00)], 0, 0, 0, AL)
+        + t["dc_first"]([[(1, b.get(0, 0))] for b in blocks], AL)
+        + t["sos"]([(1, 0x00)], 1, 20, 0, AL)
+        + t["ac_first"](blocks, 1, 20, AL)
+        + t["sos"]([(1, 0x00)], 21, 63, 0, AL)
+        + t["ac_first"](blocks, 21, 63, AL)
+        + t["sos"]([(1, 0x00)], 0, 0, 1, 0)
+        + t["dc_refine"]([b.get(0, 0) for b in blocks], 0)
+        + t["sos"]([(1, 0x00)], 1, 20, 1, 0)
+        + t["ac_refine"](blocks, 1, 20, 0)
+        + t["sos"]([(1, 0x00)], 21, 63, 1, 0)
+        + t["ac_refine"](blocks, 21, 63, 0)
+        + b"\xff\xd9"
+    )
+
+    want = np.zeros((16, 16))
+    for i, blk in enumerate(blocks):
+        by, bx = divmod(i, 2)
+        want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_ref(blk, q)
+    want = np.clip(np.rint(want + 128), 0, 255).astype(np.int64)
+
+    w, h, got = M._jpeg_pixels(payload)
+    assert (w, h) == (16, 16)
+    assert np.array_equal(np.array(got).reshape(16, 16), want)
+
+    # the decode verb runs end to end on a progressive stream
+    feats = M.decode_jpeg(payload)
+    assert feats[0] == 16.0 and feats[1] == 16.0
+
+    # corruption stays loud: an AC scan claiming three components
+    bad = payload.replace(
+        t["sos"]([(1, 0x00)], 1, 20, 0, AL),
+        t["seg"](0xFFDA, bytes([3, 1, 0, 2, 0, 3, 0, 1, 20, AL])),
+    )
+    with pytest.raises(ValueError, match="exactly one component"):
+        M._jpeg_pixels(bad)
+    # invalid successive approximation (Ah must be Al+1)
+    bad = payload.replace(
+        t["sos"]([(1, 0x00)], 1, 20, 1, 0),
+        t["sos"]([(1, 0x00)], 1, 20, 2, 0),
+    )
+    with pytest.raises(ValueError, match="successive approximation"):
+        M._jpeg_pixels(bad)
+    # truncation mid-scan
+    with pytest.raises(ValueError):
+        M._jpeg_pixels(payload[: len(payload) - 40])
+
+
+def test_jpeg_decoder_progressive_color_420_with_restarts():
+    """Progressive + color + subsampling + restart markers, composed:
+    a 24x8 4:2:0 frame whose luma MCU-padded grid (4x2 blocks) differs
+    from its own block grid (3x1) — the interleaved DC scan must code
+    the padding blocks, the per-component AC scans must NOT (the
+    classic progressive block-count trap).  The DC scan carries DRI=1
+    (restart after each MCU: predictors reset, cycling marker), DRI is
+    redefined to 0 between scans, and chroma planes decode through
+    their own scans.  Pixels must equal the independent per-plane IDCT
+    reference after the engine's upsampling."""
+    import struct
+
+    import numpy as np
+
+    t = _prog_jpeg_toolkit()
+    qy = [2 + (i % 4) for i in range(64)]
+    qc = [5 + (i % 3) for i in range(64)]
+    y_own = [
+        {0: 40, 1: 5, 20: -2},
+        {0: -31, 2: 1, 19: -1},
+        {0: 127, 40: 3},
+    ]
+    cb_own = [{0: 12, 1: 2}, {0: -30}]
+    cr_own = [{0: -9, 17: 1}, {0: 25}]
+    AL = 1
+
+    def y_dc(bx, by):
+        return y_own[bx].get(0, 0) if by == 0 and bx < 3 else 0
+
+    mcus_dc = []
+    for mx in range(2):
+        mcu = []
+        for iy in range(2):
+            for ix in range(2):
+                mcu.append((1, y_dc(mx * 2 + ix, iy)))
+        mcu.append((2, cb_own[mx].get(0, 0)))
+        mcu.append((3, cr_own[mx].get(0, 0)))
+        mcus_dc.append(mcu)
+    dc_order = [dc for mcu in mcus_dc for _cid, dc in mcu]
+
+    payload = (
+        b"\xff\xd8"
+        + t["seg"](0xFFDB, bytes([0x00]) + bytes(qy))
+        + t["seg"](0xFFDB, bytes([0x01]) + bytes(qc))
+        + t["seg"](
+            0xFFC2,
+            struct.pack(">BHHB", 8, 8, 24, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + t["tables"]
+        + t["seg"](0xFFDD, struct.pack(">H", 1))  # DRI for the DC scan
+        + t["sos"]([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, AL)
+        + t["dc_first"](mcus_dc, AL, restart=1)
+        + t["seg"](0xFFDD, struct.pack(">H", 0))  # DRI off again
+        + t["sos"]([(1, 0x00)], 1, 63, 0, AL)
+        + t["ac_first"](y_own, 1, 63, AL)
+        + t["sos"]([(2, 0x00)], 1, 63, 0, AL)
+        + t["ac_first"](cb_own, 1, 63, AL)
+        + t["sos"]([(3, 0x00)], 1, 63, 0, AL)
+        + t["ac_first"](cr_own, 1, 63, AL)
+        + t["sos"]([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+        + t["dc_refine"](dc_order, 0)
+        + t["sos"]([(1, 0x00)], 1, 63, 1, 0)
+        + t["ac_refine"](y_own, 1, 63, 0)
+        + t["sos"]([(2, 0x00)], 1, 63, 1, 0)
+        + t["ac_refine"](cb_own, 1, 63, 0)
+        + t["sos"]([(3, 0x00)], 1, 63, 1, 0)
+        + t["ac_refine"](cr_own, 1, 63, 0)
+        + b"\xff\xd9"
+    )
+
+    lvl = lambda p: np.clip(np.rint(p + 128), 0, 255).astype(np.int64)
+    yref = np.zeros((8, 24))
+    for bx, blk in enumerate(y_own):
+        yref[:, bx * 8 : bx * 8 + 8] = _idct_ref(blk, qy)
+    cbref = np.zeros((4, 16))
+    crref = np.zeros((4, 16))
+    for bx in range(2):
+        cbref[:, bx * 8 : bx * 8 + 8] = _idct_ref(cb_own[bx], qc)[:4]
+        crref[:, bx * 8 : bx * 8 + 8] = _idct_ref(cr_own[bx], qc)[:4]
+    yref = lvl(yref)
+    cbref, crref = lvl(cbref[:, :12]), lvl(crref[:, :12])
+
+    w, h, yp, cbp, crp = M._jpeg_ycbcr(payload)
+    assert (w, h) == (24, 8)
+    assert np.array_equal(np.asarray(yp), yref)
+    up = lambda p: p[np.arange(8) // 2][:, np.arange(24) // 2]
+    assert np.array_equal(np.asarray(cbp), up(cbref))
+    assert np.array_equal(np.asarray(crp), up(crref))
+
+    # the full color decode verb runs on a progressive stream
+    feats = M.decode_jpeg_color(payload)
+    assert feats[0] == 24.0 and feats[1] == 8.0
+
+    # a wrong restart index inside a progressive scan stays loud
+    bad = payload.replace(bytes([0xFF, 0xD0]), bytes([0xFF, 0xD3]))
+    with pytest.raises(ValueError, match="expected RST0"):
+        M._jpeg_ycbcr(bad)
