@@ -276,9 +276,11 @@ def write_small_file(spark: SparkSession, path: str, data: str) -> None:
 
 def read_small_file(spark: SparkSession, path: str) -> str | None:
     """Contents of one tiny UTF-8 metadata file, or None if absent.
-    Byte-at-a-time py4j read — fine for the <1 KB marker/sidecar files
-    this pairs with ``write_small_file`` for, wrong for anything
-    data-sized."""
+    One py4j call for the whole body (commons-io, guaranteed on
+    Spark's classpath via hadoop-common) — a byte-at-a-time py4j loop
+    is one blocking JVM round trip PER BYTE, which turns a
+    few-dozen-KB decision record into seconds of driver stall on every
+    replay (round-9 review)."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -286,15 +288,37 @@ def read_small_file(spark: SparkSession, path: str) -> str | None:
         return None
     stream = fs.open(p)
     try:
-        buf = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            buf.append(b)
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
     finally:
         stream.close()
-    return buf.decode("utf-8")
+    return bytes(data).decode("utf-8")
+
+
+def publish_small_file(spark: SparkSession, path: str, data: str) -> None:
+    """Two-phase publish of one tiny metadata file: write to a hidden
+    sibling temp, delete any previous version, rename into place —
+    and RAISE if the rename reports failure (an unchecked ``rename``
+    silently leaves the OLD file in place, which for a decision
+    record means a replay validating against a stale tombstone set
+    with no error; round-9 review).  The ONE tiny-file publisher, for
+    the same reason ``publish_tombstone_batch`` is the one batch
+    publisher: hand-rolled variants drift.
+
+    The delete→rename window is the caller's documented trade: for
+    the engine's marker files a crash there re-derives the record
+    (decision records are rewritten by the replay itself; fold state
+    re-treats batches as active — one extra fold, never data loss)."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    parent, name = os.path.split(path)
+    tmp = Path(f"{parent}/.{name}.tmp")
+    final = Path(path)
+    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
+    write_small_file(spark, f"{parent}/.{name}.tmp", data)
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise OSError(f"could not publish small file {path!r}")
 
 
 def publish_tombstone_batch(

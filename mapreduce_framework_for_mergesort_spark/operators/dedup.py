@@ -1151,9 +1151,22 @@ def write_lsh_index_bucketed(
     )
 
 
+#: (applicationId, table) -> location.  A managed table's location is
+#: stable across rebuilds (write_bucketed drops and recreates under the
+#: same warehouse path), so caching keeps the high-frequency probe read
+#: from paying a catalog query per call (round-9 review).  A table
+#: moved to a DIFFERENT location mid-session (external drop/recreate —
+#: outside this module's lifecycle) would need a process restart.
+_TABLE_LOC_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _bucketed_table_location(spark, table: str) -> str:
     """Storage location of a catalog table (the root the bucketed band
-    index's tombstones live under)."""
+    index's tombstones live under), cached per (session, table)."""
+    key = (spark.sparkContext.applicationId, table.lower())
+    loc = _TABLE_LOC_CACHE.get(key)
+    if loc is not None:
+        return loc
     rows = (
         spark.sql(f"DESCRIBE FORMATTED {table}")
         .where("col_name = 'Location'")
@@ -1161,7 +1174,9 @@ def _bucketed_table_location(spark, table: str) -> str:
     )
     if not rows:
         raise ValueError(f"table {table!r} has no Location (not found?)")
-    return rows[0]["data_type"]
+    loc = rows[0]["data_type"]
+    _TABLE_LOC_CACHE[key] = loc
+    return loc
 
 
 def read_lsh_index_bucketed(spark, table: str) -> DataFrame:

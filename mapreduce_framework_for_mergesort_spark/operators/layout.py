@@ -309,6 +309,39 @@ def _count_parquet_files(fs, root) -> int:
     return n
 
 
+def predicted_fold_hi(spark: SparkSession, path: str) -> float | None:
+    """The ``hi`` a ``compact_epochs(path)`` call would fold through,
+    WITHOUT running it — the probe ``compact_ingest_state`` uses to
+    decide whether a retraction transform still has newly-closed
+    epochs to work on (round-9 review: the caller previously
+    re-derived this arithmetic privately, which could silently desync
+    from what the fold actually does).
+
+    Returns ``None`` when a crashed prior run left recovery residue
+    (``.compact-epoch-*`` / ``.retire-epoch-*``): recovery can change
+    the epoch set before ``hi`` is chosen, so the honest answer is
+    "unknown" and callers must be conservative (assume work exists).
+    Otherwise: ``+inf`` when the path has no epoch layout at all
+    (nothing can ever need folding), ``-1`` when nothing is closed,
+    else ``max(closed)`` — the same selection rule as the fold itself
+    (keep the two in sync; see the ``closed = [...]`` site in
+    ``compact_epochs``)."""
+    import math
+
+    fs, root = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return math.inf
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith((".compact-epoch-", ".retire-epoch-")):
+            return None
+    epochs = _list_epochs(spark, path)
+    if not epochs:
+        return math.inf
+    closed = [e for e in epochs if e < epochs[-1]]
+    return float(max(closed)) if closed else -1.0
+
+
 def compact_epochs(
     spark: SparkSession,
     path: str,
@@ -465,6 +498,8 @@ def compact_epochs(
     if not epochs:
         return None
     latest = epochs[-1]
+    # selection rule mirrored by predicted_fold_hi (post-recovery,
+    # no up_to) — change both together
     closed = [
         e for e in epochs
         if e < latest and (up_to is None or e <= up_to)

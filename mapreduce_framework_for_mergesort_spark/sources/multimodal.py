@@ -843,6 +843,66 @@ def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code (no match within 16 bits)")
 
 
+def _jpeg_parse_dqt(body: bytes, qtables: dict) -> None:
+    """One DQT segment (possibly several tables) into ``qtables`` —
+    shared by the baseline and progressive walks (round-9 review: the
+    two copies could drift)."""
+    off = 0
+    while off < len(body):
+        pq, tq = body[off] >> 4, body[off] & 0x0F
+        if pq != 0:
+            raise ValueError("16-bit DQT precision unsupported")
+        qtables[tq] = list(body[off + 1 : off + 65])
+        off += 65
+
+
+def _jpeg_parse_dht(body: bytes, huff: dict) -> None:
+    """One DHT segment (possibly several canonical tables) into
+    ``huff`` keyed ``(class, id)`` — shared by both walks."""
+    off = 0
+    while off < len(body):
+        tc, th = body[off] >> 4, body[off] & 0x0F
+        counts = list(body[off + 1 : off + 17])
+        syms = body[off + 17 : off + 17 + sum(counts)]
+        table: dict[tuple[int, int], int] = {}
+        code, k = 0, 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[(length, code)] = syms[k]
+                code += 1
+                k += 1
+            code <<= 1
+        huff[(tc, th)] = table
+        off += 17 + sum(counts)
+
+
+def _jpeg_parse_sof(body: bytes, kind: str):
+    """One SOF segment body → ``(w, h, comps)`` with the shared
+    profile validation (8-bit, 1/3 components, sampling 1..2,
+    no greyscale subsampling)."""
+    import struct
+
+    prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+    if prec != 8 or ncomp not in (1, 3):
+        raise ValueError(
+            f"only 8-bit 1- or 3-component {kind} supported, "
+            f"got precision={prec} components={ncomp}"
+        )
+    comps = []
+    for i in range(ncomp):
+        cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+        hi, vi = sampling >> 4, sampling & 0x0F
+        if not (1 <= hi <= 2 and 1 <= vi <= 2):
+            raise ValueError(
+                f"sampling factors {hi}x{vi} outside the supported "
+                "1..2 range"
+            )
+        comps.append((cid, hi, vi, tq))
+    if ncomp == 1 and comps[0][1:3] != (1, 1):
+        raise ValueError("subsampling unsupported for greyscale")
+    return w, h, comps
+
+
 def _jpeg_decode_planes(payload: bytes):
     """General baseline-JFIF parse → ``(w, h, comps)`` where ``comps``
     is the SOF-ordered list of ``(comp_id, Hi, Vi, plane)`` and
@@ -892,49 +952,11 @@ def _jpeg_decode_planes(payload: bytes):
         if len(body) != ln - 2:
             raise ValueError(f"truncated JPEG segment 0xFF{marker:02X}")
         if marker == 0xDB:  # DQT (possibly several tables per segment)
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit DQT precision unsupported")
-                qtables[tq] = list(body[off + 1 : off + 65])
-                off += 65
+            _jpeg_parse_dqt(body, qtables)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
-            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp not in (1, 3):
-                raise ValueError(
-                    f"only 8-bit 1- or 3-component baseline supported, "
-                    f"got precision={prec} components={ncomp}"
-                )
-            comps = []
-            for i in range(ncomp):
-                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
-                hi, vi = sampling >> 4, sampling & 0x0F
-                if not (1 <= hi <= 2 and 1 <= vi <= 2):
-                    raise ValueError(
-                        f"sampling factors {hi}x{vi} outside the "
-                        "supported 1..2 range"
-                    )
-                comps.append((cid, hi, vi, tq))
-            if ncomp == 1 and comps[0][1:3] != (1, 1):
-                raise ValueError("subsampling unsupported for greyscale")
-            sof = (w, h, comps)
+            sof = _jpeg_parse_sof(body, "baseline")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 0x0F
-                counts = list(body[off + 1 : off + 17])
-                syms = body[off + 17 : off + 17 + sum(counts)]
-                table: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-                off += 17 + sum(counts)
+            _jpeg_parse_dht(body, huff)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -1003,12 +1025,9 @@ def _jpeg_decode_planes(payload: bytes):
                         if cat > 15:
                             raise ValueError(f"invalid DC category {cat}")
                         if cat:
-                            v = reader.read_bits(cat)
-                            if v < (1 << (cat - 1)):  # negative branch
-                                v -= (1 << cat) - 1
-                        else:
-                            v = 0
-                        prev_dc[cid] += v
+                            prev_dc[cid] += _jpeg_receive_extend(
+                                reader, cat
+                            )
                         zz[0] = prev_dc[cid]
                         k = 1
                         while k < 64:
@@ -1026,10 +1045,7 @@ def _jpeg_decode_planes(payload: bytes):
                             k += run
                             if k > 63:
                                 raise ValueError("AC run past end of block")
-                            v = reader.read_bits(size)
-                            if v < (1 << (size - 1)):
-                                v -= (1 << size) - 1
-                            zz[k] = v
+                            zz[k] = _jpeg_receive_extend(reader, size)
                             k += 1
                         coef = np.zeros(64, dtype=np.float64)
                         coef[_ZIGZAG] = zz * q
@@ -1129,32 +1145,9 @@ def _jpeg_decode_planes_progressive(payload: bytes):
         if len(body) != ln - 2:
             raise ValueError(f"truncated JPEG segment 0xFF{marker:02X}")
         if marker == 0xDB:  # DQT
-            off = 0
-            while off < len(body):
-                pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit DQT precision unsupported")
-                qtables[tq] = list(body[off + 1 : off + 65])
-                off += 65
+            _jpeg_parse_dqt(body, qtables)
         elif marker == 0xC2:  # SOF2 (progressive)
-            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp not in (1, 3):
-                raise ValueError(
-                    f"only 8-bit 1- or 3-component progressive "
-                    f"supported, got precision={prec} components={ncomp}"
-                )
-            comps = []
-            for i in range(ncomp):
-                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
-                hi, vi = sampling >> 4, sampling & 0x0F
-                if not (1 <= hi <= 2 and 1 <= vi <= 2):
-                    raise ValueError(
-                        f"sampling factors {hi}x{vi} outside the "
-                        "supported 1..2 range"
-                    )
-                comps.append((cid, hi, vi, tq))
-            if ncomp == 1 and comps[0][1:3] != (1, 1):
-                raise ValueError("subsampling unsupported for greyscale")
+            w, h, comps = _jpeg_parse_sof(body, "progressive")
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
@@ -1178,21 +1171,7 @@ def _jpeg_decode_planes_progressive(payload: bytes):
                 "frame types)"
             )
         elif marker == 0xC4:  # DHT — may redefine tables between scans
-            off = 0
-            while off < len(body):
-                tc, th = body[off] >> 4, body[off] & 0x0F
-                counts = list(body[off + 1 : off + 17])
-                syms = body[off + 17 : off + 17 + sum(counts)]
-                table: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        table[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
-                off += 17 + sum(counts)
+            _jpeg_parse_dht(body, huff)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — one of several scans
@@ -1371,6 +1350,12 @@ def _jpeg_decode_progressive_scan(
 
     if ss == 0 and ns > 1:
         # interleaved DC scan: MCU traversal over the FULL padded grid
+        dc_tables = {}
+        for cid, tt in scan:
+            if ah == 0:  # refinement reads raw bits, no table
+                dc_tables[cid] = huff.get((0, tt >> 4))
+                if dc_tables[cid] is None:
+                    raise ValueError("missing DC Huffman table for scan")
         unit = 0
         for my in range(mcuy):
             for mx in range(mcux):
@@ -1382,7 +1367,7 @@ def _jpeg_decode_progressive_scan(
                         for ix in range(hi):
                             bx, by = mx * hi + ix, my * vi + iy
                             if ah == 0:
-                                dc_first(cid, huff[(0, tt >> 4)], bx, by)
+                                dc_first(cid, dc_tables[cid], bx, by)
                             else:
                                 dc_refine(cid, bx, by)
     else:

@@ -207,7 +207,17 @@ def accept_batch(
             )
         if recorded is None:
             _write_decision_record(spark, index_path, epoch, tomb_ids)
-            _gc_decision_records(spark, index_path, below=epoch)
+            # GC below the PERSISTED epoch, not the in-flight one: the
+            # guard above still allows replaying `persisted`, so its
+            # record must survive until a later epoch commits.  GCing
+            # below the in-flight epoch opened a crash window (record
+            # written, data writes not yet) where the previous — still
+            # replayable — epoch had lost its record and a replay
+            # would silently re-decide under a changed tombstone set
+            # (round-9 review: the exact divergence this mechanism
+            # exists to make loud).
+            if persisted is not None:
+                _gc_decision_records(spark, index_path, below=persisted)
     # one tombstone read per microbatch, shared by the three
     # exclusions below (round-8 review: building the same broadcast
     # twice on the hot path)
@@ -424,18 +434,17 @@ def _read_decision_record(
 def _write_decision_record(
     spark, index_path: str, epoch: int, tomb_ids: list[str]
 ) -> None:
-    """Publish the epoch's decision-input record (two-phase: hidden
-    temp + rename, so a crash mid-write can't leave a half record a
-    replay would 'mismatch' against)."""
-    from mapreduce_framework_for_mergesort_spark.io import write_small_file
+    """Publish the epoch's decision-input record (checked two-phase
+    publish — ``io.publish_small_file``; a crash mid-write can't leave
+    a half record a replay would 'mismatch' against, and a failed
+    rename raises instead of leaving a stale record)."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        publish_small_file,
+    )
 
-    final = _decision_record_path(index_path, epoch)
-    tmp = f"{index_path}/_decisions/.tmp-epoch-{epoch}"
-    write_small_file(spark, tmp, "\n".join(tomb_ids))
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(final).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.rename(Path(tmp), Path(final))
+    publish_small_file(
+        spark, _decision_record_path(index_path, epoch), "\n".join(tomb_ids)
+    )
 
 
 def _gc_decision_records(spark, index_path: str, below: int) -> None:
@@ -550,6 +559,7 @@ def compact_ingest_state(
     from mapreduce_framework_for_mergesort_spark.operators.layout import (
         _list_epochs,
         compact_epochs,
+        predicted_fold_hi,
     )
 
     # retraction fold (round 8; high-water marks round 9): while any
@@ -568,20 +578,18 @@ def compact_ingest_state(
     retired, folded_through = state["retired"], state["folded_through"]
     active = [b for b in all_ids if b not in retired]
 
-    def _expected_covered(path: str) -> float:
-        # the hi this compaction WOULD fold through on `path` — same
-        # arithmetic as compact_epochs (max closed epoch); +inf when
-        # the surface has no epoch layout (never held the rows), -1
-        # when nothing is closed (nothing foldable)
-        epochs = _list_epochs(spark, path)
-        if not epochs:
-            return math.inf
-        closed = [e for e in epochs if e < epochs[-1]]
-        return float(max(closed)) if closed else -1.0
-
     tr = None
     if active:
-        exp_cov = min(_expected_covered(p) for p in surfaces)
+        # the hi this compaction WOULD fold through (layout's own
+        # probe — round-9 review: re-deriving the selection rule here
+        # could desync from the fold); a None probe means crash
+        # residue makes the answer unknown — be conservative and pass
+        # the transform (an extra fold, never missed work)
+        probes = [predicted_fold_hi(spark, p) for p in surfaces]
+        exp_cov = (
+            math.inf if None in probes
+            else min(probes)  # type: ignore[type-var]
+        )
         if any(folded_through.get(b, -1) < exp_cov for b in active):
             # the anti-join uses the FULL tombstone union, not just
             # the active batches — same single broadcast either way,
@@ -664,20 +672,18 @@ def _read_fold_state(spark, troot: str) -> dict:
 
 
 def _write_fold_state(spark, troot: str, state: dict) -> None:
-    """Replace the fold-state marker (hidden temp, delete old, rename
-    in).  The delete→rename window is economics-only: a crash there
-    re-treats every batch as unfolded, costing one extra transform
-    fold, never data."""
+    """Replace the fold-state marker (checked two-phase publish —
+    ``io.publish_small_file``).  Its delete→rename window is
+    economics-only here: a crash there re-treats every batch as
+    unfolded, costing one extra transform fold, never data."""
     import json
 
-    from mapreduce_framework_for_mergesort_spark.io import write_small_file
+    from mapreduce_framework_for_mergesort_spark.io import (
+        publish_small_file,
+    )
 
-    tmp = f"{troot}/.{_FOLD_STATE_MARKER}.tmp"
-    write_small_file(spark, tmp, json.dumps(state, sort_keys=True))
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    final = Path(f"{troot}/{_FOLD_STATE_MARKER}")
-    fs = final.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(Path(tmp), final)
+    publish_small_file(
+        spark,
+        f"{troot}/{_FOLD_STATE_MARKER}",
+        json.dumps(state, sort_keys=True),
+    )

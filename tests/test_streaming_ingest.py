@@ -1168,13 +1168,22 @@ def test_replay_quiesce_mismatch_fails_loudly(spark, tmp_path):
         r["doc_id"] for r in I.read_corpus(spark, out).collect()
     } == {1, 5}
 
-    # records below the latest epoch are garbage-collected (ignore
-    # the local filesystem's .crc shadow files)
+    # records below the latest PERSISTED epoch are garbage-collected,
+    # but the persisted epoch's own record survives the next epoch's
+    # record write — GC keyed to the in-flight epoch instead opened a
+    # crash window (record written, data writes not yet) in which the
+    # still-replayable previous epoch had silently lost its quiesce
+    # guard (round-9 review).  Ignore the local FS's .crc shadows.
     I.accept_batch(batch([(9, "entirely new content for epoch two")]),
                    idx, out, epoch=2)
     assert sorted(
         n for n in os.listdir(f"{idx}/_decisions") if not n.startswith(".")
-    ) == ["epoch-2"]
+    ) == ["epoch-1", "epoch-2"]
+    I.accept_batch(batch([(10, "and another for epoch three")]),
+                   idx, out, epoch=3)
+    assert sorted(
+        n for n in os.listdir(f"{idx}/_decisions") if not n.startswith(".")
+    ) == ["epoch-2", "epoch-3"]
 
 
 def test_retraction_fold_retires_and_stops_rewriting(spark, tmp_path):
