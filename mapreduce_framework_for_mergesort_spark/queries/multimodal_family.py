@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import dedup as D
 from mapreduce_framework_for_mergesort_spark.queries import query
+from mapreduce_framework_for_mergesort_spark.sources import containers as CT
 from mapreduce_framework_for_mergesort_spark.sources import multimodal as M
 
 
@@ -93,6 +94,42 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            'audio' AS modality,
            CAST(44 + 2 * strlen(text) AS BIGINT) AS n_bytes,
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               CAST(strlen(text) AS BIGINT),
+               {M.AUDIO_RATE},
+               (list_min(ch) - 128) * 256,
+               (list_max(ch) - 128) * 256,
+               (ch[1] - 128) * 256,
+               (ch[strlen(text)] - 128) * 256,
+               CAST(list_sum(list_transform(ch, c -> abs((c - 128) * 256)))
+                    % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(len(list_filter(ch, c -> c > 128)) AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch
+        FROM documents
+    )
+    UNION ALL
+    SELECT doc_id,
+           'mp4' AS modality,
+           -- ISO-BMFF closed form (round 9, sources/containers.py):
+           -- fixed box skeleton + 2 B PCM per sample + one 8-byte stts
+           -- run + 12-byte stsc runs (two when a short tail chunk
+           -- needs its own run) + 4 B per stco chunk offset
+           CASE WHEN strlen(text) = 0 THEN CAST({CT.MP4_EMPTY} AS BIGINT)
+           ELSE CAST({CT.MP4_EMPTY} + 2 * strlen(text) + 8
+                + 12 * (CASE WHEN strlen(text) > {CT.MP4_SAMPLES_PER_CHUNK}
+                              AND strlen(text) % {CT.MP4_SAMPLES_PER_CHUNK} <> 0
+                        THEN 2 ELSE 1 END)
+                + 4 * ((strlen(text) + {CT.MP4_SAMPLES_PER_CHUNK - 1})
+                       // {CT.MP4_SAMPLES_PER_CHUNK}) AS BIGINT) END
+               AS n_bytes,
+           -- decode runs through the stts/stsc/stsz/stco sample table
+           -- to the same PCM the WAV branch carries, so the feature
+           -- vector is identical to the audio branch's
            CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
            ELSE array_to_string([
                CAST(strlen(text) AS BIGINT),
@@ -265,8 +302,13 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature vectors,
-    over SEVEN branches: the closed-form text featurizer, a real
-    stdlib WAV/PCM audio parse, a real stdlib BMP image parse, a real
+    over EIGHT branches: the closed-form text featurizer, a real
+    stdlib WAV/PCM audio parse, a real ISO-BMFF mp4 parse whose PCM
+    decode runs through the full stts/stsc/stsz/stco sample-table
+    resolution (round 9, ``sources/containers.py`` — the feature
+    vector provably equals the WAV branch's because both carry the
+    same samples, while n_bytes pins the per-entry box arithmetic), a
+    real stdlib BMP image parse, a real
     zlib PNG parse, real baseline-JFIF JPEG parses in BOTH greyscale
     and YCbCr color (Huffman + IDCT + the pinned floor(x+0.5) JFIF
     RGB conversion — round 7), and a real YUV4MPEG2 grayscale video
@@ -275,8 +317,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     every branch from source — the n_bytes checks even pin the 44-byte
     RIFF header, the 54-byte BMP header + 4-aligned bottom-up rows,
     the PNG stored-deflate stream, the JPEG 2-bytes-per-block entropy
-    segment, and the Y4M stream-header + per-FRAME-marker layout the
-    containers must produce).
+    segment, the mp4 sample-table entries, and the Y4M stream-header +
+    per-FRAME-marker layout the containers must produce).
 
     The feature array is projected to a CSV string because the driver's
     canonicalizer cannot hash array cells (round-1 `unhashable type:
@@ -294,6 +336,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (
         M.binarize_documents(reps)
         .unionByName(M.binarize_audio_documents(reps))
+        .unionByName(CT.binarize_mp4_documents(reps))
         .unionByName(M.binarize_image_documents(reps))
         .unionByName(M.binarize_png_documents(reps))
         .unionByName(M.binarize_jpeg_documents(reps))
@@ -381,6 +424,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS first_frame_bytes
     FROM documents
     WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
+           'mp4' AS modality,
+           -- temporal units = stsc/stco CHUNKS (16 samples each),
+           -- every 2nd sampled; each re-encodes as a standalone mp4
+           -- whose closed-form size pins the re-encode (round 9)
+           CAST(((strlen(text) + {CT.MP4_SAMPLES_PER_CHUNK - 1})
+                 // {CT.MP4_SAMPLES_PER_CHUNK} + 1) // 2 AS BIGINT)
+               AS n_frames,
+           -- a <=16-sample mp4 is always single-chunk/single-stsc-run:
+           -- skeleton + 2 B/sample + stts(8) + stsc(12) + stco(4)
+           CAST({CT.MP4_EMPTY + 24}
+                + 2 * least(strlen(text), {CT.MP4_SAMPLES_PER_CHUNK})
+                AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
+           'mp3' AS modality,
+           -- units = MPEG frames (284 payload bytes each at the
+           -- synthesis profile), every 2nd; extraction is the raw
+           -- byte-delimited frame, headers included
+           CAST(((strlen(text) + {CT.MP3_FRAME_PAYLOAD - 1})
+                 // {CT.MP3_FRAME_PAYLOAD} + 1) // 2 AS BIGINT)
+               AS n_frames,
+           CAST({CT.MP3_FRAME_LEN} AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +468,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     video branch extracts every 2nd temporal FRAME from the real Y4M
     container, each re-encoded as a standalone single-frame clip whose
     36-byte header + FRAME marker + 32-byte plane the constant
-    first_frame_bytes pins.  The mapInPandas 1→N plumbing is exercised
+    first_frame_bytes pins; the mp4 branch (round 9) extracts every
+    2nd sample-table CHUNK through the real stsc/stco resolution, each
+    re-encoded as a standalone decodable mp4 whose closed-form size
+    first_frame_bytes pins; and the mp3 branch walks the real MPEG
+    frame syncs past the ID3v2 tag and samples every 2nd byte-delimited
+    frame.  The mapInPandas 1→N plumbing is exercised
     for real, and its row arithmetic is exactly verified."""
     docs = load_table(spark, sf_dir, "documents")
     # same decode-once-per-distinct-content collapse as the features
@@ -412,6 +488,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(M.binarize_jpeg_documents(reps))
         .unionByName(M.binarize_jpeg_color_documents(reps))
         .unionByName(M.binarize_video_documents(reps))
+        .unionByName(CT.binarize_mp4_documents(reps))
+        .unionByName(CT.binarize_mp3_documents(reps))
     )
     frames = M.sample_frames(b, every_n=2)
     per_rep = frames.groupBy(

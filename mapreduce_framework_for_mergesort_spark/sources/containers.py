@@ -1,0 +1,875 @@
+"""MP4 (ISO-BMFF) and MP3 (MPEG audio) CONTAINER parsing — round 9.
+
+The two modalities the multimodal seam previously rejected outright
+(``sources/multimodal.py``: "mp4/h264, mp3 stay an explicit
+NotImplementedError seam") actually split into two very different
+layers, and a 100 TB curation pipeline needs the first one long before
+the second:
+
+* the CONTAINER layer — box/atom structure, sample tables, frame
+  framing, durations, codec identity, per-sample byte spans — is
+  plain deterministic byte-walking, fully implementable on the stdlib,
+  and is what corpus curation actually runs at scale (validate files,
+  extract metadata, count/sample frames, route by codec) — decoding
+  every video to pixels at ingest would be absurd at 100 TB;
+* the CODEC layer — H.264/AAC/Layer-III entropy decode — needs real
+  codec libraries and STAYS the loud ``NotImplementedError`` seam.
+
+So this module implements the container layer for real:
+
+* ``parse_mp4`` — a general ISO-BMFF walker (64-bit ``largesize``
+  boxes, unknown-box skipping, nested containers) that resolves each
+  track's full sample table: ``stts`` (durations), ``stsc``
+  (chunk→sample mapping), ``stsz``/``stz2``-style uniform and
+  per-sample sizes, ``stco``/``co64`` (chunk offsets) → absolute
+  ``(offset, size)`` byte spans per sample, bounds-checked against the
+  payload.  This is the reference operation behind every "extract
+  frame N from this video" pipeline stage.
+* ``decode_mp4`` — REAL PCM decode for uncompressed audio codecs
+  (``twos`` big-endian / ``sowt`` little-endian PCM16), producing the
+  same 8-feature contract as ``multimodal.decode_wav``; compressed
+  codecs raise ``NotImplementedError`` naming the fourcc.
+* ``mp4_chunk_spans`` / frame extraction — temporal units resolved
+  from the sample table, each re-encodable as a standalone mp4.
+* ``parse_mp3`` — MPEG audio frame-sync walk with the spec bitrate /
+  samplerate tables (MPEG-1 layers I-III), padding arithmetic, ID3v2
+  header skip (synchsafe sizes) and ID3v1 trailer detection.  Frame
+  extraction is real (frames are byte-delimited by their headers);
+  Layer-III entropy decode stays the seam.
+* ``synthesize_mp4`` / ``synthesize_mp3`` — deterministic fixtures
+  from source bytes (the ``synthesize_wav`` discipline): every field
+  is a closed form of ``len(data)``, so SQL oracles recompute byte
+  sizes, sample counts, durations, and first-sample values exactly
+  (see ``q_multimodal_containers``).
+
+Reference parity note: the reference engine (``/root/reference``,
+``NodeHandler.java:44-75``) only ever ingests line-delimited text; the
+container verbs here are part of the LLM-pipeline surface the brief
+adds on top (multimodal columns: decode / feature-extract /
+frame-sample with real Spark plumbing).
+
+Scale notes: parsers run per-payload inside Arrow batches
+(``mapInPandas`` in ``describe_containers``), never on the driver; the
+metadata they emit is fixed-width, so the payload column can be
+projected away immediately after the parse — the same
+"never shuffle decoded output together with raw bytes" rule as the
+rest of the multimodal surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF
+# ---------------------------------------------------------------------------
+
+#: mdhd/mvhd timescale of the synthesized audio track — the WAV
+#: fixture's rate, so decode_mp4 features line up with decode_wav.
+MP4_TIMESCALE = 8000
+
+#: Samples per chunk in the synthesized layout: small enough that the
+#: stsc/stco resolution is exercised over MANY chunks at fixture sizes,
+#: large enough that chunk-level frame extraction is a real grouping.
+MP4_SAMPLES_PER_CHUNK = 16
+
+#: The four container boxes the walker recurses into.  (moof/traf —
+#: fragmented mp4 — are out of scope and hit the unknown-box skip.)
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+#: Uncompressed PCM16 audio fourccs the codec layer can decode for
+#: real: big-endian / little-endian ("twos complement" / "sowt" is
+#: 'twos' reversed — the QuickTime spelling).
+_PCM16_FOURCC = {"twos": ">", "sowt": "<"}
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _fullbox(typ: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(typ, struct.pack(">I", (version << 24) | flags) + body)
+
+
+_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def synthesize_mp4(data: bytes) -> bytes:
+    """Deterministic ISO-BMFF audio file from source bytes: one
+    ``twos`` (big-endian PCM16) sample per byte, value
+    ``(byte−128)·256`` — the same sample mapping as
+    ``multimodal.synthesize_wav``, so features decoded through the mp4
+    sample table equal features decoded from the WAV.  Samples are
+    grouped ``MP4_SAMPLES_PER_CHUNK`` per chunk so the parser's
+    stsc/stco walk resolves many chunks, not a degenerate single one;
+    ``mdat`` precedes ``moov`` so chunk offsets are independent of the
+    moov size (the closed-form the SQL oracle needs).
+
+    Byte size is exactly ``mp4_n_bytes(len(data))`` (pinned in
+    tests)."""
+    n = len(data)
+    samples = struct.pack(f">{n}h", *(((b - 128) * 256) for b in data))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2")
+    mdat = _box(b"mdat", samples)
+    data_start = len(ftyp) + 8  # mdat body offset — stco values hang off it
+
+    n_chunks = -(-n // MP4_SAMPLES_PER_CHUNK)
+    # stts: every sample lasts 1 tick
+    stts = _fullbox(
+        b"stts",
+        0,
+        0,
+        struct.pack(">I", 1 if n else 0)
+        + (struct.pack(">II", n, 1) if n else b""),
+    )
+    # stsc: runs of (first_chunk, samples_per_chunk, sample_desc_idx);
+    # a short tail chunk needs its own run
+    runs: list[tuple[int, int, int]] = []
+    if n:
+        runs.append((1, MP4_SAMPLES_PER_CHUNK if n_chunks > 1 else n, 1))
+        tail = n % MP4_SAMPLES_PER_CHUNK
+        if n_chunks > 1 and tail:
+            runs.append((n_chunks, tail, 1))
+    stsc = _fullbox(
+        b"stsc",
+        0,
+        0,
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", *r) for r in runs),
+    )
+    stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", 2, n))
+    offsets = [
+        data_start + 2 * MP4_SAMPLES_PER_CHUNK * j for j in range(n_chunks)
+    ]
+    stco = _fullbox(
+        b"stco",
+        0,
+        0,
+        struct.pack(">I", n_chunks)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    # stsd: one 'twos' AudioSampleEntry (mono, 16-bit, rate 16.16)
+    entry = (
+        struct.pack(">I", 36)
+        + b"twos"
+        + b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 8  # version/revision/vendor
+        + struct.pack(">HHHH", 1, 16, 0, 0)  # channels, bits, predef, rsv
+        + struct.pack(">I", MP4_TIMESCALE << 16)
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    url = _fullbox(b"url ", 0, 1, b"")  # self-contained
+    dref = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
+    smhd = _fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    minf = _box(b"minf", smhd + dref + stbl)
+    hdlr = _fullbox(
+        b"hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"SoundHandler\x00",
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, MP4_TIMESCALE, n, 0x55C4, 0),  # und
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _fullbox(
+        b"tkhd", 0, 7,  # enabled | in movie | in preview
+        struct.pack(">IIIII", 0, 0, 1, 0, n)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # layer/group/volume/rsv
+        + _UNITY_MATRIX
+        + struct.pack(">II", 0, 0),  # width/height 16.16 (audio: 0)
+    )
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, MP4_TIMESCALE, n)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_n_bytes(n: int) -> int:
+    """Closed-form byte size of ``synthesize_mp4`` for ``n`` source
+    bytes — the formula the SQL oracle mirrors (every term is one
+    sample-table entry): 2 bytes of PCM per sample, 4 per chunk offset,
+    one 8-byte stts run and 12-byte stsc runs when non-empty, plus the
+    fixed box skeleton ``MP4_EMPTY``."""
+    if n == 0:
+        return MP4_EMPTY
+    n_chunks = -(-n // MP4_SAMPLES_PER_CHUNK)
+    stsc_runs = 2 if n_chunks > 1 and n % MP4_SAMPLES_PER_CHUNK else 1
+    return MP4_EMPTY + 2 * n + 8 + 12 * stsc_runs + 4 * n_chunks
+
+
+class Mp4Track:
+    """One track's resolved metadata + sample spans."""
+
+    __slots__ = (
+        "track_id", "handler", "codec", "timescale", "duration",
+        "n_samples", "channels", "sample_bits", "sample_rate", "spans",
+        "chunks",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw.get(k))
+
+
+def _mp4_boxes(payload: bytes, pos: int, end: int):
+    """Yield ``(fourcc, body_start, body_end)`` for the sibling boxes
+    in ``payload[pos:end]``; loud ValueError on truncation, malformed
+    sizes, or a box overrunning its parent."""
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError(f"truncated box header at offset {pos}")
+        (size,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if end - pos < 16:
+                raise ValueError(f"truncated largesize box at {pos}")
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of enclosing scope
+            size = end - pos
+        if size < body - pos:
+            raise ValueError(f"box {typ!r} at {pos} shorter than header")
+        if pos + size > end:
+            raise ValueError(
+                f"box {typ!r} at {pos} overruns its container "
+                f"({pos + size} > {end})"
+            )
+        yield typ, body, pos + size
+        pos += size
+
+
+def _fullbox_body(payload: bytes, start: int, end: int) -> tuple[int, int, int]:
+    """(version, flags, body_start) of a full box."""
+    (vf,) = struct.unpack_from(">I", payload, start)
+    return vf >> 24, vf & 0xFFFFFF, start + 4
+
+
+def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
+    out: dict = {}
+    for typ, b, e in _mp4_boxes(payload, start, end):
+        if typ == b"stsd":
+            _v, _f, p = _fullbox_body(payload, b, e)
+            (count,) = struct.unpack_from(">I", payload, p)
+            if count >= 1:
+                (esz,) = struct.unpack_from(">I", payload, p + 4)
+                fourcc = payload[p + 8 : p + 12].decode("latin-1")
+                out["codec"] = fourcc
+                if esz >= 36 and p + 4 + esz <= e:
+                    # AudioSampleEntry layout (harmless to read for
+                    # video entries — consumers gate on handler)
+                    ch, bits = struct.unpack_from(">HH", payload, p + 28)
+                    (rate,) = struct.unpack_from(">I", payload, p + 36)
+                    out["channels"], out["sample_bits"] = ch, bits
+                    out["sample_rate"] = rate >> 16
+        elif typ == b"stts":
+            _v, _f, p = _fullbox_body(payload, b, e)
+            (count,) = struct.unpack_from(">I", payload, p)
+            ent = struct.unpack_from(f">{2 * count}I", payload, p + 4)
+            out["stts"] = list(zip(ent[0::2], ent[1::2]))
+        elif typ == b"stsc":
+            _v, _f, p = _fullbox_body(payload, b, e)
+            (count,) = struct.unpack_from(">I", payload, p)
+            ent = struct.unpack_from(f">{3 * count}I", payload, p + 4)
+            out["stsc"] = list(zip(ent[0::3], ent[1::3], ent[2::3]))
+        elif typ == b"stsz":
+            _v, _f, p = _fullbox_body(payload, b, e)
+            uniform, count = struct.unpack_from(">II", payload, p)
+            if uniform:
+                out["sizes"] = (uniform, count)
+            else:
+                out["sizes"] = list(
+                    struct.unpack_from(f">{count}I", payload, p + 8)
+                )
+        elif typ in (b"stco", b"co64"):
+            _v, _f, p = _fullbox_body(payload, b, e)
+            (count,) = struct.unpack_from(">I", payload, p)
+            fmt = ">%d%s" % (count, "I" if typ == b"stco" else "Q")
+            out["chunk_offsets"] = list(struct.unpack_from(fmt, payload, p + 4))
+    return out
+
+
+def _resolve_spans(
+    stbl: dict, payload_len: int
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """stsc/stco/stsz → ``(spans, chunks)``: absolute (offset, size)
+    per SAMPLE in sample order, plus per-CHUNK (offset, n_bytes)
+    extents — chunk boundaries come from the stsc structure, NOT byte
+    adjacency (a layout whose mdat is contiguous — like the
+    synthesized fixture — has every chunk byte-adjacent to the next,
+    so adjacency-merging would collapse the whole track into one
+    "chunk").  Bounds-checked — T.81-grade loudness: a table promising
+    bytes the file doesn't have raises instead of clamping."""
+    sizes = stbl.get("sizes")
+    offsets = stbl.get("chunk_offsets", [])
+    runs = stbl.get("stsc", [])
+    if sizes is None:
+        if sum(c for c, _d in stbl.get("stts", [])) > 0:
+            raise ValueError(
+                "stts promises samples but the stbl has no stsz — a "
+                "zero-span resolve would silently report an empty track"
+            )
+        return [], []
+    if isinstance(sizes, tuple):
+        uniform, count = sizes
+        size_of = lambda i: uniform  # noqa: E731
+        n_samples = count
+    else:
+        size_of = lambda i: sizes[i]  # noqa: E731
+        n_samples = len(sizes)
+    if n_samples == 0:
+        return [], []
+    if not runs or not offsets:
+        raise ValueError("sample table has samples but no stsc/stco runs")
+    # expand stsc runs: run k applies from its first_chunk until the
+    # next run's first_chunk (1-based), the last until the stco end
+    spans: list[tuple[int, int]] = []
+    chunks: list[tuple[int, int]] = []
+    si = 0
+    for k, (first, per_chunk, _desc) in enumerate(runs):
+        last = runs[k + 1][0] - 1 if k + 1 < len(runs) else len(offsets)
+        if first < 1 or first > last:
+            raise ValueError(f"stsc run {k} has invalid chunk range")
+        for chunk in range(first, last + 1):
+            off = offsets[chunk - 1]
+            chunk_start, chunk_bytes = off, 0
+            for _ in range(per_chunk):
+                if si >= n_samples:
+                    break
+                sz = size_of(si)
+                if off + sz > payload_len:
+                    raise ValueError(
+                        f"sample {si} span [{off}, {off + sz}) overruns "
+                        f"the {payload_len}-byte payload"
+                    )
+                spans.append((off, sz))
+                off += sz
+                chunk_bytes += sz
+                si += 1
+            if chunk_bytes:
+                chunks.append((chunk_start, chunk_bytes))
+    if si != n_samples:
+        raise ValueError(
+            f"sample table resolves {si} spans but stsz promises "
+            f"{n_samples} samples"
+        )
+    return spans, chunks
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """General ISO-BMFF parse → ``{major_brand, timescale, duration,
+    tracks: [Mp4Track]}`` with every track's sample spans resolved.
+    Unknown boxes are skipped by size (the ISO-BMFF forward-compat
+    contract); structural damage — truncated headers, overrunning
+    boxes, sample tables pointing outside the file — raises
+    ValueError (the quarantine-routable contract every parser in this
+    package shares)."""
+    if len(payload) < 8:
+        raise ValueError("not an ISO-BMFF file: shorter than one box header")
+    out: dict = {"major_brand": None, "timescale": None, "duration": None,
+                 "tracks": []}
+
+    def walk(pos: int, end: int, track: dict | None) -> None:
+        for typ, b, e in _mp4_boxes(payload, pos, end):
+            if typ in (b"moof", b"mvex"):
+                # fragmented mp4 keeps sample data in per-fragment
+                # moof/trun tables this walker does not read — a
+                # zero-sample parse here would be a SILENT wrong
+                # answer, so the format variant is a loud seam
+                raise NotImplementedError(
+                    "fragmented mp4 (moof/mvex) is not supported; "
+                    "sample tables live in per-fragment trun boxes"
+                )
+            if typ == b"ftyp":
+                out["major_brand"] = payload[b : b + 4].decode("latin-1")
+            elif typ == b"mvhd":
+                v, _f, p = _fullbox_body(payload, b, e)
+                if v == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, p + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, p + 8)
+                out["timescale"], out["duration"] = ts, dur
+            elif typ == b"trak":
+                t: dict = {}
+                walk(b, e, t)
+                stbl = t.get("stbl", {})
+                out["tracks"].append(
+                    Mp4Track(
+                        track_id=t.get("track_id"),
+                        handler=t.get("handler"),
+                        codec=stbl.get("codec"),
+                        timescale=t.get("timescale"),
+                        duration=t.get("duration"),
+                        n_samples=len(t.get("spans", [])),
+                        channels=stbl.get("channels"),
+                        sample_bits=stbl.get("sample_bits"),
+                        sample_rate=stbl.get("sample_rate"),
+                        spans=t.get("spans", []),
+                        chunks=t.get("chunks", []),
+                    )
+                )
+            elif typ == b"tkhd" and track is not None:
+                v, _f, p = _fullbox_body(payload, b, e)
+                track["track_id"] = struct.unpack_from(
+                    ">I", payload, p + (16 if v == 1 else 8)
+                )[0]
+            elif typ == b"mdhd" and track is not None:
+                v, _f, p = _fullbox_body(payload, b, e)
+                if v == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, p + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, p + 8)
+                track["timescale"], track["duration"] = ts, dur
+            elif typ == b"hdlr" and track is not None:
+                _v, _f, p = _fullbox_body(payload, b, e)
+                track["handler"] = payload[p + 4 : p + 8].decode("latin-1")
+            elif typ == b"stbl" and track is not None:
+                stbl = _parse_stbl(payload, b, e)
+                track["stbl"] = stbl
+                track["spans"], track["chunks"] = _resolve_spans(
+                    stbl, len(payload)
+                )
+            elif typ in _MP4_CONTAINERS:
+                walk(b, e, track)
+            # anything else: skip by size
+
+    walk(0, len(payload), None)
+    if out["major_brand"] is None:
+        raise ValueError("ISO-BMFF file has no ftyp box")
+    return out
+
+
+def _first_audio_track(parsed: dict) -> Mp4Track:
+    for t in parsed["tracks"]:
+        if t.handler == "soun":
+            return t
+    raise ValueError("mp4 has no audio ('soun') track")
+
+
+def decode_mp4(payload: bytes) -> list[float]:
+    """REAL sample decode through the mp4 sample table for
+    uncompressed PCM16 codecs (``twos``/``sowt``): concatenates the
+    resolved sample spans, unpacks at the fourcc's endianness, and
+    emits the same 8-feature vector as ``multimodal.decode_wav`` —
+    [n_samples, rate, min, max, first, last, Σ|s| mod 9973, #positive].
+    Compressed codecs (avc1/mp4a/...) raise NotImplementedError naming
+    the fourcc — the honest codec-library seam; the CONTAINER parse
+    above it stays real for them (``parse_mp4``/``describe_containers``
+    work on any codec)."""
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        AUDIO_SUM_MOD,
+        FEATURE_DIM,
+    )
+
+    parsed = parse_mp4(payload)
+    t = _first_audio_track(parsed)
+    if t.codec not in _PCM16_FOURCC:
+        raise NotImplementedError(
+            f"mp4 codec {t.codec!r} requires codec libraries not present "
+            "in this environment (container metadata and frame spans are "
+            "still available via parse_mp4/describe_containers)"
+        )
+    if t.sample_bits != 16 or t.channels != 1:
+        raise ValueError(
+            f"expected PCM16 mono, got bits={t.sample_bits} "
+            f"channels={t.channels}"
+        )
+    raw = b"".join(payload[o : o + s] for o, s in t.spans)
+    if len(raw) % 2:
+        # keep the quarantine-routable ValueError contract — a bare
+        # struct.error here would bypass callers catching ValueError
+        raise ValueError(
+            f"PCM16 track resolves to an odd byte count ({len(raw)})"
+        )
+    n = len(raw) // 2
+    samples = struct.unpack(f"{_PCM16_FOURCC[t.codec]}{n}h", raw)
+    if not samples:
+        return [0.0] * FEATURE_DIM
+    rate = t.timescale or 0
+    return [
+        float(n),
+        float(rate),
+        float(min(samples)),
+        float(max(samples)),
+        float(samples[0]),
+        float(samples[-1]),
+        float(sum(abs(s) for s in samples) % AUDIO_SUM_MOD),
+        float(sum(1 for s in samples if s > 0)),
+    ]
+
+
+def mp4_chunk_spans(payload: bytes) -> list[tuple[int, int]]:
+    """Temporal units of the first audio track: one ``(offset,
+    n_bytes)`` per CHUNK, resolved from the stsc/stco structure (not
+    byte adjacency — see ``_resolve_spans``) — the real "extract frame
+    N" operation.  Works for ANY codec (spans are container-level)."""
+    return _first_audio_track(parse_mp4(payload)).chunks
+
+
+def mp4_frames(payload: bytes) -> list[bytes]:
+    """Chunk-level frame extraction, each unit RE-ENCODED as a
+    standalone decodable mp4 (the invariant every modality's
+    ``frame_stub`` branch keeps: emitted frames are themselves valid
+    inputs to the decoder).  Only meaningful for the PCM codecs the
+    re-encoder speaks; compressed codecs raise NotImplementedError
+    (use ``mp4_chunk_spans`` for raw span access)."""
+    t = _first_audio_track(parse_mp4(payload))
+    if t.codec not in _PCM16_FOURCC:
+        raise NotImplementedError(
+            f"standalone re-encode of mp4 codec {t.codec!r} requires "
+            "codec libraries; mp4_chunk_spans still yields raw spans"
+        )
+    fmt = _PCM16_FOURCC[t.codec]
+    out = []
+    for off, sz in t.chunks:
+        if sz % 2:
+            raise ValueError(
+                f"PCM16 chunk at {off} has an odd byte count ({sz})"
+            )
+        vals = struct.unpack(f"{fmt}{sz // 2}h", payload[off : off + sz])
+        out.append(
+            synthesize_mp4(bytes((v // 256) + 128 for v in vals))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MPEG audio framing
+# ---------------------------------------------------------------------------
+
+#: kbit/s by (layer, bitrate_index) for MPEG-1 (ISO 11172-3 table);
+#: index 0 is "free format" and 15 is forbidden — both rejected loudly.
+_MP3_BITRATES = {
+    1: [None, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    2: [None, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    3: [None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+}
+
+_MP3_SAMPLERATES = [44100, 48000, 32000]  # MPEG-1; index 3 reserved
+
+_MP3_SAMPLES_PER_FRAME = {1: 384, 2: 1152, 3: 1152}
+
+#: Synthesis constants: MPEG-1 Layer III, 64 kbit/s @ 32 kHz → frame
+#: length 144·64000/32000 = 288 exactly, padding never needed, so the
+#: SQL oracle's size formula has no per-frame conditional.
+MP3_FRAME_LEN = 288
+MP3_FRAME_PAYLOAD = MP3_FRAME_LEN - 4
+MP3_SAMPLERATE = 32000
+MP3_SAMPLES_PER_FRAME = 1152
+_MP3_SYNTH_HEADER = bytes([0xFF, 0xFB, 0x58, 0xC4])
+
+#: Fixed ID3v2.4 tag the synthesizer prepends (10-byte header + 22
+#: bytes of padding body) — exists so the parser's synchsafe skip is on
+#: the hot path of every fixture, not just an adversarial test.
+_ID3_BODY_LEN = 22
+MP3_ID3_LEN = 10 + _ID3_BODY_LEN
+
+
+def _synchsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def synthesize_mp3(data: bytes) -> bytes:
+    """Deterministic MPEG-1 Layer III FRAMING from source bytes: a
+    fixed ID3v2.4 tag, then ``ceil(len/284)`` 288-byte frames whose
+    4-byte headers are spec-valid (sync/version/layer/bitrate/
+    samplerate) and whose payload region carries the source bytes
+    (zero-padded tail).  The payload is FRAMING-real but not
+    Layer-III-entropy-real — exactly the layer this module implements;
+    ``decode_mp3`` stays the loud codec seam, and the parser works
+    identically on real mp3 files."""
+    n = len(data)
+    n_frames = -(-n // MP3_FRAME_PAYLOAD)
+    tag = b"ID3\x04\x00\x00" + _synchsafe(_ID3_BODY_LEN) + b"\x00" * _ID3_BODY_LEN
+    frames = []
+    for i in range(n_frames):
+        chunk = data[i * MP3_FRAME_PAYLOAD : (i + 1) * MP3_FRAME_PAYLOAD]
+        frames.append(
+            _MP3_SYNTH_HEADER + chunk.ljust(MP3_FRAME_PAYLOAD, b"\x00")
+        )
+    return tag + b"".join(frames)
+
+
+def mp3_n_bytes(n: int) -> int:
+    """Closed-form byte size of ``synthesize_mp3`` for ``n`` source
+    bytes — mirrored by the SQL oracle."""
+    return MP3_ID3_LEN + MP3_FRAME_LEN * (-(-n // MP3_FRAME_PAYLOAD))
+
+
+def _id3v2_len(payload: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 when absent):
+    10-byte header + synchsafe size (+10 footer when flagged)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    if payload[3] == 0xFF or payload[4] == 0xFF:
+        raise ValueError("invalid ID3v2 version bytes")
+    flags = payload[5]
+    if any(b & 0x80 for b in payload[6:10]):
+        raise ValueError("ID3v2 size bytes must be synchsafe")
+    size = (
+        (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+    )
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """MPEG audio frame walk → ``{id3_bytes, frames: [(offset, length)],
+    version, layer, bitrate, samplerate, samples_per_frame,
+    duration_ms}``.  Each frame header is validated against the spec
+    tables (MPEG-1 layers I–III; free-format and reserved indices are
+    loud errors) and the walk advances by the COMPUTED frame length —
+    the standard `144·bitrate/samplerate (+ padding)` arithmetic — so a
+    byte of garbage between frames fails with its offset instead of a
+    silent resync (curation wants corrupt files routed to quarantine,
+    not skipped over).  A trailing 128-byte ID3v1 ``TAG`` block is
+    recognized and skipped.  VBR streams are fine (bitrate may vary
+    per frame; the reported ``bitrate`` is the first frame's, and
+    ``duration_ms`` sums per-frame sample counts)."""
+    pos = _id3v2_len(payload)
+    if pos > len(payload):
+        raise ValueError("ID3v2 tag promises more bytes than the file has")
+    id3_bytes = pos
+    frames: list[tuple[int, int]] = []
+    first: dict = {}
+    total_samples = 0
+    samplerate = None
+    while pos < len(payload):
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            break  # ID3v1 trailer
+        if len(payload) - pos < 4:
+            raise ValueError(
+                f"trailing garbage at offset {pos}: too short for a frame "
+                "header"
+            )
+        b0, b1, b2, _b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MPEG frame sync at offset {pos}")
+        version = (b1 >> 3) & 0x03
+        if version != 3:
+            raise ValueError(
+                f"only MPEG-1 supported, got version bits {version:02b} "
+                f"at offset {pos}"
+            )
+        layer = 4 - ((b1 >> 1) & 0x03)
+        if layer == 4:
+            raise ValueError(f"reserved layer bits at offset {pos}")
+        br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 0x03
+        if br_idx == 0:
+            raise ValueError(f"free-format bitrate at offset {pos}")
+        if br_idx == 15:
+            raise ValueError(f"forbidden bitrate index at offset {pos}")
+        if sr_idx == 3:
+            raise ValueError(f"reserved samplerate index at offset {pos}")
+        bitrate = _MP3_BITRATES[layer][br_idx] * 1000
+        sr = _MP3_SAMPLERATES[sr_idx]
+        padding = (b2 >> 1) & 1
+        if layer == 1:
+            flen = (12 * bitrate // sr + padding) * 4
+        else:
+            flen = 144 * bitrate // sr + padding
+        if pos + flen > len(payload):
+            raise ValueError(
+                f"frame at offset {pos} promises {flen} bytes, file ends "
+                f"{len(payload) - pos} bytes later"
+            )
+        if samplerate is not None and sr != samplerate:
+            raise ValueError(
+                f"samplerate changed mid-stream at offset {pos} "
+                f"({samplerate} -> {sr})"
+            )
+        samplerate = sr
+        if not frames:
+            first = {"version": "MPEG1", "layer": layer, "bitrate": bitrate}
+        frames.append((pos, flen))
+        total_samples += _MP3_SAMPLES_PER_FRAME[layer]
+        pos += flen
+    return {
+        "id3_bytes": id3_bytes,
+        "frames": frames,
+        "version": first.get("version"),
+        "layer": first.get("layer"),
+        "bitrate": first.get("bitrate"),
+        "samplerate": samplerate,
+        "samples_per_frame": (
+            _MP3_SAMPLES_PER_FRAME[first["layer"]] if frames else None
+        ),
+        "duration_ms": (
+            (total_samples * 1000) // samplerate if samplerate else 0
+        ),
+    }
+
+
+def mp3_frames(payload: bytes) -> list[bytes]:
+    """Byte-delimited frame extraction (header + data per frame) —
+    real container-level sampling.  Caveat documented rather than
+    hidden: Layer III's bit reservoir means a frame's entropy payload
+    may reference bytes from PRIOR frames, so an extracted frame is a
+    valid framing unit but not always independently codec-decodable;
+    sampling pipelines use these spans for byte-range reads, not
+    standalone playback."""
+    parsed = parse_mp3(payload)
+    return [payload[o : o + ln] for o, ln in parsed["frames"]]
+
+
+def decode_mp3(payload: bytes) -> list[float]:
+    """The honest codec seam: Layer-III entropy decode (Huffman +
+    scalefactors + IMDCT + polyphase filterbank) needs a real audio
+    library.  The CONTAINER layer — ``parse_mp3``/``mp3_frames`` — is
+    implemented above and real."""
+    raise NotImplementedError(
+        "mp3 PCM decode requires codec libraries not present in this "
+        "environment (frame metadata and spans are available via "
+        "parse_mp3/describe_containers)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing
+# ---------------------------------------------------------------------------
+
+CONTAINER_META_SCHEMA = (
+    "doc_id bigint, modality string, n_bytes bigint, n_units bigint, "
+    "first_unit_bytes bigint, first_unit_value bigint, "
+    "duration_ticks bigint, timescale bigint, codec string"
+)
+
+
+def binarize_mp4_documents(documents: DataFrame) -> DataFrame:
+    """Documents table → mp4-modality binary table (same shape contract
+    as ``multimodal.binarize_audio_documents``)."""
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synthesize_mp4(t.encode("utf-8")) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "mp4",
+                    "payload": payloads,
+                    "meta_mime": "audio/mp4",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth, MODALITY_SCHEMA
+    )
+
+
+def binarize_mp3_documents(documents: DataFrame) -> DataFrame:
+    """Documents table → mp3-modality binary table."""
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synthesize_mp3(t.encode("utf-8")) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "mp3",
+                    "payload": payloads,
+                    "meta_mime": "audio/mpeg",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth, MODALITY_SCHEMA
+    )
+
+
+def describe_containers(binarized: DataFrame) -> DataFrame:
+    """Container-metadata extraction over a binary modality table —
+    the 100 TB curation operation these parsers exist for: one Arrow
+    batch pass, raw payloads projected away in the same pass (only
+    fixed-width metadata survives to shuffle).  mp4 rows resolve the
+    full sample table (n_units = samples, first_unit = first CHUNK,
+    first_unit_value = first decoded PCM sample for PCM codecs, else
+    0); mp3 rows walk the frame syncs (n_units = frames,
+    first_unit_value = first payload byte of frame 0)."""
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.split()[0]: [] for k in
+                                    CONTAINER_META_SCHEMA.split(", ")}
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                payload = bytes(payload)
+                if modality == "mp4":
+                    parsed = parse_mp4(payload)
+                    t = _first_audio_track(parsed)
+                    chunks = t.chunks
+                    if t.codec in _PCM16_FOURCC and t.spans:
+                        o, s = t.spans[0]
+                        (v0,) = struct.unpack(
+                            f"{_PCM16_FOURCC[t.codec]}h", payload[o : o + 2]
+                        )
+                    else:
+                        v0 = 0
+                    row = (
+                        t.n_samples,
+                        chunks[0][1] if chunks else 0,
+                        v0,
+                        t.duration,
+                        t.timescale,
+                        t.codec,
+                    )
+                elif modality == "mp3":
+                    parsed = parse_mp3(payload)
+                    fr = parsed["frames"]
+                    row = (
+                        len(fr),
+                        fr[0][1] if fr else 0,
+                        payload[fr[0][0] + 4] if fr else 0,
+                        (len(fr) * parsed["samples_per_frame"])
+                        if fr
+                        else 0,
+                        parsed["samplerate"] or MP3_SAMPLERATE,
+                        "mp3",
+                    )
+                else:
+                    raise ValueError(
+                        f"describe_containers: unsupported modality "
+                        f"{modality!r}"
+                    )
+                out["doc_id"].append(doc_id)
+                out["modality"].append(modality)
+                out["n_bytes"].append(len(payload))
+                for k, v in zip(
+                    ("n_units", "first_unit_bytes", "first_unit_value",
+                     "duration_ticks", "timescale", "codec"),
+                    row,
+                ):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return binarized.mapInPandas(meta, CONTAINER_META_SCHEMA)
+
+
+#: Fixed skeleton size: every box except the per-sample tables.
+MP4_EMPTY = len(synthesize_mp4(b""))

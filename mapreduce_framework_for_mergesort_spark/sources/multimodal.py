@@ -15,8 +15,12 @@ covering 1/3-component frames, sampling factors up to 2x2 (4:4:4 and
 accumulation (spectral selection + successive approximation, round 9),
 plus closed-form flat-block encoders, see the JPEG section comments —
 and YUV4MPEG2 grayscale video) across synthesize/decode/resize/frame
-verbs; the remaining library codecs (mp4/h264, mp3) stay an explicit
-``NotImplementedError`` seam, never a silent fake.
+verbs.  MP4 and MP3 are parsed at the CONTAINER layer for real
+(round 9, ``sources/containers.py``: ISO-BMFF box walk + sample-table
+span resolution; MPEG frame-sync walk + ID3 handling) — decode is real
+for uncompressed-PCM mp4 tracks, and the remaining CODEC-layer seams
+(h264/aac/Layer-III entropy decode) stay an explicit
+``NotImplementedError``, never a silent fake.
 
 Scale notes: payloads dominate row width, so (a) never shuffle decoded
 features together with raw bytes — project bytes away first; (b) decode
@@ -2194,6 +2198,22 @@ def decode_stub(payload: bytes, modality: str) -> list[float]:
         return decode_jpeg_color(payload)
     if modality == "video":
         return decode_y4m(payload)
+    if modality == "mp4":
+        # REAL through the ISO-BMFF sample table for uncompressed PCM
+        # codecs; compressed fourccs raise inside (the codec seam
+        # moved one layer down in round 9 — the CONTAINER is parsed
+        # for real either way, see sources/containers.py)
+        from mapreduce_framework_for_mergesort_spark.sources.containers import (
+            decode_mp4,
+        )
+
+        return decode_mp4(payload)
+    if modality == "mp3":
+        from mapreduce_framework_for_mergesort_spark.sources.containers import (
+            decode_mp3,
+        )
+
+        return decode_mp3(payload)  # always the loud Layer-III seam
     raise NotImplementedError(
         f"decoder for modality {modality!r} requires codec libraries "
         "(decord/ffmpeg) not present in this environment"
@@ -2305,6 +2325,24 @@ def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[
         # valid Y4M input to decode_y4m/resize_y4m
         w, h, planes = _y4m_planes(payload)
         return [_encode_y4m([p], w, h) for p in planes]
+    if modality == "mp4":
+        # REAL sample-table-driven chunk extraction (round 9); each
+        # chunk re-encodes as a standalone decodable mp4 for the PCM
+        # codecs — compressed fourccs raise inside
+        from mapreduce_framework_for_mergesort_spark.sources.containers import (
+            mp4_frames,
+        )
+
+        return mp4_frames(payload)
+    if modality == "mp3":
+        # REAL frame-sync walk; each unit is a byte-delimited MPEG
+        # frame (header + data) — see the bit-reservoir caveat on
+        # containers.mp3_frames
+        from mapreduce_framework_for_mergesort_spark.sources.containers import (
+            mp3_frames,
+        )
+
+        return mp3_frames(payload)
     raise NotImplementedError(
         f"frame decoder for modality {modality!r} requires codec libraries "
         "not present in this environment"
