@@ -113,8 +113,20 @@ def synthesize_mp4(data: bytes) -> bytes:
 
     Byte size is exactly ``mp4_n_bytes(len(data))`` (pinned in
     tests)."""
-    n = len(data)
-    samples = struct.pack(f">{n}h", *(((b - 128) * 256) for b in data))
+    return _encode_mp4_pcm(
+        [(b - 128) * 256 for b in data], MP4_TIMESCALE
+    )
+
+
+def _encode_mp4_pcm(pcm: list[int], rate: int) -> bytes:
+    """The ONE mp4 encoder (round 9): a ``twos`` PCM16 track at
+    ``rate``, in the chunked layout ``synthesize_mp4`` documents.
+    PCM-level so frame re-encode and resample round-trip EXACTLY —
+    mapping samples back through the byte domain would silently
+    corrupt any value that is not a multiple of 256 (fine for
+    synthesized fixtures, lossy for everything else)."""
+    n = len(pcm)
+    samples = struct.pack(f">{n}h", *pcm)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2")
     mdat = _box(b"mdat", samples)
     data_start = len(ftyp) + 8  # mdat body offset — stco values hang off it
@@ -162,7 +174,7 @@ def synthesize_mp4(data: bytes) -> bytes:
         + struct.pack(">H", 1)  # data_reference_index
         + b"\x00" * 8  # version/revision/vendor
         + struct.pack(">HHHH", 1, 16, 0, 0)  # channels, bits, predef, rsv
-        + struct.pack(">I", MP4_TIMESCALE << 16)
+        + struct.pack(">I", rate << 16)
     )
     stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
@@ -176,7 +188,7 @@ def synthesize_mp4(data: bytes) -> bytes:
     )
     mdhd = _fullbox(
         b"mdhd", 0, 0,
-        struct.pack(">IIIIHH", 0, 0, MP4_TIMESCALE, n, 0x55C4, 0),  # und
+        struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0),  # und
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     tkhd = _fullbox(
@@ -190,7 +202,7 @@ def synthesize_mp4(data: bytes) -> bytes:
     trak = _box(b"trak", tkhd + mdia)
     mvhd = _fullbox(
         b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, MP4_TIMESCALE, n)
+        struct.pack(">IIII", 0, 0, rate, n)
         + struct.pack(">IHH", 0x00010000, 0x0100, 0)
         + b"\x00" * 8
         + _UNITY_MATRIX
@@ -525,11 +537,14 @@ def mp4_chunk_spans(payload: bytes) -> list[tuple[int, int]]:
 
 def mp4_frames(payload: bytes) -> list[bytes]:
     """Chunk-level frame extraction, each unit RE-ENCODED as a
-    standalone decodable mp4 (the invariant every modality's
-    ``frame_stub`` branch keeps: emitted frames are themselves valid
-    inputs to the decoder).  Only meaningful for the PCM codecs the
-    re-encoder speaks; compressed codecs raise NotImplementedError
-    (use ``mp4_chunk_spans`` for raw span access)."""
+    standalone decodable mp4 at the SOURCE track's rate, PCM-exact
+    (the invariant every modality's ``frame_stub`` branch keeps:
+    emitted frames are themselves valid inputs to the decoder, and —
+    round-9 review — re-encoding through ``_encode_mp4_pcm`` rather
+    than the byte domain keeps samples that are not multiples of 256
+    bit-exact).  Only meaningful for the PCM codecs the re-encoder
+    speaks; compressed codecs raise NotImplementedError (use
+    ``mp4_chunk_spans`` for raw span access)."""
     t = _first_audio_track(parse_mp4(payload))
     if t.codec not in _PCM16_FOURCC:
         raise NotImplementedError(
@@ -544,10 +559,47 @@ def mp4_frames(payload: bytes) -> list[bytes]:
                 f"PCM16 chunk at {off} has an odd byte count ({sz})"
             )
         vals = struct.unpack(f"{fmt}{sz // 2}h", payload[off : off + sz])
-        out.append(
-            synthesize_mp4(bytes((v // 256) + 128 for v in vals))
-        )
+        out.append(_encode_mp4_pcm(list(vals), t.timescale or MP4_TIMESCALE))
     return out
+
+
+def _pick_nearest(pcm: list[int], in_rate: int, out_rate: int) -> list[int]:
+    """Nearest-sample rational resample: output j takes input
+    ``(j·in_rate) // out_rate`` — the audio analog of the image verbs'
+    nearest-neighbor resize, all-integer so SQL oracles and tests can
+    recompute every output sample exactly (a windowed-sinc resampler
+    would be the codec-library seam's job).  ``n_out =
+    (n·out_rate) // in_rate`` keeps duration within one sample."""
+    if in_rate <= 0 or out_rate <= 0:
+        raise ValueError(f"invalid rates {in_rate} -> {out_rate}")
+    n_out = (len(pcm) * out_rate) // in_rate
+    return [pcm[(j * in_rate) // out_rate] for j in range(n_out)]
+
+
+def resample_mp4(payload: bytes, out_rate: int) -> bytes:
+    """REAL audio resample for uncompressed-PCM mp4 tracks: decode
+    through the sample table, nearest-sample resample to ``out_rate``,
+    re-encode as a standalone ``twos`` mp4 at the new rate (PCM-exact
+    on the retained samples).  The audio analog of ``resize_bmp`` /
+    ``resize_y4m`` — output duration-in-seconds is preserved within
+    one sample while the sample count normalizes, which is what makes
+    downstream training batches rectangular.  Compressed codecs raise
+    NotImplementedError (codec seam)."""
+    t = _first_audio_track(parse_mp4(payload))
+    if t.codec not in _PCM16_FOURCC:
+        raise NotImplementedError(
+            f"resample of mp4 codec {t.codec!r} requires codec libraries"
+        )
+    raw = b"".join(payload[o : o + s] for o, s in t.spans)
+    if len(raw) % 2:
+        raise ValueError(
+            f"PCM16 track resolves to an odd byte count ({len(raw)})"
+        )
+    pcm = list(
+        struct.unpack(f"{_PCM16_FOURCC[t.codec]}{len(raw) // 2}h", raw)
+    )
+    in_rate = t.timescale or MP4_TIMESCALE
+    return _encode_mp4_pcm(_pick_nearest(pcm, in_rate, out_rate), out_rate)
 
 
 # ---------------------------------------------------------------------------
@@ -800,6 +852,47 @@ def binarize_mp3_documents(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         synth, MODALITY_SCHEMA
     )
+
+
+def resample_audio_payloads(binarized: DataFrame, out_rate: int) -> DataFrame:
+    """The audio-modality resample seam, FOR REAL (round 9 — the
+    resize verb's audio analog, completing the verb across modalities:
+    images/video had real resizes since rounds 4–7, audio only had the
+    text stand-in): every ``audio`` (WAV) or ``mp4`` payload is
+    rate-normalized to ``out_rate`` via the all-integer nearest-sample
+    pick and re-encoded through the same writers as synthesis, so
+    outputs stay decodable containers at the new rate.  Same
+    mapInPandas shape as ``multimodal.resize_image_payloads``;
+    metadata recomputed in the same pass so it can never drift."""
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+        resample_wav,
+    )
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                p = bytes(p)
+                if m == "audio":
+                    resized.append(resample_wav(p, out_rate))
+                elif m == "mp4":
+                    resized.append(resample_mp4(p, out_rate))
+                else:
+                    raise ValueError(
+                        f"resample_audio_payloads got modality {m!r}"
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": resized,
+                    "meta_mime": pdf["meta_mime"],
+                    "meta_n_bytes": [len(p) for p in resized],
+                }
+            )
+
+    return binarized.mapInPandas(rz, MODALITY_SCHEMA)
 
 
 def describe_containers(binarized: DataFrame) -> DataFrame:

@@ -161,6 +161,51 @@ def decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+def resample_wav(payload: bytes, out_rate: int) -> bytes:
+    """REAL audio resample for the WAV modality (round 9): parse the
+    RIFF container, nearest-sample resample to ``out_rate`` (the
+    all-integer pick ``containers._pick_nearest`` — the audio analog
+    of the image verbs' nearest-neighbor resize), re-encode through
+    the same stdlib ``wave`` writer as synthesis so the output stays
+    a decodable PCM16 mono WAV at the new rate.  Retained samples are
+    bit-exact; rate normalization is what makes downstream audio
+    batches rectangular."""
+    import io
+    import struct
+    import wave
+
+    from mapreduce_framework_for_mergesort_spark.sources.containers import (
+        _pick_nearest,
+    )
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError(
+                    f"expected PCM16 mono, got width={w.getsampwidth()} "
+                    f"channels={w.getnchannels()}"
+                )
+            in_rate = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError) as ex:
+        raise ValueError(f"not a parseable WAV: {ex}") from None
+    if len(raw) != 2 * n:
+        raise ValueError(
+            f"truncated WAV: header promises {n} PCM16 frames, payload "
+            f"carries {len(raw)} bytes"
+        )
+    picked = _pick_nearest(list(struct.unpack(f"<{n}h", raw)), in_rate,
+                           out_rate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(out_rate)
+        w.writeframes(struct.pack(f"<{len(picked)}h", *picked))
+    return buf.getvalue()
+
+
 IMG_WIDTH = 16  # 16 px × 3 bytes = 48-byte rows: already 4-aligned, no pad
 IMG_HEADER = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 

@@ -244,6 +244,66 @@ def test_handmade_mp4_parses_and_decodes():
     assert feats[2] == min(samples) and feats[3] == max(samples)
 
 
+def test_handmade_mp4_frames_are_pcm_exact():
+    # the handmade track carries PCM values that are NOT multiples of
+    # 256 — a re-encode through the byte domain would corrupt them
+    # (the round-9 self-review bug); frames must round-trip bit-exact
+    # and carry the SOURCE rate
+    payload, samples = _handmade_mp4()
+    frames = C.mp4_frames(payload)
+    assert len(frames) == 2  # two stsc/stco chunks
+    got = []
+    for f in frames:
+        t = C._first_audio_track(C.parse_mp4(f))
+        assert t.timescale == 22050  # source rate preserved
+        raw = b"".join(f[o : o + s] for o, s in t.spans)
+        got += list(struct.unpack(f">{len(raw) // 2}h", raw))
+    assert got == samples
+
+
+@pytest.mark.parametrize("out_rate,expect", [
+    # in_rate 8000; pcm = (b-128)*256 for b'abcd' = [-7936..-7168 step 256]
+    (4000, [0, 2]),      # every 2nd index
+    (16000, [0, 0, 1, 1, 2, 2, 3, 3]),  # each index doubled
+    (8000, [0, 1, 2, 3]),  # identity
+    (6000, [0, 1, 2]),   # 3/4: indices floor(j*4/3) = 0,1,2
+])
+def test_mp4_resample_picks_exact_indices(out_rate, expect):
+    data = b"abcd"
+    pcm_in = [(b - 128) * 256 for b in data]
+    out = C.resample_mp4(C.synthesize_mp4(data), out_rate)
+    t = C._first_audio_track(C.parse_mp4(out))
+    assert t.timescale == out_rate and t.sample_rate == out_rate
+    raw = b"".join(out[o : o + s] for o, s in t.spans)
+    got = list(struct.unpack(f">{len(raw) // 2}h", raw))
+    assert got == [pcm_in[i] for i in expect]
+    # output is itself a first-class decodable input
+    assert C.decode_mp4(out)[0] == len(expect)
+    assert C.decode_mp4(out)[1] == out_rate
+
+
+def test_wav_and_mp4_resample_agree():
+    # same samples, same rates -> identical PCM streams out of both
+    # container resamplers (they share _pick_nearest)
+    data = bytes((5 * i + 1) % 256 for i in range(200))
+    for out_rate in (3000, 8000, 11025, 20000):
+        w = M.resample_wav(M.synthesize_wav(data), out_rate)
+        m = C.resample_mp4(C.synthesize_mp4(data), out_rate)
+        fw = M.decode_wav(w)
+        fm = C.decode_mp4(m)
+        assert fw == fm
+        assert fw[1] == out_rate
+        assert fw[0] == (len(data) * out_rate) // 8000
+
+
+def test_resample_compressed_codec_is_the_seam():
+    q = C.synthesize_mp4(b"x" * 20).replace(b"twos", b"mp4a", 1)
+    with pytest.raises(NotImplementedError, match="mp4a"):
+        C.resample_mp4(q, 16000)
+    with pytest.raises(ValueError, match="invalid rates"):
+        C.resample_mp4(C.synthesize_mp4(b"xy"), 0)
+
+
 def test_handmade_mp3_vbr_and_id3v1():
     """A VBR stream (per-frame bitrate varies) with no ID3v2 tag but an
     ID3v1 trailer — neither produced by the synthesizer."""
@@ -481,6 +541,42 @@ def test_describe_containers_vs_duckdb(spark, sf_smoke):
     orows = sorted(tuple(r[i] for i in idx) for r in orows)
     assert len(srows) == len(orows) and srows[:1]  # non-degenerate
     assert srows == orows
+
+
+def test_resample_audio_payloads_spark(spark, sf_smoke):
+    """The Spark resample seam over BOTH audio containers: every
+    output payload re-parses at the target rate with the closed-form
+    sample count, WAV and mp4 agree sample-for-sample (shared pick),
+    and metadata is recomputed in the same pass."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        binarize_audio_documents,
+        decode_wav,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    b = binarize_audio_documents(docs).unionByName(
+        C.binarize_mp4_documents(docs)
+    )
+    out = C.resample_audio_payloads(b, 4000).collect()
+    assert len(out) == 80
+    by_doc: dict[int, dict[str, list[float]]] = {}
+    for r in out:
+        assert r["meta_n_bytes"] == len(r["payload"])
+        feats = (
+            decode_wav(bytes(r["payload"]))
+            if r["modality"] == "audio"
+            else C.decode_mp4(bytes(r["payload"]))
+        )
+        assert feats[1] == 4000 or feats[0] == 0  # rate, unless empty
+        by_doc.setdefault(r["doc_id"], {})[r["modality"]] = feats
+    n_src = {
+        r["doc_id"]: len(r["text"].encode("utf-8"))
+        for r in docs.collect()
+    }
+    for doc_id, m in by_doc.items():
+        assert m["audio"] == m["mp4"]
+        assert m["audio"][0] == (n_src[doc_id] * 4000) // 8000
 
 
 def test_dispatch_through_modality_stubs():
