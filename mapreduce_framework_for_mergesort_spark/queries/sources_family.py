@@ -160,6 +160,50 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multi-member ``.warc.gz`` shard files
+    (``sources/warc.py`` — the Common Crawl layout: one gzip member
+    per record, stored deflate) → read back through the
+    ``binaryFile`` + member-walk ingestion path → aggregate per shard.
+    The oracle recomputes shard membership (``doc_id % 4``), record
+    counts, total payload bytes, and the doc_id sum from the original
+    parquet, so the check proves the full sink→source hop is lossless
+    down to payload byte counts.  Files are written by the EXECUTORS
+    (foreachPartition — bytes never gather on the driver; local-FS
+    path is the test seam, object stores take the same bytes through
+    their own committer)."""
+    import shutil
+
+    from mapreduce_framework_for_mergesort_spark.sources import warc as W
+
+    path = _workdir(sf_dir, "warc_documents")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents")
+    shards = W.warc_shard_bytes(docs, n_shards=4)
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            with open(
+                os.path.join(path, f"shard-{r['shard_id']:04d}.warc.gz"),
+                "wb",
+            ) as f:
+                f.write(bytes(r["data"]))
+
+    shards.foreachPartition(write_partition)
+    back = W.read_warc(spark, os.path.join(path, "*.warc.gz"))
+    doc_id = F.split(F.col("target_uri"), ":").getItem(2).cast("long")
+    return (
+        back.withColumn("__doc", doc_id)
+        .groupBy((F.col("__doc") % 4).cast("string").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("content_length").alias("sum_payload_bytes"),
+            F.sum("__doc").alias("sum_doc_id"),
+        )
+    )
+
+
 @query(
     "q_source_roundtrips",
     oracle="""
@@ -189,6 +233,12 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_metric,
            CAST(SUM(__ZKEY__) AS BIGINT) AS sum_k
     FROM orders WHERE o_custkey BETWEEN 100 AND 600 GROUP BY 2
+    UNION ALL
+    SELECT 'warc' AS fmt, CAST(doc_id % 4 AS VARCHAR) AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(octet_length(encode(text))) AS DOUBLE) AS sum_metric,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_k
+    FROM documents GROUP BY 2
     """.replace("__ZKEY__", layout.duckdb_zorder_key(_ZCOLS)),
 )
 def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +253,11 @@ def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory-level partition pruning (PartitionFilters pinned in
     tests/test_sources.py); the zorder branch proves the Z-order
     clustered write (operators/layout.py) is lossless and its Morton
-    arithmetic cross-engine exact."""
+    arithmetic cross-engine exact; the warc branch (round 9) proves
+    the Common Crawl-layout ``.warc.gz`` sink→source hop
+    (sources/warc.py — executor-written multi-member gzip shards read
+    back through the binaryFile member walk) lossless down to payload
+    byte counts."""
     zorder = q_zorder_roundtrip(spark, sf_dir).select(
         F.lit("zorder").alias("fmt"),
         F.col("zb").cast("string").alias("grp"),
@@ -239,9 +293,17 @@ def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").alias("sum_metric"),
         F.lit(None).cast("long").alias("sum_k"),
     )
+    warc = q_warc_roundtrip(spark, sf_dir).select(
+        F.lit("warc").alias("fmt"),
+        F.col("shard").alias("grp"),
+        "n",
+        F.col("sum_payload_bytes").cast("double").alias("sum_metric"),
+        F.col("sum_doc_id").alias("sum_k"),
+    )
     return (
         csv.unionByName(jsonl)
         .unionByName(pq)
         .unionByName(orc)
         .unionByName(zorder)
+        .unionByName(warc)
     )

@@ -854,6 +854,60 @@ def binarize_mp3_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+PARSE_AUDIT_SCHEMA = (
+    "doc_id bigint, modality string, payload binary, "
+    "meta_mime string, meta_n_bytes bigint, "
+    "parse_ok boolean, parse_err string"
+)
+
+
+def audit_payload_parses(binarized: DataFrame) -> DataFrame:
+    """Corrupt-payload quarantine router (round 9): re-parse every
+    payload with its modality's REAL parser inside one Arrow pass and
+    tag the row ``(parse_ok, parse_err)`` instead of letting the first
+    malformed byte kill the job — at 100 TB some fraction of any real
+    corpus IS corrupt, and the difference between "task retries until
+    the stage dies" and "137 quarantined rows with reasons in a side
+    table" is this operator.  Built on the package-wide loudness
+    contract: every parser raises ``ValueError`` on structural damage
+    (that contract is exactly what makes try/except routing sound), and
+    ``NotImplementedError`` — a codec seam, not corruption — tags rows
+    ``parse_ok = true`` with the seam recorded in ``parse_err`` (the
+    container structure WAS validated; only entropy decode is out of
+    scope).  Callers ``filter("parse_ok")`` for the clean feed and
+    write the negation to the quarantine path; no shuffle either way.
+    """
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        decode_stub,
+    )
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok, err = [], []
+            for p, m in zip(pdf["payload"], pdf["modality"]):
+                try:
+                    if m == "mp4":
+                        parse_mp4(bytes(p))
+                    elif m == "mp3":
+                        parse_mp3(bytes(p))
+                    else:
+                        decode_stub(bytes(p), m)
+                    ok.append(True)
+                    err.append(None)
+                except ValueError as ex:
+                    ok.append(False)
+                    err.append(str(ex)[:500])
+                except NotImplementedError as ex:
+                    ok.append(True)
+                    err.append(f"codec seam: {str(ex)[:200]}")
+            out = pdf.copy()
+            out["parse_ok"] = ok
+            out["parse_err"] = err
+            yield out
+
+    return binarized.mapInPandas(audit, PARSE_AUDIT_SCHEMA)
+
+
 def resample_audio_payloads(binarized: DataFrame, out_rate: int) -> DataFrame:
     """The audio-modality resample seam, FOR REAL (round 9 — the
     resize verb's audio analog, completing the verb across modalities:

@@ -1,0 +1,300 @@
+"""WARC (Web ARChive, ISO 28500) source/sink — round 9.
+
+Web-scale text corpora ship as WARC: Common Crawl alone publishes
+~100 TB-scale crawls as ``.warc.gz`` files whose records are
+INDIVIDUALLY gzip-compressed and concatenated (the multi-member
+convention that makes records independently seekable).  An engine
+whose reason to exist is LLM training-data curation needs to READ that
+format natively — decompress members, walk the record grammar, surface
+payloads as a DataFrame — and usefully to WRITE it back (curated
+corpora are republished as WARC for tool compatibility).
+
+Scope mirrors ``sources/containers.py``'s container-layer discipline:
+
+* ``parse_warc`` — the record grammar for real: version line, CRLF
+  header block, ``Content-Length``-framed payload, the mandatory
+  two-CRLF record terminator; plain AND multi-member-gzip inputs
+  (stdlib zlib, wbits=31 member loop).  Structural damage raises
+  ``ValueError`` with the byte offset — the same loud, quarantine-
+  routable contract every parser in this package keeps (route corrupt
+  files through ``containers.audit_payload_parses``-style try/except,
+  don't die mid-crawl).
+* ``synthesize_warc`` — deterministic fixture/writer: record ids are
+  content-derived (sha256 urn), gzip members use STORED deflate so
+  byte sizes stay closed-form (the PNG synthesis trick), and the
+  emitted stream round-trips through any conformant WARC reader.
+* ``read_warc`` — the Spark ingestion path: ``binaryFile`` scan →
+  Arrow-batched record fan-out.  100 TB posture: one WARC file is one
+  task (the Common Crawl processing convention — files are ~1 GB and
+  internally sequential because gzip members must be walked in
+  order); parallelism comes from the NUMBER of files (a crawl has
+  ~64k), so the scan needs no maxPartitionBytes tuning, and payloads
+  are fanned out and projected away before any shuffle.
+* ``warc_shard_bytes`` — the sink half: documents → per-shard
+  ``.warc.gz`` byte blobs as a DataFrame (deterministic shard
+  assignment by doc_id), which the caller persists through any Spark
+  writer; bytes never gather on the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_CRLF = b"\r\n"
+
+#: Fixed date for synthesized records — determinism over realism (the
+#: engine's fixtures must hash identically across runs; a writer fed
+#: real crawl metadata passes real dates per record instead).
+WARC_FIXED_DATE = "2026-01-01T00:00:00Z"
+
+WARC_RECORD_SCHEMA = (
+    "warc_file string, record_idx int, warc_type string, "
+    "record_id string, target_uri string, warc_date string, "
+    "content_type string, content_length bigint, payload binary"
+)
+
+WARC_SHARD_SCHEMA = "shard_id int, n_records int, n_bytes bigint, data binary"
+
+
+# ---------------------------------------------------------------------------
+# record grammar
+# ---------------------------------------------------------------------------
+
+
+def _record_bytes(
+    rtype: str,
+    uri: str | None,
+    payload: bytes,
+    content_type: str = "text/plain",
+    date: str = WARC_FIXED_DATE,
+) -> bytes:
+    """One WARC/1.1 record.  The record id is a content-derived urn so
+    synthesis is bit-deterministic (no uuid4/clock)."""
+    rid = hashlib.sha256(
+        rtype.encode() + b"\x00" + (uri or "").encode() + b"\x00" + payload
+    ).hexdigest()
+    headers = ["WARC/1.1"]
+    headers.append(f"WARC-Type: {rtype}")
+    headers.append(f"WARC-Record-ID: <urn:sha256:{rid}>")
+    headers.append(f"WARC-Date: {date}")
+    if uri is not None:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers.append(f"Content-Type: {content_type}")
+    headers.append(f"Content-Length: {len(payload)}")
+    head = _CRLF.join(h.encode("utf-8") for h in headers)
+    return head + _CRLF + _CRLF + payload + _CRLF + _CRLF
+
+
+def _gzip_member_stored(data: bytes) -> bytes:
+    """One gzip member with STORED deflate blocks (level 0): a fully
+    valid gzip stream any reader inflates, whose size is the closed
+    form ``10 + 5*n_blocks + len + 8`` — same discipline as the PNG
+    synthesis' stored-zlib."""
+    co = zlib.compressobj(0, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def synthesize_warc(
+    records: list[tuple[str, str | None, bytes]],
+    gzip_members: bool = True,
+) -> bytes:
+    """Deterministic WARC stream from ``(warc_type, target_uri,
+    payload)`` triples.  ``gzip_members=True`` emits the Common Crawl
+    layout — each record its own gzip member, concatenated —
+    exercising the member-walk read path; False emits plain WARC."""
+    blobs = [_record_bytes(t, u, p) for t, u, p in records]
+    if gzip_members:
+        return b"".join(_gzip_member_stored(b) for b in blobs)
+    return b"".join(blobs)
+
+
+def _split_gzip_members(payload: bytes) -> list[bytes]:
+    """Decompress a multi-member gzip stream member by member (zlib
+    wbits=31 + unused_data loop).  Truncated or corrupt members raise
+    ValueError with the member index."""
+    out = []
+    rest = payload
+    i = 0
+    while rest:
+        d = zlib.decompressobj(31)
+        try:
+            blob = d.decompress(rest)
+        except zlib.error as ex:
+            raise ValueError(f"corrupt gzip member {i}: {ex}") from None
+        if not d.eof:
+            raise ValueError(f"truncated gzip member {i}")
+        out.append(blob + d.flush())
+        rest = d.unused_data
+        i += 1
+    return out
+
+
+def _parse_plain_records(data: bytes) -> list[dict]:
+    """Walk back-to-back WARC records in uncompressed bytes."""
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError(
+                f"unterminated WARC header block at offset {pos}"
+            )
+        head = data[pos:hdr_end].decode("utf-8", errors="strict")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(
+                f"record at offset {pos} does not start with a WARC "
+                f"version line (got {lines[0][:30]!r})"
+            )
+        version = lines[0][len("WARC/"):]
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(":")
+            if not sep or not k.strip():
+                raise ValueError(
+                    f"malformed WARC header line {ln!r} at offset {pos}"
+                )
+            headers[k.strip().lower()] = v.strip()
+        if "content-length" not in headers:
+            raise ValueError(f"record at offset {pos} has no Content-Length")
+        try:
+            clen = int(headers["content-length"])
+        except ValueError:
+            raise ValueError(
+                f"non-integer Content-Length {headers['content-length']!r} "
+                f"at offset {pos}"
+            ) from None
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if body_end + 4 > n:
+            raise ValueError(
+                f"record at offset {pos} promises {clen} payload bytes "
+                f"+ terminator; stream ends {n - body_start} bytes later"
+            )
+        if data[body_end : body_end + 4] != _CRLF + _CRLF:
+            raise ValueError(
+                f"record at offset {pos} missing the two-CRLF terminator"
+            )
+        records.append(
+            {
+                "version": version,
+                "headers": headers,
+                "payload": data[body_start:body_end],
+                "offset": pos,
+            }
+        )
+        pos = body_end + 4
+    return records
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """WARC stream → records (``{version, headers, payload,
+    offset}``; header keys lower-cased).  Gzip input (magic
+    ``1f 8b``) is walked member by member — each member may carry one
+    record (the Common Crawl convention) or several; plain input is
+    walked directly.  Every structural deviation raises ValueError."""
+    if payload[:2] == b"\x1f\x8b":
+        records = []
+        for member in _split_gzip_members(payload):
+            records.extend(_parse_plain_records(member))
+        # re-number offsets per the concatenated logical stream
+        for i, r in enumerate(records):
+            r["member_idx"] = i
+        return records
+    return _parse_plain_records(payload)
+
+
+# ---------------------------------------------------------------------------
+# Spark read / sink
+# ---------------------------------------------------------------------------
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """WARC ingestion: ``binaryFile`` scan over ``path`` (glob ok) →
+    one Arrow pass fanning each file out to its records.  One file =
+    one task (gzip members are sequential; crawl-scale parallelism is
+    file-count parallelism), payload column last so downstream
+    projections that don't need bytes prune them at the scan above
+    this fan-out."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fan_out(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k.split()[0]: [] for k in WARC_RECORD_SCHEMA.split(", ")
+            }
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for i, rec in enumerate(parse_warc(bytes(content))):
+                    h = rec["headers"]
+                    out["warc_file"].append(path_)
+                    out["record_idx"].append(i)
+                    out["warc_type"].append(h.get("warc-type"))
+                    out["record_id"].append(h.get("warc-record-id"))
+                    out["target_uri"].append(h.get("warc-target-uri"))
+                    out["warc_date"].append(h.get("warc-date"))
+                    out["content_type"].append(h.get("content-type"))
+                    out["content_length"].append(len(rec["payload"]))
+                    out["payload"].append(rec["payload"])
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(fan_out, WARC_RECORD_SCHEMA)
+
+
+def warc_shard_bytes(
+    documents: DataFrame, n_shards: int = 8, gzip_members: bool = True
+) -> DataFrame:
+    """Sink half: documents → ``n_shards`` WARC shard blobs,
+    deterministic (shard = doc_id % n_shards; records ordered by
+    doc_id inside a shard; content-derived record ids).  Emitted as a
+    DataFrame of ``(shard_id, n_records, n_bytes, data)`` so the bytes
+    stay distributed — persist with any Spark writer (parquet binary
+    column, or a foreachPartition file write where the filesystem
+    allows).  The repartition is BY shard_id, so each task builds
+    exactly one shard and memory is bounded by shard size — size
+    shards accordingly (docs/shard ~ corpus/n_shards)."""
+    from pyspark.sql import functions as F
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[int, list] = {}
+        for pdf in batches:
+            for doc_id, text, shard in zip(
+                pdf["doc_id"], pdf["text"], pdf["__shard"]
+            ):
+                rows.setdefault(int(shard), []).append((int(doc_id), text))
+        out = {"shard_id": [], "n_records": [], "n_bytes": [], "data": []}
+        for shard, docs in sorted(rows.items()):
+            docs.sort()
+            blob = synthesize_warc(
+                [
+                    (
+                        "resource",
+                        f"urn:doc:{doc_id}",
+                        (text or "").encode("utf-8"),
+                    )
+                    for doc_id, text in docs
+                ],
+                gzip_members=gzip_members,
+            )
+            out["shard_id"].append(shard)
+            out["n_records"].append(len(docs))
+            out["n_bytes"].append(len(blob))
+            out["data"].append(blob)
+        yield pd.DataFrame(out)
+
+    return (
+        documents.select(
+            "doc_id", "text", (F.col("doc_id") % n_shards).alias("__shard")
+        )
+        .repartition(n_shards, "__shard")
+        .mapInPandas(build, WARC_SHARD_SCHEMA)
+    )

@@ -579,6 +579,44 @@ def test_resample_audio_payloads_spark(spark, sf_smoke):
         assert m["audio"][0] == (n_src[doc_id] * 4000) // 8000
 
 
+def test_audit_payload_parses_routes_corruption(spark):
+    """The quarantine router: corrupt payloads are tagged with their
+    parser's reason instead of failing the job; intact payloads pass;
+    codec seams (structurally valid container, library-only decode)
+    stay parse_ok with the seam recorded."""
+    mp4 = C.synthesize_mp4(b"good mp4 payload")
+    mp3 = C.synthesize_mp3(b"good mp3 payload")
+    wav = M.synthesize_wav(b"good wav payload")
+    rows = [
+        (1, "mp4", mp4, "audio/mp4", len(mp4)),
+        (2, "mp4", mp4[:-5], "audio/mp4", len(mp4) - 5),       # truncated
+        (3, "mp3", mp3, "audio/mpeg", len(mp3)),
+        (4, "mp3", mp3[:-5], "audio/mpeg", len(mp3) - 5),      # truncated
+        (5, "audio", wav, "audio/wav", len(wav)),
+        (6, "audio", wav[:20], "audio/wav", 20),               # truncated
+        (7, "mp4", mp4.replace(b"twos", b"mp4a", 1), "audio/mp4",
+         len(mp4)),                                            # codec seam-free parse
+        (8, "text", b"plain text never fails", "text/plain", 22),
+    ]
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+    )
+
+    df = spark.createDataFrame(rows, MODALITY_SCHEMA)
+    got = {r["doc_id"]: r for r in C.audit_payload_parses(df).collect()}
+    assert len(got) == 8
+    assert all(got[i]["parse_ok"] for i in (1, 3, 5, 7, 8))
+    assert not any(got[i]["parse_ok"] for i in (2, 4, 6))
+    assert "overruns" in got[2]["parse_err"]
+    assert "promises" in got[4]["parse_err"]
+    assert "WAV" in got[6]["parse_err"]
+    assert got[7]["parse_err"] is None  # parse_mp4 validates any codec
+    assert got[1]["parse_err"] is None and got[8]["parse_err"] is None
+    # an mp3 routed through the decode seam would be falsely "ok":
+    # the router parses containers directly, so a corrupt mp3 is
+    # caught (doc 4) while the Layer-III decode stays out of scope
+
+
 def test_dispatch_through_modality_stubs():
     data = b"dispatch check"
     assert M.decode_stub(C.synthesize_mp4(data), "mp4") == M.decode_wav(
