@@ -872,14 +872,25 @@ def audit_payload_parses(binarized: DataFrame) -> DataFrame:
     contract: every parser raises ``ValueError`` on structural damage
     (that contract is exactly what makes try/except routing sound), and
     ``NotImplementedError`` — a codec seam, not corruption — tags rows
-    ``parse_ok = true`` with the seam recorded in ``parse_err`` (the
-    container structure WAS validated; only entropy decode is out of
-    scope).  Callers ``filter("parse_ok")`` for the clean feed and
-    write the negation to the quarantine path; no shuffle either way.
-    """
+    ``parse_ok = true`` with the seam recorded in ``parse_err`` — but
+    ONLY for modalities whose container structure really was validated
+    first (an mp4 whose boxes parsed but whose layout is fragmented).
+    A modality this engine has NO parser for is ``parse_ok = false``:
+    tagging it a "seam" would claim a validation that never ran
+    (round-9 review).  Callers ``filter("parse_ok")`` for the clean
+    feed and write the negation to the quarantine path; no shuffle
+    either way."""
     from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
         decode_stub,
     )
+
+    # modalities whose NotImplementedError means "container validated,
+    # entropy decode needs a codec library": mp4's walker raises NIE
+    # only after structural validation (fragmented layout), and every
+    # other listed decode validates the full container before any seam
+    # can fire; decode_stub's unknown-modality fallthrough is NOT here
+    seam_ok = {"mp4", "mp3", "audio", "image", "png", "jpeg",
+               "jpeg_color", "video", "text"}
 
     def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -898,8 +909,14 @@ def audit_payload_parses(binarized: DataFrame) -> DataFrame:
                     ok.append(False)
                     err.append(str(ex)[:500])
                 except NotImplementedError as ex:
-                    ok.append(True)
-                    err.append(f"codec seam: {str(ex)[:200]}")
+                    if m in seam_ok:
+                        ok.append(True)
+                        err.append(f"codec seam: {str(ex)[:200]}")
+                    else:
+                        ok.append(False)
+                        err.append(
+                            f"no parser for modality {m!r}: {str(ex)[:200]}"
+                        )
             out = pdf.copy()
             out["parse_ok"] = ok
             out["parse_err"] = err

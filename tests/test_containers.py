@@ -597,6 +597,7 @@ def test_audit_payload_parses_routes_corruption(spark):
         (7, "mp4", mp4.replace(b"twos", b"mp4a", 1), "audio/mp4",
          len(mp4)),                                            # codec seam-free parse
         (8, "text", b"plain text never fails", "text/plain", 22),
+        (9, "tiff", b"II*\x00unknown-format", "image/tiff", 18),  # no parser
     ]
     from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
         MODALITY_SCHEMA,
@@ -604,9 +605,11 @@ def test_audit_payload_parses_routes_corruption(spark):
 
     df = spark.createDataFrame(rows, MODALITY_SCHEMA)
     got = {r["doc_id"]: r for r in C.audit_payload_parses(df).collect()}
-    assert len(got) == 8
+    assert len(got) == 9
     assert all(got[i]["parse_ok"] for i in (1, 3, 5, 7, 8))
-    assert not any(got[i]["parse_ok"] for i in (2, 4, 6))
+    assert not any(got[i]["parse_ok"] for i in (2, 4, 6, 9))
+    # an unknown modality is NOT a "codec seam" — no validation ran
+    assert "no parser for modality 'tiff'" in got[9]["parse_err"]
     assert "overruns" in got[2]["parse_err"]
     assert "promises" in got[4]["parse_err"]
     assert "WAV" in got[6]["parse_err"]
