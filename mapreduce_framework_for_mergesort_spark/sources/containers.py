@@ -40,7 +40,11 @@ So this module implements the container layer for real:
   from source bytes (the ``synthesize_wav`` discipline): every field
   is a closed form of ``len(data)``, so SQL oracles recompute byte
   sizes, sample counts, durations, and first-sample values exactly
-  (see ``q_multimodal_containers``).
+  (the ``mp4``/``mp3`` branches of ``q_multimodal_features`` /
+  ``q_multimodal_frames`` are the registry-checked surface; the
+  container-metadata columns are DuckDB-pinned in
+  ``tests/test_containers.py`` — the registry holds the driver's
+  50-key cap).
 
 Reference parity note: the reference engine (``/root/reference``,
 ``NodeHandler.java:44-75``) only ever ingests line-delimited text; the
@@ -77,8 +81,10 @@ MP4_TIMESCALE = 8000
 #: large enough that chunk-level frame extraction is a real grouping.
 MP4_SAMPLES_PER_CHUNK = 16
 
-#: The four container boxes the walker recurses into.  (moof/traf —
-#: fragmented mp4 — are out of scope and hit the unknown-box skip.)
+#: The container boxes the walker recurses into.  (moof/mvex —
+#: fragmented mp4 — raise loudly in ``parse_mp4``: their sample data
+#: lives in per-fragment trun tables this walker does not read, and a
+#: silent zero-sample parse would be a wrong answer.)
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
 
 #: Uncompressed PCM16 audio fourccs the codec layer can decode for

@@ -201,13 +201,111 @@ def parse_warc(payload: bytes) -> list[dict]:
     walked directly.  Every structural deviation raises ValueError."""
     if payload[:2] == b"\x1f\x8b":
         records = []
-        for member in _split_gzip_members(payload):
-            records.extend(_parse_plain_records(member))
-        # re-number offsets per the concatenated logical stream
-        for i, r in enumerate(records):
-            r["member_idx"] = i
+        for mi, member in enumerate(_split_gzip_members(payload)):
+            recs = _parse_plain_records(member)
+            for r in recs:
+                # offsets are member-relative after decompression; keep
+                # the member index so a reader can still seek precisely
+                r["member_idx"] = mi
+            records.extend(recs)
         return records
     return _parse_plain_records(payload)
+
+
+# ---------------------------------------------------------------------------
+# HTTP message extraction (the "WET" step)
+# ---------------------------------------------------------------------------
+
+
+def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
+    """Split a WARC ``response`` record's ``application/http`` payload
+    into ``(status, headers, body)`` — the extraction that turns a raw
+    crawl into usable text (what Common Crawl's WET derivative does).
+    Handles the two encodings raw captures actually carry:
+    ``Transfer-Encoding: chunked`` (size-line framing decoded exactly;
+    trailing headers skipped) and ``Content-Encoding: gzip/deflate``
+    (stdlib zlib; applied after de-chunking, per RFC 9112 ordering).
+    Unknown content-encodings raise ``NotImplementedError`` (codec
+    seam); structural damage — no header terminator, bad status line,
+    malformed chunk sizes, truncated chunks — raises ValueError, same
+    loud contract as the record grammar."""
+    sep = payload.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("HTTP message has no header terminator")
+    head = payload[:sep].decode("latin-1")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"not an HTTP response status line: {lines[0]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(f"non-integer HTTP status {parts[1]!r}") from None
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, s, v = ln.partition(":")
+        if not s or not k.strip():
+            raise ValueError(f"malformed HTTP header line {ln!r}")
+        headers[k.strip().lower()] = v.strip()
+    body = payload[sep + 4 :]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "x-gzip"):
+        try:
+            body = zlib.decompress(body, 31)
+        except zlib.error as ex:
+            raise ValueError(f"corrupt gzip body: {ex}") from None
+    elif enc == "deflate":
+        try:
+            # raw-deflate fallback covers the historical servers that
+            # sent deflate without the zlib wrapper
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -15)
+            except zlib.error as ex:
+                raise ValueError(f"corrupt deflate body: {ex}") from None
+    elif enc and enc != "identity":
+        raise NotImplementedError(
+            f"content-encoding {enc!r} requires libraries not present"
+        )
+    return status, headers, body
+
+
+def _dechunk(data: bytes) -> bytes:
+    """RFC 9112 chunked transfer decoding: ``<hex-size>[;ext]CRLF
+    <chunk>CRLF`` repeated, ``0``-size terminator, optional trailer
+    headers ignored.  Exact framing — a size promising bytes past the
+    buffer is loud, never clamped."""
+    out = []
+    pos = 0
+    while True:
+        nl = data.find(_CRLF, pos)
+        if nl < 0:
+            raise ValueError(f"chunked body: no size line at offset {pos}")
+        size_tok = data[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked body: bad chunk size {size_tok!r} at offset {pos}"
+            ) from None
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) intentionally skipped
+        end = pos + size
+        if end + 2 > len(data):
+            raise ValueError(
+                f"chunked body: chunk at offset {pos} promises {size} "
+                "bytes past the end of the buffer"
+            )
+        if data[end : end + 2] != _CRLF:
+            raise ValueError(
+                f"chunked body: chunk at offset {pos} missing its CRLF"
+            )
+        out.append(data[pos:end])
+        pos = end + 2
 
 
 # ---------------------------------------------------------------------------

@@ -119,6 +119,96 @@ def test_property_round_trip(payloads, gz):
     assert [r["payload"] for r in parsed] == payloads
 
 
+def _chunked(parts: list[bytes], trailer: bytes = b"") -> bytes:
+    out = b"".join(
+        f"{len(p):x}".encode() + b"\r\n" + p + b"\r\n" for p in parts
+    )
+    return out + b"0\r\n" + trailer + b"\r\n"
+
+
+def test_http_response_body_plain():
+    payload = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: 11\r\n"
+        b"\r\n"
+        b"hello crawl"
+    )
+    status, headers, body = W.http_response_body(payload)
+    assert status == 200
+    assert headers["content-type"].startswith("text/html")
+    assert body == b"hello crawl"
+
+
+def test_http_response_body_chunked_and_gzip():
+    raw = b"the real page text, long enough to be worth compressing" * 3
+    gz = gzip.compress(raw)
+    # chunked AND gzip together — de-chunk first, then decompress
+    # (RFC 9112 ordering), with a chunk-extension and trailer present
+    chunks = [gz[:10], gz[10:25], gz[25:]]
+    body = _chunked(chunks, trailer=b"X-Trailer: ignored\r\n")
+    body = body.replace(b"a\r\n" + gz[:10], b"a;ext=1\r\n" + gz[:10], 1)
+    payload = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Transfer-Encoding: chunked\r\n"
+        b"Content-Encoding: gzip\r\n"
+        b"\r\n" + body
+    )
+    status, _h, got = W.http_response_body(payload)
+    assert status == 200 and got == raw
+
+
+def test_http_response_body_deflate_both_wrappings():
+    raw = b"deflate body bytes" * 4
+    for blob in (zlib.compress(raw), zlib.compress(raw)[2:-4]):  # zlib & raw
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + blob
+        )
+        assert W.http_response_body(payload)[2] == raw
+
+
+def test_http_response_body_is_loud():
+    with pytest.raises(ValueError, match="no header terminator"):
+        W.http_response_body(b"HTTP/1.1 200 OK\r\nContent-Type: x")
+    with pytest.raises(ValueError, match="status line"):
+        W.http_response_body(b"GET / HTTP/1.1\r\n\r\n")
+    with pytest.raises(ValueError, match="non-integer HTTP status"):
+        W.http_response_body(b"HTTP/1.1 OK fine\r\n\r\n")
+    with pytest.raises(NotImplementedError, match="br"):
+        W.http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxx"
+        )
+    base = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    with pytest.raises(ValueError, match="bad chunk size"):
+        W.http_response_body(base + b"zz\r\nhm\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="promises"):
+        W.http_response_body(base + b"ff\r\nshort\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="missing its CRLF"):
+        W.http_response_body(base + b"2\r\nhiXX0\r\n\r\n")
+    with pytest.raises(ValueError, match="corrupt gzip body"):
+        W.http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+        )
+
+
+def test_http_records_round_trip_through_warc():
+    """The full crawl shape: WARC response records whose payloads are
+    HTTP messages — parse the record, then extract the body."""
+    pages = {f"http://x.test/{i}": f"page {i} body".encode() for i in range(3)}
+    recs = []
+    for uri, text in pages.items():
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + text
+        )
+        recs.append(("response", uri, http))
+    blob = W.synthesize_warc(recs, gzip_members=True)
+    got = {}
+    for r in W.parse_warc(blob):
+        _s, _h, body = W.http_response_body(r["payload"])
+        got[r["headers"]["warc-target-uri"]] = body
+    assert got == pages
+
+
 def test_read_warc_spark(spark, tmp_path):
     """The ingestion path: two .warc.gz files on disk → one records
     DataFrame, payloads byte-exact, one row per record, file
