@@ -350,7 +350,13 @@ def publish_tombstone_batch(
     must start with ``_`` or ``.`` so parquet partition discovery and
     the batch read never see them."""
     id_col = schema.split()[0]
-    if not batch_id or "/" in batch_id or batch_id.startswith("."):
+    if not batch_id or "/" in batch_id or batch_id.startswith((".", "_")):
+        # '_' is the marker/sidecar namespace (``_RETRACTION_FOLDS``
+        # lives directly under the tombstone root): a batch_id there
+        # would collide with a marker file — the later marker publish
+        # fails against a directory, and a pre-existing marker makes
+        # this publish return False as if it were an idempotent retry,
+        # silently dropping the takedown (round-9 review)
         raise ValueError(f"batch_id must be a plain slug, got {batch_id!r}")
     for name in meta or {}:
         if not name.startswith(("_", ".")):

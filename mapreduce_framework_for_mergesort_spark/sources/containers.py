@@ -276,8 +276,23 @@ def _mp4_boxes(payload: bytes, pos: int, end: int):
 
 def _fullbox_body(payload: bytes, start: int, end: int) -> tuple[int, int, int]:
     """(version, flags, body_start) of a full box."""
+    if end - start < 4:
+        raise ValueError("full box too small for its version/flags word")
     (vf,) = struct.unpack_from(">I", payload, start)
     return vf >> 24, vf & 0xFFFFFF, start + 4
+
+
+def _need_body(b: int, e: int, n: int, typ: bytes) -> None:
+    """Minimum-body check for fixed-layout boxes (round-9 review): a
+    shrunk box size makes ``unpack_from`` read past the body into the
+    NEXT box's bytes with no error at all — silent garbage metadata,
+    strictly worse than the struct.error the bounds-checked tables
+    fixed."""
+    if e - b < n:
+        raise ValueError(
+            f"{typ.decode('latin-1')} box body too small "
+            f"({e - b} < {n} bytes)"
+        )
 
 
 def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
@@ -299,12 +314,12 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
                     out["sample_rate"] = rate >> 16
         elif typ == b"stts":
             _v, _f, p = _fullbox_body(payload, b, e)
-            (count,) = struct.unpack_from(">I", payload, p)
+            count = _checked_count(payload, p, e, 8, b"stts")
             ent = struct.unpack_from(f">{2 * count}I", payload, p + 4)
             out["stts"] = list(zip(ent[0::2], ent[1::2]))
         elif typ == b"stsc":
             _v, _f, p = _fullbox_body(payload, b, e)
-            (count,) = struct.unpack_from(">I", payload, p)
+            count = _checked_count(payload, p, e, 12, b"stsc")
             ent = struct.unpack_from(f">{3 * count}I", payload, p + 4)
             out["stsc"] = list(zip(ent[0::3], ent[1::3], ent[2::3]))
         elif typ == b"stsz":
@@ -313,15 +328,39 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
             if uniform:
                 out["sizes"] = (uniform, count)
             else:
+                if p + 8 + 4 * count > e:
+                    raise ValueError(
+                        f"stsz promises {count} per-sample entries but "
+                        "its box is too small — reading on would take "
+                        "the NEXT box's bytes as sizes"
+                    )
                 out["sizes"] = list(
                     struct.unpack_from(f">{count}I", payload, p + 8)
                 )
         elif typ in (b"stco", b"co64"):
             _v, _f, p = _fullbox_body(payload, b, e)
-            (count,) = struct.unpack_from(">I", payload, p)
+            width = 4 if typ == b"stco" else 8
+            count = _checked_count(payload, p, e, width, typ)
             fmt = ">%d%s" % (count, "I" if typ == b"stco" else "Q")
             out["chunk_offsets"] = list(struct.unpack_from(fmt, payload, p + 4))
     return out
+
+
+def _checked_count(
+    payload: bytes, p: int, box_end: int, entry_bytes: int, typ: bytes
+) -> int:
+    """Entry count of a sample-table full box, validated against the
+    box's OWN extent (round-9 review): an unchecked count either blows
+    up as struct.error — escaping the loud-ValueError quarantine
+    contract — or, worse, stays inside the payload and silently reads
+    the NEXT box's bytes as table entries."""
+    (count,) = struct.unpack_from(">I", payload, p)
+    if p + 4 + entry_bytes * count > box_end:
+        raise ValueError(
+            f"{typ.decode('latin-1')} promises {count} entries but its "
+            "box is too small to hold them"
+        )
+    return count
 
 
 def _resolve_spans(
@@ -366,6 +405,11 @@ def _resolve_spans(
         if first < 1 or first > last:
             raise ValueError(f"stsc run {k} has invalid chunk range")
         for chunk in range(first, last + 1):
+            if chunk > len(offsets):
+                raise ValueError(
+                    f"stsc references chunk {chunk} but stco holds only "
+                    f"{len(offsets)} offsets"
+                )
             off = offsets[chunk - 1]
             chunk_start, chunk_bytes = off, 0
             for _ in range(per_chunk):
@@ -419,6 +463,7 @@ def parse_mp4(payload: bytes) -> dict:
                 out["major_brand"] = payload[b : b + 4].decode("latin-1")
             elif typ == b"mvhd":
                 v, _f, p = _fullbox_body(payload, b, e)
+                _need_body(p, e, 28 if v == 1 else 16, typ)
                 if v == 1:
                     ts, dur = struct.unpack_from(">IQ", payload, p + 16)
                 else:
@@ -445,11 +490,13 @@ def parse_mp4(payload: bytes) -> dict:
                 )
             elif typ == b"tkhd" and track is not None:
                 v, _f, p = _fullbox_body(payload, b, e)
+                _need_body(p, e, 20 if v == 1 else 12, typ)
                 track["track_id"] = struct.unpack_from(
                     ">I", payload, p + (16 if v == 1 else 8)
                 )[0]
             elif typ == b"mdhd" and track is not None:
                 v, _f, p = _fullbox_body(payload, b, e)
+                _need_body(p, e, 28 if v == 1 else 16, typ)
                 if v == 1:
                     ts, dur = struct.unpack_from(">IQ", payload, p + 16)
                 else:
@@ -457,6 +504,7 @@ def parse_mp4(payload: bytes) -> dict:
                 track["timescale"], track["duration"] = ts, dur
             elif typ == b"hdlr" and track is not None:
                 _v, _f, p = _fullbox_body(payload, b, e)
+                _need_body(p, e, 8, typ)
                 track["handler"] = payload[p + 4 : p + 8].decode("latin-1")
             elif typ == b"stbl" and track is not None:
                 stbl = _parse_stbl(payload, b, e)
@@ -468,7 +516,13 @@ def parse_mp4(payload: bytes) -> dict:
                 walk(b, e, track)
             # anything else: skip by size
 
-    walk(0, len(payload), None)
+    try:
+        walk(0, len(payload), None)
+    except struct.error as ex:
+        # belt and braces under the per-table bounds checks: ANY fixed
+        # header short-read is structural damage, and the quarantine
+        # contract is ValueError (round-9 review)
+        raise ValueError(f"malformed ISO-BMFF structure: {ex}") from None
     if out["major_brand"] is None:
         raise ValueError("ISO-BMFF file has no ftyp box")
     return out
@@ -481,23 +535,14 @@ def _first_audio_track(parsed: dict) -> Mp4Track:
     raise ValueError("mp4 has no audio ('soun') track")
 
 
-def decode_mp4(payload: bytes) -> list[float]:
-    """REAL sample decode through the mp4 sample table for
-    uncompressed PCM16 codecs (``twos``/``sowt``): concatenates the
-    resolved sample spans, unpacks at the fourcc's endianness, and
-    emits the same 8-feature vector as ``multimodal.decode_wav`` —
-    [n_samples, rate, min, max, first, last, Σ|s| mod 9973, #positive].
-    Compressed codecs (avc1/mp4a/...) raise NotImplementedError naming
-    the fourcc — the honest codec-library seam; the CONTAINER parse
-    above it stays real for them (``parse_mp4``/``describe_containers``
-    work on any codec)."""
-    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
-        AUDIO_SUM_MOD,
-        FEATURE_DIM,
-    )
-
-    parsed = parse_mp4(payload)
-    t = _first_audio_track(parsed)
+def _pcm16_track_samples(payload: bytes) -> tuple[Mp4Track, tuple[int, ...]]:
+    """The ONE span-concat → PCM16-unpack path (round-9 review: decode
+    and resample each carried a copy; a validation fixed in one would
+    silently miss the other).  Compressed codecs raise
+    NotImplementedError naming the fourcc — the honest codec-library
+    seam; the CONTAINER parse stays real for them
+    (``parse_mp4``/``describe_containers`` work on any codec)."""
+    t = _first_audio_track(parse_mp4(payload))
     if t.codec not in _PCM16_FOURCC:
         raise NotImplementedError(
             f"mp4 codec {t.codec!r} requires codec libraries not present "
@@ -516,8 +561,24 @@ def decode_mp4(payload: bytes) -> list[float]:
         raise ValueError(
             f"PCM16 track resolves to an odd byte count ({len(raw)})"
         )
-    n = len(raw) // 2
-    samples = struct.unpack(f"{_PCM16_FOURCC[t.codec]}{n}h", raw)
+    fmt = _PCM16_FOURCC[t.codec]
+    return t, struct.unpack(f"{fmt}{len(raw) // 2}h", raw)
+
+
+def decode_mp4(payload: bytes) -> list[float]:
+    """REAL sample decode through the mp4 sample table for
+    uncompressed PCM16 codecs (``twos``/``sowt``): concatenates the
+    resolved sample spans, unpacks at the fourcc's endianness, and
+    emits the same 8-feature vector as ``multimodal.decode_wav`` —
+    [n_samples, rate, min, max, first, last, Σ|s| mod 9973, #positive].
+    """
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        AUDIO_SUM_MOD,
+        FEATURE_DIM,
+    )
+
+    t, samples = _pcm16_track_samples(payload)
+    n = len(samples)
     if not samples:
         return [0.0] * FEATURE_DIM
     rate = t.timescale or 0
@@ -591,21 +652,11 @@ def resample_mp4(payload: bytes, out_rate: int) -> bytes:
     one sample while the sample count normalizes, which is what makes
     downstream training batches rectangular.  Compressed codecs raise
     NotImplementedError (codec seam)."""
-    t = _first_audio_track(parse_mp4(payload))
-    if t.codec not in _PCM16_FOURCC:
-        raise NotImplementedError(
-            f"resample of mp4 codec {t.codec!r} requires codec libraries"
-        )
-    raw = b"".join(payload[o : o + s] for o, s in t.spans)
-    if len(raw) % 2:
-        raise ValueError(
-            f"PCM16 track resolves to an odd byte count ({len(raw)})"
-        )
-    pcm = list(
-        struct.unpack(f"{_PCM16_FOURCC[t.codec]}{len(raw) // 2}h", raw)
-    )
+    t, samples = _pcm16_track_samples(payload)
     in_rate = t.timescale or MP4_TIMESCALE
-    return _encode_mp4_pcm(_pick_nearest(pcm, in_rate, out_rate), out_rate)
+    return _encode_mp4_pcm(
+        _pick_nearest(list(samples), in_rate, out_rate), out_rate
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -770,6 +821,10 @@ def parse_mp3(payload: bytes) -> dict:
         "samples_per_frame": (
             _MP3_SAMPLES_PER_FRAME[first["layer"]] if frames else None
         ),
+        # per-frame sum, NOT n_frames x first frame's constant: the
+        # layer may legally vary mid-stream (round-9 review — the
+        # metadata projection must agree with this walk, not rederive)
+        "total_samples": total_samples,
         "duration_ms": (
             (total_samples * 1000) // samplerate if samplerate else 0
         ),
@@ -911,7 +966,11 @@ def audit_payload_parses(binarized: DataFrame) -> DataFrame:
                         decode_stub(bytes(p), m)
                     ok.append(True)
                     err.append(None)
-                except ValueError as ex:
+                except (ValueError, struct.error) as ex:
+                    # struct.error: a parser edge that short-reads a
+                    # fixed header before its own validation fires is
+                    # still corruption — the router must not die on it
+                    # (round-9 review)
                     ok.append(False)
                     err.append(str(ex)[:500])
                 except NotImplementedError as ex:
@@ -1016,9 +1075,10 @@ def describe_containers(binarized: DataFrame) -> DataFrame:
                         len(fr),
                         fr[0][1] if fr else 0,
                         payload[fr[0][0] + 4] if fr else 0,
-                        (len(fr) * parsed["samples_per_frame"])
-                        if fr
-                        else 0,
+                        # the walk's per-frame sum — rederiving as
+                        # n_frames x first frame's constant diverges
+                        # on mixed-layer streams (round-9 review)
+                        parsed["total_samples"],
                         parsed["samplerate"] or MP3_SAMPLERATE,
                         "mp3",
                     )

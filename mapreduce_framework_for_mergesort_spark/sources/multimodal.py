@@ -115,13 +115,13 @@ def synthesize_wav(data: bytes, rate: int = AUDIO_RATE) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(payload: bytes) -> list[float]:
-    """Stdlib WAV/PCM decode → FEATURE_DIM floats.  Parses the RIFF
-    container for real (format/channel validation included); every
-    feature is integral and closed-form over the samples:
-    [n_samples, rate, min, max, first, last, Σ|s| mod 9973, #positive].
-    All values < 2^24, so the float32 feature column holds them
-    exactly."""
+def _wav_pcm16(payload: bytes) -> tuple[int, tuple[int, ...]]:
+    """The ONE RIFF parse → (rate, PCM16 samples) path, shared by
+    decode and resample (round-9 review: each carried a copy of the
+    width/channel/truncation validation; a fix to one would silently
+    miss the other).  Same loud-ValueError contract as the BMP/Y4M
+    parsers, so a caller routing malformed payloads to quarantine on
+    ValueError catches audio too (round-4+ review)."""
     import io
     import struct
     import wave
@@ -137,16 +137,24 @@ def decode_wav(payload: bytes) -> list[float]:
             n = w.getnframes()
             raw = w.readframes(n)
     except (wave.Error, EOFError) as ex:
-        # same loud-ValueError contract as the BMP/Y4M parsers, so a
-        # caller routing malformed payloads to quarantine on
-        # ValueError catches audio too (round-4+ review)
         raise ValueError(f"not a parseable WAV: {ex}") from None
     if len(raw) != 2 * n:
         raise ValueError(
             f"truncated WAV: header promises {n} PCM16 frames "
             f"({2 * n} bytes), payload carries {len(raw)}"
         )
-    samples = struct.unpack(f"<{n}h", raw)
+    return rate, struct.unpack(f"<{n}h", raw)
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """Stdlib WAV/PCM decode → FEATURE_DIM floats.  Parses the RIFF
+    container for real (format/channel validation included); every
+    feature is integral and closed-form over the samples:
+    [n_samples, rate, min, max, first, last, Σ|s| mod 9973, #positive].
+    All values < 2^24, so the float32 feature column holds them
+    exactly."""
+    rate, samples = _wav_pcm16(payload)
+    n = len(samples)
     if not samples:
         return [0.0] * FEATURE_DIM
     return [
@@ -178,25 +186,8 @@ def resample_wav(payload: bytes, out_rate: int) -> bytes:
         _pick_nearest,
     )
 
-    try:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                raise ValueError(
-                    f"expected PCM16 mono, got width={w.getsampwidth()} "
-                    f"channels={w.getnchannels()}"
-                )
-            in_rate = w.getframerate()
-            n = w.getnframes()
-            raw = w.readframes(n)
-    except (wave.Error, EOFError) as ex:
-        raise ValueError(f"not a parseable WAV: {ex}") from None
-    if len(raw) != 2 * n:
-        raise ValueError(
-            f"truncated WAV: header promises {n} PCM16 frames, payload "
-            f"carries {len(raw)} bytes"
-        )
-    picked = _pick_nearest(list(struct.unpack(f"<{n}h", raw)), in_rate,
-                           out_rate)
+    in_rate, samples = _wav_pcm16(payload)
+    picked = _pick_nearest(list(samples), in_rate, out_rate)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -300,6 +291,14 @@ def _bmp_pixels(payload: bytes) -> tuple[int, int, list[int]]:
     pixels); validation identical to ``decode_bmp``."""
     import struct
 
+    if len(payload) < IMG_HEADER:
+        # a short-read here would be struct.error, escaping the
+        # package-wide loud-ValueError quarantine contract the parse
+        # audit routes on (round-9 review)
+        raise ValueError(
+            f"truncated BMP: {len(payload)} bytes is shorter than the "
+            f"{IMG_HEADER}-byte header"
+        )
     magic, _size, _r1, _r2, off = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError(f"not a BMP: magic {magic!r}")

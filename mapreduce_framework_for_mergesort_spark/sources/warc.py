@@ -170,6 +170,14 @@ def _parse_plain_records(data: bytes) -> list[dict]:
                 f"non-integer Content-Length {headers['content-length']!r} "
                 f"at offset {pos}"
             ) from None
+        if clen < 0:
+            # int() accepts '-4'; body_end would land back inside the
+            # header block and re-match its own CRLFCRLF, silently
+            # normalizing a corrupt record to an empty one (round-9
+            # review)
+            raise ValueError(
+                f"negative Content-Length {clen} at offset {pos}"
+            )
         body_start = hdr_end + 4
         body_end = body_start + clen
         if body_end + 4 > n:
@@ -252,10 +260,11 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").lower()
     if enc in ("gzip", "x-gzip"):
-        try:
-            body = zlib.decompress(body, 31)
-        except zlib.error as ex:
-            raise ValueError(f"corrupt gzip body: {ex}") from None
+        # multi-member streams are legal (servers that flush mid-
+        # response emit one member per flush); a plain
+        # zlib.decompress(body, 31) would silently return only the
+        # FIRST member's text (round-9 review) — reuse the member walk
+        body = b"".join(_split_gzip_members(body))
     elif enc == "deflate":
         try:
             # raw-deflate fallback covers the historical servers that
@@ -285,12 +294,17 @@ def _dechunk(data: bytes) -> bytes:
         if nl < 0:
             raise ValueError(f"chunked body: no size line at offset {pos}")
         size_tok = data[pos:nl].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        # int(tok, 16) accepts '-2' / '+2' / '_' separators — a
+        # negative size would land the chunk end back on the size
+        # line's own CRLF and silently mis-frame the stream (round-9
+        # review); hex digits only, per RFC 9112
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
             raise ValueError(
                 f"chunked body: bad chunk size {size_tok!r} at offset {pos}"
-            ) from None
+            )
+        size = int(size_tok, 16)
         pos = nl + 2
         if size == 0:
             return b"".join(out)  # trailers (if any) intentionally skipped

@@ -365,6 +365,47 @@ def test_mp4_corruption_is_loud():
         C.parse_mp4(bytes(bad))
 
 
+def test_mp4_corrupt_table_counts_are_valueerror_not_struct_error():
+    """Round-9 review: a corrupted entry count either blew up as
+    struct.error (escaping the ValueError quarantine contract) or —
+    when the over-read stayed inside the payload — silently consumed
+    the NEXT box's bytes as table entries.  Every sample table's count
+    is now validated against its OWN box extent."""
+    p = C.synthesize_mp4(b"hello world, tables")
+    for four, field_off in ((b"stts", 8), (b"stsc", 8), (b"stco", 8)):
+        bad = bytearray(p)
+        struct.pack_into(">I", bad, p.index(four) + field_off, 0x00FFFFFF)
+        with pytest.raises(ValueError, match="promises .* entries"):
+            C.parse_mp4(bytes(bad))
+    # stsz per-sample form with an overrunning count: flip uniform->0
+    # and claim more entries than the box holds
+    bad = bytearray(p)
+    i = p.index(b"stsz")
+    struct.pack_into(">II", bad, i + 8, 0, 0x00FFFFFF)
+    with pytest.raises(ValueError, match="stsz promises"):
+        C.parse_mp4(bytes(bad))
+    # stsc referencing chunks stco doesn't have is loud, not IndexError
+    bad = bytearray(p)
+    i = p.index(b"stsc")
+    struct.pack_into(">I", bad, i + 12, 200)  # first run's first_chunk
+    try:
+        C.parse_mp4(bytes(bad))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_mp4_short_fixed_header_is_valueerror():
+    # a box body shorter than its fixed header (mvhd cut mid-field)
+    # must be ValueError, not struct.error
+    p = C.synthesize_mp4(b"xy")
+    i = p.index(b"mvhd") - 4
+    bad = bytearray(p)
+    struct.pack_into(">I", bad, i, 10)  # mvhd claims a 2-byte body
+    with pytest.raises(ValueError):
+        C.parse_mp4(bytes(bad))
+
+
 def test_mp4_codec_seam_is_explicit():
     p = C.synthesize_mp4(b"some text")
     q = p.replace(b"twos", b"mp4a", 1)
@@ -618,6 +659,52 @@ def test_audit_payload_parses_routes_corruption(spark):
     # an mp3 routed through the decode seam would be falsely "ok":
     # the router parses containers directly, so a corrupt mp3 is
     # caught (doc 4) while the Layer-III decode stays out of scope
+
+
+def test_audit_routes_truncated_bmp_not_struct_error(spark):
+    """Round-9 review: decode_bmp raised struct.error on payloads
+    shorter than the 54-byte header, escaping the router's ValueError
+    contract and killing the task.  The parser now raises ValueError
+    up front, and the router also catches struct.error as corruption
+    (defense for any remaining short-read edge)."""
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+        synthesize_bmp,
+    )
+
+    bmp = synthesize_bmp(b"pixels here")
+    rows = [
+        (1, "image", bmp, "image/bmp", len(bmp)),
+        (2, "image", bmp[:10], "image/bmp", 10),  # shorter than header
+    ]
+    df = spark.createDataFrame(rows, MODALITY_SCHEMA)
+    got = {r["doc_id"]: r for r in C.audit_payload_parses(df).collect()}
+    assert got[1]["parse_ok"] and not got[2]["parse_ok"]
+    assert "truncated BMP" in got[2]["parse_err"]
+
+
+def test_mp3_mixed_layer_duration_uses_per_frame_sum(spark):
+    """Round-9 review: describe_containers rederived duration as
+    n_frames x the FIRST frame's samples_per_frame; a mixed-layer
+    stream (Layer I then Layer III — legal) under-reported ~3x.  It
+    now carries the walk's per-frame sum."""
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+    )
+
+    l1 = bytes([0xFF, 0xFF, 0x38, 0xC4])  # L1, 96k @ 32000 -> 144 bytes
+    f1 = l1 + b"\x00" * (144 - 4)
+    l3 = bytes([0xFF, 0xFB, 0x58, 0xC4])  # L3, 64k @ 32000 -> 288 bytes
+    f3 = l3 + b"\x00" * (288 - 4)
+    mixed = f1 + f3
+    parsed = C.parse_mp3(mixed)
+    assert parsed["total_samples"] == 384 + 1152
+    df = spark.createDataFrame(
+        [(1, "mp3", mixed, "audio/mpeg", len(mixed))], MODALITY_SCHEMA
+    )
+    (row,) = C.describe_containers(df).collect()
+    assert row["duration_ticks"] == 384 + 1152
+    assert row["n_units"] == 2
 
 
 def test_dispatch_through_modality_stubs():

@@ -1249,3 +1249,22 @@ def test_retraction_fold_retires_and_stops_rewriting(spark, tmp_path):
     assert {
         r["doc_id"] for r in I.read_corpus(spark, out).collect()
     } == {4, 6, 8, 9, 10}
+
+
+def test_marker_namespace_batch_ids_rejected(spark, tmp_path):
+    """Round-9 review: a batch_id beginning with '_' lands exactly
+    where marker files live under ``_tombstones/`` — a batch named
+    ``_RETRACTION_FOLDS`` would make the fold-state publish fail
+    against a directory, and a pre-existing marker would make the
+    batch publish read as an idempotent retry, silently dropping the
+    takedown.  The slug check now reserves the '_' namespace."""
+    out = str(tmp_path / "ns_corpus")
+    idx = str(tmp_path / "ns_idx")
+    I.accept_batch(
+        spark.createDataFrame([(1, BASE)], ["doc_id", "text"]),
+        idx, out, epoch=0,
+    )
+    with pytest.raises(ValueError, match="plain slug"):
+        I.retract_documents(spark, out, [1], "_RETRACTION_FOLDS")
+    with pytest.raises(ValueError, match="plain slug"):
+        I.retract_documents(spark, out, [1], "_anything")

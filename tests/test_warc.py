@@ -185,10 +185,49 @@ def test_http_response_body_is_loud():
         W.http_response_body(base + b"ff\r\nshort\r\n0\r\n\r\n")
     with pytest.raises(ValueError, match="missing its CRLF"):
         W.http_response_body(base + b"2\r\nhiXX0\r\n\r\n")
-    with pytest.raises(ValueError, match="corrupt gzip body"):
+    with pytest.raises(ValueError, match="gzip member"):
         W.http_response_body(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
         )
+
+
+def test_http_multi_member_gzip_body_fully_decoded():
+    """Round-9 review: zlib.decompress(body, 31) silently returned
+    only the FIRST gzip member — servers that flush mid-response emit
+    one member per flush, and the tail of the page was lost."""
+    part1, part2 = b"first flushed half; ", b"second half of the page"
+    body = gzip.compress(part1) + gzip.compress(part2)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + body
+    )
+    assert W.http_response_body(payload)[2] == part1 + part2
+    # trailing garbage after the members is loud, not ignored
+    with pytest.raises(ValueError, match="gzip member"):
+        W.http_response_body(payload + b"trailing-junk")
+
+
+def test_negative_content_length_is_loud():
+    """Round-9 review: int() accepts '-4', which made body_end land
+    back on the header block's own CRLFCRLF — the corrupt record was
+    silently normalized to an empty one and the walk resumed inside
+    its payload."""
+    raw = (
+        b"WARC/1.1\r\nWARC-Type: resource\r\nContent-Length: -4\r\n"
+        b"\r\npayload\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        W.parse_warc(raw)
+
+
+def test_negative_or_malformed_chunk_sizes_are_loud():
+    """Round-9 review: int(tok, 16) accepts '-2'/'+2'/underscores; a
+    negative size mis-framed the stream (chunk end landed back on the
+    size line's CRLF) and decoded corrupt input without error."""
+    base = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+    for tok in (b"-2", b"+2", b"1_0", b""):
+        blob = base + tok + b"\r\n5\r\nHELLO\r\n0\r\n\r\n"
+        with pytest.raises(ValueError, match="bad chunk size|no size"):
+            W.http_response_body(blob)
 
 
 def test_http_records_round_trip_through_warc():
