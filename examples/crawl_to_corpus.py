@@ -1,31 +1,35 @@
 """Worked example: a web crawl in WARC form → validated, quarantined,
 curated corpus — the ingestion story a Common Crawl-scale pipeline
-runs, exercising the round-9 container surfaces end to end against the
+runs, exercising the round-9/10 crawl surfaces end to end against the
 bundled test data.
 
     python examples/crawl_to_corpus.py [sf_dir] [out_dir]
 
 Stages (each is the 100 TB-shaped operator documented in its module):
 
-1. CRAWL FIXTURE: the documents table is republished as multi-member
-   ``.warc.gz`` shard files (``sources/warc.py warc_shard_bytes`` —
-   one gzip member per record, the Common Crawl layout; bytes are
-   built and written by executors, never gathered on the driver), and
-   one shard is deliberately truncated to stand in for the corrupt
-   fraction every real crawl carries.
+1. CRAWL FIXTURE: the documents table is republished as a RAW crawl —
+   multi-member ``.warc.gz`` shards of HTTP ``response`` records whose
+   HTML pages vary charset (utf-8/latin-1/utf-16) and transport
+   (identity/gzip/chunked) per document (``sources/html.py
+   html_crawl_shard_bytes``; bytes built and written by executors,
+   never gathered on the driver).  One shard is deliberately
+   truncated, and two extra records carry a brotli-encoded body and a
+   corrupt HTTP message, standing in for the dirty fraction every real
+   crawl carries.
 2. INGESTION: ``read_warc`` — a ``binaryFile`` scan (one file = one
    task; crawl parallelism is file-count parallelism) fanned out to
    records in one Arrow pass.
-3. VALIDATION + QUARANTINE: the corrupt shard must not kill the job
-   OR silently vanish.  File-level: a try/except parse audit routes
-   the bad file to a quarantine record with its parser's reason
-   (byte offset included).  The clean records flow on.
-4. MODALITY AUDIT: the same documents synthesized as mp4/mp3 payloads
+3. FILE-LEVEL QUARANTINE: the truncated shard becomes a quarantine ROW
+   with its parser's reason (byte offset included), not a dead job.
+4. THE WET STEP + RECORD-LEVEL QUARANTINE: ``audit_http_extractions``
+   classifies every response record (ok / corrupt /
+   unsupported_encoding / non_200) and extracts visible text through
+   HTTP decoding, charset detection, and tag stripping;
+   ``warc_responses_to_documents`` is the clean feed.
+5. MODALITY AUDIT: the same documents synthesized as mp4/mp3 payloads
    run through ``containers.audit_payload_parses`` — the row-level
-   quarantine router over the container parsers (a corrupted payload
-   is tagged, a compressed-codec payload is parse_ok with the seam
-   recorded).
-5. CURATION: the surviving records feed ``pipelines.curate_documents``
+   quarantine router over the container parsers.
+6. CURATION: the extracted text feeds ``pipelines.curate_documents``
    (PII redaction → quality/language features → filters → MinHash/LSH
    near-dedup → content-hash split) — the crawl is now a training
    corpus.
@@ -49,6 +53,7 @@ from mapreduce_framework_for_mergesort_spark import pipelines
 from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.session import get_spark
 from mapreduce_framework_for_mergesort_spark.sources import containers as CT
+from mapreduce_framework_for_mergesort_spark.sources import html as H
 from mapreduce_framework_for_mergesort_spark.sources import warc as W
 
 
@@ -60,12 +65,13 @@ def main() -> None:
 
     crawl_dir = os.path.join(out_dir, "crawl")
     os.makedirs(crawl_dir, exist_ok=True)
-    for old in glob.glob(os.path.join(crawl_dir, "*.warc.gz")):
+    for old in glob.glob(os.path.join(crawl_dir, "*.warc*")):
         os.remove(old)
 
-    # 1. republish the corpus as a crawl: executor-built .warc.gz
-    # shards (foreachPartition writes each task's shards; on an object
-    # store the same bytes go through the store's committer)
+    # 1. republish the corpus as a RAW crawl of HTTP response records:
+    # executor-built .warc.gz shards (foreachPartition writes each
+    # task's shards; on an object store the same bytes go through the
+    # store's committer)
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
 
@@ -75,18 +81,26 @@ def main() -> None:
             with open(p, "wb") as f:
                 f.write(bytes(r["data"]))
 
-    W.warc_shard_bytes(docs, n_shards=8).foreachPartition(write_shards)
+    H.html_crawl_shard_bytes(docs, n_shards=8).foreachPartition(write_shards)
 
-    # ...and one corrupt member, because every real crawl has one
-    bad_path = os.path.join(crawl_dir, "shard-corrupt.warc.gz")
+    # ...one truncated shard, one brotli body, one corrupt HTTP message
+    # — the dirty fraction every real crawl carries
     good = W.synthesize_warc([("resource", "urn:doc:corrupt", b"oops")])
-    with open(bad_path, "wb") as f:
+    with open(os.path.join(crawl_dir, "shard-corrupt.warc.gz"), "wb") as f:
         f.write(good[:-6])  # truncated mid-terminator
+    page = H.synthesize_html(10**9, "unreachable brotli page")
+    dirty = W.synthesize_warc([
+        ("response", "http://crawl.test/doc/1000000000",
+         H.synthesize_http_response(page, content_encoding="br")),
+        ("response", "http://crawl.test/doc/1000000001",
+         b"HTTP/1.1 not a real message"),
+    ])
+    with open(os.path.join(crawl_dir, "shard-dirty.warc.gz"), "wb") as f:
+        f.write(dirty)
 
     # 2+3. ingest with file-level quarantine: parse each file in a
-    # try/except Arrow pass so the corrupt shard becomes a quarantine
-    # ROW, not a dead job (the same loud-ValueError routing
-    # audit_payload_parses does at record grain)
+    # try/except Arrow pass so the truncated shard becomes a quarantine
+    # ROW, not a dead job
     import pandas as pd
 
     files = (
@@ -115,24 +129,42 @@ def main() -> None:
         parse_or_quarantine, "path string, ok boolean, err string, n_records int"
     )
     quarantined = audit.where(~F.col("ok")).collect()
-    clean_paths = [r["path"] for r in audit.where("ok").collect()]
+    clean_paths = sorted(r["path"] for r in audit.where("ok").collect())
     print(f"crawl files: {len(clean_paths)} clean, "
           f"{len(quarantined)} quarantined")
     for r in quarantined:
         print("  quarantined:", os.path.basename(r["path"]), "--", r["err"])
     assert len(quarantined) == 1
 
-    records = W.read_warc(spark, clean_paths[0].rsplit("/", 1)[0]
-                          + "/shard-0*.warc.gz")
-    recovered = records.select(
-        F.split("target_uri", ":").getItem(2).cast("long").alias("doc_id"),
-        F.decode(F.col("payload"), "utf-8").alias("text"),
+    records = W.read_warc(
+        spark, os.path.join(crawl_dir, "shard-0*.warc.gz")
+    ).unionByName(
+        W.read_warc(spark, os.path.join(crawl_dir, "shard-dirty.warc.gz"))
+    )
+
+    # 4. the WET step with record-level quarantine: every response
+    # record classified; br/corrupt are COUNTED with reasons, the ok
+    # rows carry extracted visible text
+    http_audit = H.audit_http_extractions(records)
+    classes = {
+        r["extract_class"]: r["n"]
+        for r in http_audit.groupBy("extract_class")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print("http extraction classes:", json.dumps(classes, sort_keys=True))
+    assert classes.get("unsupported_encoding") == 1  # the brotli record
+    assert classes.get("corrupt") == 1
+    assert classes.get("ok") == n_docs
+
+    recovered = H.warc_responses_to_documents(records).select(
+        F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
+        "text",
     )
     n_rec = recovered.count()
-    print(f"records ingested from clean shards: {n_rec} (source {n_docs})")
+    print(f"documents extracted from crawl: {n_rec} (source {n_docs})")
     assert n_rec == n_docs
 
-    # 4. row-level modality audit over the same docs as mp4/mp3
+    # 5. row-level modality audit over the same docs as mp4/mp3
     binarized = CT.binarize_mp4_documents(docs.limit(200)).unionByName(
         CT.binarize_mp3_documents(docs.limit(200))
     )
@@ -145,7 +177,7 @@ def main() -> None:
     print("modality parse audit:",
           sorted((r["modality"], r["parse_ok"], r["count"]) for r in counts))
 
-    # 5. curate the recovered crawl into a training corpus
+    # 6. curate the extracted crawl text into a training corpus
     curated = pipelines.curate_documents(recovered)
     per_split = {
         r["split"]: r["n"]

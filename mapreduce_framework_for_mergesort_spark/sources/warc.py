@@ -53,7 +53,7 @@ _CRLF = b"\r\n"
 WARC_FIXED_DATE = "2026-01-01T00:00:00Z"
 
 WARC_RECORD_SCHEMA = (
-    "warc_file string, record_idx int, warc_type string, "
+    "warc_file string, record_idx int, member_idx int, warc_type string, "
     "record_id string, target_uri string, warc_date string, "
     "content_type string, content_length bigint, payload binary"
 )
@@ -154,13 +154,28 @@ def _parse_plain_records(data: bytes) -> list[dict]:
             )
         version = lines[0][len("WARC/"):]
         headers: dict[str, str] = {}
+        last_key: str | None = None
         for ln in lines[1:]:
+            if ln[:1] in (" ", "\t"):
+                # folded continuation line (legal in WARC/1.0 via its
+                # RFC 2822 header grammar, present in old crawls):
+                # extends the PREVIOUS header's value (round-10
+                # advisory — rejecting these quarantined whole files
+                # conformant readers accept)
+                if last_key is None:
+                    raise ValueError(
+                        f"continuation line {ln!r} before any header "
+                        f"at offset {pos}"
+                    )
+                headers[last_key] += " " + ln.strip()
+                continue
             k, sep, v = ln.partition(":")
             if not sep or not k.strip():
                 raise ValueError(
                     f"malformed WARC header line {ln!r} at offset {pos}"
                 )
-            headers[k.strip().lower()] = v.strip()
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
         if "content-length" not in headers:
             raise ValueError(f"record at offset {pos} has no Content-Length")
         try:
@@ -225,18 +240,12 @@ def parse_warc(payload: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
-    """Split a WARC ``response`` record's ``application/http`` payload
-    into ``(status, headers, body)`` — the extraction that turns a raw
-    crawl into usable text (what Common Crawl's WET derivative does).
-    Handles the two encodings raw captures actually carry:
-    ``Transfer-Encoding: chunked`` (size-line framing decoded exactly;
-    trailing headers skipped) and ``Content-Encoding: gzip/deflate``
-    (stdlib zlib; applied after de-chunking, per RFC 9112 ordering).
-    Unknown content-encodings raise ``NotImplementedError`` (codec
-    seam); structural damage — no header terminator, bad status line,
-    malformed chunk sizes, truncated chunks — raises ValueError, same
-    loud contract as the record grammar."""
+def _http_split(payload: bytes) -> tuple[int, dict, bytes]:
+    """STRUCTURAL half of the HTTP extraction: status line + header
+    block parse, raw (still transfer/content-encoded) body returned
+    as-is.  Split out of ``http_response_body`` (round 10) so the
+    quarantine audit can report a record's content-encoding and status
+    even when the DECODE half fails on it."""
     sep = payload.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("HTTP message has no header terminator")
@@ -255,7 +264,14 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
         if not s or not k.strip():
             raise ValueError(f"malformed HTTP header line {ln!r}")
         headers[k.strip().lower()] = v.strip()
-    body = payload[sep + 4 :]
+    return status, headers, payload[sep + 4 :]
+
+
+def _decode_http_body(headers: dict, body: bytes) -> bytes:
+    """DECODE half: chunked transfer decoding, then content-decoding,
+    per RFC 9112 ordering.  Unknown content-encodings raise
+    ``NotImplementedError`` (codec seam — br/zstd need libraries not
+    present); structural damage raises ValueError."""
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     enc = headers.get("content-encoding", "").lower()
@@ -279,7 +295,23 @@ def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
         raise NotImplementedError(
             f"content-encoding {enc!r} requires libraries not present"
         )
-    return status, headers, body
+    return body
+
+
+def http_response_body(payload: bytes) -> tuple[int, dict, bytes]:
+    """Split a WARC ``response`` record's ``application/http`` payload
+    into ``(status, headers, body)`` — the extraction that turns a raw
+    crawl into usable text (what Common Crawl's WET derivative does).
+    Handles the two encodings raw captures actually carry:
+    ``Transfer-Encoding: chunked`` (size-line framing decoded exactly;
+    trailing headers skipped) and ``Content-Encoding: gzip/deflate``
+    (stdlib zlib; applied after de-chunking, per RFC 9112 ordering).
+    Unknown content-encodings raise ``NotImplementedError`` (codec
+    seam); structural damage — no header terminator, bad status line,
+    malformed chunk sizes, truncated chunks — raises ValueError, same
+    loud contract as the record grammar."""
+    status, headers, raw = _http_split(payload)
+    return status, headers, _decode_http_body(headers, raw)
 
 
 def _dechunk(data: bytes) -> bytes:
@@ -350,6 +382,11 @@ def read_warc(spark, path: str) -> DataFrame:
                     h = rec["headers"]
                     out["warc_file"].append(path_)
                     out["record_idx"].append(i)
+                    # the seek contract: which gzip member holds this
+                    # record (NULL for plain, non-seekable WARC) —
+                    # oracled per record by the warc branch of
+                    # q_source_roundtrips (round-9 verdict item 5)
+                    out["member_idx"].append(rec.get("member_idx"))
                     out["warc_type"].append(h.get("warc-type"))
                     out["record_id"].append(h.get("warc-record-id"))
                     out["target_uri"].append(h.get("warc-target-uri"))
@@ -357,7 +394,9 @@ def read_warc(spark, path: str) -> DataFrame:
                     out["content_type"].append(h.get("content-type"))
                     out["content_length"].append(len(rec["payload"]))
                     out["payload"].append(rec["payload"])
-            yield pd.DataFrame(out)
+            df = pd.DataFrame(out)
+            df["member_idx"] = df["member_idx"].astype("Int64")
+            yield df
 
     return files.mapInPandas(fan_out, WARC_RECORD_SCHEMA)
 
@@ -373,7 +412,14 @@ def warc_shard_bytes(
     column, or a foreachPartition file write where the filesystem
     allows).  The repartition is BY shard_id, so each task builds
     exactly one shard and memory is bounded by shard size — size
-    shards accordingly (docs/shard ~ corpus/n_shards)."""
+    shards accordingly (docs/shard ~ corpus/n_shards).
+
+    Takedown note (round 10): this sink shards whatever DataFrame it
+    is given.  Republishing a continuously-ingested corpus is
+    takedown-correct only through ``streaming.ingest.read_corpus``
+    (the retraction-masked read) — a raw ``spark.read.parquet`` feed
+    re-ships retracted documents until the next physical fold (pinned
+    in tests/test_warc.py::test_republish_after_takedown...)."""
     from pyspark.sql import functions as F
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -385,7 +431,10 @@ def warc_shard_bytes(
                 rows.setdefault(int(shard), []).append((int(doc_id), text))
         out = {"shard_id": [], "n_records": [], "n_bytes": [], "data": []}
         for shard, docs in sorted(rows.items()):
-            docs.sort()
+            # key on doc_id alone: tied ids would fall through to
+            # comparing text, which raises TypeError when a text is
+            # None (round-10 advisory)
+            docs.sort(key=lambda d: d[0])
             blob = synthesize_warc(
                 [
                     (
@@ -405,7 +454,12 @@ def warc_shard_bytes(
 
     return (
         documents.select(
-            "doc_id", "text", (F.col("doc_id") % n_shards).alias("__shard")
+            "doc_id",
+            "text",
+            # pmod, not %: Spark's % is sign-preserving, so a negative
+            # doc_id would yield a negative shard_id and a filename
+            # like 'shard--001' (round-10 advisory)
+            F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("__shard"),
         )
         .repartition(n_shards, "__shard")
         .mapInPandas(build, WARC_SHARD_SCHEMA)

@@ -1,0 +1,266 @@
+"""HTML→text extraction (sources/html.py) — the WET step.  Same
+strategy as the other byte-level sources: unit kernels (charset sniff,
+tag strip, HTTP classify), independent hand-built fixtures, the
+quarantine router over a mixed good/br/corrupt crawl, and the Spark
+end-to-end chain (pages → HTTP → WARC shards → read_warc → extraction)
+pinned against DuckDB-recomputable closed forms.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduce_framework_for_mergesort_spark.sources import html as H
+from mapreduce_framework_for_mergesort_spark.sources import warc as W
+
+# ---------------------------------------------------------------------------
+# charset detection
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_order_bom_header_meta_default():
+    body_meta = b'<html><head><meta charset="ISO-8859-2"><body>x'
+    # BOM beats everything
+    assert H.sniff_charset("text/html; charset=latin-1",
+                           "﻿x".encode("utf-16")) == ("utf-16", "bom")
+    assert H.sniff_charset(None, b"\xef\xbb\xbfhello") == ("utf-8-sig", "bom")
+    assert H.sniff_charset(None, "x".encode("utf-32")) == ("utf-32", "bom")
+    # header beats meta
+    assert H.sniff_charset("text/html; charset=latin-1", body_meta) == (
+        "latin-1", "header")
+    # meta beats default
+    assert H.sniff_charset("text/html", body_meta) == ("ISO-8859-2", "meta")
+    assert H.sniff_charset(None, body_meta) == ("ISO-8859-2", "meta")
+    # http-equiv form
+    eq = (b'<meta http-equiv="Content-Type" '
+          b'content="text/html; charset=windows-1252">')
+    assert H.sniff_charset(None, eq) == ("windows-1252", "meta")
+    # default
+    assert H.sniff_charset("text/html", b"<html>plain") == (
+        "utf-8", "default")
+
+
+def test_junk_charset_labels_fall_through():
+    # junk header label -> meta wins; junk meta -> default; crawls are
+    # full of charset=yes / charset=utf8;q=0 style garbage
+    body = b'<meta charset="not-a-real-codec-xx"><p>hi'
+    assert H.sniff_charset("text/html; charset=b0gus::", body) == (
+        "utf-8", "default")
+    text, label = H.decode_html_bytes("text/html; charset=b0gus::", b"caf\xc3\xa9")
+    assert (text, label) == ("café", "utf-8")
+
+
+def test_decode_replaces_never_raises():
+    text, label = H.decode_html_bytes("text/html", b"ok \xff\xfe\xff bad")
+    assert label == "utf-8" and "�" in text and text.startswith("ok ")
+
+
+# ---------------------------------------------------------------------------
+# html_to_text
+# ---------------------------------------------------------------------------
+
+
+def test_html_to_text_strips_invisible_subtrees():
+    page = (
+        "<html><head><title>T</title>"
+        "<style>p { color: red } /* <p>no</p> */</style>"
+        '<script>var x = "<p>no</p>";</script></head>'
+        "<body><p>yes</p><noscript>no</noscript>"
+        "<template><p>no</p></template><div>also yes</div></body></html>"
+    )
+    assert H.html_to_text(page) == "T\nyes\nalso yes"
+
+
+def test_html_to_text_whitespace_and_entities():
+    page = "<p>  a\n\t b  &amp; c &#233; &lt;tag&gt; </p><p></p><p>d</p>"
+    assert H.html_to_text(page) == "a b & c é <tag>\nd"
+
+
+def test_html_to_text_blocks_vs_inline():
+    page = "<div>one <b>bold</b> two</div><br>three<li>four</li>"
+    assert H.html_to_text(page) == "one bold two\nthree\nfour"
+
+
+def test_html_to_text_tag_soup_never_raises():
+    assert H.html_to_text("</style><p>a<div <<>> b</p>") .startswith("a")
+    assert H.html_to_text("") == ""
+    assert H.html_to_text("<script>never closed") == ""
+
+
+def test_synthesize_extract_closed_form():
+    for doc_id, text in [(0, "plain words here"), (7, "x & y < z"), (4, "")]:
+        for charset, with_meta in [("utf-8", True), ("latin-1", False),
+                                   ("utf-16", False)]:
+            page = H.synthesize_html(doc_id, text, charset, with_meta)
+            ctype = ("text/html; charset=ISO-8859-1"
+                     if charset == "latin-1" else "text/html")
+            decoded, _ = H.decode_html_bytes(ctype, page)
+            assert H.html_to_text(decoded) == H.expected_extracted_text(
+                doc_id, text)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_categories=("Cc", "Cs", "Zl", "Zp")),
+    max_size=120,
+))
+def test_property_escape_extract_inverse(text):
+    """escape→parse→collapse is the identity on whitespace-normal text
+    (the engine's documents normal form); arbitrary text lands in the
+    SAME normal form idempotently."""
+    norm = " ".join(text.split())
+    page = H.synthesize_html(3, norm, "utf-8", True)
+    decoded, _ = H.decode_html_bytes("text/html", page)
+    assert H.html_to_text(decoded) == H.expected_extracted_text(3, norm)
+
+
+# ---------------------------------------------------------------------------
+# HTTP classify kernel + the quarantine router
+# ---------------------------------------------------------------------------
+
+
+def _resp(doc_id=1, text="hello crawl", **kw):
+    page = H.synthesize_html(doc_id, text, "utf-8", True)
+    return H.synthesize_http_response(page, **kw)
+
+
+def test_classify_ok_all_transports():
+    for enc, chunked in [(None, False), ("gzip", False), (None, True),
+                         ("gzip", True), ("deflate", False)]:
+        row = H._classify_and_extract(
+            _resp(content_encoding=enc, chunked=chunked))
+        assert row["extract_ok"] and row["extract_class"] == "ok", (enc,
+                                                                    chunked)
+        assert row["text"] == H.expected_extracted_text(1, "hello crawl")
+        assert row["content_encoding"] == (enc or "identity")
+
+
+def test_classify_unsupported_encoding_is_counted_not_raised():
+    for enc in ("br", "zstd"):
+        row = H._classify_and_extract(
+            _resp(content_encoding=enc))
+        assert row["extract_class"] == "unsupported_encoding"
+        assert not row["extract_ok"] and enc in row["extract_err"]
+        assert row["content_encoding"] == enc  # reported despite failing
+        assert row["http_status"] == 200
+
+
+def test_classify_corrupt_and_non200():
+    assert H._classify_and_extract(b"not http at all")[
+        "extract_class"] == "corrupt"
+    # truncated chunked body
+    bad = _resp(chunked=True)[:-8]
+    assert H._classify_and_extract(bad)["extract_class"] == "corrupt"
+    row = H._classify_and_extract(_resp(status=404))
+    assert row["extract_class"] == "non_200" and row["http_status"] == 404
+
+
+def test_non_html_mime_skips_tag_strip():
+    r = H.synthesize_http_response(b"a, b, c\n1, 2, 3",
+                                   content_type="text/csv")
+    row = H._classify_and_extract(r)
+    assert row["extract_ok"] and row["text"] == "a, b, c\n1, 2, 3"
+    assert row["mime"] == "text/csv"
+
+
+def test_audit_router_on_mixed_crawl(spark, tmp_path):
+    """Round-9 verdict item 4 'done' criterion: an audit over a mixed
+    fixture (ok/gzip/chunked/br/zstd/corrupt/404) quarantines exactly
+    the right rows with reasons, in one pass, no job death."""
+    recs = [
+        ("response", "http://t/ok", _resp(10, "plain page")),
+        ("response", "http://t/gz", _resp(11, "gzip page",
+                                          content_encoding="gzip")),
+        ("response", "http://t/br", _resp(12, "brotli page",
+                                          content_encoding="br")),
+        ("response", "http://t/zstd", _resp(13, "zstd page",
+                                            content_encoding="zstd")),
+        ("response", "http://t/bad", b"HTTP/1.1 garbage"),
+        ("response", "http://t/404", _resp(15, "gone", status=404)),
+        ("warcinfo", None, b"software: x\r\n"),  # not a response: ignored
+    ]
+    (tmp_path / "mixed.warc.gz").write_bytes(W.synthesize_warc(recs))
+    back = W.read_warc(spark, str(tmp_path / "*.warc.gz"))
+    audit = H.audit_http_extractions(back).collect()
+    by_url = {r["url"]: r for r in audit}
+    assert len(audit) == 6  # warcinfo filtered out
+    assert by_url["http://t/ok"]["extract_class"] == "ok"
+    assert by_url["http://t/gz"]["extract_class"] == "ok"
+    assert by_url["http://t/br"]["extract_class"] == "unsupported_encoding"
+    assert by_url["http://t/br"]["content_encoding"] == "br"
+    assert by_url["http://t/zstd"]["extract_class"] == "unsupported_encoding"
+    assert by_url["http://t/bad"]["extract_class"] == "corrupt"
+    assert "no header terminator" in by_url["http://t/bad"]["extract_err"]
+    assert by_url["http://t/404"]["extract_class"] == "non_200"
+    assert by_url["http://t/404"]["http_status"] == 404
+    # the clean feed carries exactly the ok rows
+    clean = H.warc_responses_to_documents(back).collect()
+    assert sorted(r["url"] for r in clean) == ["http://t/gz", "http://t/ok"]
+    assert {r["text"] for r in clean} == {
+        H.expected_extracted_text(10, "plain page"),
+        H.expected_extracted_text(11, "gzip page"),
+    }
+
+
+def test_crawl_shards_end_to_end_vs_duckdb(spark, sf_smoke):
+    """The full WET chain at corpus grain, every (charset × transport)
+    variant exercised, extracted text compared row-for-row against the
+    DuckDB-computed closed form (the registry branch aggregates the
+    same equality through md5 group keys)."""
+    import duckdb
+
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(48)
+    shards = H.html_crawl_shard_bytes(docs, n_shards=3).collect()
+    blobs = {r["shard_id"]: bytes(r["data"]) for r in shards}
+    # drive the extraction through the local parsers (the Spark hop is
+    # test_audit_router's job); every record must extract to the form
+    got = {}
+    for blob in blobs.values():
+        for rec in W.parse_warc(blob):
+            row = H._classify_and_extract(rec["payload"])
+            assert row["extract_class"] == "ok", row
+            doc_id = int(rec["headers"]["warc-target-uri"].rsplit("/", 1)[1])
+            got[doc_id] = row["text"]
+    con = duckdb.connect()
+    expected = dict(con.execute(
+        "SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) || ' ± crawl'"
+        " || chr(10) || 'heading ' || CAST(doc_id AS VARCHAR)"
+        " || CASE WHEN text IS NULL OR text = '' THEN ''"
+        "         ELSE chr(10) || text END"
+        f" FROM read_parquet('{sf_smoke}/documents.parquet')"
+        " ORDER BY doc_id LIMIT 48"
+    ).fetchall())
+    assert got == expected
+    # all charset and transport variants actually occurred
+    assert {d % 3 for d in got} == {0, 1, 2}
+    assert {d % 4 for d in got} == {0, 1, 2, 3}
+
+
+def test_read_warc_member_idx_is_the_seek_contract(spark, tmp_path):
+    """member_idx must name the gzip member that holds each record
+    (round-9 fix, now surfaced as a column): one record per member in
+    the synthesized layout, so member_idx == record_idx; a
+    multi-record member keeps ONE member index; plain WARC has none."""
+    recs = [("resource", f"urn:r:{i}", b"x" * i) for i in range(5)]
+    (tmp_path / "a.warc.gz").write_bytes(W.synthesize_warc(recs))
+    rows = W.read_warc(spark, str(tmp_path / "a.warc.gz")).collect()
+    assert sorted((r["record_idx"], r["member_idx"]) for r in rows) == [
+        (i, i) for i in range(5)
+    ]
+    # one member holding all records
+    one = W._gzip_member_stored(W.synthesize_warc(recs, gzip_members=False))
+    (tmp_path / "b.warc.gz").write_bytes(one)
+    rows = W.read_warc(spark, str(tmp_path / "b.warc.gz")).collect()
+    assert sorted((r["record_idx"], r["member_idx"]) for r in rows) == [
+        (i, 0) for i in range(5)
+    ]
+    # plain (non-seekable) WARC: member_idx is NULL
+    (tmp_path / "c.warc").write_bytes(
+        W.synthesize_warc(recs, gzip_members=False))
+    rows = W.read_warc(spark, str(tmp_path / "c.warc")).collect()
+    assert all(r["member_idx"] is None for r in rows) and len(rows) == 5
