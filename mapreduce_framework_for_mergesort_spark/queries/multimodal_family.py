@@ -150,6 +150,41 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     UNION ALL
     SELECT doc_id,
+           'fmp4' AS modality,
+           -- FRAGMENTED ISO-BMFF closed form (round 10,
+           -- sources/containers.py synthesize_fmp4): fixed
+           -- ftyp+moov(+mvex/trex) skeleton, then per 16-sample
+           -- fragment a constant 96-byte moof+mdat-header overhead
+           -- plus 2 B PCM per sample
+           CASE WHEN strlen(text) = 0 THEN CAST({CT.FMP4_EMPTY} AS BIGINT)
+           ELSE CAST({CT.FMP4_EMPTY} + 2 * strlen(text)
+                + {CT.FMP4_FRAGMENT_OVERHEAD}
+                  * ((strlen(text) + {CT.MP4_SAMPLES_PER_CHUNK - 1})
+                     // {CT.MP4_SAMPLES_PER_CHUNK}) AS BIGINT) END
+               AS n_bytes,
+           -- decode resolves spans through the trex->tfhd->trun
+           -- default-inheritance chain to the same PCM as the WAV and
+           -- progressive-mp4 branches, so the features are identical
+           CASE WHEN strlen(text) = 0 THEN '0,0,0,0,0,0,0,0'
+           ELSE array_to_string([
+               CAST(strlen(text) AS BIGINT),
+               {M.AUDIO_RATE},
+               (list_min(ch) - 128) * 256,
+               (list_max(ch) - 128) * 256,
+               (ch[1] - 128) * 256,
+               (ch[strlen(text)] - 128) * 256,
+               CAST(list_sum(list_transform(ch, c -> abs((c - 128) * 256)))
+                    % {M.AUDIO_SUM_MOD} AS BIGINT),
+               CAST(len(list_filter(ch, c -> c > 128)) AS BIGINT)
+           ], ',') END AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch
+        FROM documents
+    )
+    UNION ALL
+    SELECT doc_id,
            'image' AS modality,
            CAST({M.IMG_HEADER} + {3 * M.IMG_WIDTH}
                 * ((strlen(text) + {M.IMG_WIDTH - 1}) // {M.IMG_WIDTH})
@@ -302,12 +337,15 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature vectors,
-    over EIGHT branches: the closed-form text featurizer, a real
+    over NINE branches: the closed-form text featurizer, a real
     stdlib WAV/PCM audio parse, a real ISO-BMFF mp4 parse whose PCM
     decode runs through the full stts/stsc/stsz/stco sample-table
     resolution (round 9, ``sources/containers.py`` — the feature
     vector provably equals the WAV branch's because both carry the
     same samples, while n_bytes pins the per-entry box arithmetic), a
+    FRAGMENTED mp4 parse of the same PCM through the DASH/CMAF
+    moof/trun tables (round 10 — identical features via a disjoint
+    resolution path, n_bytes pinning the per-fragment overhead), a
     real stdlib BMP image parse, a real
     zlib PNG parse, real baseline-JFIF JPEG parses in BOTH greyscale
     and YCbCr color (Huffman + IDCT + the pinned floor(x+0.5) JFIF
@@ -337,6 +375,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.binarize_documents(reps)
         .unionByName(M.binarize_audio_documents(reps))
         .unionByName(CT.binarize_mp4_documents(reps))
+        .unionByName(CT.binarize_fmp4_documents(reps))
         .unionByName(M.binarize_image_documents(reps))
         .unionByName(M.binarize_png_documents(reps))
         .unionByName(M.binarize_jpeg_documents(reps))

@@ -81,10 +81,10 @@ MP4_TIMESCALE = 8000
 #: large enough that chunk-level frame extraction is a real grouping.
 MP4_SAMPLES_PER_CHUNK = 16
 
-#: The container boxes the walker recurses into.  (moof/mvex —
-#: fragmented mp4 — raise loudly in ``parse_mp4``: their sample data
-#: lives in per-fragment trun tables this walker does not read, and a
-#: silent zero-sample parse would be a wrong answer.)
+#: The container boxes the walker recurses into.  moof/mvex —
+#: fragmented mp4 — are handled explicitly (round 10): mvex yields the
+#: per-track trex defaults, and moof bodies are resolved in a second
+#: pass once the moov tracks they reference by id exist.
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
 
 #: Uncompressed PCM16 audio fourccs the codec layer can decode for
@@ -172,7 +172,13 @@ def _encode_mp4_pcm(pcm: list[int], rate: int) -> bytes:
         struct.pack(">I", n_chunks)
         + b"".join(struct.pack(">I", o) for o in offsets),
     )
-    # stsd: one 'twos' AudioSampleEntry (mono, 16-bit, rate 16.16)
+    stbl = _box(b"stbl", _audio_stsd(rate) + stts + stsc + stsz + stco)
+    return ftyp + mdat + _audio_moov(rate, n, stbl)
+
+
+def _audio_stsd(rate: int) -> bytes:
+    """stsd with one 'twos' AudioSampleEntry (mono, 16-bit, rate
+    16.16) — shared by the progressive and fragmented writers."""
     entry = (
         struct.pack(">I", 36)
         + b"twos"
@@ -182,8 +188,14 @@ def _encode_mp4_pcm(pcm: list[int], rate: int) -> bytes:
         + struct.pack(">HHHH", 1, 16, 0, 0)  # channels, bits, predef, rsv
         + struct.pack(">I", rate << 16)
     )
-    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    return _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+
+
+def _audio_moov(rate: int, duration: int, stbl: bytes,
+                mvex: bytes = b"") -> bytes:
+    """The one-audio-track moov skeleton shared by ``_encode_mp4_pcm``
+    (duration = sample count, populated stbl) and ``synthesize_fmp4``
+    (duration 0, empty stbl, mvex carrying the trex defaults)."""
     url = _fullbox(b"url ", 0, 1, b"")  # self-contained
     dref = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + url))
     smhd = _fullbox(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
@@ -194,12 +206,12 @@ def _encode_mp4_pcm(pcm: list[int], rate: int) -> bytes:
     )
     mdhd = _fullbox(
         b"mdhd", 0, 0,
-        struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0),  # und
+        struct.pack(">IIIIHH", 0, 0, rate, duration, 0x55C4, 0),  # und
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     tkhd = _fullbox(
         b"tkhd", 0, 7,  # enabled | in movie | in preview
-        struct.pack(">IIIII", 0, 0, 1, 0, n)
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # layer/group/volume/rsv
         + _UNITY_MATRIX
@@ -208,15 +220,14 @@ def _encode_mp4_pcm(pcm: list[int], rate: int) -> bytes:
     trak = _box(b"trak", tkhd + mdia)
     mvhd = _fullbox(
         b"mvhd", 0, 0,
-        struct.pack(">IIII", 0, 0, rate, n)
+        struct.pack(">IIII", 0, 0, rate, duration)
         + struct.pack(">IHH", 0x00010000, 0x0100, 0)
         + b"\x00" * 8
         + _UNITY_MATRIX
         + b"\x00" * 24
         + struct.pack(">I", 2),  # next_track_id
     )
-    moov = _box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
+    return _box(b"moov", mvhd + trak + mvex)
 
 
 def mp4_n_bytes(n: int) -> int:
@@ -230,6 +241,79 @@ def mp4_n_bytes(n: int) -> int:
     n_chunks = -(-n // MP4_SAMPLES_PER_CHUNK)
     stsc_runs = 2 if n_chunks > 1 and n % MP4_SAMPLES_PER_CHUNK else 1
     return MP4_EMPTY + 2 * n + 8 + 12 * stsc_runs + 4 * n_chunks
+
+
+#: Constant per-fragment overhead of ``synthesize_fmp4``:
+#: moof(8) + mfhd(16) + traf(8) + tfhd(16) + tfdt(20) + trun(20)
+#: + the mdat header(8).  Pinned against real lengths in tests.
+FMP4_FRAGMENT_OVERHEAD = 96
+
+
+def synthesize_fmp4(data: bytes) -> bytes:
+    """Deterministic FRAGMENTED ISO-BMFF (DASH/CMAF-style) audio file
+    from source bytes — the same one-``twos``-PCM16-sample-per-byte
+    mapping as ``synthesize_mp4``, re-laid-out as moof/mdat fragments
+    of ``MP4_SAMPLES_PER_CHUNK`` samples: an empty-stbl moov whose
+    mvex/trex carries the sample defaults (duration 1 tick, size 2 B),
+    then per fragment a moof (mfhd sequence number, tfhd anchored
+    default-base-is-moof, v1 tfdt decode time, a data-offset-only trun
+    inheriting both defaults from trex) and its mdat.  Decoding it
+    therefore exercises the entire trex→tfhd→trun inheritance chain
+    the progressive layout never touches, while producing bit-identical
+    PCM to the WAV/mp4 fixtures — which is what lets the SQL oracle
+    share the audio branch's feature closed form.
+
+    Byte size is exactly ``fmp4_n_bytes(len(data))``."""
+    rate = MP4_TIMESCALE
+    n = len(data)
+    pcm = [(bb - 128) * 256 for bb in data]
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom"
+                + b"iso2")
+    stbl = _box(
+        b"stbl",
+        _audio_stsd(rate)
+        + _fullbox(b"stts", 0, 0, struct.pack(">I", 0))
+        + _fullbox(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _fullbox(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _fullbox(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    mehd = _fullbox(b"mehd", 0, 0, struct.pack(">I", n))
+    trex = _fullbox(
+        b"trex", 0, 0, struct.pack(">5I", 1, 1, 1, 2, 0)
+    )  # track 1, sdi 1, default duration 1 tick, default size 2 B
+    mvex = _box(b"mvex", mehd + trex)
+    parts = [ftyp, _audio_moov(rate, 0, stbl, mvex)]
+    seq, t0 = 0, 0
+    for frag_start in range(0, n, MP4_SAMPLES_PER_CHUNK):
+        chunk = pcm[frag_start : frag_start + MP4_SAMPLES_PER_CHUNK]
+        seq += 1
+        mfhd = _fullbox(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _fullbox(
+            b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, struct.pack(">I", 1)
+        )
+        tfdt = _fullbox(b"tfdt", 1, 0, struct.pack(">Q", t0))
+        # data_offset = moof size + mdat header, moof-start-relative;
+        # the moof layout is constant so the offset is a closed form
+        trun = _fullbox(
+            b"trun", 0, _TRUN_DATA_OFFSET,
+            struct.pack(">Ii", len(chunk), FMP4_FRAGMENT_OVERHEAD),
+        )
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + tfdt + trun))
+        mdat = _box(b"mdat", struct.pack(f">{len(chunk)}h", *chunk))
+        parts += [moof, mdat]
+        t0 += len(chunk)
+    return b"".join(parts)
+
+
+def fmp4_n_bytes(n: int) -> int:
+    """Closed-form byte size of ``synthesize_fmp4`` for ``n`` source
+    bytes — the formula the SQL oracle mirrors: the fixed
+    ftyp+moov(+mvex) skeleton, then per fragment a constant 96-byte
+    moof+mdat-header overhead plus 2 bytes of PCM per sample."""
+    if n == 0:
+        return FMP4_EMPTY
+    n_frags = -(-n // MP4_SAMPLES_PER_CHUNK)
+    return FMP4_EMPTY + FMP4_FRAGMENT_OVERHEAD * n_frags + 2 * n
 
 
 class Mp4Track:
@@ -247,9 +331,12 @@ class Mp4Track:
 
 
 def _mp4_boxes(payload: bytes, pos: int, end: int):
-    """Yield ``(fourcc, body_start, body_end)`` for the sibling boxes
-    in ``payload[pos:end]``; loud ValueError on truncation, malformed
-    sizes, or a box overrunning its parent."""
+    """Yield ``(fourcc, body_start, body_end, box_start)`` for the
+    sibling boxes in ``payload[pos:end]``; loud ValueError on
+    truncation, malformed sizes, or a box overrunning its parent.
+    ``box_start`` (round 10) is the header offset — fragmented layouts
+    anchor trun data offsets to the enclosing moof's first byte, so
+    the walker must know where boxes BEGIN, not just their bodies."""
     while pos < end:
         if end - pos < 8:
             raise ValueError(f"truncated box header at offset {pos}")
@@ -270,7 +357,7 @@ def _mp4_boxes(payload: bytes, pos: int, end: int):
                 f"box {typ!r} at {pos} overruns its container "
                 f"({pos + size} > {end})"
             )
-        yield typ, body, pos + size
+        yield typ, body, pos + size, pos
         pos += size
 
 
@@ -297,11 +384,17 @@ def _need_body(b: int, e: int, n: int, typ: bytes) -> None:
 
 def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
     out: dict = {}
-    for typ, b, e in _mp4_boxes(payload, start, end):
+    for typ, b, e, _s in _mp4_boxes(payload, start, end):
         if typ == b"stsd":
             _v, _f, p = _fullbox_body(payload, b, e)
+            # round-10 review of the round-9 review: the count word and
+            # the first entry's (size, fourcc) header were unpacked
+            # without checking THIS box's extent, so a shrunk stsd body
+            # silently read the next box's bytes as a codec entry
+            _need_body(p, e, 4, typ)
             (count,) = struct.unpack_from(">I", payload, p)
             if count >= 1:
+                _need_body(p, e, 12, typ)
                 (esz,) = struct.unpack_from(">I", payload, p + 4)
                 fourcc = payload[p + 8 : p + 12].decode("latin-1")
                 out["codec"] = fourcc
@@ -324,6 +417,7 @@ def _parse_stbl(payload: bytes, start: int, end: int) -> dict:
             out["stsc"] = list(zip(ent[0::3], ent[1::3], ent[2::3]))
         elif typ == b"stsz":
             _v, _f, p = _fullbox_body(payload, b, e)
+            _need_body(p, e, 8, typ)  # uniform+count header (round 10)
             uniform, count = struct.unpack_from(">II", payload, p)
             if uniform:
                 out["sizes"] = (uniform, count)
@@ -435,31 +529,224 @@ def _resolve_spans(
     return spans, chunks
 
 
+#: tfhd flag bits (ISO/IEC 14496-12 §8.8.7).
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+
+#: trun flag bits (§8.8.8).
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTO = 0x000800
+
+
+def _parse_tfhd(payload: bytes, b: int, e: int) -> dict:
+    """Track-fragment header → ``{track_id, flags, base_data_offset?,
+    default_duration?, default_size?}`` with every optional field
+    bounds-checked against the box's own extent (same discipline as
+    the stbl tables: a shrunk tfhd must not read the trun behind it)."""
+    _v, flags, p = _fullbox_body(payload, b, e)
+    need = 4  # track_id
+    need += 8 if flags & _TFHD_BASE_DATA_OFFSET else 0
+    need += 4 if flags & _TFHD_SAMPLE_DESC_IDX else 0
+    need += 4 if flags & _TFHD_DEFAULT_DURATION else 0
+    need += 4 if flags & _TFHD_DEFAULT_SIZE else 0
+    need += 4 if flags & _TFHD_DEFAULT_FLAGS else 0
+    _need_body(p, e, need, b"tfhd")
+    out: dict = {"flags": flags}
+    (out["track_id"],) = struct.unpack_from(">I", payload, p)
+    p += 4
+    if flags & _TFHD_BASE_DATA_OFFSET:
+        (out["base_data_offset"],) = struct.unpack_from(">Q", payload, p)
+        p += 8
+    if flags & _TFHD_SAMPLE_DESC_IDX:
+        p += 4
+    if flags & _TFHD_DEFAULT_DURATION:
+        (out["default_duration"],) = struct.unpack_from(">I", payload, p)
+        p += 4
+    if flags & _TFHD_DEFAULT_SIZE:
+        (out["default_size"],) = struct.unpack_from(">I", payload, p)
+        p += 4
+    return out
+
+
+def _parse_trun(payload: bytes, b: int, e: int) -> dict:
+    """Track-fragment run → ``{count, data_offset?, sizes?, durations?}``
+    (per-sample lists present only when the flag says so).  The entry
+    table is validated against the box extent BEFORE any unpack —
+    a trun promising more samples than its box holds is the fragmented
+    layout's version of the stsz next-box-bytes trap."""
+    v, flags, p = _fullbox_body(payload, b, e)
+    _need_body(p, e, 4, b"trun")
+    (count,) = struct.unpack_from(">I", payload, p)
+    p += 4
+    head = 0
+    head += 4 if flags & _TRUN_DATA_OFFSET else 0
+    head += 4 if flags & _TRUN_FIRST_SAMPLE_FLAGS else 0
+    per = 0
+    per += 4 if flags & _TRUN_SAMPLE_DURATION else 0
+    per += 4 if flags & _TRUN_SAMPLE_SIZE else 0
+    per += 4 if flags & _TRUN_SAMPLE_FLAGS else 0
+    per += 4 if flags & _TRUN_SAMPLE_CTO else 0
+    if p + head + per * count > e:
+        raise ValueError(
+            f"trun promises {count} samples but its box is too small "
+            "to hold the entry table"
+        )
+    out: dict = {"count": count}
+    if flags & _TRUN_DATA_OFFSET:
+        (out["data_offset"],) = struct.unpack_from(">i", payload, p)
+        p += 4
+    if flags & _TRUN_FIRST_SAMPLE_FLAGS:
+        p += 4
+    if per:
+        durations: list[int] = []
+        sizes: list[int] = []
+        for _ in range(count):
+            if flags & _TRUN_SAMPLE_DURATION:
+                durations.append(struct.unpack_from(">I", payload, p)[0])
+                p += 4
+            if flags & _TRUN_SAMPLE_SIZE:
+                sizes.append(struct.unpack_from(">I", payload, p)[0])
+                p += 4
+            if flags & _TRUN_SAMPLE_FLAGS:
+                p += 4
+            if flags & _TRUN_SAMPLE_CTO:
+                p += 4
+        if flags & _TRUN_SAMPLE_DURATION:
+            out["durations"] = durations
+        if flags & _TRUN_SAMPLE_SIZE:
+            out["sizes"] = sizes
+    return out
+
+
+def _resolve_traf(
+    payload: bytes,
+    b: int,
+    e: int,
+    moof_start: int,
+    prev_traf_end: int | None,
+    trex_by_id: dict,
+    frags_by_id: dict,
+) -> int | None:
+    """Resolve one track fragment's sample spans into ``frags_by_id``
+    and return the end offset of its data (the §8.8.7 base for the
+    next traf when neither base flag is set).  Base-offset rules:
+    explicit ``base_data_offset`` wins; else ``default-base-is-moof``
+    anchors to the moof's first byte; else the first traf anchors to
+    the moof and later trafs to the previous traf's data end."""
+    tfhd: dict | None = None
+    truns: list[dict] = []
+    for typ, tb, te, _ts in _mp4_boxes(payload, b, e):
+        if typ == b"tfhd":
+            tfhd = _parse_tfhd(payload, tb, te)
+        elif typ == b"trun":
+            truns.append(_parse_trun(payload, tb, te))
+        # tfdt (decode-time) and sbgp/sgpd etc.: skipped by size
+    if tfhd is None:
+        raise ValueError("traf box has no tfhd — track unidentifiable")
+    trex = trex_by_id.get(tfhd["track_id"])
+    if tfhd["flags"] & _TFHD_BASE_DATA_OFFSET:
+        base = tfhd["base_data_offset"]
+    elif tfhd["flags"] & _TFHD_DEFAULT_BASE_IS_MOOF:
+        base = moof_start
+    else:
+        base = moof_start if prev_traf_end is None else prev_traf_end
+    frag = frags_by_id.setdefault(
+        tfhd["track_id"], {"spans": [], "chunks": [], "duration": 0}
+    )
+    cur: int | None = None
+    for run in truns:
+        if "data_offset" in run:
+            cur = base + run["data_offset"]
+        elif cur is None:
+            cur = base
+        chunk_start, chunk_bytes = cur, 0
+        for i in range(run["count"]):
+            if "sizes" in run:
+                sz = run["sizes"][i]
+            elif "default_size" in tfhd:
+                sz = tfhd["default_size"]
+            elif trex is not None:
+                sz = trex["default_size"]
+            else:
+                raise ValueError(
+                    f"fragment of track {tfhd['track_id']} has no "
+                    "sample size anywhere (trun/tfhd/trex)"
+                )
+            if "durations" in run:
+                dur = run["durations"][i]
+            elif "default_duration" in tfhd:
+                dur = tfhd["default_duration"]
+            elif trex is not None:
+                dur = trex["default_duration"]
+            else:
+                # duration is metadata, not data placement — a file
+                # that resolves spans but not timing still parses
+                dur = 0
+            if cur < 0 or cur + sz > len(payload):
+                raise ValueError(
+                    f"fragment sample span [{cur}, {cur + sz}) falls "
+                    f"outside the {len(payload)}-byte payload"
+                )
+            frag["spans"].append((cur, sz))
+            frag["duration"] += dur
+            cur += sz
+            chunk_bytes += sz
+        if chunk_bytes:
+            frag["chunks"].append((chunk_start, chunk_bytes))
+    return cur if cur is not None else prev_traf_end
+
+
 def parse_mp4(payload: bytes) -> dict:
     """General ISO-BMFF parse → ``{major_brand, timescale, duration,
-    tracks: [Mp4Track]}`` with every track's sample spans resolved.
-    Unknown boxes are skipped by size (the ISO-BMFF forward-compat
-    contract); structural damage — truncated headers, overrunning
-    boxes, sample tables pointing outside the file — raises
-    ValueError (the quarantine-routable contract every parser in this
-    package shares)."""
+    tracks: [Mp4Track]}`` with every track's sample spans resolved —
+    progressive (moov-resident stsc/stco/stsz tables) AND fragmented
+    (round 10: moof/traf/trun with tfhd/trex default inheritance, the
+    DASH/CMAF layout).  Unknown boxes are skipped by size (the
+    ISO-BMFF forward-compat contract); structural damage — truncated
+    headers, overrunning boxes, sample tables pointing outside the
+    file — raises ValueError (the quarantine-routable contract every
+    parser in this package shares)."""
     if len(payload) < 8:
         raise ValueError("not an ISO-BMFF file: shorter than one box header")
     out: dict = {"major_brand": None, "timescale": None, "duration": None,
                  "tracks": []}
+    trex_by_id: dict = {}
+    mehd_duration: int | None = None
+    moofs: list[tuple[int, int, int]] = []  # (moof_start, body, end)
 
     def walk(pos: int, end: int, track: dict | None) -> None:
-        for typ, b, e in _mp4_boxes(payload, pos, end):
-            if typ in (b"moof", b"mvex"):
-                # fragmented mp4 keeps sample data in per-fragment
-                # moof/trun tables this walker does not read — a
-                # zero-sample parse here would be a SILENT wrong
-                # answer, so the format variant is a loud seam
-                raise NotImplementedError(
-                    "fragmented mp4 (moof/mvex) is not supported; "
-                    "sample tables live in per-fragment trun boxes"
+        nonlocal mehd_duration
+        for typ, b, e, s in _mp4_boxes(payload, pos, end):
+            if typ == b"moof":
+                # resolved AFTER the moov walk — fragments reference
+                # tracks by id, and moof may legally precede moov
+                moofs.append((s, b, e))
+            elif typ == b"mvex":
+                walk(b, e, track)
+            elif typ == b"trex":
+                _v, _f, p = _fullbox_body(payload, b, e)
+                _need_body(p, e, 20, typ)
+                tid, _sdi, ddur, dsz, _dfl = struct.unpack_from(
+                    ">5I", payload, p
                 )
-            if typ == b"ftyp":
+                trex_by_id[tid] = {
+                    "default_duration": ddur, "default_size": dsz
+                }
+            elif typ == b"mehd":
+                v, _f, p = _fullbox_body(payload, b, e)
+                _need_body(p, e, 8 if v == 1 else 4, typ)
+                (mehd_duration,) = struct.unpack_from(
+                    ">Q" if v == 1 else ">I", payload, p
+                )
+            elif typ == b"ftyp":
                 out["major_brand"] = payload[b : b + 4].decode("latin-1")
             elif typ == b"mvhd":
                 v, _f, p = _fullbox_body(payload, b, e)
@@ -518,6 +805,18 @@ def parse_mp4(payload: bytes) -> dict:
 
     try:
         walk(0, len(payload), None)
+        # fragment pass: every moof's trafs resolve against the moov
+        # tracks (by id) and the mvex trex defaults collected above
+        frags_by_id: dict = {}
+        for moof_start, body, end in moofs:
+            prev_traf_end: int | None = None
+            for typ, b, e, _s in _mp4_boxes(payload, body, end):
+                if typ == b"traf":
+                    prev_traf_end = _resolve_traf(
+                        payload, b, e, moof_start, prev_traf_end,
+                        trex_by_id, frags_by_id,
+                    )
+                # mfhd (sequence number) and pssh etc.: skipped by size
     except struct.error as ex:
         # belt and braces under the per-table bounds checks: ANY fixed
         # header short-read is structural damage, and the quarantine
@@ -525,6 +824,23 @@ def parse_mp4(payload: bytes) -> dict:
         raise ValueError(f"malformed ISO-BMFF structure: {ex}") from None
     if out["major_brand"] is None:
         raise ValueError("ISO-BMFF file has no ftyp box")
+    tracks_by_id = {t.track_id: t for t in out["tracks"]}
+    for tid, frag in frags_by_id.items():
+        t = tracks_by_id.get(tid)
+        if t is None:
+            raise ValueError(
+                f"moof references track {tid} but no moov trak defines "
+                "it (init segment missing or id mismatch)"
+            )
+        t.spans = list(t.spans) + frag["spans"]
+        t.chunks = list(t.chunks) + frag["chunks"]
+        t.n_samples = len(t.spans)
+        # fragmented tracks conventionally carry mdhd duration 0; the
+        # real duration is the sum of fragment sample durations
+        if not t.duration and frag["duration"]:
+            t.duration = frag["duration"]
+    if not out["duration"] and mehd_duration:
+        out["duration"] = mehd_duration
     return out
 
 
@@ -891,6 +1207,36 @@ def binarize_mp4_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+def binarize_fmp4_documents(documents: DataFrame) -> DataFrame:
+    """Documents table → FRAGMENTED-mp4-modality binary table (round
+    10): same PCM content as the mp4 branch, DASH/CMAF moof/trun
+    layout — so decoding it through the fragment tables must produce
+    the identical feature vector, which is exactly what the registry
+    branch pins."""
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_fmp4(t.encode("utf-8")) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "fmp4",
+                    "payload": payloads,
+                    "meta_mime": "video/mp4",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth, MODALITY_SCHEMA
+    )
+
+
 def binarize_mp3_documents(documents: DataFrame) -> DataFrame:
     """Documents table → mp3-modality binary table."""
     from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
@@ -935,7 +1281,11 @@ def audit_payload_parses(binarized: DataFrame) -> DataFrame:
     ``NotImplementedError`` — a codec seam, not corruption — tags rows
     ``parse_ok = true`` with the seam recorded in ``parse_err`` — but
     ONLY for modalities whose container structure really was validated
-    first (an mp4 whose boxes parsed but whose layout is fragmented).
+    first.  (Fragmented mp4 graduated out of this class in round 10:
+    ``parse_mp4`` now walks moof/trun tables for real, so a truncated
+    fragment is plain corruption, not a seam — closing the round-9
+    advice that a corrupt fragmented file could pass the audit behind
+    a seam tag its validation never earned.)
     A modality this engine has NO parser for is ``parse_ok = false``:
     tagging it a "seam" would claim a validation that never ran
     (round-9 review).  Callers ``filter("parse_ok")`` for the clean
@@ -946,11 +1296,11 @@ def audit_payload_parses(binarized: DataFrame) -> DataFrame:
     )
 
     # modalities whose NotImplementedError means "container validated,
-    # entropy decode needs a codec library": mp4's walker raises NIE
-    # only after structural validation (fragmented layout), and every
-    # other listed decode validates the full container before any seam
-    # can fire; decode_stub's unknown-modality fallthrough is NOT here
-    seam_ok = {"mp4", "mp3", "audio", "image", "png", "jpeg",
+    # entropy decode needs a codec library"; every listed parse
+    # validates the full container before any seam can fire (mp4's
+    # walker no longer raises NIE at all — both layouts parse);
+    # decode_stub's unknown-modality fallthrough is NOT here
+    seam_ok = {"mp4", "fmp4", "mp3", "audio", "image", "png", "jpeg",
                "jpeg_color", "video", "text"}
 
     def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -958,7 +1308,7 @@ def audit_payload_parses(binarized: DataFrame) -> DataFrame:
             ok, err = [], []
             for p, m in zip(pdf["payload"], pdf["modality"]):
                 try:
-                    if m == "mp4":
+                    if m in ("mp4", "fmp4"):
                         parse_mp4(bytes(p))
                     elif m == "mp3":
                         parse_mp3(bytes(p))
@@ -1007,21 +1357,26 @@ def resample_audio_payloads(binarized: DataFrame, out_rate: int) -> DataFrame:
 
     def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = []
+            resized, modality_out = [], []
             for p, m in zip(pdf["payload"], pdf["modality"]):
                 p = bytes(p)
                 if m == "audio":
                     resized.append(resample_wav(p, out_rate))
-                elif m == "mp4":
+                elif m in ("mp4", "fmp4"):
+                    # span resolution is layout-agnostic; the re-encode
+                    # emits the progressive layout, so a fragmented
+                    # input is honestly relabeled 'mp4' on the way out
                     resized.append(resample_mp4(p, out_rate))
+                    m = "mp4"
                 else:
                     raise ValueError(
                         f"resample_audio_payloads got modality {m!r}"
                     )
+                modality_out.append(m)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "modality": pdf["modality"],
+                    "modality": modality_out,
                     "payload": resized,
                     "meta_mime": pdf["meta_mime"],
                     "meta_n_bytes": [len(p) for p in resized],
@@ -1049,7 +1404,7 @@ def describe_containers(binarized: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["modality"], pdf["payload"]
             ):
                 payload = bytes(payload)
-                if modality == "mp4":
+                if modality in ("mp4", "fmp4"):
                     parsed = parse_mp4(payload)
                     t = _first_audio_track(parsed)
                     chunks = t.chunks
@@ -1103,3 +1458,4 @@ def describe_containers(binarized: DataFrame) -> DataFrame:
 
 #: Fixed skeleton size: every box except the per-sample tables.
 MP4_EMPTY = len(synthesize_mp4(b""))
+FMP4_EMPTY = len(synthesize_fmp4(b""))

@@ -2242,11 +2242,13 @@ def decode_stub(payload: bytes, modality: str) -> list[float]:
         return decode_jpeg_color(payload)
     if modality == "video":
         return decode_y4m(payload)
-    if modality == "mp4":
+    if modality in ("mp4", "fmp4"):
         # REAL through the ISO-BMFF sample table for uncompressed PCM
         # codecs; compressed fourccs raise inside (the codec seam
         # moved one layer down in round 9 — the CONTAINER is parsed
-        # for real either way, see sources/containers.py)
+        # for real either way, see sources/containers.py).  'fmp4'
+        # (round 10) is the fragmented moof/trun layout; decode_mp4
+        # is layout-agnostic once parse_mp4 resolves the spans.
         from mapreduce_framework_for_mergesort_spark.sources.containers import (
             decode_mp4,
         )
@@ -2369,10 +2371,11 @@ def frame_stub(payload: bytes, modality: str, chunk: int = FRAME_BYTES) -> list[
         # valid Y4M input to decode_y4m/resize_y4m
         w, h, planes = _y4m_planes(payload)
         return [_encode_y4m([p], w, h) for p in planes]
-    if modality == "mp4":
+    if modality in ("mp4", "fmp4"):
         # REAL sample-table-driven chunk extraction (round 9); each
         # chunk re-encodes as a standalone decodable mp4 for the PCM
-        # codecs — compressed fourccs raise inside
+        # codecs — compressed fourccs raise inside.  Fragmented files
+        # (round 10) take the same path: each trun run IS a chunk.
         from mapreduce_framework_for_mergesort_spark.sources.containers import (
             mp4_frames,
         )

@@ -426,24 +426,228 @@ def test_mp4_no_audio_track_is_loud():
         C.decode_mp4(q)
 
 
-def test_mp4_fragmented_layout_is_a_loud_seam():
-    # a moof box means sample data lives in per-fragment trun tables
-    # the walker does not read — parsing must NOT silently report an
-    # empty track (mvex inside moov announces the same layout)
-    p = C.synthesize_mp4(b"frag")
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        C.parse_mp4(p + _b(b"moof", _b(b"mfhd", b"\x00" * 8)))
-    mvex = _b(b"mvex", _b(b"trex", b"\x00" * 24))
-    idx = p.index(b"moov")
-    (sz,) = struct.unpack_from(">I", p, idx - 4)
-    patched = (
-        p[: idx - 4]
-        + struct.pack(">I", sz + len(mvex))
-        + p[idx : idx - 4 + sz]
-        + mvex
+# ---------------------------------------------------------------------------
+# Fragmented mp4 (moof/trun — round 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n", [0, 1, 2, 15, 16, 17, 31, 32, 255, 284, 285, 1000]
+)
+def test_fmp4_round_trip_closed_forms(n):
+    data = bytes((11 * i + 5) % 256 for i in range(n))
+    p = C.synthesize_fmp4(data)
+    assert len(p) == C.fmp4_n_bytes(n)
+    parsed = C.parse_mp4(p)
+    assert parsed["major_brand"] == "isom"
+    t = C._first_audio_track(parsed)
+    assert (t.codec, t.handler) == ("twos", "soun")
+    assert t.n_samples == n
+    # duration resolves from trex default (1 tick/sample) and the
+    # movie duration from mehd — neither lives in mdhd/mvhd, which
+    # carry the fragmented convention's zeros
+    assert t.duration == n and parsed["duration"] == n
+    assert len(t.chunks) == (-(-n // C.MP4_SAMPLES_PER_CHUNK) if n else 0)
+    for i, (off, sz) in enumerate(t.spans):
+        assert sz == 2
+        (v,) = struct.unpack(">h", p[off : off + 2])
+        assert v == (data[i] - 128) * 256
+
+
+def test_fmp4_decode_and_frames_equal_progressive():
+    # the fragmented layout carries the same PCM as the progressive
+    # one, resolved via a disjoint code path (trex/tfhd/trun instead
+    # of stsc/stco/stsz) — decode and chunk-frame extraction must
+    # agree exactly
+    data = b"fragmented equals progressive, sample for sample" * 3
+    f, g = C.synthesize_fmp4(data), C.synthesize_mp4(data)
+    assert C.decode_mp4(f) == C.decode_mp4(g)
+    assert C.mp4_chunk_spans(f) != C.mp4_chunk_spans(g)  # layouts differ
+    assert C.mp4_frames(f) == C.mp4_frames(g)  # re-encoded units agree
+
+
+def _handmade_fmp4() -> tuple[bytes, list[int]]:
+    """Hand-assembled fragmented file exercising what the synthesizer
+    never produces: an EXPLICIT tfhd base-data-offset, a tfhd
+    default-sample-size overriding trex, per-sample trun sizes of
+    varying width, a v1 trun with first-sample-flags and per-sample
+    durations, TWO trafs in one moof (the second with neither base
+    flag, anchoring at the previous traf's data end per §8.8.7), a
+    trun with no data_offset, and the sowt (little-endian) codec."""
+    samples = [10, -20, 30, 40, -50]
+    entry = (
+        struct.pack(">I", 36)
+        + b"sowt"
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 1, 16, 0, 0)
+        + struct.pack(">I", 5000 << 16)
     )
-    with pytest.raises(NotImplementedError, match="fragmented"):
-        C.parse_mp4(patched)
+    stbl = _b(
+        b"stbl",
+        _fb(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        + _fb(b"stts", 0, 0, struct.pack(">I", 0))
+        + _fb(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _fb(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _fb(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    mdia = _b(
+        b"mdia",
+        _fb(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 5000, 0))
+        + _fb(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun")
+        + _b(b"minf", stbl),
+    )
+    trak = _b(b"trak", _fb(b"tkhd", 0, 7, struct.pack(">III", 0, 0, 1))
+              + mdia)
+    mvex = _b(b"mvex",
+              _fb(b"trex", 0, 0, struct.pack(">5I", 1, 1, 7, 2, 0)))
+    moov = _b(b"moov",
+              _fb(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0))
+              + trak + mvex)
+    ftyp = _b(b"ftyp", b"iso5" + struct.pack(">I", 0) + b"iso5")
+
+    # fragment 1: explicit base_data_offset + tfhd default_size 4
+    # (overriding trex's 2), trun with per-sample sizes [2, 4] and NO
+    # data offset (cur = base)
+    moof1_len = 8 + 16 + (8 + 28 + 24)  # moof(mfhd + traf(tfhd+trun))
+    mdat1_body = len(ftyp) + len(moov) + moof1_len + 8
+    tfhd1 = _fb(b"tfhd", 0, 0x000011,
+                struct.pack(">IQI", 1, mdat1_body, 4))
+    trun1 = _fb(b"trun", 0, 0x000200, struct.pack(">III", 2, 2, 4))
+    moof1 = _b(b"moof", _fb(b"mfhd", 0, 0, struct.pack(">I", 1))
+               + _b(b"traf", tfhd1 + trun1))
+    assert len(moof1) == moof1_len
+    mdat1 = _b(b"mdat", struct.pack("<3h", *samples[:3]))
+
+    # fragment 2: traf A anchored default-base-is-moof with a v1 trun
+    # (data_offset + first_sample_flags + per-sample durations, size
+    # from trex), then traf B with NEITHER base flag — its base is
+    # traf A's data end — and a sizes-only trun
+    moof2_len = 8 + 16 + (8 + 16 + 28) + (8 + 16 + 20)
+    tfhd2a = _fb(b"tfhd", 0, 0x020000, struct.pack(">I", 1))
+    trun2a = _fb(b"trun", 1, 0x000105,
+                 struct.pack(">IiII", 1, moof2_len + 8, 0xDEAD, 3))
+    tfhd2b = _fb(b"tfhd", 0, 0, struct.pack(">I", 1))
+    trun2b = _fb(b"trun", 0, 0x000200, struct.pack(">II", 1, 2))
+    moof2 = _b(b"moof", _fb(b"mfhd", 0, 0, struct.pack(">I", 2))
+               + _b(b"traf", tfhd2a + trun2a)
+               + _b(b"traf", tfhd2b + trun2b))
+    assert len(moof2) == moof2_len
+    mdat2 = _b(b"mdat", struct.pack("<2h", *samples[3:]))
+    return ftyp + moov + moof1 + mdat1 + moof2 + mdat2, samples
+
+
+def test_handmade_fragmented_mp4_parses_and_decodes():
+    p, samples = _handmade_fmp4()
+    parsed = C.parse_mp4(p)
+    t = C._first_audio_track(parsed)
+    assert t.codec == "sowt" and t.n_samples == 4
+    # spans: frag1 [2 B, 4 B] then frag2 [2 B, 2 B] byte-adjacent
+    sizes = [sz for _o, sz in t.spans]
+    assert sizes == [2, 4, 2, 2]
+    assert t.spans[1][0] == t.spans[0][0] + 2  # no-offset trun run
+    assert t.spans[3][0] == t.spans[2][0] + 2  # traf-B base = A's end
+    # durations: tfhd has none in frag1 -> trex default 7 x2; traf A
+    # per-sample [3]; traf B -> trex 7
+    assert t.duration == 7 + 7 + 3 + 7
+    _t, got = C._pcm16_track_samples(p)
+    assert list(got) == samples
+    assert len(t.chunks) == 3  # one per trun
+
+
+def test_fmp4_corruption_is_loud():
+    good = C.synthesize_fmp4(b"corrupt me please, twenty samples!")
+
+    # a data-offset-only trun has no per-sample table to bounds-check;
+    # an inflated count there is caught by the span check instead
+    bad = bytearray(good)
+    i = bad.index(b"trun") + 8  # count word (v0 trun, after verflags)
+    struct.pack_into(">I", bad, i, 10_000)
+    with pytest.raises(ValueError, match="outside"):
+        C.parse_mp4(bytes(bad))
+
+    # a trun WITH a per-sample table promising more entries than its
+    # box holds must fail at the table, before any unpack
+    handmade, _ = _handmade_fmp4()
+    bad = bytearray(handmade)
+    i = bad.index(b"trun") + 8  # trun1 carries per-sample sizes
+    struct.pack_into(">I", bad, i, 100)
+    with pytest.raises(ValueError, match="trun promises"):
+        C.parse_mp4(bytes(bad))
+
+    # trex default size inflated: resolved spans overrun the payload
+    bad = bytearray(good)
+    i = bad.index(b"trex") + 8 + 12  # verflags + (id, sdi, duration)
+    struct.pack_into(">I", bad, i, 60_000)
+    with pytest.raises(ValueError, match="outside"):
+        C.parse_mp4(bytes(bad))
+
+    # tfhd pointing at a track no moov trak defines (the handmade
+    # file's trun carries explicit sizes, so span resolution succeeds
+    # and the unknown-id check is what fires; on the synthesized file
+    # the missing trex means sizes fail to resolve first — also loud)
+    bad = bytearray(handmade)
+    i = bad.index(b"tfhd") + 8
+    struct.pack_into(">I", bad, i, 9)
+    with pytest.raises(ValueError, match="no moov trak defines"):
+        C.parse_mp4(bytes(bad))
+    bad = bytearray(good)
+    i = bad.index(b"tfhd") + 8
+    struct.pack_into(">I", bad, i, 9)
+    with pytest.raises(ValueError, match="no sample size"):
+        C.parse_mp4(bytes(bad))
+
+    # a traf with no tfhd at all
+    p, _ = _handmade_fmp4()
+    naked = _b(b"moof", _fb(b"mfhd", 0, 0, struct.pack(">I", 3))
+               + _b(b"traf", _fb(b"trun", 0, 0, struct.pack(">I", 0))))
+    with pytest.raises(ValueError, match="no tfhd"):
+        C.parse_mp4(p + naked)
+
+    # no sample size anywhere (no trex, no tfhd default, no per-sample)
+    no_mvex = p.replace(b"mvex", b"skip", 1)  # walker skips unknown box
+    with pytest.raises(ValueError, match="no sample size"):
+        C.parse_mp4(no_mvex)
+
+
+def test_fmp4_shrunk_table_headers_are_loud():
+    # round-10 advice: stsd/stsz header words unpacked without
+    # checking the box's own extent silently read the NEXT box's
+    # bytes — both now raise before any unpack
+    good = C.synthesize_mp4(b"shrink my tables")
+    for four, cut in ((b"stsd", 10), (b"stsz", 6)):
+        bad = bytearray(good)
+        j = bad.index(four) - 4
+        (sz,) = struct.unpack_from(">I", bytes(bad), j)
+        struct.pack_into(">I", bad, j, 8 + 4 + cut)  # header+vf+cut bytes
+        with pytest.raises(ValueError):
+            C.parse_mp4(bytes(bad))
+
+
+def test_fmp4_audit_routes_fragment_corruption(spark):
+    # round-9 advice closed: a fragmented file is WALKED, so a
+    # corrupt fragment is corruption (parse_ok=false), not a "codec
+    # seam" tag its validation never earned
+    f = C.synthesize_fmp4(b"audit the fragmented layout")
+    rows = [
+        (1, "fmp4", f, "video/mp4", len(f)),
+        (2, "fmp4", f[:-6], "video/mp4", len(f) - 6),  # truncated mdat
+    ]
+    df = spark.createDataFrame(rows, M.MODALITY_SCHEMA)
+    got = {r["doc_id"]: r for r in C.audit_payload_parses(df).collect()}
+    assert got[1]["parse_ok"] and got[1]["parse_err"] is None
+    assert not got[2]["parse_ok"]
+    assert "outside" in got[2]["parse_err"] or "overruns" in got[2]["parse_err"]
+
+
+def test_fmp4_resample_relabels_to_progressive(spark):
+    f = C.synthesize_fmp4(b"resample across layouts")
+    rows = [(1, "fmp4", f, "video/mp4", len(f))]
+    df = spark.createDataFrame(rows, M.MODALITY_SCHEMA)
+    out = C.resample_audio_payloads(df, 4000).collect()[0]
+    assert out["modality"] == "mp4"  # re-encode emits progressive
+    assert bytes(out["payload"]) == C.resample_mp4(f, 4000)
 
 
 def test_mp4_stts_without_stsz_is_loud():
