@@ -87,8 +87,9 @@ def _timed_sweep(
     names,
     runs: int = 1,
     state_rows: dict | None = None,
-) -> tuple[dict[str, float], dict[str, float]]:
-    """Force each query ``runs`` times; returns ``(best, first)`` —
+) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
+    """Force each query ``runs`` times; returns ``(best, first,
+    spread)`` where spread is the same-process max/min repeat ratio —
     the per-key MINIMUM (steady-state time: the min is the run least
     disturbed by GC/JIT/OS noise, which on single-run local[32] sweeps
     produced spurious ±0.5 s round-over-round 'regressions' two rounds
@@ -110,12 +111,24 @@ def _timed_sweep(
 
     times: dict[str, float] = {}
     first: dict[str, float] = {}
+    spread: dict[str, float] = {}
 
     def record(name: str, fn) -> None:
         _ss.LAST_STATE_ROWS = None
         ts = [_once(fn) for _ in range(runs)]
+        # round-9 verdict item 3: the measured same-code envelope on
+        # sub-second keys (~1.6x minutes apart under hypervisor steal)
+        # swamps min-of-2 — 13/32 keys moved >15% in r9, all noise.
+        # Sub-second keys get min-of-5 (the extra runs cost ~nothing);
+        # the max/min spread of the same-process repeats is recorded as
+        # this run's OWN same-code dispersion sample, which is what the
+        # delta-vs-prior verdict calibrates against.
+        while runs >= 2 and len(ts) < 5 and min(ts) < 1.0:
+            ts.append(_once(fn))  # headline sweeps only — the scale
+            # sweep (runs=1) keeps its single-shot semantics
         first[name] = round(ts[0], 3)
         times[name] = round(min(ts), 3)
+        spread[name] = round(max(ts) / max(min(ts), 1e-9), 3)
         # stateful streaming keys leave their final state-store row
         # counts behind — promote them into the sweep artifact so the
         # "state bounded by watermark + interval" claims are measured
@@ -151,7 +164,7 @@ def _timed_sweep(
         import gc
 
         gc.collect()
-    return times, first
+    return times, first, spread
 
 
 def _decontam_probe(spark, sf_dir: str) -> float:
@@ -477,8 +490,51 @@ def fingerprint_vintage(tables: dict, out_path: str) -> dict:
     return {"prior": None, "same_vintage": None, "changed_tables": []}
 
 
+#: Floor of the delta-vs-prior noise envelope.  Even a key whose
+#: same-process repeats were perfectly stable swings ~1.3x across
+#: minutes on this host (interleaved same-code A/B, SCALE_NOTES.md
+#: rounds 8-9) — the cross-process component the in-process spread
+#: cannot see.
+_DELTA_ENVELOPE_FLOOR = 1.3
+
+
+def _delta_verdicts(
+    times: dict, spread: dict, prior: dict | None, same_vintage
+) -> dict:
+    """Mechanical signal-vs-noise classification of each key's move
+    vs the prior recorded run (round-9 verdict item 3: 13/32 keys
+    moved >15% in r9, ALL noise, and the attribution lived in
+    SCALE_NOTES prose after the fact — the artifact itself should say
+    it).  The envelope is self-calibrating: this run's and the prior
+    run's same-process repeat spreads, widened by the measured
+    cross-process floor.  ``fixture_changed`` disables classification
+    (a move on new data is neither)."""
+    if not prior:
+        return {k: {"ratio": None, "verdict": "no_prior"} for k in times}
+    p_times = prior.get("queries", {})
+    p_spread = prior.get("spread", {})
+    out: dict = {}
+    for k, t in times.items():
+        pt = p_times.get(k)
+        if pt is None:
+            out[k] = {"ratio": None, "verdict": "new_key"}
+            continue
+        ratio = round(t / max(pt, 1e-9), 3)
+        if same_vintage is False:
+            out[k] = {"ratio": ratio, "verdict": "fixture_changed"}
+            continue
+        env = round(max(
+            spread.get(k, 1.0),
+            p_spread.get(k, 1.0),
+            _DELTA_ENVELOPE_FLOOR,
+        ), 3)
+        verdict = "signal" if (ratio > env or ratio < 1 / env) else "noise"
+        out[k] = {"ratio": ratio, "envelope": env, "verdict": verdict}
+    return out
+
+
 def _record_bench_provenance(
-    sf_dir: str, total: float, times: dict
+    sf_dir: str, total: float, times: dict, spread: dict | None = None
 ) -> dict:
     """Append this bench run's fixture fingerprint + per-key times to
     ``BENCH_PROVENANCE.json`` (round-8 verdict item 4: the scale
@@ -508,6 +564,11 @@ def _record_bench_provenance(
         same = not changed
     else:
         changed, same = [], None
+    deltas = _delta_verdicts(
+        times, spread or {},
+        prior if prior and prior.get("sf_dir") == sf_dir else None,
+        same,
+    )
     entry = {
         "unix": int(time.time()),
         "sf_dir": sf_dir,
@@ -516,14 +577,32 @@ def _record_bench_provenance(
         "changed_tables_vs_prior_run": changed,
         "total": total,
         "queries": times,
+        # per-key same-process repeat spread (max/min) — this run's
+        # own same-code dispersion sample, the envelope the NEXT run's
+        # delta verdicts calibrate against (round-9 verdict item 3)
+        "spread": spread or {},
+        # mechanical signal-vs-noise classification vs the prior run
+        "delta_vs_prior": deltas,
     }
     with open(path, "w") as f:
         json.dump({"runs": (runs + [entry])[-20:]}, f, indent=1,
                   sort_keys=True)
         f.write("\n")
+    # compact stdout form: full per-key table lives in the side
+    # artifact (the stdout line is tail-captured and length-limited —
+    # r8's overflowed), so the line carries only the classification
+    # summary plus any keys that are REAL signal
+    signal = {
+        k: v["ratio"] for k, v in deltas.items() if v["verdict"] == "signal"
+    }
+    counts: dict[str, int] = {}
+    for v in deltas.values():
+        counts[v["verdict"]] = counts.get(v["verdict"], 0) + 1
     return {
         "fixture_same_vintage_as_prior": same,
         "fixture_changed_tables": changed,
+        "delta_verdict_counts": counts,
+        "delta_signal_keys": signal,
     }
 
 
@@ -570,16 +649,16 @@ def scale_main(out_path: str, skew: bool = False) -> None:
     st_base: dict = {}
     st_tenx: dict = {}
     st_skew: dict = {}
-    base, _ = _timed_sweep(
+    base, _, _sp = _timed_sweep(
         spark, "/root/testdata/sf0.1", sorted(QUERIES), state_rows=st_base
     )
     base["op_decontaminate"] = _decontam_probe(spark, "/root/testdata/sf0.1")
-    tenx, _ = _timed_sweep(spark, ten, sorted(QUERIES), state_rows=st_tenx)
+    tenx, _, _sp = _timed_sweep(spark, ten, sorted(QUERIES), state_rows=st_tenx)
     tenx["op_decontaminate"] = _decontam_probe(spark, ten)
     skewx: dict[str, float] = {}
     if skew:
         skew_dir = ensure_scale_dir(skew=True)
-        skewx, _ = _timed_sweep(
+        skewx, _, _sp = _timed_sweep(
             spark, skew_dir, sorted(QUERIES), state_rows=st_skew
         )
         skewx["op_decontaminate"] = _decontam_probe(spark, skew_dir)
@@ -855,11 +934,17 @@ def _multimodal_modality_times(spark, sf_dir: str) -> dict[str, float]:
         multimodal as M,
     )
 
+    from mapreduce_framework_for_mergesort_spark.sources import (
+        containers as CT,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     reps = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
     chains = {
         "text": M.binarize_documents,
         "audio_wav": M.binarize_audio_documents,
+        "audio_mp4": CT.binarize_mp4_documents,
+        "audio_fmp4": CT.binarize_fmp4_documents,
         "image_bmp": M.binarize_image_documents,
         "image_png": M.binarize_png_documents,
         "image_jpeg": M.binarize_jpeg_documents,
@@ -927,13 +1012,13 @@ def main() -> None:
     spark = get_spark(app_name="msfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, sf_dir)
-    times, first = _timed_sweep(spark, sf_dir, HEADLINE, runs=2)
+    times, first, spread = _timed_sweep(spark, sf_dir, HEADLINE, runs=2)
 
     total = round(sum(times.values()), 3)
     # provenance side artifact + tiny stdout verdict (round-8 verdict
     # item 4) — BEFORE printing so a crash there can't leave a line
     # without its provenance record
-    vintage = _record_bench_provenance(sf_dir, total, times)
+    vintage = _record_bench_provenance(sf_dir, total, times, spread)
     print(
         json.dumps(
             {
@@ -947,7 +1032,9 @@ def main() -> None:
                 # advisory — cold regressions were invisible here)
                 "queries_first_run": first,
                 "first_run_total": round(sum(first.values()), 3),
-                "runs_per_key": 2,
+                # adaptive: min-of-2, extended to min-of-5 while the
+                # key's best run is sub-second (round-9 verdict item 3)
+                "runs_per_key": "2-5 adaptive",
                 # per-modality decomposition of q_multimodal_features
                 # (round 7 — the tagged-union row alone can't tell a
                 # new branch from a regression)

@@ -117,21 +117,46 @@ def test_record_bench_provenance_side_artifact(tmp_path, monkeypatch):
     write("b")
     v1 = bench._record_bench_provenance(str(d), 1.0, {"q": 1.0})
     assert v1["fixture_same_vintage_as_prior"] is None
+    assert v1["delta_verdict_counts"] == {"no_prior": 1}
 
+    # +10% on an unchanged fixture: inside the 1.3x floor -> noise
     v2 = bench._record_bench_provenance(str(d), 1.1, {"q": 1.1})
-    assert v2 == {
-        "fixture_same_vintage_as_prior": True,
-        "fixture_changed_tables": [],
-    }
+    assert v2["fixture_same_vintage_as_prior"] is True
+    assert v2["fixture_changed_tables"] == []
+    assert v2["delta_verdict_counts"] == {"noise": 1}
+    assert v2["delta_signal_keys"] == {}
+
+    # 2x on an unchanged fixture: beyond every envelope -> SIGNAL
+    v2b = bench._record_bench_provenance(str(d), 2.2, {"q": 2.2})
+    assert v2b["delta_verdict_counts"] == {"signal": 1}
+    assert v2b["delta_signal_keys"] == {"q": 2.0}
+
+    # ...unless the PRIOR run's own same-process repeats already
+    # spread that wide — then the envelope widens and 2x is noise
+    bench._record_bench_provenance(
+        str(d), 1.0, {"q": 1.0}, spread={"q": 2.5}
+    )
+    v2c = bench._record_bench_provenance(str(d), 2.0, {"q": 2.0})
+    assert v2c["delta_verdict_counts"] == {"noise": 1}
 
     write("X")  # the fixture regenerated between rounds
     v3 = bench._record_bench_provenance(str(d), 1.2, {"q": 1.2})
     assert v3["fixture_same_vintage_as_prior"] is False
     assert v3["fixture_changed_tables"] == ["t"]
+    assert v3["delta_verdict_counts"] == {"fixture_changed": 1}
 
     doc = json.load(open(tmp_path / "BENCH_PROVENANCE.json"))
-    assert [r["total"] for r in doc["runs"]] == [1.0, 1.1, 1.2]
+    assert [r["total"] for r in doc["runs"]] == [1.0, 1.1, 2.2, 1.0, 2.0, 1.2]
     assert doc["runs"][-1]["queries"] == {"q": 1.2}
+    # the artifact carries the full per-key classification
+    assert doc["runs"][-1]["delta_vs_prior"]["q"]["verdict"] == (
+        "fixture_changed"
+    )
+    # a key absent from the prior run is 'new_key', never 'signal'
+    v4 = bench._record_bench_provenance(
+        str(d), 2.0, {"q": 1.2, "q_new": 0.8}
+    )
+    assert v4["delta_verdict_counts"] == {"noise": 1, "new_key": 1}
 
     for i in range(25):  # bounded history
         bench._record_bench_provenance(str(d), 2.0 + i, {"q": 1.0})
