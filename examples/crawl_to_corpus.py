@@ -26,6 +26,10 @@ Stages (each is the 100 TB-shaped operator documented in its module):
    unsupported_encoding / non_200) and extracts visible text through
    HTTP decoding, charset detection, and tag stripping;
    ``warc_responses_to_documents`` is the clean feed.
+4b. URL CURATION: per-domain audit (``operators/urls.py
+   per_domain_stats``), canonical-URL dedup (``dedup_by_url`` — the
+   cheap tier before content near-dedup), and the per-domain page cap
+   (``cap_per_domain``).
 5. MODALITY AUDIT: the same documents synthesized as mp4/mp3 payloads
    run through ``containers.audit_payload_parses`` — the row-level
    quarantine router over the container parsers.
@@ -156,13 +160,34 @@ def main() -> None:
     assert classes.get("corrupt") == 1
     assert classes.get("ok") == n_docs
 
-    recovered = H.warc_responses_to_documents(records).select(
+    extracted = H.warc_responses_to_documents(records)
+    n_rec = extracted.count()
+    print(f"documents extracted from crawl: {n_rec} (source {n_docs})")
+    assert n_rec == n_docs
+
+    # 4b. URL-level curation (round 10, operators/urls.py): site-grain
+    # audit, then the cheap canonical-url dedup tier that runs BEFORE
+    # content near-dedup (recrawls and tracking variants collapse for
+    # the cost of one hash aggregation) and the per-domain page cap
+    from mapreduce_framework_for_mergesort_spark.operators import urls as U
+
+    dom = (
+        U.per_domain_stats(extracted)
+        .orderBy(F.desc("n_pages"))
+        .limit(3)
+        .collect()
+    )
+    print("top domains:",
+          [(r["domain"], r["n_pages"], r["n_urls"]) for r in dom])
+    url_deduped = U.cap_per_domain(
+        U.dedup_by_url(extracted, order_col="record_idx"),
+        k=max(16, n_docs),  # demo corpus is one domain; cap stays loose
+        order_col="record_idx",
+    )
+    recovered = url_deduped.select(
         F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
         "text",
     )
-    n_rec = recovered.count()
-    print(f"documents extracted from crawl: {n_rec} (source {n_docs})")
-    assert n_rec == n_docs
 
     # 5. row-level modality audit over the same docs as mp4/mp3
     binarized = CT.binarize_mp4_documents(docs.limit(200)).unionByName(

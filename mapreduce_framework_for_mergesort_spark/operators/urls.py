@@ -1,0 +1,244 @@
+"""URL operators — the crawl-curation step between HTML extraction and
+per-domain corpus policy (round 10).
+
+Every real crawl pipeline performs these immediately after the WET step
+(``sources/html.py``): canonicalize URLs so syntactic variants of one
+page collapse (``HTTP://Host:80/x?b=2&a=1#frag`` ≡
+``http://host/x?a=1&b=2``), extract the registrable domain so policy —
+caps, blocklists, per-site quality priors — can be applied at site
+grain, then dedup by canonical URL *before* the much more expensive
+content-level near-dedup tiers run.
+
+Everything here is pure ``pyspark.sql.functions`` — regexp/array/string
+expressions inside one whole-stage-codegen projection, zero Python, no
+UDFs — so the normalization costs what a column projection costs at
+100 TB.  Parsing is regexp-based (RFC 3986 component grammar) rather
+than ``F.parse_url`` (java.net.URI) so the rules are engine-replicable:
+the same component expressions can be written in any SQL dialect, which
+is what lets the registry oracle construct EXPECTED canonical forms
+independently and hash-compare (``q_scalar_funcs`` url columns).
+
+Normalization rules (the conservative, semantics-preserving subset of
+RFC 3986 §6 plus the crawl-standard tracking-param strip):
+
+* scheme and host lowercase (§6.2.2.1);
+* userinfo dropped from the authority (never part of page identity);
+* default ports stripped (``http:80`` / ``https:443``), others kept;
+* empty path → ``/`` (§6.2.3);
+* fragment dropped (never sent to the server);
+* query parameters: empty params dropped, known tracking params
+  (``utm_*``, ``fbclid``, ``gclid``, ``ref``) dropped, the rest sorted
+  byte-lexicographically — page identity rarely depends on param order,
+  and sorting is what makes ``a=1&b=2`` and ``b=2&a=1`` collapse.
+
+``registrable_domain`` uses a documented HEURISTIC public-suffix rule
+(last two labels; last three when the second-to-last is a known
+country-code second-level like ``co.uk``) — the full Mozilla
+public-suffix list is data, not code, and would be loaded as a
+broadcast lookup table in production; the heuristic covers the bulk of
+crawl traffic and the seam is explicit here.
+
+Reference parity note: the reference engine (``/root/reference``,
+``NodeHandler.java:44-75``) has no string operators at all; this is
+part of the LLM-curation surface the brief layers on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# component extraction (RFC 3986 grammar as regexps)
+# ---------------------------------------------------------------------------
+
+#: Query params that identify the *referral*, not the page.  The
+#: crawl-standard strip set; extend per deployment.
+TRACKING_PARAMS_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
+
+#: Country-code second-level labels under which registrable domains sit
+#: one label deeper (the ``co`` of ``bbc.co.uk``).  Heuristic subset of
+#: the public-suffix list — see module docstring.
+_CC_SECOND_LEVELS = ("co", "com", "net", "org", "gov", "ac", "edu")
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(
+        F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+
+
+def _authority(url: Column) -> Column:
+    # between '://' and the first of / ? # — userinfo still attached
+    return F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host: authority minus userinfo and port."""
+    return F.lower(
+        F.regexp_extract(_authority(url), r"^(?:[^@]*@)?([^:]*)", 1)
+    )
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as a string, '' when absent."""
+    return F.regexp_extract(_authority(url), r":([0-9]+)$", 1)
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' when absent — callers normalize to '/')."""
+    return F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+
+
+def url_query(url: Column) -> Column:
+    """Query string without the '?' ('' when absent)."""
+    return F.regexp_extract(url, r"\?([^#]*)", 1)
+
+
+# ---------------------------------------------------------------------------
+# canonicalization
+# ---------------------------------------------------------------------------
+
+
+def normalized_query(url: Column) -> Column:
+    """Sorted, tracking-stripped query ('' when nothing survives)."""
+    params = F.array_sort(
+        F.filter(
+            F.split(url_query(url), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS_RE),
+        )
+    )
+    return F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form per the module-docstring rules — one codegen
+    expression tree, no Python."""
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = url_port(url)
+    port_norm = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = url_path(url)
+    path_norm = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(
+        scheme, F.lit("://"), host, port_norm, path_norm,
+        normalized_query(url),
+    )
+
+
+def registrable_domain(host: Column) -> Column:
+    """Site-grain key: last two host labels, or last three under a
+    known country-code second-level (``co.uk`` and friends).  Hosts
+    with fewer than two labels (``localhost``, bare IPs are out of
+    scope for the heuristic) pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    cc = F.element_at(labels, -2).isin(*_CC_SECOND_LEVELS) & (
+        F.length(F.element_at(labels, -1)) == 2
+    )
+    return (
+        F.when(n >= 3, F.when(cc, last3).otherwise(last2))
+        .when(n == 2, last2)
+        .otherwise(host)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed curation operators
+# ---------------------------------------------------------------------------
+
+
+def with_url_columns(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append ``url_norm``, ``url_host``, ``url_domain``, ``url_path``
+    to a crawl-record or document DataFrame — one projection, pushed
+    into the same codegen stage as the scan."""
+    u = F.col(url_col)
+    host = url_host(u)
+    return df.withColumns(
+        {
+            "url_norm": normalize_url(u),
+            "url_host": host,
+            "url_domain": registrable_domain(host),
+            "url_path": url_path(u),
+        }
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", order_col: str | None = None
+) -> DataFrame:
+    """URL-level dedup: one survivor per CANONICAL url (the cheap tier
+    that runs before content-level near-dedup — recrawls and tracking
+    variants collapse here for the cost of one hash aggregation).
+    Survivor is deterministic: the row whose ``order_col`` (or the raw
+    url string when None) is minimal.  Exactly the
+    ``dedup.dedup_exact`` shape, keyed on ``normalize_url`` instead of
+    content hash — one shuffle on the canonical url."""
+    key = normalize_url(F.col(url_col)).alias("__uk")
+    order = F.col(order_col) if order_col else F.col(url_col)
+    w = Window.partitionBy("__uk").orderBy(order, F.col(url_col))
+    return (
+        df.select("*", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__uk", "__rn")
+    )
+
+
+def per_domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Site-grain audit: per registrable domain, page count, distinct
+    canonical urls, host count — the table a per-domain cap or
+    blocklist decision reads.  One shuffle (the groupBy); the distinct
+    count is exact (crawl domain cardinality ≪ page cardinality)."""
+    u = F.col(url_col)
+    host = url_host(u)
+    return (
+        df.select(
+            registrable_domain(host).alias("domain"),
+            host.alias("__host"),
+            normalize_url(u).alias("__norm"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("__norm").alias("n_urls"),
+            F.countDistinct("__host").alias("n_hosts"),
+        )
+    )
+
+
+def cap_per_domain(
+    df: DataFrame, k: int, url_col: str = "url",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` pages per registrable domain — the standard
+    anti-boilerplate / anti-SEO-farm corpus policy.  Deterministic
+    survivors (``order_col`` then url as tiebreak).  One shuffle on
+    domain; at 100 TB a skewed mega-domain is bounded by the cap
+    itself: rank-then-filter discards its tail in the same stage."""
+    u = F.col(url_col)
+    order = [F.col(order_col), u] if order_col else [u]
+    w = Window.partitionBy(registrable_domain(url_host(u))).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

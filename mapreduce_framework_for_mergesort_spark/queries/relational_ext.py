@@ -385,8 +385,56 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
            CAST(week(o_orderdate) AS BIGINT) AS iso_week,
            date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
-             AS days_since_95
-    FROM orders
+             AS days_since_95,
+           -- URL canonicalization (round 10, operators/urls.py): the
+           -- engine NORMALIZES the messy url_raw; the oracle
+           -- CONSTRUCTS the expected canonical form from the same base
+           -- columns — any divergence in any rule (case, default
+           -- port, empty path, fragment, tracking strip, param sort)
+           -- breaks the hash
+           scheme_raw || '://' || host_raw || port_raw || path_raw
+             || query_raw || frag AS url_raw,
+           scheme_norm || '://' || host_norm || port_keep || path_norm
+             || query_norm AS url_norm,
+           host_norm AS url_host,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'example.co.uk'
+                ELSE 'example.com' END AS url_domain
+    FROM (
+        SELECT *,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS'
+                    ELSE 'HTTP' END AS scheme_raw,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'https'
+                    ELSE 'http' END AS scheme_norm,
+               'User:Pw@WWW.Shop-' || CAST(o_custkey % 50 AS VARCHAR)
+                 || CASE WHEN o_orderkey % 3 = 0 THEN '.Example.CO.UK'
+                         ELSE '.Example.COM' END AS host_raw,
+               'www.shop-' || CAST(o_custkey % 50 AS VARCHAR)
+                 || CASE WHEN o_orderkey % 3 = 0 THEN '.example.co.uk'
+                         ELSE '.example.com' END AS host_norm,
+               CASE WHEN o_orderkey % 4 = 1 THEN
+                        CASE WHEN o_orderkey % 2 = 0 THEN ':443'
+                             ELSE ':80' END
+                    WHEN o_orderkey % 4 = 2 THEN ':8080'
+                    ELSE '' END AS port_raw,
+               CASE WHEN o_orderkey % 4 = 2 THEN ':8080'
+                    ELSE '' END AS port_keep,
+               CASE WHEN o_orderkey % 5 = 0 THEN ''
+                    ELSE '/Item/' || CAST(o_orderkey AS VARCHAR)
+                    END AS path_raw,
+               CASE WHEN o_orderkey % 5 = 0 THEN '/'
+                    ELSE '/Item/' || CAST(o_orderkey AS VARCHAR)
+                    END AS path_norm,
+               CASE WHEN o_orderkey % 3 = 1
+                        THEN '?utm_source=news&b=2&a=1'
+                    WHEN o_orderkey % 3 = 2 THEN '?z=9&a=1&fbclid=ZZ'
+                    ELSE '' END AS query_raw,
+               CASE WHEN o_orderkey % 3 = 1 THEN '?a=1&b=2'
+                    WHEN o_orderkey % 3 = 2 THEN '?a=1&z=9'
+                    ELSE '' END AS query_norm,
+               CASE WHEN o_orderkey % 2 = 1 THEN '#frag'
+                    ELSE '' END AS frag
+        FROM orders
+    )
     """,
 )
 def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,8 +448,36 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendentals (``ln``/``exp``/``pow``) are deliberately excluded
     (last-ulp divergence).  Spark ``dayofweek`` is 1=Sunday; both sides
     normalize to ISO (1=Monday) — the off-by-one that silently corrupts
-    weekly rollups."""
+    weekly rollups.
+
+    Round 10 adds the URL-canonicalization columns
+    (``operators/urls.py``): a deliberately messy URL — uppercase
+    scheme/host, userinfo, scheme-default port, empty path, tracking
+    params out of order, fragment — is synthesized per row and
+    normalized by the engine, while the oracle CONSTRUCTS the expected
+    canonical form from the same base columns, so every normalization
+    rule is pinned independently (including what must NOT change:
+    path case, non-default ports)."""
+    from mapreduce_framework_for_mergesort_spark.operators import urls as U
+
     o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url_raw = F.concat(
+        F.when(k % 2 == 0, "HTTPS").otherwise("HTTP"),
+        F.lit("://User:Pw@WWW.Shop-"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.when(k % 3 == 0, ".Example.CO.UK").otherwise(".Example.COM"),
+        F.when(
+            k % 4 == 1, F.when(k % 2 == 0, ":443").otherwise(":80")
+        ).when(k % 4 == 2, ":8080").otherwise(""),
+        F.when(k % 5 == 0, "").otherwise(
+            F.concat(F.lit("/Item/"), k.cast("string"))
+        ),
+        F.when(k % 3 == 1, "?utm_source=news&b=2&a=1")
+        .when(k % 3 == 2, "?z=9&a=1&fbclid=ZZ")
+        .otherwise(""),
+        F.when(k % 2 == 1, "#frag").otherwise(""),
+    )
     return o.select(
         "o_orderkey",
         F.upper("o_orderpriority").alias("prio_upper"),
@@ -442,6 +518,10 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).cast("long").alias("days_since_95"),
+        url_raw.alias("url_raw"),
+        U.normalize_url(url_raw).alias("url_norm"),
+        U.url_host(url_raw).alias("url_host"),
+        U.registrable_domain(U.url_host(url_raw)).alias("url_domain"),
     )
 
 

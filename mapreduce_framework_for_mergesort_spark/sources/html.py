@@ -30,7 +30,7 @@ Pieces (each independently testable, composed by the Arrow pass):
   parsers, where structural damage is loud).
 * ``audit_http_extractions`` — the distributed operator: one Arrow
   pass over ``read_warc`` output classifying every ``response`` record
-  ``ok | corrupt | unsupported_encoding | non_200`` with its reason,
+  ``ok | corrupt | unsupported_encoding | non_200 | non_text`` with its reason,
   status, content-encoding, mime, charset, and (when ok) the extracted
   text.  br/zstd content-encodings land in ``unsupported_encoding``
   with a count a crawl audit can report, instead of raising per-record
@@ -401,6 +401,21 @@ HTTP_EXTRACT_SCHEMA = (
 )
 
 
+#: 200-response mimes whose bodies ARE text once charset-decoded.
+#: text/* plus the structured-text application types crawls carry;
+#: everything else (image/*, application/pdf, octet-stream, fonts,
+#: archives) is binary — decoding it to str would manufacture mojibake
+#: documents.
+_TEXTUAL_MIME_RE = re.compile(
+    r"^text/|([+/](html|xml|json)$)|^application/(xml|json|javascript|"
+    r"x-javascript|ecmascript|xhtml)"
+)
+
+
+def _is_textual_mime(mime: str) -> bool:
+    return bool(_TEXTUAL_MIME_RE.search(mime))
+
+
 def _classify_and_extract(payload: bytes) -> dict:
     """One record's extraction, classified — the single-row kernel of
     ``audit_http_extractions`` (unit-testable without Spark)."""
@@ -438,9 +453,18 @@ def _classify_and_extract(payload: bytes) -> dict:
         out["extract_class"] = "non_200"
         out["extract_err"] = f"http status {status}"
         return out
+    mime = out["mime"]
+    if mime is not None and not _is_textual_mime(mime):
+        # round-10 review: a 200 carrying image/pdf/octet-stream bytes
+        # must NOT be charset-decoded into mojibake and tagged ok —
+        # binary payloads are a countable class of their own, never a
+        # text row in the clean feed
+        out["extract_class"] = "non_text"
+        out["extract_err"] = f"binary mime {mime!r}"
+        return out
     text, charset = decode_html_bytes(ctype, body)
     out["charset"] = charset
-    if out["mime"] is None or "html" in out["mime"]:
+    if mime is None or "html" in mime:
         # missing content-type on a 200 response: sniffing HTML is the
         # crawl convention (servers lie; bytes don't)
         text = html_to_text(text)
@@ -455,7 +479,7 @@ def audit_http_extractions(records: DataFrame) -> DataFrame:
     Arrow pass over ``read_warc`` output (``response`` records only)
     that runs the full HTTP extraction chain per record and tags every
     row ``extract_class in (ok, corrupt, unsupported_encoding,
-    non_200)`` with status/encoding/mime/charset — so a crawl audit
+    non_200, non_text)`` with status/encoding/mime/charset — so a crawl audit
     reports "N records br, M corrupt, K non-200" in one pass instead
     of dying on the first bad record.  Map-only: no shuffle; the raw
     payload column is projected away here."""
@@ -490,7 +514,7 @@ def warc_responses_to_documents(records: DataFrame) -> DataFrame:
     """The clean feed: crawl ``response`` records → ``(url, mime,
     charset, text, warc_file, record_idx)`` rows ready for
     ``pipelines.curate_documents``.  Quarantined classes (corrupt /
-    unsupported_encoding / non_200) are filtered here — run
+    unsupported_encoding / non_200 / non_text) are filtered here — run
     ``audit_http_extractions`` directly when you need them counted."""
     return audit_http_extractions(records).where(F.col("extract_ok")).select(
         "url", "mime", "charset", "text", "warc_file", "record_idx"

@@ -166,6 +166,24 @@ def test_non_html_mime_skips_tag_strip():
     assert row["mime"] == "text/csv"
 
 
+def test_binary_mime_is_counted_not_mojibake():
+    # round-10 review: a 200 carrying image/pdf/font bytes must not be
+    # charset-decoded into a mojibake "document" tagged ok
+    for mime in ("image/jpeg", "application/pdf",
+                 "application/octet-stream", "font/woff2"):
+        r = H.synthesize_http_response(
+            b"\x89\xff\xd8\x00binary payload bytes", content_type=mime
+        )
+        row = H._classify_and_extract(r)
+        assert not row["extract_ok"] and row["extract_class"] == "non_text"
+        assert row["text"] is None and mime in row["extract_err"]
+    # structured-text application types and +xml suffixes stay text
+    for mime in ("application/json", "application/xhtml+xml",
+                 "image/svg+xml", "text/plain"):
+        r = H.synthesize_http_response(b"payload", content_type=mime)
+        assert H._classify_and_extract(r)["extract_ok"], mime
+
+
 def test_audit_router_on_mixed_crawl(spark, tmp_path):
     """Round-9 verdict item 4 'done' criterion: an audit over a mixed
     fixture (ok/gzip/chunked/br/zstd/corrupt/404) quarantines exactly

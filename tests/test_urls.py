@@ -1,0 +1,191 @@
+"""URL operator tests (round 10, ``operators/urls.py``).
+
+Three layers: rule-level unit pins (each normalization rule and its
+NON-rule — what must stay unchanged), DuckDB cross-checks of the
+distributed operators (dedup / per-domain stats / per-domain cap) on a
+hand-built messy crawl table, and a plan pin that the whole family
+stays inside whole-stage codegen (zero Python, zero UDFs).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_for_mergesort_spark.operators import urls as U
+
+
+def _norm(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(U.normalize_url(F.lit(url)).alias("u"))
+        .collect()[0]["u"]
+    )
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # case + default port + empty path + fragment + userinfo
+        ("HTTP://User:pw@WWW.Ex.COM:80#frag", "http://www.ex.com/"),
+        ("https://Ex.Com:443/a", "https://ex.com/a"),
+        # NON-rules: path case kept, non-default port kept
+        ("http://ex.com:8080/Keep/Case", "http://ex.com:8080/Keep/Case"),
+        # tracking strip + sort + empty-param drop
+        (
+            "http://ex.com/p?utm_source=x&b=2&&a=1&fbclid=Z&gclid=Y&ref=r",
+            "http://ex.com/p?a=1&b=2",
+        ),
+        # query that strips to nothing loses its '?'
+        ("http://ex.com/p?utm_campaign=only", "http://ex.com/p"),
+        # params sort byte-lexicographically, values untouched
+        ("http://ex.com/?b=UPPER&a=Mixed#x", "http://ex.com/?a=Mixed&b=UPPER"),
+        # https default port on http scheme is NOT default -> kept
+        ("http://ex.com:443/x", "http://ex.com:443/x"),
+    ],
+)
+def test_normalize_rules(spark, raw, expected):
+    assert _norm(spark, raw) == expected
+
+
+def test_normalize_idempotent(spark):
+    raws = [
+        "HTTP://A.B.Co.UK:80/X?b=2&a=1#f",
+        "https://ex.com/",
+        "http://ex.com:8080/p?z=1",
+    ]
+    once = [_norm(spark, r) for r in raws]
+    twice = [_norm(spark, o) for o in once]
+    assert once == twice
+
+
+@pytest.mark.parametrize(
+    "host,domain",
+    [
+        ("www.shop.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("a.b.c.gov.au", "c.gov.au"),
+        # 'co' second-level only under 2-letter TLDs: foo.co.com is a
+        # plain .com domain
+        ("x.foo.co.com", "co.com"),
+        ("localhost", "localhost"),
+    ],
+)
+def test_registrable_domain(spark, host, domain):
+    got = (
+        spark.range(1)
+        .select(U.registrable_domain(F.lit(host)).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert got == domain
+
+
+def _crawl_rows():
+    """Messy crawl: one page under three syntactic variants, a second
+    page on the same domain, two more domains (one co.uk), so every
+    operator has collapses AND survivors to prove."""
+    return [
+        (1, "http://Blog.Ex.COM:80/post/1?utm_source=a"),
+        (2, "http://blog.ex.com/post/1"),
+        (3, "http://blog.ex.com/post/1#comments"),
+        (4, "https://shop.ex.com/item/7?b=2&a=1"),
+        (5, "https://shop.ex.com/item/7?a=1&b=2"),
+        (6, "http://news.site.co.uk/story"),
+        (7, "http://other.org/"),
+        (8, "http://other.org"),
+    ]
+
+
+def test_dedup_by_url_vs_duckdb(spark):
+    df = spark.createDataFrame(_crawl_rows(), "doc_id long, url string")
+    got = sorted(
+        (r["doc_id"], r["url"])
+        for r in U.dedup_by_url(df, order_col="doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(doc_id BIGINT, url VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", _crawl_rows())
+    # the oracle normalizes with an independent SQL reimplementation
+    # of the documented rules (string ops only, no regex reuse)
+    expect = con.execute(
+        """
+        WITH n AS (
+          SELECT doc_id, url,
+                 -- strip scheme/userinfo/fragment, lowercase host, drop
+                 -- default port, sort+strip query (the fixture's params
+                 -- are single-char keys, so lexicographic sort == list_sort)
+                 lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+                 || lower(regexp_extract(url,
+                        '^[A-Za-z]+://(?:[^@/]*@)?([^:/?#]*)', 1))
+                 || CASE WHEN regexp_extract(url,
+                        '^[A-Za-z]+://[^/?#]*:([0-9]+)', 1)
+                        IN ('', '80', '443')
+                        THEN ''
+                        ELSE ':' || regexp_extract(url,
+                             '^[A-Za-z]+://[^/?#]*:([0-9]+)', 1) END
+                 || CASE WHEN regexp_extract(url,
+                        '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) = ''
+                        THEN '/'
+                        ELSE regexp_extract(url,
+                             '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) END
+                 || CASE WHEN length(list_aggregate(list_sort(
+                        list_filter(string_split(
+                            regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                            p -> p <> '' AND NOT regexp_matches(p,
+                                 '^(utm_|fbclid|gclid|ref)'))),
+                        'string_agg', '&')) > 0
+                        THEN '?' || list_aggregate(list_sort(
+                             list_filter(string_split(
+                                 regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                                 p -> p <> '' AND NOT regexp_matches(p,
+                                      '^(utm_|fbclid|gclid|ref)'))),
+                             'string_agg', '&')
+                        ELSE '' END AS uk
+          FROM t
+        )
+        SELECT doc_id, url FROM (
+          SELECT doc_id, url,
+                 ROW_NUMBER() OVER (PARTITION BY uk ORDER BY doc_id, url)
+                   AS rn
+          FROM n
+        ) WHERE rn = 1 ORDER BY doc_id
+        """
+    ).fetchall()
+    assert got == [(d, u) for d, u in expect]
+    # the collapses are the ones the fixture plants: 1/2/3 -> 1,
+    # 4/5 -> 4, 7/8 -> 7
+    assert [d for d, _u in got] == [1, 4, 6, 7]
+
+
+def test_per_domain_stats(spark):
+    df = spark.createDataFrame(_crawl_rows(), "doc_id long, url string")
+    got = {
+        r["domain"]: (r["n_pages"], r["n_urls"], r["n_hosts"])
+        for r in U.per_domain_stats(df).collect()
+    }
+    assert got == {
+        "ex.com": (5, 2, 2),       # blog (3 variants->1) + shop (2->1)
+        "site.co.uk": (1, 1, 1),   # the co.uk rule at site grain
+        "other.org": (2, 1, 1),    # '' path and '/' collapse
+    }
+
+
+def test_cap_per_domain(spark):
+    df = spark.createDataFrame(_crawl_rows(), "doc_id long, url string")
+    got = sorted(
+        r["doc_id"] for r in U.cap_per_domain(df, 2, order_col="doc_id")
+        .collect()
+    )
+    # ex.com keeps docs 1,2 (first two by doc_id); others under cap
+    assert got == [1, 2, 6, 7, 8]
+
+
+def test_url_family_is_pure_codegen(spark):
+    df = spark.createDataFrame(_crawl_rows(), "doc_id long, url string")
+    plan = U.with_url_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "pythonUDF" not in plan
