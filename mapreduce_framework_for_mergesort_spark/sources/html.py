@@ -201,6 +201,109 @@ class _TextExtractor(HTMLParser):
         return "\n".join(self._lines)
 
 
+class _LinkExtractor(HTMLParser):
+    """Collects ``<a href>`` targets (and ``<link rel=canonical>``)
+    outside skipped subtrees — the out-link half of a crawl page, the
+    input to the domain link graph (``operators/urls.py``)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+        elif tag == "link":
+            d = dict(attrs)
+            if d.get("rel", "").lower() == "canonical" and d.get("href"):
+                self.hrefs.append(d["href"])
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+
+
+def extract_links(markup: str, base_url: str | None = None) -> list[str]:
+    """``<a href>`` / canonical targets of a page, in document order,
+    resolved against ``base_url`` when given (stdlib ``urljoin`` —
+    relative hrefs are the common case in real pages), filtered to
+    http(s) (mailto:/javascript:/fragment-only links are page chrome,
+    not graph edges).  Duplicates preserved — edge WEIGHT is signal;
+    the graph builder aggregates."""
+    from urllib.parse import urljoin
+
+    p = _LinkExtractor()
+    p.feed(markup)
+    p.close()
+    out = []
+    for href in p.hrefs:
+        if href.startswith("#"):
+            # fragment-only href: urljoin would resolve it to the page
+            # itself — an in-page anchor, not a graph edge
+            continue
+        url = urljoin(base_url, href) if base_url else href
+        if url.startswith(("http://", "https://")):
+            out.append(url)
+    return out
+
+
+PAGE_LINK_SCHEMA = "url string, link string"
+
+
+def extract_page_links(records: DataFrame) -> DataFrame:
+    """Distributed out-link extraction over ``read_warc`` output: the
+    same classify-and-decode chain as ``audit_http_extractions``, but
+    fanned out one row per (page, resolved link) — the edge list a
+    link graph / domain-authority pass consumes.  Map-only Arrow pass
+    (``mapInPandas`` because the fan-out is one-to-many); quarantined
+    records contribute zero edges, they never kill the pass."""
+    resp = records.where(F.col("warc_type") == "response")
+
+    def ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            links: list[str] = []
+            for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
+                row = _classify_and_extract_html(bytes(payload))
+                if row is None:
+                    continue
+                for link in extract_links(row, base_url=uri):
+                    urls.append(uri)
+                    links.append(link)
+            yield pd.DataFrame({"url": urls, "link": links})
+
+    return resp.mapInPandas(ex, PAGE_LINK_SCHEMA)
+
+
+def _classify_and_extract_html(payload: bytes) -> str | None:
+    """Markup (pre-tag-strip str) of an ok HTML 200, else None — the
+    decode front end of link extraction.  Links live in the tags
+    ``_classify_and_extract`` strips, so this stops one step earlier
+    in the same chain; quarantine classes all map to None (counted by
+    the audit operator, not here)."""
+    try:
+        status, headers, raw = W._http_split(payload)
+        body = W._decode_http_body(headers, raw)
+    except (ValueError, NotImplementedError):
+        return None
+    if status != 200:
+        return None
+    ctype = headers.get("content-type", "")
+    mime = ctype.split(";", 1)[0].strip().lower() or None
+    if mime is not None and "html" not in mime:
+        return None
+    markup, _charset = decode_html_bytes(ctype, body)
+    return markup
+
+
 def html_to_text(markup: str) -> str:
     """HTML → visible text: script/style/template/noscript dropped,
     entities decoded, block boundaries → ``\\n``, whitespace runs

@@ -282,3 +282,133 @@ def test_read_warc_member_idx_is_the_seek_contract(spark, tmp_path):
         W.synthesize_warc(recs, gzip_members=False))
     rows = W.read_warc(spark, str(tmp_path / "c.warc")).collect()
     assert all(r["member_idx"] is None for r in rows) and len(rows) == 5
+
+
+# ---------------------------------------------------------------------------
+# Link extraction + domain graph (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_rules():
+    page = (
+        '<html><head><link rel="canonical" href="https://ex.com/canon">'
+        '<script>var a = \'<a href="http://trap.com/x">\';</script>'
+        "</head><body>"
+        '<a href="/rel/path">rel</a>'
+        '<a href="other.html">sibling</a>'
+        '<a href="http://abs.org/p">abs</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="#frag">frag</a>'
+        '<a href="http://abs.org/p">dup kept</a>'
+        "</body></html>"
+    )
+    got = H.extract_links(page, base_url="http://ex.com/dir/page.html")
+    assert got == [
+        "https://ex.com/canon",
+        "http://ex.com/rel/path",
+        "http://ex.com/dir/other.html",
+        "http://abs.org/p",
+        "http://abs.org/p",  # duplicates preserved: edge weight
+    ]
+    # script-embedded markup never contributes links
+    assert not any("trap.com" in u for u in got)
+    # without a base, relative links cannot resolve and are dropped
+    assert H.extract_links(page) == [
+        "https://ex.com/canon", "http://abs.org/p", "http://abs.org/p"
+    ]
+
+
+def _link_records(spark):
+    import pandas as pd  # noqa: F401
+    from mapreduce_framework_for_mergesort_spark.sources import warc as W
+
+    def rec(idx, uri, payload):
+        return ("f.warc.gz", idx, idx, "response", f"<urn:{idx}>", uri,
+                W.WARC_FIXED_DATE, "application/http", len(payload),
+                payload)
+
+    page_a = (
+        b"<html><body>"
+        b'<a href="http://b.ex.com/1">x</a>'
+        b'<a href="https://c.org/2">y</a>'
+        b'<a href="/self">self</a></body></html>'
+    )
+    page_b = b'<html><body><a href="http://c.org/3">z</a></body></html>'
+    rows = [
+        rec(0, "http://a.ex.com/p0",
+            H.synthesize_http_response(page_a)),
+        rec(1, "http://b.ex.com/p1",
+            H.synthesize_http_response(page_b, chunked=True)),
+        rec(2, "http://dead.net/р404",
+            H.synthesize_http_response(b"<a href='http://x.com'>", status=404)),
+        rec(3, "http://img.net/i",
+            H.synthesize_http_response(b"\xff\xd8", content_type="image/jpeg")),
+        rec(4, "http://br.net/b",
+            H.synthesize_http_response(b"zz", content_encoding="br")),
+    ]
+    return spark.createDataFrame(rows, W.WARC_RECORD_SCHEMA)
+
+
+def test_extract_page_links_distributed(spark):
+    got = sorted(
+        (r["url"], r["link"])
+        for r in H.extract_page_links(_link_records(spark)).collect()
+    )
+    # non-200 / binary mime / unsupported encoding contribute ZERO
+    # edges and do not kill the pass; relative /self resolves
+    assert got == [
+        ("http://a.ex.com/p0", "http://a.ex.com/self"),
+        ("http://a.ex.com/p0", "http://b.ex.com/1"),
+        ("http://a.ex.com/p0", "https://c.org/2"),
+        ("http://b.ex.com/p1", "http://c.org/3"),
+    ]
+
+
+def test_domain_link_graph_and_pagerank(spark):
+    from mapreduce_framework_for_mergesort_spark.operators import urls as U
+
+    g = U.domain_link_graph(H.extract_page_links(_link_records(spark)))
+    edges = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in g.collect()
+    }
+    # a.ex.com -> b.ex.com and -> c.org; b -> c; the a->a self edge
+    # (page /self) dropped; domain grain folds hosts to ex.com
+    assert edges == {("ex.com", "c.org"): 2}
+    # keep_self retains the intra-site edges
+    g2 = U.domain_link_graph(
+        H.extract_page_links(_link_records(spark)), keep_self=True
+    )
+    edges2 = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in g2.collect()
+    }
+    assert edges2 == {("ex.com", "c.org"): 2, ("ex.com", "ex.com"): 2}
+
+    # pagerank vs an independent pure-Python power iteration
+    raw = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)]
+    df = spark.createDataFrame(
+        raw, "src_domain string, dst_domain string, weight long"
+    )
+    got = {
+        r["domain"]: r["rank"]
+        for r in U.pagerank_domains(df, n_iters=12).collect()
+    }
+
+    nodes = sorted({s for s, _d, _w in raw} | {d for _s, d, _w in raw})
+    out_w = {}
+    for s, _d, w in raw:
+        out_w[s] = out_w.get(s, 0) + w
+    rank = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(12):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in raw:
+            contrib[d] += rank[s] * (w / out_w[s])
+        rank = {
+            v: 0.15 / len(nodes) + 0.85 * contrib[v] for v in nodes
+        }
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], rel=1e-9), v
+    # the authority ordering the operator exists for
+    assert got["c"] > got["a"] > got["b"] or got["c"] > got["b"]
