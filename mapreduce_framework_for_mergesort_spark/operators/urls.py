@@ -286,6 +286,12 @@ def pagerank_domains(
     shares.cache()
     nodes.cache()
     n = nodes.count()  # bounded: domain cardinality
+    if n == 0:
+        shares.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "domain", F.lit(0.0).alias("rank")
+        )  # empty graph -> empty ranks, not a ZeroDivision
     ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
         contrib = (
@@ -312,6 +318,9 @@ def pagerank_domains(
         # keep the lineage bounded: each iteration's plan would nest
         # the previous one's join tree ten deep otherwise
         ranks = ranks.localCheckpoint(eager=True)
+    # the final ranks are checkpointed — the cached inputs can go
+    shares.unpersist()
+    nodes.unpersist()
     return ranks
 
 

@@ -189,3 +189,10 @@ def test_url_family_is_pure_codegen(spark):
     plan = U.with_url_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "pythonUDF" not in plan
+
+
+def test_pagerank_empty_graph(spark):
+    df = spark.createDataFrame(
+        [], "src_domain string, dst_domain string, weight long"
+    )
+    assert U.pagerank_domains(df, n_iters=3).collect() == []
