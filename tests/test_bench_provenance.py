@@ -158,6 +158,15 @@ def test_record_bench_provenance_side_artifact(tmp_path, monkeypatch):
     )
     assert v4["delta_verdict_counts"] == {"noise": 1, "new_key": 1}
 
+    # past the envelope but inside the host's measured 1.6x same-code
+    # swing ceiling: AMBIGUOUS -> 'watch', not 'signal'
+    v5 = bench._record_bench_provenance(
+        str(d), 2.0, {"q": 1.74, "q_new": 0.8}
+    )  # 1.74/1.2 = 1.45: env 1.3 < ratio < ceiling 1.6
+    assert v5["delta_verdict_counts"] == {"watch": 1, "noise": 1}
+    assert v5["delta_watch_keys"] == {"q": 1.45}
+    assert v5["delta_signal_keys"] == {}
+
     for i in range(25):  # bounded history
         bench._record_bench_provenance(str(d), 2.0 + i, {"q": 1.0})
     doc = json.load(open(tmp_path / "BENCH_PROVENANCE.json"))
