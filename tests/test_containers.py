@@ -920,3 +920,16 @@ def test_dispatch_through_modality_stubs():
         M.decode_stub(C.synthesize_mp3(data), "mp3")
     assert len(M.frame_stub(C.synthesize_mp4(data), "mp4")) == 1
     assert len(M.frame_stub(C.synthesize_mp3(data), "mp3")) == 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=600))
+def test_fmp4_property_round_trip(data):
+    p = C.synthesize_fmp4(data)
+    assert len(p) == C.fmp4_n_bytes(len(data))
+    t = C._first_audio_track(C.parse_mp4(p))
+    assert t.n_samples == len(data)
+    assert sum(sz for _o, sz in t.chunks) == 2 * len(data)
+    # fragmented and progressive layouts carry the same PCM, so the
+    # whole feature vector must agree for ANY payload
+    assert C.decode_mp4(p) == C.decode_mp4(C.synthesize_mp4(data))

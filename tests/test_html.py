@@ -412,3 +412,57 @@ def test_domain_link_graph_and_pagerank(spark):
         assert got[v] == pytest.approx(rank[v], rel=1e-9), v
     # the authority ordering the operator exists for
     assert got["c"] > got["a"] > got["b"] or got["c"] > got["b"]
+
+
+def test_crawl_feed_composes_with_continuous_ingestion(spark, tmp_path):
+    """The glue contract: a crawl read through the round-10 WET chain
+    feeds streaming/ingest.accept_batch, and a RECRAWL (same pages,
+    second epoch) is rejected wholesale by the persisted index while
+    genuinely new pages land — first-arrival-wins across crawls, the
+    semantics a continuously-recrawled corpus needs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_for_mergesort_spark.streaming import (
+        ingest as I,
+    )
+
+    def crawl_to_batch(rows, subdir):
+        d = tmp_path / subdir
+        d.mkdir()
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        for r in H.html_crawl_shard_bytes(docs, n_shards=2).collect():
+            with open(d / f"s-{r['shard_id']}.warc.gz", "wb") as f:
+                f.write(bytes(r["data"]))
+        back = W.read_warc(spark, os.path.join(str(d), "*.warc.gz"))
+        ext = H.warc_responses_to_documents(back)
+        return ext.select(
+            F.element_at(F.split("url", "/"), -1).cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+
+    crawl1 = [(1, "the quick brown fox jumps over a lazy dog"),
+              (2, "pack my box with five dozen liquor jugs today ok"),
+              (3, "sphinx of black quartz judge my vow now please")]
+    out, idx = str(tmp_path / "corpus"), str(tmp_path / "index")
+    I.accept_batch(crawl_to_batch(crawl1, "c1"), idx, out, epoch=1)
+    assert {
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    } == {1, 2, 3}
+
+    # recrawl: pages 1-3 again (byte-identical extractions) + two new
+    crawl2 = crawl1 + [
+        (4, "how vexingly quick daft zebras jump over fences"),
+        (5, "the five boxing wizards jump quickly tonight again"),
+    ]
+    I.accept_batch(crawl_to_batch(crawl2, "c2"), idx, out, epoch=2)
+    got = {r["doc_id"]: r["text"]
+           for r in I.read_corpus(spark, out).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # recrawled copies rejected
+    # the surviving rows carry the EXTRACTED text (charset/transport
+    # round-tripped through the crawl container), not page markup
+    assert got[4] == H.expected_extracted_text(
+        4, "how vexingly quick daft zebras jump over fences"
+    )

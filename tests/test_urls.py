@@ -196,3 +196,73 @@ def test_pagerank_empty_graph(spark):
         [], "src_domain string, dst_domain string, weight long"
     )
     assert U.pagerank_domains(df, n_iters=3).collect() == []
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_URLS = st.builds(
+    lambda scheme, user, host, port, path, params, frag: (
+        scheme
+        + "://"
+        + (user + "@" if user else "")
+        + host
+        + port
+        + path
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.sampled_from(["", "u", "User:pw"]),
+    st.sampled_from(
+        ["ex.com", "WWW.Ex.COM", "a.b.co.uk", "Sub.Host.ORG", "localhost"]
+    ),
+    st.sampled_from(["", ":80", ":443", ":8080", ":65000"]),
+    st.sampled_from(["", "/", "/A/b", "/p%20q", "/Item/9"]),
+    st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=Z", "utm_source=x", "fbclid=1", "ref=r", ""]
+        ),
+        max_size=4,
+    ),
+    st.sampled_from(["", "#f", "#frag-2"]),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_URLS, min_size=1, max_size=6, unique=True))
+def test_property_normalize_invariants(spark, urls):
+    """For any URL from the grammar: normalization is idempotent, the
+    output never carries userinfo/fragment/default-port/tracking
+    params, params are sorted, and the host is lowercase."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [
+        r["n"] for r in df.select(
+            U.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    twice = [
+        r["n"] for r in spark.createDataFrame([(u,) for u in once],
+                                              "url string")
+        .select(U.normalize_url(F.col("url")).alias("n")).collect()
+    ]
+    assert once == twice
+    for n in once:
+        head, _, tail = n.partition("://")
+        assert head in ("http", "https")
+        assert "@" not in tail.split("/", 1)[0]
+        assert "#" not in n
+        authority = tail.split("/", 1)[0]
+        host, _, port = authority.partition(":")
+        assert host == host.lower()
+        # default port FOR ITS SCHEME is stripped; the other scheme's
+        # default is an ordinary non-default port and is kept
+        assert not (head == "http" and port == "80")
+        assert not (head == "https" and port == "443")
+        if "?" in n:
+            q = n.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts) and all(parts)
+            assert not any(
+                p.startswith(("utm_", "fbclid", "gclid", "ref="))
+                for p in parts
+            )
