@@ -481,6 +481,23 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE strlen(text) > 0
     UNION ALL
     SELECT doc_id,
+           'fmp4' AS modality,
+           -- fragmented layout (round 10): temporal units = per-trun
+           -- runs (16 samples each, mirroring the progressive chunk
+           -- grouping), every 2nd sampled; each unit re-encodes
+           -- through the shared progressive writer, so the size
+           -- closed form is the SAME as the mp4 branch's — pinning
+           -- that fragment resolution yields byte-identical units
+           CAST(((strlen(text) + {CT.MP4_SAMPLES_PER_CHUNK - 1})
+                 // {CT.MP4_SAMPLES_PER_CHUNK} + 1) // 2 AS BIGINT)
+               AS n_frames,
+           CAST({CT.MP4_EMPTY + 24}
+                + 2 * least(strlen(text), {CT.MP4_SAMPLES_PER_CHUNK})
+                AS BIGINT) AS first_frame_bytes
+    FROM documents
+    WHERE strlen(text) > 0
+    UNION ALL
+    SELECT doc_id,
            'mp3' AS modality,
            -- units = MPEG frames (284 payload bytes each at the
            -- synthesis profile), every 2nd; extraction is the raw
@@ -510,7 +527,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_frame_bytes pins; the mp4 branch (round 9) extracts every
     2nd sample-table CHUNK through the real stsc/stco resolution, each
     re-encoded as a standalone decodable mp4 whose closed-form size
-    first_frame_bytes pins; and the mp3 branch walks the real MPEG
+    first_frame_bytes pins; the fmp4 branch (round 10) extracts the
+    same temporal units through the FRAGMENTED moof/trun resolution —
+    its oracle block is byte-identical to the mp4 branch's, which is
+    the pin that fragment resolution yields the same units; and the
+    mp3 branch walks the real MPEG
     frame syncs past the ID3v2 tag and samples every 2nd byte-delimited
     frame.  The mapInPandas 1→N plumbing is exercised
     for real, and its row arithmetic is exactly verified."""
@@ -528,6 +549,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(M.binarize_jpeg_color_documents(reps))
         .unionByName(M.binarize_video_documents(reps))
         .unionByName(CT.binarize_mp4_documents(reps))
+        .unionByName(CT.binarize_fmp4_documents(reps))
         .unionByName(CT.binarize_mp3_documents(reps))
     )
     frames = M.sample_frames(b, every_n=2)
