@@ -92,6 +92,8 @@ def curate_documents(
     split_mode: str = "hash",
     split_state_path: str | None = None,
     split_epoch: int | None = None,
+    url_col: str | None = None,
+    max_pages_per_domain: int | None = None,
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
@@ -176,10 +178,19 @@ def curate_documents(
       ``prepare_training_shards``' straddle quarantine is one
       aggregate over it, not a second candidate generation.
 
-    Redaction runs FIRST (before features and dedup) so documents that
-    differ only in embedded PII become exact duplicates and collapse,
-    and no PII influences quality/language scores or ships in any
-    output row.
+    ``url_col`` (optional, round 10) turns on the URL tier for crawl
+    corpora: ``operators/urls.dedup_by_url`` collapses canonical-URL
+    variants (recrawls, tracking params, case/port/fragment noise)
+    BEFORE anything else — it is the cheapest dedup tier and shrinks
+    everything downstream — and ``max_pages_per_domain`` (requires
+    ``url_col``) applies ``urls.cap_per_domain``, the anti-SEO-farm
+    page budget at registrable-domain grain, before content-level
+    near-dedup ever sees the farm's pages.
+
+    Redaction runs FIRST among the content stages (before features and
+    dedup) so documents that differ only in embedded PII become exact
+    duplicates and collapse, and no PII influences quality/language
+    scores or ships in any output row.
     """
     from mapreduce_framework_for_mergesort_spark.operators.text import (
         redact_pii,
@@ -201,6 +212,18 @@ def curate_documents(
             "split_mode='stable' reserves for its routing-cluster "
             "label — rename the input column"
         )
+    if max_pages_per_domain is not None and url_col is None:
+        raise ValueError("max_pages_per_domain requires url_col")
+    if url_col is not None:
+        from mapreduce_framework_for_mergesort_spark.operators import (
+            urls as _urls,
+        )
+
+        documents = _urls.dedup_by_url(documents, url_col=url_col)
+        if max_pages_per_domain is not None:
+            documents = _urls.cap_per_domain(
+                documents, max_pages_per_domain, url_col=url_col
+            )
     if redact:
         documents = redact_pii(documents)
     if strip_spans:

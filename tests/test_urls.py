@@ -266,3 +266,44 @@ def test_property_normalize_invariants(spark, urls):
                 p.startswith(("utm_", "fbclid", "gclid", "ref="))
                 for p in parts
             )
+
+
+def test_curate_documents_url_tier(spark):
+    """The URL tier composes into the official pipeline: canonical-URL
+    variants collapse before content dedup, the per-domain cap bounds
+    a link farm, and the survivors flow through to splits as usual."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    texts = [
+        "the quick brown fox jumps over the lazy sleeping dog",
+        "please pack the box with the things that we need for the trip",
+        "sphinx of black quartz judge my vow in the morning",
+        "this is the story of the day when the rain would not stop falling",
+        "the five boxing wizards jump quickly across the ring",
+        "there are many people in the town and they all know the old way",
+        "we promptly judged antique ivory buckles for the prize",
+    ]
+    rows = (
+        # one page, three canonical-URL variants (identical text)
+        [(i, f"http://Blog.Ex.COM:80/post?utm_source={i}", texts[0])
+         for i in (1, 2, 3)]
+        # a 5-page SEO farm on one domain, lexically distinct texts
+        + [(10 + i, f"http://farm.spam/page/{i}", texts[1 + i])
+           for i in range(5)]
+        # one normal page elsewhere
+        + [(20, "https://good.org/article", texts[6])]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = pipelines.curate_documents(
+        df, min_quality=0.0, langs=("en",),
+        url_col="url", max_pages_per_domain=2,
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # variants -> 1 survivor (doc 1, min url order after normalization
+    # ties broken by raw url); farm capped to 2; good page kept
+    assert got == [1, 10, 11, 20]
+    assert set(out.columns) >= {"doc_id", "url", "text", "split"}
+
+    # the cap without a url column is a loud config error
+    with pytest.raises(ValueError, match="requires url_col"):
+        pipelines.curate_documents(df, max_pages_per_domain=2)
