@@ -1,0 +1,135 @@
+"""robots.txt parsing + compliance audit (round 10,
+``sources/robots.py``) — RFC 9309 semantics pinned against the RFC's
+own examples, then the distributed audit over a multi-host crawl."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_framework_for_mergesort_spark.sources import robots as R
+
+EXAMPLE = """
+# comments are stripped
+User-agent: googlebot-news
+Disallow: /news/archive
+
+User-agent: *
+Disallow: /private/
+Allow: /private/public$
+Crawl-delay: 2.5
+
+User-agent: examplebot
+User-agent: otherbot
+Allow: /folder
+Disallow: /folder*x
+Sitemap: https://ex.com/sitemap.xml
+
+User-agent: examplebot
+Disallow: /merged/
+"""
+
+
+def _decide(agent, path, text=EXAMPLE):
+    return R.RobotsMatcher(R.parse_robots(text), agent).decide(path)
+
+
+def test_parse_shapes():
+    p = R.parse_robots(EXAMPLE)
+    assert [g["agents"] for g in p["groups"]] == [
+        ["googlebot-news"], ["*"], ["examplebot", "otherbot"],
+        ["examplebot"],
+    ]
+    assert p["sitemaps"] == ["https://ex.com/sitemap.xml"]
+    assert p["groups"][1]["crawl_delay"] == 2.5
+
+
+def test_group_selection_longest_agent_prefix():
+    # product token 'examplebot/1.2' prefix-matches 'examplebot'
+    assert _decide("ExampleBot/1.2", "/folder/a") == (True, "/folder")
+    # an agent nobody names falls back to '*'
+    assert _decide("strangerbot", "/private/x")[0] is False
+    # groups naming the chosen token MERGE their rules
+    assert _decide("examplebot", "/merged/doc")[0] is False
+
+
+def test_longest_match_wins_and_allow_breaks_ties():
+    # /private/public$ (15 chars + anchor) beats /private/ (9)
+    assert _decide("anybot", "/private/public") == (
+        True, "/private/public$")
+    # ...but the anchor makes it exact: a longer path falls back
+    assert _decide("anybot", "/private/public2")[0] is False
+    # wildcard pattern: /folder*x matches /folder/ax and outranks
+    # /folder (9 > 7)
+    assert _decide("examplebot", "/folder/ax") == (False, "/folder*x")
+    # equal length -> Allow wins (RFC 9309 §2.2.2)
+    tie = "User-agent: *\nDisallow: /p\nAllow: /p\n"
+    assert _decide("anybot", "/p", tie) == (True, "/p")
+
+
+def test_defaults_and_tolerance():
+    # no matching rule -> allowed; no rules at all -> allowed
+    assert _decide("anybot", "/open/page") == (True, None)
+    assert _decide("anybot", "/x", "") == (True, None)
+    # empty Disallow matches nothing (allow-all idiom)
+    assert _decide("anybot", "/x", "User-agent: *\nDisallow:\n") == (
+        True, None)
+    # junk lines, rule before any group, bad crawl-delay: all skipped
+    messy = "Disallow: /orphan\nnot a directive\nUser-agent: *\n" \
+            "Crawl-delay: soon\nDisallow: /real\n"
+    assert _decide("anybot", "/orphan", messy)[0] is True
+    assert _decide("anybot", "/real/x", messy)[0] is False
+    # the 500 KiB parsing cap drops the tail deterministically
+    big = "User-agent: *\n" + ("# pad\n" * 90_000) + "Disallow: /late\n"
+    assert len(big) > R.ROBOTS_MAX_BYTES
+    assert _decide("anybot", "/late", big)[0] is True
+
+
+def test_audit_robots_compliance_distributed(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "http://A.Ex.COM/private/x"),       # disallowed (*)
+            (2, "http://a.ex.com/private/public"),  # allowed ($ rule)
+            (3, "http://a.ex.com/open"),            # no rule -> allowed
+            (4, "http://other.org/anything"),       # no robots row
+            (5, "http://a.ex.com/news/archive/p"),  # '*' group for us
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a.ex.com", EXAMPLE)], "host string, robots_txt string"
+    )
+    got = {
+        r["url"]: r
+        for r in R.audit_robots_compliance(
+            pages, robots, agent="mybot/2.0"
+        ).collect()
+    }
+    assert not got["http://A.Ex.COM/private/x"]["allowed"]
+    assert got["http://A.Ex.COM/private/x"]["rule"] == "/private/"
+    assert got["http://A.Ex.COM/private/x"]["crawl_delay"] == 2.5
+    assert got["http://a.ex.com/private/public"]["allowed"]
+    assert got["http://a.ex.com/open"]["allowed"]
+    assert got["http://a.ex.com/open"]["rule"] is None
+    # googlebot-news group does not apply to mybot: /news allowed
+    assert got["http://a.ex.com/news/archive/p"]["allowed"]
+    row4 = got["http://other.org/anything"]
+    assert row4["allowed"] and not row4["robots_found"]
+    # the governance loop: the disallowed set is exactly what a
+    # takedown pass would retract
+    bad = [u for u, r in got.items() if not r["allowed"]]
+    assert bad == ["http://A.Ex.COM/private/x"]
+
+
+def test_audit_query_string_is_judged(spark):
+    pages = spark.createDataFrame(
+        [(1, "http://h.com/search?q=secret"), (2, "http://h.com/search")],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("h.com", "User-agent: *\nDisallow: /search?*\n")],
+        "host string, robots_txt string",
+    )
+    got = {r["url"]: r["allowed"]
+           for r in R.audit_robots_compliance(pages, robots, "b").collect()}
+    assert got == {"http://h.com/search?q=secret": False,
+                   "http://h.com/search": True}
