@@ -210,6 +210,7 @@ class _LinkExtractor(HTMLParser):
         super().__init__(convert_charrefs=True)
         self._skip = 0
         self.hrefs: list[str] = []
+        self.canonicals: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
@@ -225,6 +226,7 @@ class _LinkExtractor(HTMLParser):
             d = dict(attrs)
             if d.get("rel", "").lower() == "canonical" and d.get("href"):
                 self.hrefs.append(d["href"])
+                self.canonicals.append(d["href"])
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
@@ -253,6 +255,52 @@ def extract_links(markup: str, base_url: str | None = None) -> list[str]:
         if url.startswith(("http://", "https://")):
             out.append(url)
     return out
+
+
+def extract_canonical(markup: str, base_url: str | None = None) -> str | None:
+    """The page's declared canonical URL (first ``<link
+    rel=canonical>``, resolved against ``base_url``), or None.  The
+    standard crawl-dedup signal: a page that POINTS at a canonical is
+    a declared duplicate of it — ``urls.dedup_by_url`` over
+    ``coalesce(canonical, url)`` collapses the family even when the
+    variant URLs don't normalize to each other."""
+    from urllib.parse import urljoin
+
+    p = _LinkExtractor()
+    p.feed(markup)
+    p.close()
+    for href in p.canonicals:
+        url = urljoin(base_url, href) if base_url else href
+        if url.startswith(("http://", "https://")):
+            return url
+    return None
+
+
+PAGE_CANONICAL_SCHEMA = "url string, canonical_url string"
+
+
+def page_canonicals(records: DataFrame) -> DataFrame:
+    """Distributed canonical extraction over ``read_warc`` output:
+    ``(url, canonical_url)`` with ``canonical_url = url`` for pages
+    declaring none — the join-ready shape for collapsing a crawl to
+    canonical grain (``urls.dedup_by_url(..., url_col=
+    'canonical_url')``).  Same decode chain as the link extractor;
+    quarantined records contribute zero rows."""
+    resp = records.where(F.col("warc_type") == "response")
+
+    def ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            canon: list[str] = []
+            for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
+                markup = _classify_and_extract_html(bytes(payload))
+                if markup is None:
+                    continue
+                urls.append(uri)
+                canon.append(extract_canonical(markup, uri) or uri)
+            yield pd.DataFrame({"url": urls, "canonical_url": canon})
+
+    return resp.mapInPandas(ex, PAGE_CANONICAL_SCHEMA)
 
 
 PAGE_LINK_SCHEMA = "url string, link string"

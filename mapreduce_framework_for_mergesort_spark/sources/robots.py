@@ -167,6 +167,72 @@ class RobotsMatcher:
         return best[1], best[2]
 
 
+def parse_sitemap(xml_text: str) -> dict:
+    """Sitemap XML → ``{kind: 'urlset' | 'sitemapindex', entries:
+    [{loc, lastmod}]}`` on stdlib ElementTree — the discovery format
+    robots.txt's ``Sitemap:`` lines point at, and the input an
+    incremental-recrawl planner diffs against the corpus (fetch pages
+    whose ``lastmod`` is newer than what the index ingested).
+    Namespace-agnostic (real sitemaps mix the 0.9 namespace, none, or
+    vendor ones); structural damage raises ValueError, the package's
+    quarantine-routable contract."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as ex:
+        raise ValueError(f"malformed sitemap XML: {ex}") from None
+    tag = root.tag.rsplit("}", 1)[-1].lower()
+    if tag not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document (root <{root.tag}>)")
+    entries = []
+    for child in root:
+        ctag = child.tag.rsplit("}", 1)[-1].lower()
+        if ctag not in ("url", "sitemap"):
+            continue
+        loc, lastmod = None, None
+        for field in child:
+            ftag = field.tag.rsplit("}", 1)[-1].lower()
+            if ftag == "loc":
+                loc = (field.text or "").strip() or None
+            elif ftag == "lastmod":
+                lastmod = (field.text or "").strip() or None
+        if loc:
+            entries.append({"loc": loc, "lastmod": lastmod})
+    return {"kind": tag, "entries": entries}
+
+
+SITEMAP_SCHEMA = "sitemap_host string, loc string, lastmod string"
+
+
+def sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
+                 xml_col: str = "sitemap_xml") -> DataFrame:
+    """Distributed sitemap fan-out: (host, xml) rows → one row per
+    listed URL with its lastmod — malformed documents contribute zero
+    rows instead of killing the pass (count them with a direct
+    ``parse_sitemap`` audit when needed).  Nested ``sitemapindex``
+    entries surface as rows too (their loc is the child sitemap URL —
+    fetching is the crawler's job, not this operator's)."""
+
+    def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, locs, mods = [], [], []
+            for host, xml in zip(pdf[host_col], pdf[xml_col]):
+                try:
+                    parsed = parse_sitemap(str(xml))
+                except ValueError:
+                    continue
+                for e in parsed["entries"]:
+                    hosts.append(host)
+                    locs.append(e["loc"])
+                    mods.append(e["lastmod"])
+            yield pd.DataFrame(
+                {"sitemap_host": hosts, "loc": locs, "lastmod": mods}
+            )
+
+    return sitemaps.mapInPandas(fan, SITEMAP_SCHEMA)
+
+
 ROBOTS_AUDIT_SCHEMA = (
     "url string, url_host string, allowed boolean, rule string, "
     "crawl_delay double, robots_found boolean"

@@ -466,3 +466,57 @@ def test_crawl_feed_composes_with_continuous_ingestion(spark, tmp_path):
     assert got[4] == H.expected_extracted_text(
         4, "how vexingly quick daft zebras jump over fences"
     )
+
+
+def test_extract_canonical_and_collapse(spark, tmp_path):
+    """rel=canonical is the declared-duplicate signal: pages pointing
+    at one canonical collapse with it through dedup_by_url over
+    coalesce(canonical, url) — even when the variant URLs do not
+    normalize to each other."""
+    import os
+
+    from mapreduce_framework_for_mergesort_spark.operators import urls as U
+
+    assert H.extract_canonical(
+        '<link rel="canonical" href="/the-one">x', "http://ex.com/v2"
+    ) == "http://ex.com/the-one"
+    assert H.extract_canonical("<p>none</p>") is None
+    # canonical inside a skipped subtree does not count
+    assert H.extract_canonical(
+        '<script>var x = \'<link rel="canonical" href="/t">\';</script>'
+    ) is None
+
+    def page(body: bytes) -> bytes:
+        return H.synthesize_http_response(body)
+
+    rows = [
+        ("f", 0, 0, "response", "<a>", "http://ex.com/print/1",
+         W.WARC_FIXED_DATE, "application/http", 0,
+         page(b'<link rel="canonical" href="http://ex.com/article/1">'
+              b"<p>print view</p>")),
+        ("f", 1, 1, "response", "<b>", "http://ex.com/article/1",
+         W.WARC_FIXED_DATE, "application/http", 0,
+         page(b"<p>the article itself</p>")),
+        ("f", 2, 2, "response", "<c>", "http://ex.com/other",
+         W.WARC_FIXED_DATE, "application/http", 0,
+         page(b"<p>unrelated</p>")),
+    ]
+    records = spark.createDataFrame(rows, W.WARC_RECORD_SCHEMA)
+    canon = H.page_canonicals(records)
+    got = {r["url"]: r["canonical_url"] for r in canon.collect()}
+    assert got == {
+        "http://ex.com/print/1": "http://ex.com/article/1",
+        "http://ex.com/article/1": "http://ex.com/article/1",
+        "http://ex.com/other": "http://ex.com/other",
+    }
+    # the collapse: dedup over the canonical key keeps one row per
+    # canonical family (record_idx order -> the print view, fetched
+    # first, survives; a production pipeline orders by preference)
+    docs = H.warc_responses_to_documents(records).join(canon, "url")
+    survivors = sorted(
+        r["url"]
+        for r in U.dedup_by_url(
+            docs, url_col="canonical_url", order_col="record_idx"
+        ).collect()
+    )
+    assert survivors == ["http://ex.com/other", "http://ex.com/print/1"]

@@ -133,3 +133,52 @@ def test_audit_query_string_is_judged(spark):
            for r in R.audit_robots_compliance(pages, robots, "b").collect()}
     assert got == {"http://h.com/search?q=secret": False,
                    "http://h.com/search": True}
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (the discovery format robots' Sitemap: lines point at)
+# ---------------------------------------------------------------------------
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://ex.com/a</loc><lastmod>2026-01-02</lastmod></url>
+  <url><loc>http://ex.com/b</loc></url>
+  <url><lastmod>2026-01-01</lastmod></url><!-- no loc: dropped -->
+</urlset>"""
+
+INDEX = """<sitemapindex>
+  <sitemap><loc>http://ex.com/sm-1.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap_and_index():
+    p = R.parse_sitemap(SITEMAP)
+    assert p["kind"] == "urlset"
+    assert p["entries"] == [
+        {"loc": "http://ex.com/a", "lastmod": "2026-01-02"},
+        {"loc": "http://ex.com/b", "lastmod": None},
+    ]
+    q = R.parse_sitemap(INDEX)  # namespace-free variant parses too
+    assert q["kind"] == "sitemapindex"
+    assert q["entries"][0]["loc"] == "http://ex.com/sm-1.xml"
+    with pytest.raises(ValueError, match="malformed"):
+        R.parse_sitemap("<urlset><url>")
+    with pytest.raises(ValueError, match="not a sitemap"):
+        R.parse_sitemap("<html></html>")
+
+
+def test_sitemap_urls_distributed(spark):
+    df = spark.createDataFrame(
+        [("ex.com", SITEMAP), ("bad.org", "not xml at all"),
+         ("idx.net", INDEX)],
+        "host string, sitemap_xml string",
+    )
+    got = sorted(
+        (r["sitemap_host"], r["loc"], r["lastmod"])
+        for r in R.sitemap_urls(df).collect()
+    )
+    assert got == [
+        ("ex.com", "http://ex.com/a", "2026-01-02"),
+        ("ex.com", "http://ex.com/b", None),
+        ("idx.net", "http://ex.com/sm-1.xml", None),
+    ]
