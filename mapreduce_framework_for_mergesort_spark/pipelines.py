@@ -94,6 +94,8 @@ def curate_documents(
     split_epoch: int | None = None,
     url_col: str | None = None,
     max_pages_per_domain: int | None = None,
+    quality_model: dict | None = None,
+    model_threshold: float = 0.5,
 ) -> DataFrame:
     """The full curation pipeline → surviving documents with a ``split``
     column (original columns preserved; features dropped after the
@@ -187,6 +189,14 @@ def curate_documents(
     page budget at registrable-domain grain, before content-level
     near-dedup ever sees the farm's pages.
 
+    ``quality_model`` (optional, round 10) adds the TRAINED filter
+    next to the heuristic one: a ``classifier.train_logreg`` model
+    scores every redacted document (map-only hashing-trick projection,
+    ``classifier.quality_filter_by_model``) and rows under
+    ``model_threshold`` drop alongside the heuristic quality/language
+    filter.  It runs after redaction (score the text that ships) and
+    before dedup (same reasoning as ``benchmark``).
+
     Redaction runs FIRST among the content stages (before features and
     dedup) so documents that differ only in embedded PII become exact
     duplicates and collapse, and no PII influences quality/language
@@ -226,6 +236,14 @@ def curate_documents(
             )
     if redact:
         documents = redact_pii(documents)
+    if quality_model is not None:
+        from mapreduce_framework_for_mergesort_spark.operators import (
+            classifier as _clf,
+        )
+
+        documents = _clf.quality_filter_by_model(
+            documents, quality_model, threshold=model_threshold
+        )
     if strip_spans:
         documents = (
             D.strip_dup_spans(documents, k=dup_span_k)

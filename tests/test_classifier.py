@@ -101,3 +101,26 @@ def test_train_validates_input(spark):
     )
     with pytest.raises(ValueError, match="labels"):
         C.train_logreg(badlab)
+
+
+def test_curate_documents_with_quality_model(spark):
+    """The trained filter composes into the pipeline next to the
+    heuristic one: spam drops by model score, the survivors flow
+    through splits unchanged."""
+    from mapreduce_framework_for_mergesort_spark import pipelines
+
+    model = C.train_logreg(_labeled(spark), n_iters=30, lr=1.0)
+    corpus = spark.createDataFrame(
+        [
+            (1, "the report described the plan and the method in detail"),
+            (2, "click now win free casino pills cheap bonus subscribe"),
+            (3, "the town council shared the published findings openly"),
+        ],
+        "doc_id long, text string",
+    )
+    out = pipelines.curate_documents(
+        corpus, min_quality=0.0, langs=("en", "und"),
+        quality_model=model,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    assert "split" in out.columns
