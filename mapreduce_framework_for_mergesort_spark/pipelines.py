@@ -194,8 +194,9 @@ def curate_documents(
     scores every redacted document (map-only hashing-trick projection,
     ``classifier.quality_filter_by_model``) and rows under
     ``model_threshold`` drop alongside the heuristic quality/language
-    filter.  It runs after redaction (score the text that ships) and
-    before dedup (same reasoning as ``benchmark``).
+    filter.  It runs after redaction AND after ``strip_spans`` (score
+    the text that actually ships — the strip rewrites it) and before
+    dedup (same reasoning as ``benchmark``).
 
     Redaction runs FIRST among the content stages (before features and
     dedup) so documents that differ only in embedded PII become exact
@@ -236,20 +237,22 @@ def curate_documents(
             )
     if redact:
         documents = redact_pii(documents)
-    if quality_model is not None:
-        from mapreduce_framework_for_mergesort_spark.operators import (
-            classifier as _clf,
-        )
-
-        documents = _clf.quality_filter_by_model(
-            documents, quality_model, threshold=model_threshold
-        )
     if strip_spans:
         documents = (
             D.strip_dup_spans(documents, k=dup_span_k)
             .drop("text", "n_tokens", "n_kept_tokens")
             .withColumnRenamed("stripped_text", "text")
             .where(F.col("text") != "")
+        )
+    if quality_model is not None:
+        # after strip_spans, deliberately: the model must score the
+        # text that actually ships, and the rewrite changes it
+        from mapreduce_framework_for_mergesort_spark.operators import (
+            classifier as _clf,
+        )
+
+        documents = _clf.quality_filter_by_model(
+            documents, quality_model, threshold=model_threshold
         )
     want_rep = max_dup_token_frac is not None
     keep = (F.col("quality") >= min_quality) & F.col("pred_lang").isin(
