@@ -30,6 +30,10 @@ Stages (each is the 100 TB-shaped operator documented in its module):
    per_domain_stats``), canonical-URL dedup (``dedup_by_url`` — the
    cheap tier before content near-dedup), and the per-domain page cap
    (``cap_per_domain``).
+4c. GOVERNANCE: RFC 9309 robots compliance audit
+   (``sources/robots.py audit_robots_compliance``) — disallowed pages
+   counted with their deciding rule and excluded (the set a takedown
+   pass would retract).
 5. MODALITY AUDIT: the same documents synthesized as mp4/mp3 payloads
    run through ``containers.audit_payload_parses`` — the row-level
    quarantine router over the container parsers.
@@ -184,6 +188,32 @@ def main() -> None:
         k=max(16, n_docs),  # demo corpus is one domain; cap stays loose
         order_col="record_idx",
     )
+
+    # 4c. GOVERNANCE: re-judge every crawled URL against its host's
+    # robots.txt (RFC 9309) — the retro-compliance audit whose
+    # disallowed set would feed retract_documents.  The demo host
+    # disallows /doc/ ids ending in 7 via a wildcard rule.
+    from mapreduce_framework_for_mergesort_spark.sources import (
+        robots as RB,
+    )
+
+    robots_tbl = spark.createDataFrame(
+        [("crawl.test",
+          "User-agent: *\nDisallow: /doc/*7$\nCrawl-delay: 1\n")],
+        "host string, robots_txt string",
+    )
+    audit7 = RB.audit_robots_compliance(
+        url_deduped, robots_tbl, agent="msfs-demo-bot"
+    )
+    disallowed = audit7.where(~F.col("allowed"))
+    n_dis = disallowed.count()
+    print(f"robots compliance: {n_dis} of {n_docs} pages disallowed "
+          f"for msfs-demo-bot (rule '/doc/*7$')")
+    assert n_dis == docs.where(F.col("doc_id") % 10 == 7).count()
+    url_deduped = url_deduped.join(
+        disallowed.select("url"), "url", "anti"
+    )
+
     recovered = url_deduped.select(
         F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),
         "text",
