@@ -233,6 +233,76 @@ def sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
     return sitemaps.mapInPandas(fan, SITEMAP_SCHEMA)
 
 
+def plan_recrawl(
+    sitemap_entries: DataFrame,
+    corpus: DataFrame,
+    url_col: str = "url",
+    fetched_at_col: str | None = None,
+) -> DataFrame:
+    """Incremental recrawl plan: sitemap entries diffed against the
+    ingested corpus → ``(loc, url_norm, lastmod_ts, fetched_at,
+    action)`` with ``action`` ∈
+
+    * ``new`` — listed, not in the corpus: fetch;
+    * ``refresh`` — in the corpus but ``lastmod`` is newer than the
+      page's ``fetched_at``: fetch again;
+    * ``current`` — in the corpus, no newer ``lastmod``: skip;
+    * ``unknown`` — in the corpus but freshness is undecidable (no
+      ``lastmod`` on the entry, or no ``fetched_at_col`` provided):
+      the caller's staleness policy decides.
+
+    Join key is the CANONICAL url (``urls.normalize_url`` on both
+    sides) so tracking-param/case variants don't read as ``new``.
+    ``lastmod`` parses the W3C-datetime subset sitemaps use (date or
+    full timestamp); unparseable values degrade to ``unknown``, never
+    raise — this is a planning table, not a validator.  Pure JVM: two
+    projections and one left join, corpus side pre-projected to its
+    key column only."""
+    from mapreduce_framework_for_mergesort_spark.operators.urls import (
+        normalize_url,
+    )
+
+    # try_to_timestamp: unparseable lastmod degrades to NULL/'unknown'
+    # instead of an ANSI-mode SparkDateTimeException mid-plan
+    lastmod_ts = F.coalesce(
+        F.try_to_timestamp(
+            F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
+        ),
+        F.try_to_timestamp(
+            F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ss")
+        ),
+        F.try_to_timestamp(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+    )
+    sm = sitemap_entries.select(
+        "loc",
+        normalize_url(F.col("loc")).alias("url_norm"),
+        lastmod_ts.alias("lastmod_ts"),
+    )
+    have = corpus.select(
+        normalize_url(F.col(url_col)).alias("url_norm"),
+        (
+            F.col(fetched_at_col).cast("timestamp")
+            if fetched_at_col
+            else F.lit(None).cast("timestamp")
+        ).alias("fetched_at"),
+        F.lit(True).alias("__have"),
+    ).dropDuplicates(["url_norm"])
+    joined = sm.join(have, "url_norm", "left")
+    action = (
+        F.when(F.col("__have").isNull(), "new")
+        .when(
+            F.col("lastmod_ts").isNull() | F.col("fetched_at").isNull(),
+            "unknown",
+        )
+        .when(F.col("lastmod_ts") > F.col("fetched_at"), "refresh")
+        .otherwise("current")
+    )
+    return joined.select(
+        "loc", "url_norm", "lastmod_ts", "fetched_at",
+        action.alias("action"),
+    )
+
+
 ROBOTS_AUDIT_SCHEMA = (
     "url string, url_host string, allowed boolean, rule string, "
     "crawl_delay double, robots_found boolean"

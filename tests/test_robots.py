@@ -182,3 +182,72 @@ def test_sitemap_urls_distributed(spark):
         ("ex.com", "http://ex.com/b", None),
         ("idx.net", "http://ex.com/sm-1.xml", None),
     ]
+
+
+def test_plan_recrawl_vs_duckdb(spark):
+    """The planner's action table cross-checked against a DuckDB
+    replica of the same canonical-join + freshness CASE."""
+    import duckdb
+
+    entries = [
+        ("ex.com", "http://ex.com/a?utm_source=x", "2026-02-01"),  # refresh
+        ("ex.com", "http://ex.com/b", "2026-01-01"),               # current
+        ("ex.com", "http://ex.com/c", "2026-03-01T10:00:00"),      # new
+        ("ex.com", "http://ex.com/d", None),                       # unknown
+        ("ex.com", "http://ex.com/e", "sometime soon"),            # unknown
+    ]
+    corpus = [
+        ("http://EX.com/a", "2026-01-15 00:00:00"),
+        ("http://ex.com/b#frag", "2026-01-20 00:00:00"),
+        ("http://ex.com/d", "2026-01-01 00:00:00"),
+        ("http://ex.com/e", "2026-01-01 00:00:00"),
+    ]
+    sm = spark.createDataFrame(
+        entries, "sitemap_host string, loc string, lastmod string"
+    )
+    cp = spark.createDataFrame(corpus, "url string, fetched_at string")
+    got = {
+        r["loc"]: r["action"]
+        for r in R.plan_recrawl(sm, cp, fetched_at_col="fetched_at")
+        .collect()
+    }
+    assert got == {
+        "http://ex.com/a?utm_source=x": "refresh",
+        "http://ex.com/b": "current",
+        "http://ex.com/c": "new",
+        "http://ex.com/d": "unknown",
+        "http://ex.com/e": "unknown",
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sm(loc VARCHAR, lastmod VARCHAR)")
+    con.executemany("INSERT INTO sm VALUES (?, ?)",
+                    [(l, m) for _h, l, m in entries])
+    con.execute("CREATE TABLE cp(u VARCHAR, f TIMESTAMP)")
+    con.executemany("INSERT INTO cp VALUES (?, ?)", corpus)
+    # canonical key replicated with string ops (fixture URLs carry
+    # only case/tracking/fragment noise)
+    expect = dict(con.execute("""
+        SELECT loc,
+               CASE WHEN f IS NULL AND NOT have THEN 'new'
+                    WHEN try_cast(lastmod AS TIMESTAMP) IS NULL
+                         OR f IS NULL THEN 'unknown'
+                    WHEN try_cast(lastmod AS TIMESTAMP) > f
+                         THEN 'refresh'
+                    ELSE 'current' END AS action
+        FROM (
+          SELECT loc, lastmod, f, f IS NOT NULL OR have AS have
+          FROM (
+            SELECT loc, lastmod, cp.f,
+                   cp.u IS NOT NULL AS have
+            FROM sm LEFT JOIN cp
+              ON lower(regexp_replace(
+                     split_part(split_part(sm.loc, '#', 1), '?', 1),
+                     '^http://', '')) =
+                 lower(regexp_replace(
+                     split_part(split_part(cp.u, '#', 1), '?', 1),
+                     '^http://', ''))
+          )
+        )
+    """).fetchall())
+    assert got == expect
