@@ -251,3 +251,45 @@ def test_plan_recrawl_vs_duckdb(spark):
         )
     """).fetchall())
     assert got == expect
+
+
+def test_disallowed_set_feeds_takedown(spark, tmp_path):
+    """The governance loop, executed: crawl pages ingest into the
+    continuous corpus, the robots audit finds retroactively-disallowed
+    URLs, retract_documents takes them down, and the masked corpus
+    read excludes exactly those rows."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_for_mergesort_spark.streaming import (
+        ingest as I,
+    )
+
+    out, idx = str(tmp_path / "corpus"), str(tmp_path / "index")
+    pages = [
+        (1, "http://h.ex/keep/1", "the mayor opened the new library"),
+        (2, "http://h.ex/private/2", "please keep this page out of it"),
+        (3, "http://h.ex/keep/3", "the bridge reopened after repairs"),
+        (4, "http://h.ex/private/4", "another page the rules disallow"),
+    ]
+    batch = spark.createDataFrame(
+        pages, "doc_id long, url string, text string"
+    )
+    I.accept_batch(batch.select("doc_id", "text"), idx, out, epoch=1)
+
+    robots = spark.createDataFrame(
+        [("h.ex", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    audit = R.audit_robots_compliance(batch, robots, agent="bot")
+    disallowed_ids = [
+        r["doc_id"]
+        for r in batch.join(
+            audit.where(~F.col("allowed")).select("url"), "url"
+        ).collect()
+    ]
+    assert sorted(disallowed_ids) == [2, 4]
+    assert I.retract_documents(spark, out, disallowed_ids, "robots-r10")
+    got = sorted(
+        r["doc_id"] for r in I.read_corpus(spark, out).collect()
+    )
+    assert got == [1, 3]
