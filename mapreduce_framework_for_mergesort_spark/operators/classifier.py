@@ -92,6 +92,11 @@ def train_logreg(
         F.max(F.size("x")).alias("dmax"),
         F.min("y").alias("ymin"),
         F.max("y").alias("ymax"),
+        # y*(1-y) == 0 iff y ∈ {0, 1}: catches a mis-typed
+        # probability column (0.5) that the range check admits
+        F.max(F.abs(F.col("y") * (F.lit(1.0) - F.col("y")))).alias(
+            "ynonint"
+        ),
     ).collect()[0]
     n, dim = stats["n"], stats["dmin"]
     if n == 0:
@@ -103,7 +108,9 @@ def train_logreg(
             f"train_logreg: inconsistent feature dims "
             f"[{dim}, {stats['dmax']}]"
         )
-    if not (0.0 <= stats["ymin"] and stats["ymax"] <= 1.0):
+    if not (0.0 <= stats["ymin"] and stats["ymax"] <= 1.0) or (
+        stats["ynonint"] or 0.0
+    ) != 0.0:
         rows.unpersist()
         raise ValueError("train_logreg: labels must be in {0, 1}")
     weights = [0.0] * dim
@@ -111,19 +118,28 @@ def train_logreg(
     for _ in range(n_iters):
         z = _dot(F.col("x"), weights, bias)
         resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y"))
+        # ONE action per iteration: the bias gradient rides position 0
+        # of a [1.0] ++ x explode (its feature is the constant 1), so
+        # bias and per-position sums land in the same aggregation
+        # instead of a second full pass over the cached sample.
         contrib = rows.select(
             resid.alias("r"),
-            F.posexplode(F.col("x")).alias("pos", "v"),
+            F.posexplode(
+                F.concat(F.array(F.lit(1.0)), F.col("x"))
+            ).alias("pos", "v"),
         )
         grad_rows = (
             contrib.groupBy("pos")
             .agg(F.sum(F.col("r") * F.col("v")).alias("g"))
             .collect()
         )
-        gbias = rows.select(F.sum(resid).alias("g")).collect()[0]["g"]
+        gbias = 0.0
         grad = [0.0] * dim
         for r in grad_rows:
-            grad[r["pos"]] = r["g"]
+            if r["pos"] == 0:
+                gbias = r["g"]
+            else:
+                grad[r["pos"] - 1] = r["g"]
         weights = [
             w - lr * (g / n + l2 * w) for w, g in zip(weights, grad)
         ]

@@ -76,9 +76,14 @@ def _authority(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host: authority minus userinfo and port."""
+    """Lowercased host: authority minus userinfo and port.  Bracketed
+    IPv6 literals (``[2001:db8::1]:8080``) keep their brackets — the
+    alternation matches the bracket form BEFORE the first-colon cut,
+    so distinct IPv6 hosts can never collide post-truncation."""
     return F.lower(
-        F.regexp_extract(_authority(url), r"^(?:[^@]*@)?([^:]*)", 1)
+        F.regexp_extract(
+            _authority(url), r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1
+        )
     )
 
 

@@ -224,7 +224,9 @@ class _LinkExtractor(HTMLParser):
                     self.hrefs.append(v)
         elif tag == "link":
             d = dict(attrs)
-            if d.get("rel", "").lower() == "canonical" and d.get("href"):
+            # valueless attrs (``<link rel href=...>``) reach here as
+            # None from HTMLParser — coalesce before .lower()
+            if (d.get("rel") or "").lower() == "canonical" and d.get("href"):
                 self.hrefs.append(d["href"])
                 self.canonicals.append(d["href"])
 
@@ -296,8 +298,14 @@ def page_canonicals(records: DataFrame) -> DataFrame:
                 markup = _classify_and_extract_html(bytes(payload))
                 if markup is None:
                     continue
+                try:
+                    # tag-soup wild pages must quarantine, not kill
+                    # the Arrow task (module contract)
+                    c = extract_canonical(markup, uri)
+                except Exception:
+                    continue
                 urls.append(uri)
-                canon.append(extract_canonical(markup, uri) or uri)
+                canon.append(c or uri)
             yield pd.DataFrame({"url": urls, "canonical_url": canon})
 
     return resp.mapInPandas(ex, PAGE_CANONICAL_SCHEMA)
@@ -323,7 +331,11 @@ def extract_page_links(records: DataFrame) -> DataFrame:
                 row = _classify_and_extract_html(bytes(payload))
                 if row is None:
                     continue
-                for link in extract_links(row, base_url=uri):
+                try:
+                    page_links = extract_links(row, base_url=uri)
+                except Exception:
+                    continue  # quarantine, never kill the pass
+                for link in page_links:
                     urls.append(uri)
                     links.append(link)
             yield pd.DataFrame({"url": urls, "link": links})

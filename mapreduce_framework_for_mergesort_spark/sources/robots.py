@@ -103,12 +103,18 @@ def parse_robots(text: str) -> dict:
                 except ValueError:
                     pass
         elif key == "sitemap":
-            # file-level, group-independent per the RFC
-            open_agents = False
+            # file-level, group-independent per the RFC — and, like
+            # any non-group record, TRANSPARENT to a consecutive
+            # user-agent run (Google's RFC 9309 reference parser:
+            # 'User-agent: a / Sitemap: x / User-agent: b' is ONE
+            # two-agent group), so it must not clear open_agents
             if val:
                 sitemaps.append(val)
         else:
-            open_agents = False
+            # unknown directives are equally transparent; only
+            # group-member records (allow/disallow/crawl-delay above)
+            # close a user-agent run
+            pass
     return {"groups": groups, "sitemaps": sitemaps}
 
 

@@ -124,3 +124,13 @@ def test_curate_documents_with_quality_model(spark):
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
     assert "split" in out.columns
+
+
+def test_fractional_labels_raise(spark):
+    # the docstring contract is 0/1 — a mis-typed probability column
+    # (0.5) must raise, not train silently (ADVICE round 11)
+    df = _labeled(spark).withColumn(
+        "label", F.when(F.col("label") == 1.0, 0.5).otherwise(0.0)
+    )
+    with pytest.raises(ValueError, match="labels must be in"):
+        C.train_logreg(df, n_iters=1)

@@ -520,3 +520,17 @@ def test_extract_canonical_and_collapse(spark, tmp_path):
         ).collect()
     )
     assert survivors == ["http://ex.com/other", "http://ex.com/print/1"]
+
+
+def test_valueless_rel_attr_does_not_crash():
+    # HTMLParser yields None for bare attrs: '<link rel href=...>' must
+    # parse (no canonical claimed), not AttributeError the Arrow task
+    # (ADVICE round 11)
+    page = '<html><head><link rel href="/x"></head><body>' \
+           '<a href="http://ok.org/p">a</a></body></html>'
+    assert H.extract_links(page) == ["http://ok.org/p"]
+    assert H.extract_canonical(page) is None
+    # bare rel on <a> and a genuinely wild soup page survive too
+    wild = '<a href disabled>x</a><link rel><link href="/y" rel>'
+    assert H.extract_links(wild) == []
+    assert H.extract_canonical(wild) is None

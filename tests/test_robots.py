@@ -293,3 +293,20 @@ def test_disallowed_set_feeds_takedown(spark, tmp_path):
         r["doc_id"] for r in I.read_corpus(spark, out).collect()
     )
     assert got == [1, 3]
+
+
+def test_sitemap_is_transparent_to_agent_run():
+    # RFC 9309: non-group records don't split a consecutive user-agent
+    # run — 'a / Sitemap / b / Disallow: /' is ONE group covering both
+    # agents (ADVICE round 11; Google's reference parser agrees)
+    text = "User-agent: a\nSitemap: http://ex.com/s.xml\n" \
+           "User-agent: b\nDisallow: /\n"
+    p = R.parse_robots(text)
+    assert len(p["groups"]) == 1
+    assert p["groups"][0]["agents"] == ["a", "b"]
+    assert p["sitemaps"] == ["http://ex.com/s.xml"]
+    assert _decide("a", "/anything", text)[0] is False
+    # unknown directives are equally transparent
+    text2 = "User-agent: a\nHost: ex.com\nUser-agent: b\nDisallow: /x\n"
+    p2 = R.parse_robots(text2)
+    assert p2["groups"][0]["agents"] == ["a", "b"]

@@ -307,3 +307,29 @@ def test_curate_documents_url_tier(spark):
     # the cap without a url column is a loud config error
     with pytest.raises(ValueError, match="requires url_col"):
         pipelines.curate_documents(df, max_pages_per_domain=2)
+
+
+def test_ipv6_literal_hosts_do_not_collide(spark):
+    # bracketed IPv6 authorities keep their brackets: before the fix
+    # both normalized to 'http://[2001/...' and dedup_by_url silently
+    # merged DIFFERENT pages (ADVICE round 11)
+    a = _norm(spark, "http://[2001:db8::1]/a")
+    b = _norm(spark, "http://[2001:db8::2]/a")
+    assert a == "http://[2001:db8::1]/a"
+    assert b == "http://[2001:db8::2]/a"
+    assert a != b
+    # explicit port parses and default port still strips
+    assert (
+        _norm(spark, "http://[2001:db8::1]:8080/a")
+        == "http://[2001:db8::1]:8080/a"
+    )
+    assert _norm(spark, "http://[2001:db8::1]:80/a") == a
+    host, port = (
+        spark.range(1)
+        .select(
+            U.url_host(F.lit("https://u@[::1]:8443/p")).alias("h"),
+            U.url_port(F.lit("https://u@[::1]:8443/p")).alias("p"),
+        )
+        .collect()[0]
+    )
+    assert host == "[::1]" and port == "8443"
