@@ -171,3 +171,45 @@ def test_record_bench_provenance_side_artifact(tmp_path, monkeypatch):
         bench._record_bench_provenance(str(d), 2.0 + i, {"q": 1.0})
     doc = json.load(open(tmp_path / "BENCH_PROVENANCE.json"))
     assert len(doc["runs"]) == 20
+
+
+def test_delta_verdicts_host_speed_normalization():
+    """Round 11 (the r10 q_udf_suite flag): a same-code host slowdown
+    is multiplicative across keys, so per-key ratios are classified
+    relative to the run-median ratio — but only with >=8 comparable
+    keys, and the divisor clamps to [2/3, 1.5] so real many-key
+    regressions can't hide behind it."""
+    keys = [f"q{i}" for i in range(10)]
+    prior = {"queries": {k: 1.0 for k in keys}, "spread": {}}
+
+    # uniform 1.4x slowdown on every key: median-normalized to ~1.0
+    d = bench._delta_verdicts(
+        {k: 1.4 for k in keys}, {}, prior, same_vintage=True
+    )
+    assert all(v["verdict"] == "noise" for v in d.values())
+    assert all(v["host_speed_ratio"] == 1.4 for v in d.values())
+    assert d["q0"]["ratio"] == 1.4 and d["q0"]["host_adj_ratio"] == 1.0
+
+    # ONE key at 2.5x while the rest hold at 1.0: key-specific ->
+    # the median is 1.0, no normalization, still SIGNAL
+    times = {k: 1.0 for k in keys}
+    times["q3"] = 2.5
+    d = bench._delta_verdicts(times, {}, prior, same_vintage=True)
+    assert d["q3"]["verdict"] == "signal"
+    assert sum(v["verdict"] == "signal" for v in d.values()) == 1
+
+    # EVERY key regresses 2.4x (a real global regression): the clamp
+    # caps the divisor at 1.5, adj = 1.6 -> still past the envelope
+    d = bench._delta_verdicts(
+        {k: 2.4 for k in keys}, {}, prior, same_vintage=True
+    )
+    assert all(v["verdict"] in ("watch", "signal") for v in d.values())
+
+    # under 8 comparable keys the median is too few keys' own ratio:
+    # normalization disabled (the single-key pins above stay valid)
+    d = bench._delta_verdicts(
+        {"a": 1.4, "b": 1.4}, {},
+        {"queries": {"a": 1.0, "b": 1.0}}, same_vintage=True,
+    )
+    assert all(v["verdict"] == "watch" for v in d.values())
+    assert "host_speed_ratio" not in d["a"]
