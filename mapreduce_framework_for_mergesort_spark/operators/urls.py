@@ -31,12 +31,14 @@ RFC 3986 §6 plus the crawl-standard tracking-param strip):
   byte-lexicographically — page identity rarely depends on param order,
   and sorting is what makes ``a=1&b=2`` and ``b=2&a=1`` collapse.
 
-``registrable_domain`` uses a documented HEURISTIC public-suffix rule
-(last two labels; last three when the second-to-last is a known
-country-code second-level like ``co.uk``) — the full Mozilla
-public-suffix list is data, not code, and would be loaded as a
-broadcast lookup table in production; the heuristic covers the bulk of
-crawl traffic and the seam is explicit here.
+``registrable_domain`` applies the publicsuffix.org algorithm against
+a pinned snapshot of the Mozilla Public Suffix List shipped as package
+data (round 11 — the round-10 two/three-label heuristic applied site
+policy at the wrong grain for ``github.io``-class suffixes; see
+``operators/psl.py`` for the algorithm, the snapshot's abridgement
+note, and the broadcast-join strategy for full-list deployments).  The
+rule table rides inside the plan as literal membership strings, so the
+URL family keeps its zero-Python / zero-shuffle codegen property.
 
 Reference parity note: the reference engine (``/root/reference``,
 ``NodeHandler.java:44-75``) has no string operators at all; this is
@@ -56,10 +58,6 @@ from pyspark.sql import functions as F
 #: crawl-standard strip set; extend per deployment.
 TRACKING_PARAMS_RE = r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
-#: Country-code second-level labels under which registrable domains sit
-#: one label deeper (the ``co`` of ``bbc.co.uk``).  Heuristic subset of
-#: the public-suffix list — see module docstring.
-_CC_SECOND_LEVELS = ("co", "com", "net", "org", "gov", "ac", "edu")
 
 
 def url_scheme(url: Column) -> Column:
@@ -142,28 +140,16 @@ def normalize_url(url: Column) -> Column:
     )
 
 
-def registrable_domain(host: Column) -> Column:
-    """Site-grain key: last two host labels, or last three under a
-    known country-code second-level (``co.uk`` and friends).  Hosts
-    with fewer than two labels (``localhost``, bare IPs are out of
-    scope for the heuristic) pass through unchanged."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2),
-        F.element_at(labels, -1),
-    )
-    cc = F.element_at(labels, -2).isin(*_CC_SECOND_LEVELS) & (
-        F.length(F.element_at(labels, -1)) == 2
-    )
-    return (
-        F.when(n >= 3, F.when(cc, last3).otherwise(last2))
-        .when(n == 2, last2)
-        .otherwise(host)
-    )
+def registrable_domain(host: Column, rules=None) -> Column:
+    """Site-grain key: public suffix + one label under the packaged
+    PSL snapshot (or any ``psl.PslRules`` passed in — production loads
+    the full list with ``psl.load_psl_rules(path)``).  Hosts that ARE
+    a public suffix, single labels (``localhost``), and IP literals
+    pass through unchanged.  Pure codegen; see ``operators/psl.py``
+    for the algorithm and the full-list broadcast-join variant."""
+    from .psl import registrable_domain_expr
+
+    return registrable_domain_expr(host, rules)
 
 
 # ---------------------------------------------------------------------------

@@ -67,10 +67,24 @@ def test_normalize_idempotent(spark):
         ("example.com", "example.com"),
         ("news.bbc.co.uk", "bbc.co.uk"),
         ("a.b.c.gov.au", "c.gov.au"),
-        # 'co' second-level only under 2-letter TLDs: foo.co.com is a
-        # plain .com domain
+        # co.com is not in the snapshot: plain .com default rule
         ("x.foo.co.com", "co.com"),
         ("localhost", "localhost"),
+        # round 11: PSL snapshot grain (the round-10 heuristic merged
+        # every *.github.io site into ONE domain — wrong grain for
+        # cap_per_domain / pagerank)
+        ("alice.github.io", "alice.github.io"),
+        ("www.alice.github.io", "alice.github.io"),
+        ("github.io", "github.io"),  # host IS a public suffix
+        ("myblog.blogspot.com", "myblog.blogspot.com"),
+        ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+        ("amazonaws.com", "amazonaws.com"),  # the bare SLD stays
+        # wildcard rule *.ck and its !www.ck exception
+        ("www.bar.foo.ck", "bar.foo.ck"),
+        ("a.www.ck", "www.ck"),
+        # IP literals never rewritten
+        ("1.2.3.4", "1.2.3.4"),
+        ("[2001:db8::1]", "[2001:db8::1]"),
     ],
 )
 def test_registrable_domain(spark, host, domain):
@@ -333,3 +347,128 @@ def test_ipv6_literal_hosts_do_not_collide(spark):
         .collect()[0]
     )
     assert host == "[::1]" and port == "8443"
+
+
+# ---------------------------------------------------------------------------
+# PSL (round 11, operators/psl.py)
+# ---------------------------------------------------------------------------
+
+from mapreduce_framework_for_mergesort_spark.operators import psl as P  # noqa: E402
+
+
+def _psl_reference(host: str, rules) -> str:
+    """Independent pure-Python reimplementation of the publicsuffix.org
+    algorithm — the oracle the Spark strategies are pinned against."""
+    import re as _re
+
+    if _re.match(r"^(\[.*|[0-9.]+)$", host):
+        return host
+    labels = host.split(".")
+    n = len(labels)
+    exc = [
+        i for i in range(1, n + 1)
+        if ".".join(labels[n - i:]) in rules.exception
+    ]
+    if exc:
+        ps = max(exc) - 1
+    else:
+        ps = 1
+        for i in range(1, n + 1):
+            s = ".".join(labels[n - i:])
+            if s in rules.exact:
+                ps = max(ps, i)
+            if s in rules.wildcard and n > i:
+                ps = max(ps, i + 1)
+    if n <= ps:
+        return host
+    return ".".join(labels[n - ps - 1:])
+
+
+_PSL_BATTERY = [
+    "www.bbc.co.uk", "bbc.co.uk", "co.uk", "uk", "example.com",
+    "a.b.example.com", "alice.github.io", "www.alice.github.io",
+    "github.io", "myblog.blogspot.com", "b.blogspot.co.uk",
+    "bucket.s3.amazonaws.com", "s3.amazonaws.com", "amazonaws.com",
+    "ec2.us-east-1.compute.amazonaws.com", "compute.amazonaws.com",
+    "bar.foo.ck", "www.bar.foo.ck", "www.ck", "a.www.ck", "foo.ck",
+    "ck", "localhost", "1.2.3.4", "[2001:db8::1]", "x.y.z.gov.au",
+    "deep.a.b.c.d.e.example.org", "app.fly.dev", "a.pages.dev",
+]
+
+
+def test_psl_expr_and_join_match_reference(spark):
+    """Both Spark strategies == the independent Python replica on the
+    full battery (wildcards, exceptions, private suffixes, IPs, hosts
+    that ARE public suffixes)."""
+    rules = P.load_psl_rules()
+    expect = {h: _psl_reference(h, rules) for h in _PSL_BATTERY}
+    df = spark.createDataFrame([(h,) for h in _PSL_BATTERY], "host string")
+    got_expr = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", U.registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got_expr == expect
+    got_join = {
+        r["host"]: r["d"]
+        for r in P.registrable_domain_join(df, "host", out_col="d").collect()
+    }
+    assert got_join == expect
+
+
+def test_psl_parser_full_format():
+    """The parser reads the FULL publicsuffix.org file format — the
+    production swap path is 'point load_psl_rules at the real list'."""
+    rules = P.parse_psl(
+        "// comment\n\n"
+        "com\n"
+        "co.uk  // trailing junk is cut at whitespace\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "UPPER.CASE\n"
+        "*\n"  # explicit default rule: a no-op
+    )
+    assert rules.exact == frozenset({"com", "co.uk", "upper.case"})
+    assert rules.wildcard == frozenset({"ck"})
+    assert rules.exception == frozenset({"www.ck"})
+
+
+def test_psl_grain_feeds_domain_policy(spark):
+    """The round-10 weakness, closed: per-domain policy at PSL grain.
+    Three github.io sites with 2/1/1 pages must be three domains (the
+    heuristic saw ONE 'github.io' with 4 pages, and a k=2 cap would
+    have discarded half of GitHub Pages)."""
+    rows = [
+        (1, "https://alice.github.io/a"),
+        (2, "https://alice.github.io/b"),
+        (3, "https://bob.github.io/"),
+        (4, "https://carol.github.io/x"),
+        (5, "https://ex.com/1"),
+        (6, "https://www.ex.com/2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["domain"]: r["n_pages"]
+        for r in U.per_domain_stats(df).collect()
+    }
+    assert got == {
+        "alice.github.io": 2,
+        "bob.github.io": 1,
+        "carol.github.io": 1,
+        "ex.com": 2,
+    }
+    kept = sorted(
+        r["doc_id"] for r in U.cap_per_domain(df, 1, order_col="doc_id")
+        .collect()
+    )
+    assert kept == [1, 3, 4, 5]  # one per SITE, not one for all of github.io
+    # the domain link graph separates the sites too
+    links = spark.createDataFrame(
+        [("https://alice.github.io/a", "https://bob.github.io/")],
+        "url string, link string",
+    )
+    edges = U.domain_link_graph(links).collect()
+    assert [(e["src_domain"], e["dst_domain"]) for e in edges] == [
+        ("alice.github.io", "bob.github.io")
+    ]
