@@ -398,7 +398,27 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              || query_norm AS url_norm,
            host_norm AS url_host,
            CASE WHEN o_orderkey % 3 = 0 THEN 'example.co.uk'
-                ELSE 'example.com' END AS url_domain
+                ELSE 'example.com' END AS url_domain,
+           -- RFC 3986 §6.2.2 columns (round 11): percent-encoding
+           -- normalization (decode unreserved, uppercase hex) and
+           -- dot-segment removal; the oracle CONSTRUCTS both the raw
+           -- and the expected normal form per branch
+           'http://RFC.Ex.ORG/u' || CAST(o_custkey % 10 AS VARCHAR)
+             || CASE WHEN o_orderkey % 7 = 0 THEN '/%7ea/docs/./v2/../latest%2fx'
+                     WHEN o_orderkey % 7 = 1 THEN '/a/%2e%2e/c%4d'
+                     WHEN o_orderkey % 7 = 2 THEN '/p%2f/100%25/.'
+                     ELSE '/plain/' || CAST(o_orderkey % 100 AS VARCHAR) END
+             || CASE WHEN o_orderkey % 5 = 0 THEN '?x=%7e&b=%2F'
+                     WHEN o_orderkey % 5 = 1 THEN '?b=2&a=1'
+                     ELSE '' END AS url_rfc_raw,
+           'http://rfc.ex.org/u' || CAST(o_custkey % 10 AS VARCHAR)
+             || CASE WHEN o_orderkey % 7 = 0 THEN '/~a/docs/latest%2Fx'
+                     WHEN o_orderkey % 7 = 1 THEN '/cM'
+                     WHEN o_orderkey % 7 = 2 THEN '/p%2F/100%25/'
+                     ELSE '/plain/' || CAST(o_orderkey % 100 AS VARCHAR) END
+             || CASE WHEN o_orderkey % 5 = 0 THEN '?b=%2F&x=~'
+                     WHEN o_orderkey % 5 = 1 THEN '?a=1&b=2'
+                     ELSE '' END AS url_rfc_norm
     FROM (
         SELECT *,
                CASE WHEN o_orderkey % 2 = 0 THEN 'HTTPS'
@@ -478,6 +498,25 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(""),
         F.when(k % 2 == 1, "#frag").otherwise(""),
     )
+    # round 11: a second messy URL exercising the RFC 3986 §6.2.2
+    # rules — unreserved escapes (%7e), reserved escapes with
+    # lowercase hex (%2f), double-escaped dot segments (%2e%2e),
+    # literal '.'/'..' segments, and a %25 that must NOT decode.
+    # Escape/dot rows are a MINORITY (3/7), mirroring real crawls:
+    # pct_normalize / remove_dot_segments short-circuit clean strings
+    # on a cheap contains/regex test, and the fixture measures that
+    # mix, not an all-worst-case corpus
+    url_rfc_raw = F.concat(
+        F.lit("http://RFC.Ex.ORG/u"),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.when(k % 7 == 0, "/%7ea/docs/./v2/../latest%2fx")
+        .when(k % 7 == 1, "/a/%2e%2e/c%4d")
+        .when(k % 7 == 2, "/p%2f/100%25/.")
+        .otherwise(F.concat(F.lit("/plain/"), (k % 100).cast("string"))),
+        F.when(k % 5 == 0, "?x=%7e&b=%2F")
+        .when(k % 5 == 1, "?b=2&a=1")
+        .otherwise(""),
+    )
     return o.select(
         "o_orderkey",
         F.upper("o_orderpriority").alias("prio_upper"),
@@ -522,6 +561,8 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.normalize_url(url_raw).alias("url_norm"),
         U.url_host(url_raw).alias("url_host"),
         U.registrable_domain(U.url_host(url_raw)).alias("url_domain"),
+        url_rfc_raw.alias("url_rfc_raw"),
+        U.normalize_url(url_rfc_raw).alias("url_rfc_norm"),
     )
 
 

@@ -472,3 +472,58 @@ def test_psl_grain_feeds_domain_policy(spark):
     assert [(e["src_domain"], e["dst_domain"]) for e in edges] == [
         ("alice.github.io", "bob.github.io")
     ]
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 §6.2.2 percent + dot-segment normalization (round 11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        # unreserved escapes decode, reserved escapes uppercase only
+        ("http://ex.com/%7euser/f%2Fg", "http://ex.com/~user/f%2Fg"),
+        ("http://ex.com/%7E%2d%5F%2e", "http://ex.com/~-_."),
+        # bare / malformed % passes through verbatim
+        ("http://ex.com/100%25%zz%4", "http://ex.com/100%25%zz%4"),
+        # query escapes normalize too; %26 stays escaped (reserved)
+        ("http://ex.com/p?a=%7e1&b=x%26y", "http://ex.com/p?a=~1&b=x%26y"),
+        # dot segments: RFC 3986 §5.4 examples adapted
+        ("http://ex.com/a/./b/../c", "http://ex.com/a/c"),
+        ("http://ex.com/a/../../b", "http://ex.com/b"),
+        ("http://ex.com/a/.", "http://ex.com/a/"),
+        ("http://ex.com/a/..", "http://ex.com/"),
+        ("http://ex.com/a//b/../c", "http://ex.com/a//c"),
+        # escaped dot participates (pct runs before dot removal)
+        ("http://ex.com/a/%2E%2E/b", "http://ex.com/b"),
+        # NON-rules: plain paths and interior empties untouched
+        ("http://ex.com/a//b/", "http://ex.com/a//b/"),
+    ],
+)
+def test_rfc3986_normalization(spark, raw, expected):
+    assert _norm(spark, raw) == expected
+
+
+def test_rfc3986_idempotent_and_dedups(spark):
+    raws = [
+        "http://ex.com/%7euser/a/./b/../c?q=%7e",
+        "http://ex.com/100%25/%2f",
+        "http://ex.com/a/%2E%2E/b",
+    ]
+    once = [_norm(spark, r) for r in raws]
+    assert once == [_norm(spark, o) for o in once]
+    # %7E and ~ variants of one page collapse in dedup_by_url
+    df = spark.createDataFrame(
+        [
+            (1, "http://ex.com/%7Ealice/"),
+            (2, "http://ex.com/~alice/"),
+            (3, "http://ex.com/%7ealice/"),
+            (4, "http://ex.com/~bob/"),
+        ],
+        "doc_id long, url string",
+    )
+    got = sorted(
+        r["doc_id"] for r in U.dedup_by_url(df, order_col="doc_id").collect()
+    )
+    assert got == [1, 4]
