@@ -32,7 +32,9 @@ Pieces (each independently testable, composed by the Arrow pass):
   pass over ``read_warc`` output classifying every ``response`` record
   ``ok | corrupt | unsupported_encoding | non_200 | non_text`` with its reason,
   status, content-encoding, mime, charset, and (when ok) the extracted
-  text.  br/zstd content-encodings land in ``unsupported_encoding``
+  text.  br/zstd bodies DECODE as of round 11 (``sources/encodings.py``
+  — house RFC 7932 decoder + Arrow codecs); genuinely unknown
+  content-encodings land in ``unsupported_encoding``
   with a count a crawl audit can report, instead of raising per-record
   in user code (round-9 verdict item 4).
 * ``warc_responses_to_documents`` — the clean feed:
@@ -429,15 +431,25 @@ def synthesize_http_response(
     chunk_size: int = 100,
 ) -> bytes:
     """Deterministic ``application/http; msgtype=response`` payload:
-    optional gzip/deflate content-coding (stored deflate, closed-form
-    sizes), then optional chunked transfer-coding — the RFC 9112
-    composition order ``http_response_body`` must invert."""
+    optional content-coding (stored deflate with closed-form sizes;
+    br/zstd via the Arrow codecs — round 11 closed that seam), then
+    optional chunked transfer-coding — the RFC 9112 composition order
+    ``http_response_body`` must invert."""
     if content_encoding in ("gzip", "x-gzip"):
         body = W._gzip_member_stored(body)
     elif content_encoding == "deflate":
         import zlib
 
         body = zlib.compress(body, 0)
+    elif content_encoding in ("br", "zstd"):
+        import pyarrow as pa
+
+        buf = pa.Codec(
+            "brotli" if content_encoding == "br" else "zstd"
+        ).compress(body)
+        body = bytes(
+            buf.to_pybytes() if hasattr(buf, "to_pybytes") else buf
+        )
     elif content_encoding not in (None, "identity"):
         # fixtures for the quarantine tests: emit the header, keep the
         # (undecodable) body bytes as-is
@@ -472,12 +484,17 @@ _CHARSET_VARIANTS = [
     ("latin-1", "text/html; charset=ISO-8859-1", False),
     ("utf-16", "text/html", False),
 ]
-#: transport by doc_id % 4: (content_encoding, chunked)
+#: transport by doc_id % 7: (content_encoding, chunked) — round 11
+#: added the br/zstd variants when ``sources/encodings.py`` closed
+#: that decode seam, so the WET-chain key proves them end-to-end
 _TRANSPORT_VARIANTS = [
     (None, False),
     ("gzip", False),
     (None, True),
     ("gzip", True),
+    ("br", False),
+    ("zstd", False),
+    ("br", True),
 ]
 
 
@@ -487,7 +504,7 @@ def crawl_url(doc_id: int) -> str:
 
 def _response_record_payload(doc_id: int, text: str) -> bytes:
     charset, ctype, with_meta = _CHARSET_VARIANTS[doc_id % 3]
-    enc, chunked = _TRANSPORT_VARIANTS[doc_id % 4]
+    enc, chunked = _TRANSPORT_VARIANTS[doc_id % 7]
     page = synthesize_html(doc_id, text, charset=charset, with_meta=with_meta)
     return synthesize_http_response(
         page, content_type=ctype, content_encoding=enc, chunked=chunked

@@ -268,33 +268,37 @@ def _http_split(payload: bytes) -> tuple[int, dict, bytes]:
 
 
 def _decode_http_body(headers: dict, body: bytes) -> bytes:
-    """DECODE half: chunked transfer decoding, then content-decoding,
-    per RFC 9112 ordering.  Unknown content-encodings raise
-    ``NotImplementedError`` (codec seam — br/zstd need libraries not
-    present); structural damage raises ValueError."""
+    """DECODE half: chunked transfer decoding, then the content-coding
+    CHAIN applied right-to-left (RFC 9110 §8.4.1 — codings are listed
+    in application order), per RFC 9112 ordering.  Round 11 closes the
+    ``br``/``zstd`` seam via ``sources/encodings.py`` (house RFC 7932
+    decoder + Arrow codecs); a genuinely unknown coding still raises
+    ``NotImplementedError`` (quarantine class unchanged); corrupt
+    compressed data raises ValueError (structural-damage class)."""
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
-    enc = headers.get("content-encoding", "").lower()
-    if enc in ("gzip", "x-gzip"):
-        # multi-member streams are legal (servers that flush mid-
-        # response emit one member per flush); a plain
-        # zlib.decompress(body, 31) would silently return only the
-        # FIRST member's text (round-9 review) — reuse the member walk
-        body = b"".join(_split_gzip_members(body))
-    elif enc == "deflate":
-        try:
-            # raw-deflate fallback covers the historical servers that
-            # sent deflate without the zlib wrapper
-            body = zlib.decompress(body)
-        except zlib.error:
+    chain = headers.get("content-encoding", "").lower()
+    for coding in [c.strip() for c in chain.split(",") if c.strip()][::-1]:
+        if coding in ("gzip", "x-gzip"):
+            # multi-member streams are legal (servers that flush mid-
+            # response emit one member per flush); a plain
+            # zlib.decompress(body, 31) would silently return only the
+            # FIRST member's text (round-9 review) — keep the member
+            # walk rather than encodings.py's single-member gzip
+            body = b"".join(_split_gzip_members(body))
+        elif coding == "identity":
+            continue
+        else:
+            from . import encodings as _enc
+
             try:
-                body = zlib.decompress(body, -15)
-            except zlib.error as ex:
-                raise ValueError(f"corrupt deflate body: {ex}") from None
-    elif enc and enc != "identity":
-        raise NotImplementedError(
-            f"content-encoding {enc!r} requires libraries not present"
-        )
+                body = _enc.decode_content_coding(coding, body)
+            except NotImplementedError:
+                raise
+            except Exception as ex:
+                raise ValueError(
+                    f"corrupt {coding} body: {ex}"
+                ) from None
     return body
 
 

@@ -129,7 +129,11 @@ def _resp(doc_id=1, text="hello crawl", **kw):
 
 def test_classify_ok_all_transports():
     for enc, chunked in [(None, False), ("gzip", False), (None, True),
-                         ("gzip", True), ("deflate", False)]:
+                         ("gzip", True), ("deflate", False),
+                         # round 11: the br/zstd seam is closed —
+                         # these now extract, not quarantine
+                         ("br", False), ("br", True), ("zstd", False),
+                         ("zstd", True)]:
         row = H._classify_and_extract(
             _resp(content_encoding=enc, chunked=chunked))
         assert row["extract_ok"] and row["extract_class"] == "ok", (enc,
@@ -139,13 +143,28 @@ def test_classify_ok_all_transports():
 
 
 def test_classify_unsupported_encoding_is_counted_not_raised():
-    for enc in ("br", "zstd"):
-        row = H._classify_and_extract(
-            _resp(content_encoding=enc))
-        assert row["extract_class"] == "unsupported_encoding"
-        assert not row["extract_ok"] and enc in row["extract_err"]
-        assert row["content_encoding"] == enc  # reported despite failing
-        assert row["http_status"] == 200
+    # br/zstd decode since round 11; 'compress' (LZW) remains a
+    # genuinely unsupported coding and keeps the countable class
+    row = H._classify_and_extract(_resp(content_encoding="compress"))
+    assert row["extract_class"] == "unsupported_encoding"
+    assert not row["extract_ok"] and "compress" in row["extract_err"]
+    assert row["content_encoding"] == "compress"
+    assert row["http_status"] == 200
+
+
+def test_classify_corrupt_br_is_corrupt_not_unsupported():
+    # a br header over garbage bytes is DATA damage, not a codec seam
+    # (round-10 verdict: quarantine reasons unchanged for genuinely
+    # corrupt rows)
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: br\r\nContent-Length: 12\r\n\r\n"
+        b"\xff\xff garbage!"
+    )
+    row = H._classify_and_extract(payload)
+    assert row["extract_class"] == "corrupt"
+    assert not row["extract_ok"]
+    assert row["content_encoding"] == "br"
 
 
 def test_classify_corrupt_and_non200():
@@ -196,6 +215,8 @@ def test_audit_router_on_mixed_crawl(spark, tmp_path):
                                           content_encoding="br")),
         ("response", "http://t/zstd", _resp(13, "zstd page",
                                             content_encoding="zstd")),
+        ("response", "http://t/lzw", _resp(14, "lzw page",
+                                           content_encoding="compress")),
         ("response", "http://t/bad", b"HTTP/1.1 garbage"),
         ("response", "http://t/404", _resp(15, "gone", status=404)),
         ("warcinfo", None, b"software: x\r\n"),  # not a response: ignored
@@ -204,22 +225,28 @@ def test_audit_router_on_mixed_crawl(spark, tmp_path):
     back = W.read_warc(spark, str(tmp_path / "*.warc.gz"))
     audit = H.audit_http_extractions(back).collect()
     by_url = {r["url"]: r for r in audit}
-    assert len(audit) == 6  # warcinfo filtered out
+    assert len(audit) == 7  # warcinfo filtered out
     assert by_url["http://t/ok"]["extract_class"] == "ok"
     assert by_url["http://t/gz"]["extract_class"] == "ok"
-    assert by_url["http://t/br"]["extract_class"] == "unsupported_encoding"
+    # round 11: br/zstd extract; 'compress' keeps the countable seam
+    assert by_url["http://t/br"]["extract_class"] == "ok"
     assert by_url["http://t/br"]["content_encoding"] == "br"
-    assert by_url["http://t/zstd"]["extract_class"] == "unsupported_encoding"
+    assert by_url["http://t/zstd"]["extract_class"] == "ok"
+    assert by_url["http://t/lzw"]["extract_class"] == "unsupported_encoding"
     assert by_url["http://t/bad"]["extract_class"] == "corrupt"
     assert "no header terminator" in by_url["http://t/bad"]["extract_err"]
     assert by_url["http://t/404"]["extract_class"] == "non_200"
     assert by_url["http://t/404"]["http_status"] == 404
     # the clean feed carries exactly the ok rows
     clean = H.warc_responses_to_documents(back).collect()
-    assert sorted(r["url"] for r in clean) == ["http://t/gz", "http://t/ok"]
+    assert sorted(r["url"] for r in clean) == [
+        "http://t/br", "http://t/gz", "http://t/ok", "http://t/zstd"
+    ]
     assert {r["text"] for r in clean} == {
         H.expected_extracted_text(10, "plain page"),
         H.expected_extracted_text(11, "gzip page"),
+        H.expected_extracted_text(12, "brotli page"),
+        H.expected_extracted_text(13, "zstd page"),
     }
 
 

@@ -200,9 +200,16 @@ def test_http_response_body_is_loud():
         W.http_response_body(b"GET / HTTP/1.1\r\n\r\n")
     with pytest.raises(ValueError, match="non-integer HTTP status"):
         W.http_response_body(b"HTTP/1.1 OK fine\r\n\r\n")
-    with pytest.raises(NotImplementedError, match="br"):
+    # round 11: br DECODES now — garbage under a br header is data
+    # damage (ValueError), and only genuinely unknown codings keep
+    # the NotImplementedError seam
+    with pytest.raises(ValueError, match="corrupt br body"):
         W.http_response_body(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxx"
+        )
+    with pytest.raises(NotImplementedError, match="compress"):
+        W.http_response_body(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: compress\r\n\r\nxxx"
         )
     base = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
     with pytest.raises(ValueError, match="bad chunk size"):
