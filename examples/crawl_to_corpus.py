@@ -10,12 +10,13 @@ Stages (each is the 100 TB-shaped operator documented in its module):
 1. CRAWL FIXTURE: the documents table is republished as a RAW crawl —
    multi-member ``.warc.gz`` shards of HTTP ``response`` records whose
    HTML pages vary charset (utf-8/latin-1/utf-16) and transport
-   (identity/gzip/chunked) per document (``sources/html.py
-   html_crawl_shard_bytes``; bytes built and written by executors,
-   never gathered on the driver).  One shard is deliberately
-   truncated, and two extra records carry a brotli-encoded body and a
-   corrupt HTTP message, standing in for the dirty fraction every real
-   crawl carries.
+   (identity/gzip/br/zstd/chunked — round 11 decodes the br/zstd
+   bodies) per document (``sources/html.py html_crawl_shard_bytes``;
+   bytes built and written by executors, never gathered on the
+   driver).  One shard is deliberately truncated, and two extra
+   records carry an LZW-encoded body (the coding that IS still
+   unsupported) and a corrupt HTTP message, standing in for the dirty
+   fraction every real crawl carries.
 2. INGESTION: ``read_warc`` — a ``binaryFile`` scan (one file = one
    task; crawl parallelism is file-count parallelism) fanned out to
    records in one Arrow pass.
@@ -34,6 +35,10 @@ Stages (each is the 100 TB-shaped operator documented in its module):
    (``sources/robots.py audit_robots_compliance``) — disallowed pages
    counted with their deciding rule and excluded (the set a takedown
    pass would retract).
+4d. RECRAWL PLANNING (round 11): a sitemapindex fans out to its child
+   sitemaps (one gzipped, lastmods with fractional seconds), and
+   ``plan_recrawl`` diffs the entries against the held corpus into
+   new / refresh / current / unknown actions.
 5. MODALITY AUDIT: the same documents synthesized as mp4/mp3 payloads
    run through ``containers.audit_payload_parses`` — the row-level
    quarantine router over the container parsers.
@@ -91,15 +96,18 @@ def main() -> None:
 
     H.html_crawl_shard_bytes(docs, n_shards=8).foreachPartition(write_shards)
 
-    # ...one truncated shard, one brotli body, one corrupt HTTP message
-    # — the dirty fraction every real crawl carries
+    # ...one truncated shard, one LZW ('compress') body, one corrupt
+    # HTTP message — the dirty fraction every real crawl carries.
+    # (Round 11: br/zstd now DECODE — the 8 main shards exercise them
+    # via the doc_id % 7 transport variants — so the planted codec
+    # seam uses the one coding that is still genuinely unsupported.)
     good = W.synthesize_warc([("resource", "urn:doc:corrupt", b"oops")])
     with open(os.path.join(crawl_dir, "shard-corrupt.warc.gz"), "wb") as f:
         f.write(good[:-6])  # truncated mid-terminator
-    page = H.synthesize_html(10**9, "unreachable brotli page")
+    page = H.synthesize_html(10**9, "unreachable lzw page")
     dirty = W.synthesize_warc([
         ("response", "http://crawl.test/doc/1000000000",
-         H.synthesize_http_response(page, content_encoding="br")),
+         H.synthesize_http_response(page, content_encoding="compress")),
         ("response", "http://crawl.test/doc/1000000001",
          b"HTTP/1.1 not a real message"),
     ])
@@ -151,8 +159,8 @@ def main() -> None:
     )
 
     # 4. the WET step with record-level quarantine: every response
-    # record classified; br/corrupt are COUNTED with reasons, the ok
-    # rows carry extracted visible text
+    # record classified; unsupported-codec/corrupt are COUNTED with
+    # reasons, the ok rows carry extracted visible text
     http_audit = H.audit_http_extractions(records)
     classes = {
         r["extract_class"]: r["n"]
@@ -160,7 +168,7 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     print("http extraction classes:", json.dumps(classes, sort_keys=True))
-    assert classes.get("unsupported_encoding") == 1  # the brotli record
+    assert classes.get("unsupported_encoding") == 1  # the lzw record
     assert classes.get("corrupt") == 1
     assert classes.get("ok") == n_docs
 
@@ -213,6 +221,60 @@ def main() -> None:
     url_deduped = url_deduped.join(
         disallowed.select("url"), "url", "anti"
     )
+
+    # 4d. RECRAWL PLANNING (round 11): the host publishes a
+    # sitemapindex whose children include a GZIPPED sitemap and
+    # fractional-second lastmods — fan out the index, fan out the
+    # children it names, then diff freshness against what we hold.
+    import gzip as _gzip
+
+    index_xml = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://crawl.test/sitemap-a.xml</loc></sitemap>"
+        "<sitemap><loc>http://crawl.test/sitemap-b.xml.gz</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    child_a = (
+        "<urlset>"
+        "<url><loc>http://crawl.test/doc/0</loc>"
+        "<lastmod>2026-01-01T00:00:00.000Z</lastmod></url>"
+        "<url><loc>http://crawl.test/doc/brand-new</loc></url>"
+        "</urlset>"
+    )
+    child_b_gz = _gzip.compress(
+        b"<urlset><url><loc>http://crawl.test/doc/1</loc>"
+        b"<lastmod>2020-01-01</lastmod></url></urlset>"
+    )
+    idx_rows = RB.sitemap_urls(
+        spark.createDataFrame(
+            [("crawl.test", index_xml)], "host string, sitemap_xml string"
+        )
+    )
+    n_children = idx_rows.count()  # the index names the child maps
+    children = spark.createDataFrame(
+        [("crawl.test", bytearray(child_a.encode())),
+         ("crawl.test", bytearray(child_b_gz))],
+        "host string, sitemap_xml binary",
+    )
+    entries = RB.sitemap_urls(children)
+    held = url_deduped.select(
+        "url", F.lit("2025-06-01 00:00:00").alias("fetched_at")
+    )
+    plan = RB.plan_recrawl(entries.withColumnRenamed("loc", "loc"),
+                           held, fetched_at_col="fetched_at")
+    by_action = {
+        r["action"]: r["n"]
+        for r in plan.groupBy("action").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    print(f"recrawl plan (from {n_children}-child sitemapindex):",
+          sorted(by_action.items()))
+    # doc/0 carries a 2026 fractional lastmod -> refresh; the gzipped
+    # child's doc/1 is older than our fetch -> current; the unlisted
+    # page is new
+    assert by_action.get("new") == 1
+    assert by_action.get("refresh", 0) >= 1
+    assert by_action.get("current", 0) >= 1
 
     recovered = url_deduped.select(
         F.element_at(F.split("url", "/"), -1).cast("long").alias("doc_id"),

@@ -173,7 +173,7 @@ class RobotsMatcher:
         return best[1], best[2]
 
 
-def parse_sitemap(xml_text: str) -> dict:
+def parse_sitemap(xml_text: str | bytes) -> dict:
     """Sitemap XML → ``{kind: 'urlset' | 'sitemapindex', entries:
     [{loc, lastmod}]}`` on stdlib ElementTree — the discovery format
     robots.txt's ``Sitemap:`` lines point at, and the input an
@@ -181,9 +181,26 @@ def parse_sitemap(xml_text: str) -> dict:
     whose ``lastmod`` is newer than what the index ingested).
     Namespace-agnostic (real sitemaps mix the 0.9 namespace, none, or
     vendor ones); structural damage raises ValueError, the package's
-    quarantine-routable contract."""
+    quarantine-routable contract.  Round 11: accepts raw fetched BYTES
+    and gunzips ``sitemap.xml.gz`` payloads (gzip magic sniff) —
+    gzipped sitemaps are the wild-web norm for large sites."""
     import xml.etree.ElementTree as ET
 
+    if isinstance(xml_text, str) and xml_text[:2] == "\x1f\x8b":
+        # a gz payload that travelled through a latin-1 string column
+        xml_text = xml_text.encode("latin-1")
+    if isinstance(xml_text, (bytes, bytearray)):
+        data = bytes(xml_text)
+        if data[:2] == b"\x1f\x8b":
+            import zlib
+
+            try:
+                data = zlib.decompress(data, wbits=zlib.MAX_WBITS | 16)
+            except zlib.error as ex:
+                raise ValueError(
+                    f"corrupt gzipped sitemap: {ex}"
+                ) from None
+        xml_text = data
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError as ex:
@@ -218,14 +235,21 @@ def sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
     rows instead of killing the pass (count them with a direct
     ``parse_sitemap`` audit when needed).  Nested ``sitemapindex``
     entries surface as rows too (their loc is the child sitemap URL —
-    fetching is the crawler's job, not this operator's)."""
+    fetching is the crawler's job, not this operator's).  The xml
+    column may be string OR binary; gzipped payloads
+    (``sitemap.xml.gz``) are sniffed and inflated by
+    ``parse_sitemap``."""
 
     def fan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hosts, locs, mods = [], [], []
             for host, xml in zip(pdf[host_col], pdf[xml_col]):
                 try:
-                    parsed = parse_sitemap(str(xml))
+                    parsed = parse_sitemap(
+                        bytes(xml)
+                        if isinstance(xml, (bytes, bytearray))
+                        else str(xml)
+                    )
                 except ValueError:
                     continue
                 for e in parsed["entries"]:
@@ -269,8 +293,18 @@ def plan_recrawl(
     )
 
     # try_to_timestamp: unparseable lastmod degrades to NULL/'unknown'
-    # instead of an ANSI-mode SparkDateTimeException mid-plan
+    # instead of an ANSI-mode SparkDateTimeException mid-plan.
+    # Round 11: W3C datetime allows fractional seconds
+    # ('2026-01-01T00:00:00.000Z' is ubiquitous CMS output) — those
+    # degraded to 'unknown' before the .SSS patterns joined the
+    # coalesce (round-10 verdict item 6)
     lastmod_ts = F.coalesce(
+        F.try_to_timestamp(
+            F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        ),
+        F.try_to_timestamp(
+            F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")
+        ),
         F.try_to_timestamp(
             F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
         ),

@@ -310,3 +310,101 @@ def test_sitemap_is_transparent_to_agent_run():
     text2 = "User-agent: a\nHost: ex.com\nUser-agent: b\nDisallow: /x\n"
     p2 = R.parse_robots(text2)
     assert p2["groups"][0]["agents"] == ["a", "b"]
+
+
+def test_sitemap_gz_and_fractional_lastmod(spark):
+    """Round-11 coverage: gzipped child sitemaps inflate (string OR
+    binary column), and fractional-second W3C lastmod parses instead
+    of degrading to 'unknown' — both DuckDB-pinned."""
+    import duckdb
+    import gzip
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://ex.com/a</loc>"
+        "<lastmod>2026-01-01T00:00:00.000Z</lastmod></url>"
+        "<url><loc>http://ex.com/b</loc>"
+        "<lastmod>2025-03-04T05:06:07.890+02:00</lastmod></url>"
+        "<url><loc>http://ex.com/c</loc>"
+        "<lastmod>2024-02-03</lastmod></url>"
+        "</urlset>"
+    )
+    gz = gzip.compress(xml.encode())
+    # bytes path (binary column) and parse_sitemap directly
+    assert [e["loc"] for e in R.parse_sitemap(gz)["entries"]] == [
+        "http://ex.com/a", "http://ex.com/b", "http://ex.com/c"
+    ]
+    with pytest.raises(ValueError, match="corrupt gzipped"):
+        R.parse_sitemap(b"\x1f\x8btruncated")
+    df = spark.createDataFrame(
+        [("ex.com", bytearray(gz))], "host string, sitemap_xml binary"
+    )
+    rows = R.sitemap_urls(df).collect()
+    assert len(rows) == 3
+    corpus = spark.createDataFrame(
+        [("http://ex.com/a", "2025-06-01 00:00:00"),
+         ("http://ex.com/b", "2025-06-01 00:00:00"),
+         ("http://ex.com/c", "2025-06-01 00:00:00")],
+        "url string, fetched_at string",
+    )
+    got = {
+        r["loc"]: (r["action"], r["lastmod_ts"])
+        for r in R.plan_recrawl(
+            R.sitemap_urls(df), corpus, fetched_at_col="fetched_at"
+        ).collect()
+    }
+    # DuckDB independently parses the same W3C stamps and applies the
+    # same freshness rule
+    con = duckdb.connect()
+    expected = con.execute(
+        """
+        SELECT loc, CASE WHEN lastmod_ts > fetched THEN 'refresh'
+                         ELSE 'current' END
+        FROM (VALUES
+          ('http://ex.com/a', TIMESTAMPTZ '2026-01-01 00:00:00.000+00'),
+          ('http://ex.com/b', TIMESTAMPTZ '2025-03-04 05:06:07.890+02'),
+          ('http://ex.com/c', TIMESTAMP '2024-02-03')
+        ) t(loc, lastmod_ts), (VALUES (TIMESTAMP '2025-06-01')) f(fetched)
+        """
+    ).fetchall()
+    for loc, action in expected:
+        assert got[loc][0] == action, (loc, got[loc], action)
+    # none degraded to unknown: every lastmod parsed
+    assert all(ts is not None for _a, ts in got.values())
+
+
+def test_sitemapindex_two_hop_fanout(spark):
+    """sitemapindex rows ARE sitemap_urls rows whose locs name child
+    maps — a second sitemap_urls pass over the (fetched) children
+    yields page entries; gz children participate."""
+    import gzip
+
+    index = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://ex.com/s-a.xml</loc></sitemap>"
+        "<sitemap><loc>http://ex.com/s-b.xml.gz</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    hop1 = R.sitemap_urls(
+        spark.createDataFrame(
+            [("ex.com", index)], "host string, sitemap_xml string"
+        )
+    ).collect()
+    assert sorted(r["loc"] for r in hop1) == [
+        "http://ex.com/s-a.xml", "http://ex.com/s-b.xml.gz"
+    ]
+    children = spark.createDataFrame(
+        [
+            ("ex.com", bytearray(
+                b"<urlset><url><loc>http://ex.com/p1</loc></url></urlset>"
+            )),
+            ("ex.com", bytearray(gzip.compress(
+                b"<urlset><url><loc>http://ex.com/p2</loc></url></urlset>"
+            ))),
+        ],
+        "host string, sitemap_xml binary",
+    )
+    hop2 = R.sitemap_urls(children).collect()
+    assert sorted(r["loc"] for r in hop2) == [
+        "http://ex.com/p1", "http://ex.com/p2"
+    ]
