@@ -1029,6 +1029,11 @@ def _multimodal_modality_times(spark, sf_dir: str) -> dict[str, float]:
         "image_jpeg_color": M.binarize_jpeg_color_documents,
         "video_y4m": M.binarize_video_documents,
     }
+    from mapreduce_framework_for_mergesort_spark.sources import (
+        layer3 as L3,
+    )
+
+    chains["audio_mp3_l3"] = L3.binarize_mp3l3_documents
     out = {}
     for name, fn in chains.items():
         ts = []

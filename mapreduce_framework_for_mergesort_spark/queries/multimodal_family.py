@@ -21,6 +21,7 @@ from mapreduce_framework_for_mergesort_spark.io import load_table
 from mapreduce_framework_for_mergesort_spark.operators import dedup as D
 from mapreduce_framework_for_mergesort_spark.queries import query
 from mapreduce_framework_for_mergesort_spark.sources import containers as CT
+from mapreduce_framework_for_mergesort_spark.sources import layer3 as L3
 from mapreduce_framework_for_mergesort_spark.sources import multimodal as M
 
 
@@ -333,11 +334,45 @@ def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                               i -> unicode(substr(text, i, 1))) AS ch
         FROM documents
     )
+    UNION ALL
+    SELECT doc_id,
+           'mp3' AS modality,
+           -- one 288-byte Layer III profile frame per document
+           CAST(288 AS BIGINT) AS n_bytes,
+           -- the tone-placement closed form (sources/layer3.py
+           -- tone_bins_for_text): bin_i = 18*i + 8 + (ch_i % 2) for
+           -- i = 1..min(4, len), negative iff ch_i odd, gain 210;
+           -- features [n_frames, n_nonzero, max_bin, sum_bins,
+           -- n_negative, global_gain, 1000*energy, active_subbands]
+           -- come back through the REAL count1-Huffman / requantize /
+           -- alias / IMDCT chain
+           array_to_string([
+               1,
+               n,
+               CASE WHEN n = 0 THEN 0
+                    ELSE 18 * n + 8 + (ch[CAST(n AS INT)] % 2) END,
+               CASE WHEN n = 0 THEN 0
+                    ELSE CAST(list_sum(list_transform(range(1, n + 1),
+                         i -> 18 * i + 8 + (ch[CAST(i AS INT)] % 2)))
+                         AS BIGINT) END,
+               CAST(len(list_filter(ch[1:CAST(n AS INT)],
+                                    c -> c % 2 = 1)) AS BIGINT),
+               210,
+               1000 * n,
+               n
+           ], ',') AS feature_csv
+    FROM (
+        SELECT doc_id, text,
+               CAST(least(length(text), 4) AS BIGINT) AS n,
+               list_transform(range(1, strlen(text) + 1),
+                              i -> unicode(substr(text, i, 1))) AS ch
+        FROM documents
+    )
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode → fixed-width feature vectors,
-    over NINE branches: the closed-form text featurizer, a real
+    over TEN branches: the closed-form text featurizer, a real
     stdlib WAV/PCM audio parse, a real ISO-BMFF mp4 parse whose PCM
     decode runs through the full stts/stsc/stsz/stco sample-table
     resolution (round 9, ``sources/containers.py`` — the feature
@@ -350,7 +385,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     zlib PNG parse, real baseline-JFIF JPEG parses in BOTH greyscale
     and YCbCr color (Huffman + IDCT + the pinned floor(x+0.5) JFIF
     RGB conversion — round 7), and a real YUV4MPEG2 grayscale video
-    parse (payloads
+    parse, and (round 11) a REAL MPEG-1 Layer III spectral decode over
+    the tone profile — count1-table-B Huffman, requantization, alias
+    reduction, IMDCT to subband samples (``sources/layer3.py``; the
+    big-values tables and polyphase window stay the loud data seam)
+    (payloads
     synthesized from the same text bytes, so the oracle recomputes
     every branch from source — the n_bytes checks even pin the 44-byte
     RIFF header, the 54-byte BMP header + 4-aligned bottom-up rows,
@@ -381,6 +420,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(M.binarize_jpeg_documents(reps))
         .unionByName(M.binarize_jpeg_color_documents(reps))
         .unionByName(M.binarize_video_documents(reps))
+        # round 11: the TENTH branch — Layer III spectral decode over
+        # the tone profile (sources/layer3.py); features ride the
+        # real count1-Huffman → requantize → alias → IMDCT chain and
+        # the oracle recomputes them from the tone-placement closed
+        # form
+        .unionByName(L3.binarize_mp3l3_documents(reps))
     )
     feats = M.extract_features(b).select(
         F.col("doc_id").alias("__rep"),

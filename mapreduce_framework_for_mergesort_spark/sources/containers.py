@@ -1160,13 +1160,19 @@ def mp3_frames(payload: bytes) -> list[bytes]:
 
 
 def decode_mp3(payload: bytes) -> list[float]:
-    """The honest codec seam: Layer-III entropy decode (Huffman +
-    scalefactors + IMDCT + polyphase filterbank) needs a real audio
-    library.  The CONTAINER layer — ``parse_mp3``/``mp3_frames`` — is
-    implemented above and real."""
+    """The honest codec seam, NARROWED in round 11: the spectral
+    layers (side info, count1 Huffman table B, requantization, alias
+    reduction, IMDCT to subband samples) are implemented for real in
+    ``sources/layer3.py`` over its documented profile; what still
+    needs absent spec DATA is the big-values Huffman tables, the
+    scalefactor band widths, and the 512-coefficient polyphase window
+    — so full general-input PCM remains this loud error.  The
+    CONTAINER layer — ``parse_mp3``/``mp3_frames`` — is implemented
+    above and real."""
     raise NotImplementedError(
-        "mp3 PCM decode requires codec libraries not present in this "
-        "environment (frame metadata and spans are available via "
+        "general mp3 PCM decode requires spec data tables not present "
+        "in this environment (spectral/profile decode: "
+        "sources/layer3.py; frame metadata and spans: "
         "parse_mp3/describe_containers)"
     )
 

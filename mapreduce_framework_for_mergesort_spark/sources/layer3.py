@@ -1,0 +1,491 @@
+"""MPEG-1 Layer III SPECTRAL decode (round 11) — the mp3 codec seam,
+narrowed from "everything past the frame walk" to "the data tables the
+spec publishes but this offline build cannot reproduce".
+
+Round 9/10 implemented the mp3 CONTAINER layer for real
+(``sources/containers.py parse_mp3``: frame-sync walk, bitrate/
+samplerate tables, ID3v2) and left ``decode_mp3`` a loud
+NotImplementedError.  This module implements the CODEC layers that are
+ARITHMETIC in ISO/IEC 11172-3:
+
+* side-info parse (mono MPEG-1): main_data_begin, scfsi, and per
+  granule part2_3_length / big_values / global_gain /
+  scalefac_compress (slen1/slen2 table) / window switching /
+  table_select / region counts / preflag / scalefac_scale /
+  count1table_select;
+* count1-region Huffman decode with table B — the one FIXED code in
+  the Layer III suite (every quadruple is 4 bits + sign bits), so it
+  needs no external table data;
+* requantization: ``xr = sign · |v|^(4/3) · 2^((global_gain-210)/4)``;
+* alias reduction (the 8 butterfly coefficients are in §2.4.3.4.7.1
+  and are reproduced here);
+* the long-block IMDCT with its closed-form ``sin`` window, granule
+  overlap-add, and frequency inversion — output is SUBBAND-domain
+  samples (32 subbands × 18 per granule).
+
+What stays a loud seam, and why (``Mp3DataGap``):
+
+* the 32 big-values Huffman tables and count1 table A — hundreds of
+  tabulated codewords; unlike brotli's dictionary (extracted from the
+  Arrow-bundled library and SHA-pinned), no mp3 implementation exists
+  in this container to extract them from;
+* scalefactor APPLICATION — the per-samplerate scalefactor band
+  widths are tabulated data (parsing the scalefactor BITS is
+  arithmetic and implemented; any nonzero scalefactor gaps);
+* the final polyphase synthesis to PCM — the 512-coefficient window D
+  (Annex B Table 3-B.3) is tabulated data, so the decode chain stops
+  one matrixing short of PCM.
+
+The supported PROFILE is therefore: mono, long blocks,
+``big_values = 0``, count1 table B, zero scalefactors, no bit
+reservoir — which can still place ``±1`` spectral values at arbitrary
+count1-region bins with ``global_gain`` amplitude control, i.e. real
+tones through the real bitstream.  ``encode_tone_frame`` emits exactly
+this profile, and the ``mp3`` branch of ``q_multimodal_features``
+oracle-pins the decode against a closed form of the synthesis
+parameters (the JPEG flat-block pattern).  HONESTY NOTE: no reference
+mp3 decoder exists in this environment, so two bit-level conventions
+are taken from the spec text and pinned by the encode/decode pair
+rather than cross-validated: count1 table B codes a quadruple as its
+four INVERTED bits (v first), and a sign bit of 1 means negative.
+Both are isolated in ``_CNT1B_*`` so a future round with a reference
+decoder can flip them in one place.
+
+Reference parity note: the reference engine (``/root/reference``) has
+no media layer; this is part of the multimodal curation surface the
+brief layers on top.
+"""
+
+from __future__ import annotations
+
+import math
+
+# ---------------------------------------------------------------------------
+# errors
+# ---------------------------------------------------------------------------
+
+
+class Mp3Error(ValueError):
+    """Malformed Layer III bitstream."""
+
+
+class Mp3DataGap(NotImplementedError):
+    """The frame needs spec DATA tables this build cannot reproduce
+    (big-values Huffman tables, count1 table A, scalefactor band
+    widths, the polyphase window)."""
+
+
+# ---------------------------------------------------------------------------
+# spec tables that are arithmetic / small enough to be in the text
+# ---------------------------------------------------------------------------
+
+#: slen1/slen2 by scalefac_compress (§2.4.2.7).
+_SLEN1 = (0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+_SLEN2 = (0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+#: Alias-reduction coefficients ci (§2.4.3.4.7.1).
+_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+_CS = tuple(1.0 / math.sqrt(1.0 + c * c) for c in _CI)
+_CA = tuple(c / math.sqrt(1.0 + c * c) for c in _CI)
+
+#: The fixed frame this module's profile uses: MPEG-1 Layer III,
+#: 64 kbit/s, 32 kHz, mono, no CRC, no padding → 288-byte frames
+#: (shared with ``containers.synthesize_mp3``'s header constant).
+PROFILE_HEADER = bytes([0xFF, 0xFB, 0x58, 0xC4])
+PROFILE_FRAME_LEN = 288
+_SIDE_INFO_BYTES = 17  # mono MPEG-1
+
+#: count1 table B conventions (see module docstring honesty note).
+_CNT1B_INVERTED = True   # codeword = bitwise NOT of (v, w, x, y)
+_CNT1B_NEG_SIGN = 1      # sign bit value meaning "negative"
+
+
+# ---------------------------------------------------------------------------
+# MSB-first bit IO (mp3 bit order, opposite of brotli's)
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0) -> None:
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        p = self.pos
+        if p + n > len(self.data) * 8:
+            raise Mp3Error("truncated Layer III bitstream")
+        for _ in range(n):
+            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+
+class _BitWriter:
+    __slots__ = ("bits",)
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def to_bytes(self, pad_to: int | None = None) -> bytes:
+        bits = self.bits[:]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        if pad_to is not None:
+            if len(out) > pad_to:
+                raise Mp3Error("profile frame overflow")
+            out += bytes(pad_to - len(out))
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# side info
+# ---------------------------------------------------------------------------
+
+
+def parse_side_info(frame: bytes) -> dict:
+    """Mono MPEG-1 side info (17 bytes after the 4-byte header) →
+    field dict with a 2-entry ``granules`` list.  Pure arithmetic —
+    works on ANY mono MPEG-1 Layer III frame, not just the profile."""
+    if len(frame) < 4 + _SIDE_INFO_BYTES:
+        raise Mp3Error("frame shorter than header + mono side info")
+    if frame[0] != 0xFF or (frame[1] & 0xE0) != 0xE0:
+        raise Mp3Error("no frame sync")
+    if (frame[1] >> 3) & 3 != 3 or (frame[1] >> 1) & 3 != 1:
+        raise Mp3DataGap("only MPEG-1 Layer III is implemented")
+    if (frame[3] >> 6) & 3 != 3:
+        raise Mp3DataGap(
+            "stereo modes need the intensity/MS tables; profile is mono"
+        )
+    crc_skip = 0 if (frame[1] & 1) else 2  # protection_bit 0 → CRC-16
+    br = _BitReader(frame, (4 + crc_skip) * 8)
+    out = {
+        "main_data_begin": br.read(9),
+        "private_bits": br.read(5),
+        "scfsi": br.read(4),
+        "granules": [],
+        "main_data_offset_bits": 0,
+    }
+    for _g in range(2):
+        g = {
+            "part2_3_length": br.read(12),
+            "big_values": br.read(9),
+            "global_gain": br.read(8),
+            "scalefac_compress": br.read(4),
+            "windows_switching_flag": br.read(1),
+        }
+        if g["windows_switching_flag"]:
+            g["block_type"] = br.read(2)
+            g["mixed_block_flag"] = br.read(1)
+            g["table_select"] = [br.read(5) for _ in range(2)]
+            g["subblock_gain"] = [br.read(3) for _ in range(3)]
+        else:
+            g["table_select"] = [br.read(5) for _ in range(3)]
+            g["region0_count"] = br.read(4)
+            g["region1_count"] = br.read(3)
+        g["preflag"] = br.read(1)
+        g["scalefac_scale"] = br.read(1)
+        g["count1table_select"] = br.read(1)
+        out["granules"].append(g)
+    out["main_data_offset_bits"] = br.pos
+    return out
+
+
+# ---------------------------------------------------------------------------
+# profile decode: count1 huffman → requantize → alias → IMDCT
+# ---------------------------------------------------------------------------
+
+
+def decode_frame_spectrum(frame: bytes) -> list[list[float]]:
+    """One profile frame → two granules of 576 requantized spectral
+    values.  Raises ``Mp3DataGap`` (loud, countable) the moment the
+    frame needs an absent data table; ``Mp3Error`` on damage."""
+    si = parse_side_info(frame)
+    if si["main_data_begin"] != 0:
+        raise Mp3DataGap(
+            "bit-reservoir frames (main_data_begin != 0) are outside "
+            "the profile"
+        )
+    br = _BitReader(frame, si["main_data_offset_bits"])
+    granules = []
+    for g in si["granules"]:
+        if g["windows_switching_flag"]:
+            raise Mp3DataGap("short/mixed blocks are outside the profile")
+        if g["big_values"] != 0:
+            raise Mp3DataGap(
+                "big-values region needs Huffman tables 1-31 (spec "
+                "data not present in this build)"
+            )
+        start = br.pos
+        # part2: scalefactor bits.  slen arithmetic is implemented;
+        # APPLYING a nonzero scalefactor needs the band-width tables.
+        slen1 = _SLEN1[g["scalefac_compress"]]
+        slen2 = _SLEN2[g["scalefac_compress"]]
+        for _ in range(11):
+            if br.read(slen1) if slen1 else 0:
+                raise Mp3DataGap(
+                    "nonzero scalefactors need the band-width tables"
+                )
+        for _ in range(10):
+            if br.read(slen2) if slen2 else 0:
+                raise Mp3DataGap(
+                    "nonzero scalefactors need the band-width tables"
+                )
+        if g["count1table_select"] != 1:
+            raise Mp3DataGap(
+                "count1 table A is tabulated spec data; profile uses "
+                "the fixed table B"
+            )
+        xr = [0.0] * 576
+        amp = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+        pos = 0
+        while br.pos - start < g["part2_3_length"] and pos <= 572:
+            code = br.read(4)
+            quad = (~code & 0xF) if _CNT1B_INVERTED else code
+            for j in range(4):  # v, w, x, y — MSB first
+                if (quad >> (3 - j)) & 1:
+                    sign = br.read(1)
+                    xr[pos + j] = (
+                        -amp if sign == _CNT1B_NEG_SIGN else amp
+                    )
+            pos += 4
+        if br.pos - start != g["part2_3_length"]:
+            raise Mp3Error("part2_3_length does not delimit whole quads")
+        granules.append(xr)
+    return granules
+
+
+def _alias_reduce(xr: list[float]) -> list[float]:
+    out = xr[:]
+    for sb in range(1, 32):
+        for i in range(8):
+            a = out[18 * sb - 1 - i]
+            b = out[18 * sb + i]
+            out[18 * sb - 1 - i] = a * _CS[i] - b * _CA[i]
+            out[18 * sb + i] = b * _CS[i] + a * _CA[i]
+    return out
+
+
+def _imdct_long(block18: list[float]) -> list[float]:
+    n = 36
+    return [
+        sum(
+            block18[k]
+            * math.cos(math.pi / (2 * n) * (2 * i + 1 + n // 2) * (2 * k + 1))
+            for k in range(18)
+        )
+        for i in range(n)
+    ]
+
+
+_WIN_LONG = [math.sin(math.pi / 36 * (i + 0.5)) for i in range(36)]
+
+
+def spectrum_to_subbands(
+    granules: list[list[float]],
+    overlap: list[list[float]] | None = None,
+) -> tuple[list[list[list[float]]], list[list[float]]]:
+    """Requantized spectra → subband-domain samples: alias reduction,
+    windowed long-block IMDCT, overlap-add, frequency inversion.
+    Returns ``(per_granule[32][18], carry_overlap[32][18])`` — the
+    carry feeds the next frame's first granule.  This is everything
+    before the polyphase matrixing (the D-window data seam)."""
+    if overlap is None:
+        overlap = [[0.0] * 18 for _ in range(32)]
+    result = []
+    for xr in granules:
+        xa = _alias_reduce(xr)
+        gran_out = []
+        new_overlap = []
+        for sb in range(32):
+            block = xa[18 * sb:18 * (sb + 1)]
+            t = _imdct_long(block)
+            t = [t[i] * _WIN_LONG[i] for i in range(36)]
+            first = [t[i] + overlap[sb][i] for i in range(18)]
+            carry = t[18:]
+            if sb % 2 == 1:  # frequency inversion on odd subbands
+                first = [
+                    -v if i % 2 == 1 else v for i, v in enumerate(first)
+                ]
+                # NOTE: inversion applies to the OUTPUT samples; the
+                # carry is inverted when consumed next granule, so we
+                # store it raw and invert on read — achieved by
+                # inverting both here for a consistent self-pair
+                carry = [
+                    -v if i % 2 == 0 else v for i, v in enumerate(carry)
+                ]
+            gran_out.append(first)
+            new_overlap.append(carry)
+        overlap = new_overlap
+        result.append(gran_out)
+    return result, overlap
+
+
+# ---------------------------------------------------------------------------
+# profile encoder (the fixture side of the closed-form pin)
+# ---------------------------------------------------------------------------
+
+
+def encode_tone_frame(
+    bins: list[tuple[int, int]], global_gain: int = 210
+) -> bytes:
+    """One profile frame carrying ``±1`` at the given spectral bins in
+    BOTH granules: ``bins`` is [(bin_index, sign)] with sign ∈ {+1,-1},
+    bin_index < 576.  Everything else zero.  The exact inverse of
+    ``decode_frame_spectrum`` under the module's pinned conventions."""
+    bins = sorted(bins)
+    if bins and (bins[0][0] < 0 or bins[-1][0] > 575):
+        raise Mp3Error("bin index out of range")
+    if len({b for b, _s in bins}) != len(bins):
+        raise Mp3Error("duplicate bin")
+    # main data bits for one granule
+    md = _BitWriter()
+    by_quad: dict[int, list[tuple[int, int]]] = {}
+    for b, s in bins:
+        by_quad.setdefault(b // 4, []).append((b % 4, s))
+    n_quads = (max(by_quad) + 1) if by_quad else 0
+    for q in range(n_quads):
+        present = dict(by_quad.get(q, []))
+        quad = 0
+        for j in range(4):
+            quad = (quad << 1) | (1 if j in present else 0)
+        md.write((~quad & 0xF) if _CNT1B_INVERTED else quad, 4)
+        for j in range(4):
+            if j in present:
+                md.write(
+                    _CNT1B_NEG_SIGN if present[j] < 0 else
+                    1 - _CNT1B_NEG_SIGN,
+                    1,
+                )
+    granule_bits = len(md.bits)
+
+    si = _BitWriter()
+    si.write(0, 9)   # main_data_begin
+    si.write(0, 5)   # private_bits (mono)
+    si.write(0, 4)   # scfsi
+    for _g in range(2):
+        si.write(granule_bits, 12)  # part2_3_length (no scalefac bits)
+        si.write(0, 9)   # big_values
+        si.write(global_gain, 8)
+        si.write(0, 4)   # scalefac_compress
+        si.write(0, 1)   # windows_switching_flag
+        si.write(0, 15)  # table_select x3 (unused: big_values = 0)
+        si.write(0, 4)   # region0_count
+        si.write(0, 3)   # region1_count
+        si.write(0, 1)   # preflag
+        si.write(0, 1)   # scalefac_scale
+        si.write(1, 1)   # count1table_select = table B
+    main = _BitWriter()
+    main.bits = md.bits + md.bits  # same spectrum in both granules
+    frame = (
+        PROFILE_HEADER
+        + si.to_bytes(pad_to=_SIDE_INFO_BYTES)
+        + main.to_bytes(pad_to=PROFILE_FRAME_LEN - 4 - _SIDE_INFO_BYTES)
+    )
+    assert len(frame) == PROFILE_FRAME_LEN
+    return frame
+
+
+# ---------------------------------------------------------------------------
+# the feature kernel the multimodal key rides
+# ---------------------------------------------------------------------------
+
+
+def tone_bins_for_text(text: str) -> list[tuple[int, int]]:
+    """Deterministic text → spectral placement, replicable in SQL:
+    for the first ``min(4, len)`` characters, bin ``18·i + 8 +
+    (ch_i % 2)`` (one bin per subband i, at in-subband offsets 8/9 —
+    the two positions alias butterflies never touch, so subband
+    activity stays closed-form), negative iff ``ch_i`` is odd."""
+    out = []
+    for i in range(1, min(4, len(text)) + 1):
+        ch = ord(text[i - 1])
+        out.append((18 * i + 8 + (ch % 2), -1 if ch % 2 else 1))
+    return out
+
+
+def synthesize_mp3_l3(text: str) -> bytes:
+    """Fixture payload: ONE profile frame of the text's tone placement
+    (global_gain 210 → unit amplitudes)."""
+    return encode_tone_frame(tone_bins_for_text(text))
+
+
+def decode_mp3_l3_features(payload: bytes) -> list[float]:
+    """Decode the first profile frame and featurize through the REAL
+    chain — count1 Huffman, requantize, alias, IMDCT: [n_frames,
+    n_nonzero, max_bin, sum_bins, n_negative, global_gain,
+    energy_milli, n_active_subbands], all integral by construction."""
+    if len(payload) < PROFILE_FRAME_LEN:
+        raise Mp3Error("payload shorter than one profile frame")
+    frame = payload[:PROFILE_FRAME_LEN]
+    si = parse_side_info(frame)
+    granules = decode_frame_spectrum(frame)
+    xr = granules[0]
+    if granules[1] != xr:
+        raise Mp3Error("profile frames carry equal granules")
+    nz = [i for i, v in enumerate(xr) if v != 0.0]
+    subbands, _carry = spectrum_to_subbands(granules)
+    active = sum(
+        1
+        for sb in range(32)
+        if any(abs(s) > 1e-9 for s in subbands[0][sb])
+    )
+    energy = sum(v * v for v in xr)
+    return [
+        1.0,
+        float(len(nz)),
+        float(max(nz) if nz else 0),
+        float(sum(nz)),
+        float(sum(1 for i in nz if xr[i] < 0)),
+        float(si["granules"][0]["global_gain"]),
+        float(round(1000 * energy)),
+        float(active),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing (the features-key branch)
+# ---------------------------------------------------------------------------
+
+
+def binarize_mp3l3_documents(documents):
+    """Documents → profile mp3 payloads (one 288-byte Layer III frame
+    carrying the text's tone placement) via Arrow ``mapInPandas`` —
+    same ingestion shape as every other modality branch."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def synth(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            payloads = [synthesize_mp3_l3(str(t)) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "mp3",
+                    "payload": payloads,
+                    "meta_mime": "audio/mpeg",
+                    "meta_n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    from mapreduce_framework_for_mergesort_spark.sources.multimodal import (
+        MODALITY_SCHEMA,
+    )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        synth, MODALITY_SCHEMA
+    )

@@ -2255,11 +2255,15 @@ def decode_stub(payload: bytes, modality: str) -> list[float]:
 
         return decode_mp4(payload)
     if modality == "mp3":
-        from mapreduce_framework_for_mergesort_spark.sources.containers import (
-            decode_mp3,
+        # round 11: Layer III SPECTRAL decode over the profile
+        # (count1 table B + requantize + alias + IMDCT; the polyphase
+        # window / big-values tables remain the loud data seam —
+        # sources/layer3.py docstring)
+        from mapreduce_framework_for_mergesort_spark.sources.layer3 import (
+            decode_mp3_l3_features,
         )
 
-        return decode_mp3(payload)  # always the loud Layer-III seam
+        return decode_mp3_l3_features(payload)
     raise NotImplementedError(
         f"decoder for modality {modality!r} requires codec libraries "
         "(decord/ffmpeg) not present in this environment"
