@@ -541,6 +541,13 @@ def decode_brotli(data: bytes, max_output: int = 1 << 30) -> bytes:
     window = (1 << wbits) - 16
     out = bytearray()
     dictionary = None  # lazy
+    # STREAM state, not meta-block state (found by differential fuzz
+    # vs the Arrow codec: a multi-meta-block level-2 stream reused a
+    # distance from the previous meta-block through a short code) —
+    # the ring persists across meta-blocks exactly like the p1/p2
+    # literal context bytes do
+    dist_rb = [16, 15, 11, 4]
+    dist_rb_idx = 0  # slot of NEXT write; newest is idx-1
 
     islast = False
     while not islast:
@@ -592,9 +599,6 @@ def decode_brotli(data: bytes, max_output: int = 1 << 30) -> bytes:
         dist_codes = [
             _read_prefix_code(br, dist_alphabet) for _ in range(ntrees_d)
         ]
-
-        dist_rb = [16, 15, 11, 4]
-        dist_rb_idx = 0  # points at slot of NEXT write; newest is idx-1
 
         mpos = 0
         while mpos < mlen:

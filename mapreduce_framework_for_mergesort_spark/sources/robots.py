@@ -187,8 +187,15 @@ def parse_sitemap(xml_text: str | bytes) -> dict:
     import xml.etree.ElementTree as ET
 
     if isinstance(xml_text, str) and xml_text[:2] == "\x1f\x8b":
-        # a gz payload that travelled through a latin-1 string column
-        xml_text = xml_text.encode("latin-1")
+        # a gz payload that travelled through a latin-1 string column;
+        # bytes a UTF-8 string column mangled past latin-1 raise the
+        # quarantine-routable class, never a bare UnicodeEncodeError
+        try:
+            xml_text = xml_text.encode("latin-1")
+        except UnicodeEncodeError as ex:
+            raise ValueError(
+                f"gz sitemap bytes mangled by a string column: {ex}"
+            ) from None
     if isinstance(xml_text, (bytes, bytearray)):
         data = bytes(xml_text)
         if data[:2] == b"\x1f\x8b":

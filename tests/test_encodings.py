@@ -152,3 +152,31 @@ def test_http_chain_and_warc_integration():
     # corrupt br classifies as ValueError (structural damage)
     with pytest.raises(ValueError):
         W._decode_http_body({"content-encoding": "br"}, b"\xff\xffjunk")
+
+
+def test_differential_fuzz_vs_arrow_multi_metablock():
+    """Seeded differential fuzz vs the Arrow codec over content shapes
+    that produce MULTI-meta-block streams — this exact test caught the
+    round-11 bug where the distance ring buffer was reset per
+    meta-block instead of persisting as stream state (a level-2 stream
+    reused a prior meta-block's distance through a short code)."""
+    words = [b"the", b"data", b"pipeline", b"spark", b"row", b" ", b"\n"]
+    for seed in (3, 7, 11, 19, 26):
+        rng = random.Random(seed)
+        parts = []
+        for _ in range(rng.randrange(1, 30)):
+            if rng.random() < 0.5:
+                parts.append(
+                    bytes(rng.randrange(256)
+                          for _ in range(rng.randrange(5000)))
+                )
+            else:
+                parts.append(rng.choice(words) * rng.randrange(1000))
+        data = b"".join(parts)
+        for lvl in (1, 2, 6, 11):
+            comp = _compress(data, lvl)
+            try:
+                out = E.decode_brotli(comp, max_output=1 << 28)
+            except E.BrotliDataGap:
+                continue
+            assert out == data, (seed, lvl, len(data))
