@@ -219,6 +219,14 @@ def decode_frame_spectrum(frame: bytes) -> list[list[float]]:
             "bit-reservoir frames (main_data_begin != 0) are outside "
             "the profile"
         )
+    if si["scfsi"] != 0 and any(
+        _SLEN1[g["scalefac_compress"]] or _SLEN2[g["scalefac_compress"]]
+        for g in si["granules"]
+    ):
+        # shared scalefactors change which granule-1 bits exist in the
+        # stream; combined with nonzero slen that is outside the
+        # profile's parse (review pass 2 — gap instead of misparsing)
+        raise Mp3DataGap("scfsi-shared scalefactors are outside the profile")
     br = _BitReader(frame, si["main_data_offset_bits"])
     granules = []
     for g in si["granules"]:
@@ -316,16 +324,16 @@ def spectrum_to_subbands(
             t = [t[i] * _WIN_LONG[i] for i in range(36)]
             first = [t[i] + overlap[sb][i] for i in range(18)]
             carry = t[18:]
-            if sb % 2 == 1:  # frequency inversion on odd subbands
+            if sb % 2 == 1:
+                # frequency inversion applies to the FINAL subband
+                # samples (post-overlap-add); the carry is stored RAW
+                # — inverting it too corrupted even positions of odd
+                # subbands across granule boundaries (round-11 review
+                # pass 2; parity is seamless across granules because
+                # 18 is even, so per-granule odd-index inversion is
+                # the continuous-time rule)
                 first = [
                     -v if i % 2 == 1 else v for i, v in enumerate(first)
-                ]
-                # NOTE: inversion applies to the OUTPUT samples; the
-                # carry is inverted when consumed next granule, so we
-                # store it raw and invert on read — achieved by
-                # inverting both here for a consistent self-pair
-                carry = [
-                    -v if i % 2 == 0 else v for i, v in enumerate(carry)
                 ]
             gran_out.append(first)
             new_overlap.append(carry)

@@ -198,3 +198,45 @@ def test_math_constants_match_spec_arithmetic():
     assert len(L._SLEN1) == len(L._SLEN2) == 16
     assert L._SLEN1[0] == L._SLEN2[0] == 0
     assert max(L._SLEN1) == 4 and max(L._SLEN2) == 3
+
+
+def test_two_granule_chain_vs_numpy_replica():
+    """The carry path with frequency inversion, against a replica that
+    computes the CONTINUOUS time chain (overlap-add first, inversion
+    on the final samples) — the convention review pass 2 pinned."""
+    import numpy as np
+
+    rng = random.Random(23)
+    g0 = [0.0] * 576
+    g1 = [0.0] * 576
+    for _ in range(30):
+        g0[rng.randrange(576)] = rng.uniform(-2, 2)
+        g1[rng.randrange(576)] = rng.uniform(-2, 2)
+    got, _ = L.spectrum_to_subbands([g0, g1])
+
+    def alias(x):
+        x = np.array(x, dtype=float)
+        cs, ca = np.array(L._CS), np.array(L._CA)
+        for sb in range(1, 32):
+            lo = x[18 * sb - 1 - np.arange(8)].copy()
+            hi = x[18 * sb + np.arange(8)].copy()
+            x[18 * sb - 1 - np.arange(8)] = lo * cs - hi * ca
+            x[18 * sb + np.arange(8)] = hi * cs + lo * ca
+        return x
+
+    n = 36
+    i = np.arange(36)
+    k = np.arange(18)
+    cosm = np.cos(np.pi / (2 * n) * np.outer(2 * i + 1 + n // 2, 2 * k + 1))
+    win = np.sin(np.pi / 36 * (i + 0.5))
+    xa0, xa1 = alias(g0), alias(g1)
+    for sb in range(32):
+        t0 = (cosm @ xa0[18 * sb:18 * (sb + 1)]) * win
+        t1 = (cosm @ xa1[18 * sb:18 * (sb + 1)]) * win
+        s0 = t0[:18].copy()
+        s1 = t1[:18] + t0[18:]  # overlap-add FIRST
+        if sb % 2 == 1:
+            s0[1::2] *= -1  # inversion on the FINAL samples
+            s1[1::2] *= -1
+        assert np.allclose(got[0][sb], s0, atol=1e-12), sb
+        assert np.allclose(got[1][sb], s1, atol=1e-12), sb
