@@ -710,7 +710,9 @@ def test_mp3_corruption_is_loud():
     bad[6] = 0x80  # non-synchsafe ID3 size byte
     with pytest.raises(ValueError, match="synchsafe"):
         C.parse_mp3(bytes(bad))
-    with pytest.raises(NotImplementedError, match="Layer-III|codec"):
+    # round 11: general-input PCM decode remains loud (the spectral
+    # profile decode lives in sources/layer3.py)
+    with pytest.raises(NotImplementedError, match="spec data"):
         C.decode_mp3(m)
 
 
@@ -916,7 +918,14 @@ def test_dispatch_through_modality_stubs():
     assert M.decode_stub(C.synthesize_mp4(data), "mp4") == M.decode_wav(
         M.synthesize_wav(data)
     )
-    with pytest.raises(NotImplementedError):
+    # round 11: the mp3 dispatch decodes Layer III profile payloads
+    # (sources/layer3.py); a text-stuffed container frame is neither a
+    # profile frame nor silent — it raises loudly
+    from mapreduce_framework_for_mergesort_spark.sources import layer3 as L3
+
+    assert M.decode_stub(L3.synthesize_mp3_l3("dispatch check"), "mp3") == \
+        L3.decode_mp3_l3_features(L3.synthesize_mp3_l3("dispatch check"))
+    with pytest.raises((ValueError, NotImplementedError)):
         M.decode_stub(C.synthesize_mp3(data), "mp3")
     assert len(M.frame_stub(C.synthesize_mp4(data), "mp4")) == 1
     assert len(M.frame_stub(C.synthesize_mp3(data), "mp3")) == 1
