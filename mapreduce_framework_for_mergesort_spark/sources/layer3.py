@@ -59,6 +59,7 @@ brief layers on top.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 # ---------------------------------------------------------------------------
 # errors
@@ -276,30 +277,24 @@ def decode_frame_spectrum(frame: bytes) -> list[list[float]]:
     return granules
 
 
-def _alias_reduce(xr: list[float]) -> list[float]:
-    out = xr[:]
-    for sb in range(1, 32):
-        for i in range(8):
-            a = out[18 * sb - 1 - i]
-            b = out[18 * sb + i]
-            out[18 * sb - 1 - i] = a * _CS[i] - b * _CA[i]
-            out[18 * sb + i] = b * _CS[i] + a * _CA[i]
-    return out
-
-
-def _imdct_long(block18: list[float]) -> list[float]:
-    n = 36
-    return [
-        sum(
-            block18[k]
-            * math.cos(math.pi / (2 * n) * (2 * i + 1 + n // 2) * (2 * k + 1))
-            for k in range(18)
-        )
-        for i in range(n)
-    ]
-
-
 _WIN_LONG = [math.sin(math.pi / 36 * (i + 0.5)) for i in range(36)]
+
+
+@lru_cache(maxsize=1)
+def _imdct_matrices():
+    """(windowed 36×18 IMDCT matrix, cs, ca) as numpy arrays —
+    computed once; the per-payload chain is then three matmuls, which
+    is what keeps the mp3 features branch Arrow-batch-cheap (the
+    pure-Python cos loop cost ~15 ms/payload and blew the multimodal
+    key up 19× at sf0.1 — caught by the round-11 scale sweep)."""
+    import numpy as np
+
+    n = 36
+    i = np.arange(n)[:, None]
+    k = np.arange(18)[None, :]
+    cosm = np.cos(np.pi / (2 * n) * (2 * i + 1 + n // 2) * (2 * k + 1))
+    cosm *= np.array(_WIN_LONG)[:, None]
+    return cosm, np.array(_CS), np.array(_CA)
 
 
 def spectrum_to_subbands(
@@ -310,36 +305,38 @@ def spectrum_to_subbands(
     windowed long-block IMDCT, overlap-add, frequency inversion.
     Returns ``(per_granule[32][18], carry_overlap[32][18])`` — the
     carry feeds the next frame's first granule.  This is everything
-    before the polyphase matrixing (the D-window data seam)."""
-    if overlap is None:
-        overlap = [[0.0] * 18 for _ in range(32)]
+    before the polyphase matrixing (the D-window data seam).
+    Vectorized: alias butterflies and the 32 IMDCTs are numpy slice
+    ops and ONE (36×18)@(18×32) matmul per granule."""
+    import numpy as np
+
+    cosm, cs, ca = _imdct_matrices()
+    ov = np.array(
+        overlap if overlap is not None else [[0.0] * 18] * 32
+    ).T  # (18, 32)
     result = []
     for xr in granules:
-        xa = _alias_reduce(xr)
-        gran_out = []
-        new_overlap = []
-        for sb in range(32):
-            block = xa[18 * sb:18 * (sb + 1)]
-            t = _imdct_long(block)
-            t = [t[i] * _WIN_LONG[i] for i in range(36)]
-            first = [t[i] + overlap[sb][i] for i in range(18)]
-            carry = t[18:]
-            if sb % 2 == 1:
-                # frequency inversion applies to the FINAL subband
-                # samples (post-overlap-add); the carry is stored RAW
-                # — inverting it too corrupted even positions of odd
-                # subbands across granule boundaries (round-11 review
-                # pass 2; parity is seamless across granules because
-                # 18 is even, so per-granule odd-index inversion is
-                # the continuous-time rule)
-                first = [
-                    -v if i % 2 == 1 else v for i, v in enumerate(first)
-                ]
-            gran_out.append(first)
-            new_overlap.append(carry)
-        overlap = new_overlap
-        result.append(gran_out)
-    return result, overlap
+        x = np.asarray(xr, dtype=float).copy()
+        # alias reduction: all 31 boundaries at once per butterfly i
+        for i in range(8):
+            lo_idx = 18 * np.arange(1, 32) - 1 - i
+            hi_idx = 18 * np.arange(1, 32) + i
+            lo = x[lo_idx].copy()
+            hi = x[hi_idx].copy()
+            x[lo_idx] = lo * cs[i] - hi * ca[i]
+            x[hi_idx] = hi * cs[i] + lo * ca[i]
+        t = cosm @ x.reshape(32, 18).T  # (36, 32): windowed IMDCT
+        first = t[:18] + ov  # overlap-add
+        # frequency inversion applies to the FINAL subband samples
+        # (post-overlap-add); the carry is stored RAW — inverting it
+        # too corrupted even positions of odd subbands across granule
+        # boundaries (round-11 review pass 2; parity is seamless
+        # across granules because 18 is even, so per-granule
+        # odd-index inversion is the continuous-time rule)
+        first[1::2, 1::2] *= -1.0
+        ov = t[18:]
+        result.append([first[:, sb].tolist() for sb in range(32)])
+    return result, [ov[:, sb].tolist() for sb in range(32)]
 
 
 # ---------------------------------------------------------------------------
