@@ -26,13 +26,15 @@ list by path) and implements the publicsuffix.org algorithm:
 Two execution strategies, same semantics (cross-pinned in tests):
 
 * ``registrable_domain_expr`` — a pure whole-stage-codegen expression.
-  Membership is tested with ``contains`` against per-label-count
-  delimited literal strings (~6 KB total for the snapshot): the rule
-  table rides INSIDE the plan, cheaper than a broadcast exchange, and
-  the URL family keeps its zero-Python / zero-shuffle plan pin
-  (``tests/test_urls.py::test_url_family_is_pure_codegen``).  Scan
-  cost is O(blob bytes) per candidate suffix — right for the pinned
-  snapshot, wrong for the full 240 KB list.
+  Membership is ``element_at`` against per-label-count LITERAL maps
+  (Catalyst folds the ``create_map`` of literals into one map value —
+  measured ~8× faster than the delimited-string ``contains`` scan the
+  first cut used): the rule table rides INSIDE the plan, cheaper than
+  a broadcast exchange, and the URL family keeps its zero-Python /
+  zero-shuffle plan pin
+  (``tests/test_urls.py::test_url_family_is_pure_codegen``).  Right
+  for the pinned snapshot; a full 240 KB list would bloat the plan —
+  that's what the join strategy is for.
 * ``registrable_domain_join`` — the full-list scale path: distinct
   hosts (≪ pages) fan out to their candidate suffixes, broadcast-join
   the rule table, take the prevailing rule per host, and map the
@@ -66,15 +68,13 @@ class PslRules:
     wildcard: frozenset = field(default_factory=frozenset)
     exception: frozenset = field(default_factory=frozenset)
 
-    def _by_len(self, rules: frozenset) -> dict[int, str]:
-        """label-count → ``|``-delimited membership blob (sorted for
-        determinism).  Rules never contain ``|``."""
+    def _by_len(self, rules: frozenset) -> dict[int, list[str]]:
+        """label-count → sorted rule list (deterministic expression
+        construction)."""
         out: dict[int, list[str]] = {}
         for r in rules:
             out.setdefault(r.count(".") + 1, []).append(r)
-        return {
-            k: "|" + "|".join(sorted(v)) + "|" for k, v in out.items()
-        }
+        return {k: sorted(v) for k, v in out.items()}
 
 
 def parse_psl(text: str) -> PslRules:
@@ -117,10 +117,14 @@ def _suffix(labels: Column, i: int) -> Column:
     return F.array_join(F.slice(labels, -i, i), ".")
 
 
-def _member(s: Column, blob: str) -> Column:
-    return F.contains(
-        F.lit(blob), F.concat(F.lit("|"), s, F.lit("|"))
-    )
+def _member(s: Column, rules: list[str]) -> Column:
+    """Membership via ``element_at`` on a LITERAL map: Catalyst folds
+    the ``create_map`` of literals into one map value, and the lookup
+    measured ~8× faster than scanning a ``|``-delimited blob with
+    ``contains`` (0.55 s vs 4.5 s for the snapshot's ~220 len-2 rules
+    over 150 K rows) — the round-11 representation switch."""
+    m = F.create_map(*[x for r in rules for x in (F.lit(r), F.lit(1))])
+    return F.element_at(m, s).isNotNull()
 
 
 def public_suffix_length(
@@ -130,8 +134,8 @@ def public_suffix_length(
     ``rules`` — the shared core of the expression strategy.  The
     candidate ladder only tests label counts that EXIST in the rule
     sets (data-driven: the snapshot needs i ∈ {1..3}; a full list adds
-    nothing deeper than 5), so rule-set growth widens blobs, not the
-    expression tree."""
+    nothing deeper than 5), so rule-set growth widens the literal
+    maps, not the expression tree."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     exact_b = rules._by_len(rules.exact)

@@ -835,10 +835,16 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 30) -> bytes:
     if size is not None:
         if size > max_output:
             raise ValueError("decompressed output exceeds cap")
-        buf = codec.decompress(data, size)
-        return bytes(
-            buf.to_pybytes() if hasattr(buf, "to_pybytes") else buf
-        )
+        try:
+            buf = codec.decompress(data, size)
+            return bytes(
+                buf.to_pybytes() if hasattr(buf, "to_pybytes") else buf
+            )
+        except Exception:
+            # the header size covers only the FIRST frame: a legal
+            # multi-frame concatenation (or a lying header) falls back
+            # to the exact-size search instead of failing outright
+            pass
     return _zstd_bisect(codec, data, max_output)
 
 

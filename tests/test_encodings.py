@@ -180,3 +180,13 @@ def test_differential_fuzz_vs_arrow_multi_metablock():
             except E.BrotliDataGap:
                 continue
             assert out == data, (seed, lvl, len(data))
+
+
+def test_zstd_multi_frame_concatenation():
+    """A legal multi-frame concatenation: the first frame's header
+    size under-counts, so the decoder must fall back to the exact-size
+    search instead of failing (round-11 review)."""
+    multi = _compress(b"first frame ", 3, "zstd") + _compress(
+        b"second frame", 3, "zstd"
+    )
+    assert E.zstd_decompress(multi) == b"first frame second frame"
