@@ -28,9 +28,23 @@ with two independent strategies per codec:
   cannot be found, streams that never touch it still decode; streams
   that do raise ``BrotliDataGap`` loudly.
 * Dictionary TRANSFORMS (RFC 7932 §8, 121 entries) are likewise
-  unreproducible data; ``transform_id != 0`` raises ``BrotliDataGap``
-  and the wrapper falls back to the Arrow codec.  Identity transforms
-  (the common case) decode natively.
+  unreproducible data — so they are LEARNED: ``learn_transforms``
+  compresses deterministic probe texts with the Arrow encoder and
+  recovers each exercised id's (prefix, element-op, suffix) triple,
+  accepting an entry ONLY when exactly one candidate replays every
+  probe stream where that id was the single unknown to byte equality
+  with the Arrow decode (the element ops — identity, ferment aka
+  pseudo-uppercase, omit-first/last — are arithmetic from the spec;
+  only the table pairing them with prefixes/suffixes is data).  The
+  58 encoder-exercised entries ship as
+  ``data/brotli_transforms_learned.json``; with them the house
+  decoder round-trips real English/HTML brotli at EVERY quality level
+  with zero gaps.  Unexercised ids raise ``BrotliTransformGap``
+  loudly and the wrapper falls back to the Arrow codec.  Learning
+  soundness notes live on ``learn_transforms`` (local-viability
+  votes are intersected on validated replays only — speculative-parse
+  instances can mislabel (id, word) pairs — and promotion is gated on
+  exact global validation, never plurality).
 * ``brotli_decompress`` — the production wrapper: Arrow's C brotli
   codec when available (fast path; output size recovered by bounded
   bisection because HTTP bodies carry no decompressed size), the house
@@ -71,6 +85,21 @@ class BrotliDataGap(NotImplementedError):
     """The stream needs spec DATA this build could not obtain (static
     dictionary, context tables, or a non-identity dictionary
     transform).  Callers fall back to the Arrow codec."""
+
+
+class BrotliTransformGap(BrotliDataGap):
+    """A dictionary reference used a transform id the learned table
+    doesn't cover.  Carries what the LEARNER needs: which transform,
+    which word, and where in the output it lands."""
+
+    def __init__(self, transform_id: int, word: bytes, out_pos: int):
+        super().__init__(
+            f"dictionary transform {transform_id} not in the learned "
+            "table (transform table is spec data; see learn_transforms)"
+        )
+        self.transform_id = transform_id
+        self.word = word
+        self.out_pos = out_pos
 
 
 # ---------------------------------------------------------------------------
@@ -517,12 +546,124 @@ class _BlockState:
 # ---------------------------------------------------------------------------
 
 
-def decode_brotli(data: bytes, max_output: int = 1 << 30) -> bytes:
+# --- dictionary-word transforms (RFC 7932 §8.2) ----------------------------
+#
+# A transform is (prefix bytes, element op, suffix bytes).  The OPS are
+# arithmetic and implemented from the spec; the 121-entry TABLE pairing
+# them with prefixes/suffixes is data — LEARNED from Arrow-encoded
+# streams by ``learn_transforms`` (every entry validated by full-stream
+# byte equality before acceptance, never guessed) and shipped as
+# ``data/brotli_transforms_learned.json``.
+
+def _ferment(word: bytearray, pos: int) -> int:
+    """The spec's pseudo-uppercase step: ASCII a-z flip bit 5; UTF-8
+    2-byte sequences flip bit 5 of byte 2; 3-byte sequences XOR byte 3
+    with 5.  Returns the number of bytes consumed."""
+    c = word[pos]
+    if c < 192:
+        if 97 <= c <= 122:
+            word[pos] ^= 32
+        return 1
+    if c < 224:
+        if pos + 1 < len(word):
+            word[pos + 1] ^= 32
+        return 2
+    if pos + 2 < len(word):
+        word[pos + 2] ^= 5
+    return 3
+
+
+#: op name → callable(word bytes) -> bytes
+def _op_identity(w: bytes) -> bytes:
+    return w
+
+
+def _make_omit_first(k: int):
+    return lambda w: w[k:]
+
+
+def _make_omit_last(k: int):
+    return lambda w: w[:-k] if len(w) > k else b""
+
+
+def _op_ferment_first(w: bytes) -> bytes:
+    b = bytearray(w)
+    if b:
+        _ferment(b, 0)
+    return bytes(b)
+
+
+def _op_ferment_all(w: bytes) -> bytes:
+    b = bytearray(w)
+    pos = 0
+    while pos < len(b):
+        pos += _ferment(b, pos)
+    return bytes(b)
+
+
+TRANSFORM_OPS = {
+    "identity": _op_identity,
+    "ferment_first": _op_ferment_first,
+    "ferment_all": _op_ferment_all,
+    **{f"omit_first_{k}": _make_omit_first(k) for k in range(1, 10)},
+    **{f"omit_last_{k}": _make_omit_last(k) for k in range(1, 10)},
+}
+
+
+def apply_transform(word: bytes, prefix: bytes, op: str, suffix: bytes) -> bytes:
+    return prefix + TRANSFORM_OPS[op](word) + suffix
+
+
+@lru_cache(maxsize=1)
+def _learned_transforms() -> dict:
+    """{transform_id: (prefix, op, suffix)} from the learned-table
+    resource, {} when absent.  Entry 0 is always identity per spec."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "brotli_transforms_learned.json",
+    )
+    table = {0: (b"", "identity", b"")}
+    try:
+        import json
+
+        with open(path) as f:
+            doc = json.load(f)
+        for k, v in doc.get("transforms", {}).items():
+            table[int(k)] = (
+                bytes.fromhex(v["prefix"]),
+                v["op"],
+                bytes.fromhex(v["suffix"]),
+            )
+    except OSError:
+        pass
+    return table
+
+
+def decode_brotli(
+    data: bytes,
+    max_output: int = 1 << 30,
+    transforms: dict | None = None,
+    _expected: bytes | None = None,
+) -> bytes:
     """Decode one complete brotli stream (RFC 7932).  Raises
     ``BrotliError`` on malformed input, ``BrotliDataGap`` when the
     stream references spec data this build couldn't locate (see module
-    docstring)."""
+    docstring).  ``transforms`` overrides the learned dictionary
+    transform table (id → (prefix, op, suffix)).  ``_expected`` is the
+    LEARNER's fail-fast hook: when set, output is verified against it
+    incrementally so a wrong transform hypothesis dies within a few
+    commands instead of after a full decode (this is what keeps the
+    transform-learning search tree linear)."""
     br = _Bits(data)
+
+    def _chk(start: int) -> None:
+        if _expected is None:
+            return
+        if len(out) > len(_expected) or (
+            bytes(out[start:]) != _expected[start:len(out)]
+        ):
+            raise BrotliError("diverged from expected output")
     # stream header: window size
     if br.read_bit() == 0:
         wbits = 16
@@ -579,6 +720,7 @@ def decode_brotli(data: bytes, max_output: int = 1 << 30) -> bytes:
         if not islast and br.read_bit():  # ISUNCOMPRESSED
             br.align_byte()
             out += br.read_bytes(mlen)
+            _chk(len(out) - mlen)
             continue
 
         bs_l = _BlockState(br)
@@ -646,6 +788,7 @@ def decode_brotli(data: bytes, max_output: int = 1 << 30) -> bytes:
                         )
                     tree = lit_codes[cmap_l[bs_l.btype * 64 + cid]]
                 out.append(tree.decode(br))
+                _chk(len(out) - 1)
                 mpos += 1
             if mpos > mlen:
                 raise BrotliError("insert length overruns meta-block")
@@ -695,6 +838,7 @@ def decode_brotli(data: bytes, max_output: int = 1 << 30) -> bytes:
                 start = len(out) - distance
                 for i in range(copy_len):  # may self-overlap
                     out.append(out[start + i])
+                _chk(len(out) - copy_len)
                 mpos += copy_len
             else:
                 # static dictionary reference (§8)
@@ -714,16 +858,27 @@ def decode_brotli(data: bytes, max_output: int = 1 << 30) -> bytes:
                 transform_id = address >> bits
                 if transform_id >= 121:
                     raise BrotliError("transform id out of range")
-                if transform_id != 0:
-                    raise BrotliDataGap(
-                        f"dictionary transform {transform_id} "
-                        "unsupported (transform table is spec data)"
+                table = (
+                    transforms
+                    if transforms is not None
+                    else _learned_transforms()
+                )
+                if transform_id not in table:
+                    off = _DICT_OFFSETS[copy_len] + word_idx * copy_len
+                    raise BrotliTransformGap(
+                        transform_id,
+                        dictionary[off:off + copy_len],
+                        len(out),
                     )
                 off = _DICT_OFFSETS[copy_len] + word_idx * copy_len
-                word = dictionary[off:off + copy_len]
+                pre, op, suf = table[transform_id]
+                word = apply_transform(
+                    dictionary[off:off + copy_len], pre, op, suf
+                )
                 if mpos + len(word) > mlen:
                     raise BrotliError("dictionary word overruns meta-block")
                 out += word
+                _chk(len(out) - len(word))
                 mpos += len(word)
     # an HTTP body is exactly ONE stream: full bytes beyond the final
     # meta-block (plus its zero-padding to the byte boundary) are
@@ -892,3 +1047,288 @@ def decode_content_coding(coding: str, body: bytes) -> bytes:
     raise NotImplementedError(
         f"content-encoding {c!r} requires libraries not present"
     )
+
+
+# ---------------------------------------------------------------------------
+# transform-table learning (build-time utility; see module docstring)
+# ---------------------------------------------------------------------------
+
+
+def _candidate_transforms(
+    word: bytes, ref: bytes, pos: int, max_fix: int = 12
+) -> list[tuple[bytes, str, bytes]]:
+    """All (prefix, op, suffix) triples LOCALLY consistent with the
+    reference output at ``pos``: prefix + op(word) must equal the
+    reference bytes there.  The TRUE transform is always in this set,
+    which is what makes intersecting the sets across instances a
+    sound learning rule."""
+    cands = []
+    seen = set()
+    for op_name, op in TRANSFORM_OPS.items():
+        ow = op(word)
+        for plen in range(0, max_fix + 1):
+            end = pos + plen + len(ow)
+            if end > len(ref):
+                break
+            if ref[pos + plen:end] != ow:
+                continue
+            prefix = bytes(ref[pos:pos + plen])
+            for slen in range(0, max_fix + 1):
+                if end + slen > len(ref):
+                    break
+                t = (prefix, op_name, bytes(ref[end:end + slen]))
+                if t not in seen:
+                    seen.add(t)
+                    cands.append(t)
+    # Occam order: true transforms carry the SHORTEST fix text — the
+    # degenerate alternatives (a literal prefix spelling out half the
+    # word over an omit_first) need long fixes, and trying them first
+    # poisons the DFS with wrong-length parses
+    cands.sort(
+        key=lambda t: (len(t[0]) + len(t[2]), t[1] != "identity", t[1])
+    )
+    return cands
+
+
+def _solve_stream(
+    data: bytes,
+    ref: bytes,
+    table: dict,
+    constraints: dict | None,
+    depth: int = 0,
+) -> dict | None:
+    """Depth-first search for a transform assignment under which the
+    stream decodes EXACTLY to ``ref``.  With ``constraints`` given,
+    every unknown-id encounter first INTERSECTS the id's global
+    candidate set with the local candidates (sound — see
+    ``_candidate_transforms``), then branches.  Returns the per-stream
+    assignment or None."""
+    if depth > 24:
+        return None
+    try:
+        out = decode_brotli(data, transforms=table, _expected=ref)
+    except BrotliTransformGap as g:
+        local = _candidate_transforms(g.word, ref, g.out_pos)
+        tid = g.transform_id
+        if constraints is None:
+            inter = local
+        elif tid in constraints:
+            lset = set(local)
+            inter = [c for c in constraints[tid] if c in lset]
+            constraints[tid] = inter
+        else:
+            constraints[tid] = local
+            inter = local
+        for cand in inter:
+            r = _solve_stream(
+                data, ref, {**table, tid: cand}, constraints, depth + 1
+            )
+            if r is not None:
+                return {tid: cand, **r}
+        return None
+    except BrotliError:
+        return None
+    return {} if out == ref else None
+
+
+def learn_transforms(
+    texts: list[bytes] | None = None,
+    levels: tuple = (4, 5, 6, 7, 8, 9, 10, 11),
+) -> tuple[dict, dict]:
+    """Recover RFC 7932 dictionary transforms EMPIRICALLY: compress
+    probe texts with the Arrow brotli encoder, and for every stream
+    that references an unknown transform, recover the (prefix, op,
+    suffix) triple in two sound phases:
+
+    1. LOCAL-VIABILITY INTERSECTION — at every encounter, the id's
+       global candidate set intersects with the triples whose
+       ``prefix + op(word)`` matches the reference output at that
+       position (the true triple is always in the set);
+    2. GLOBAL VALIDATION — a candidate survives only if EVERY probe
+       stream where that id was the single unknown decodes to exact
+       byte equality with the Arrow decode under it (this is what
+       separates "suffix is a space" from "the space comes from the
+       next command" — both are locally viable, only one replays the
+       whole stream).
+
+    An id is promoted only when exactly one candidate survives —
+    nothing is ever guessed; ids the encoder never exercised (or that
+    stay ambiguous) remain absent and keep raising the loud gap.
+    This is a BUILD-TIME utility: its output ships as
+    ``data/brotli_transforms_learned.json`` and is regenerated /
+    revalidated by ``tests/test_encodings.py``."""
+    codec = _arrow_codec("brotli")
+    if codec is None:
+        raise RuntimeError("learning needs the Arrow brotli codec")
+    if texts is None:
+        texts = _default_probe_texts()
+    import pyarrow as pa
+
+    samples = []
+    for t in texts:
+        for lvl in levels:
+            buf = pa.Codec("brotli", compression_level=lvl).compress(t)
+            samples.append(
+                (bytes(buf.to_pybytes() if hasattr(buf, "to_pybytes")
+                       else buf), t)
+            )
+    learned = {0: (b"", "identity", b"")}
+    constraints: dict = {}
+    by_tid: dict = {}  # tid -> [sample idx where tid was the ONLY unknown]
+    # phase 1: solve, then intersect constraints on a REPLAY of the
+    # found assignment — inside the speculative DFS the output prefix
+    # at a nested gap may be wrong, so intersecting there silently
+    # drops true triples (found when ids 27/56 went empty); on the
+    # replay every gap's prefix is byte-correct by construction
+    for idx, (data, ref) in enumerate(samples):
+        a = _solve_stream(data, ref, learned, None)
+        if a is None:
+            continue
+        if len(a) == 1:
+            by_tid.setdefault(next(iter(a)), []).append(idx)
+        table = dict(learned)
+        while True:
+            try:
+                decode_brotli(data, transforms=table, _expected=ref)
+                break
+            except BrotliTransformGap as g:
+                local = _candidate_transforms(g.word, ref, g.out_pos)
+                tid = g.transform_id
+                # SUPPORT VOTE, not strict intersection: a wrong
+                # early pin with a different expansion length yields
+                # an alternative self-consistent parse whose later
+                # gaps carry MISLABELED (id, word) pairs — one such
+                # instance would empty a strict intersection.  The
+                # true triple tops the vote because correct parses
+                # dominate; the exact global-validation phase below
+                # is the actual promotion gate.
+                votes = constraints.setdefault(tid, {})
+                for c in local:
+                    votes[c] = votes.get(c, 0) + 1
+                table[tid] = a[tid]
+    # phase 2: EXACT global validation over the top vote-getters, to
+    # a fixpoint (resolving one id can unlock another's samples); a
+    # candidate survives only if every stream where the id was the
+    # single unknown replays byte-exactly under it
+    survivors_by_tid: dict = {}
+    for _round in range(6):
+        progress = False
+        for tid, votes in sorted(constraints.items()):
+            if tid in learned or not by_tid.get(tid):
+                continue
+            # the true triple is locally viable at every CORRECTLY
+            # parsed instance; a handful of alternative-parse
+            # instances can rob it of a few votes, so validate the
+            # ≥80%-of-max tier rather than the exact tie (wrong
+            # candidates die on their first sample, so the early-exit
+            # keeps this ~one solve per candidate)
+            top = max(votes.values())
+            ranked = sorted(
+                (c for c, v in votes.items() if v >= 0.8 * top),
+                key=lambda t: (len(t[0]) + len(t[2]), t[1]),
+            )[:400]
+            survivors = []
+            for cand in ranked:
+                trial = {**learned, tid: cand}
+                if all(
+                    _solve_stream(
+                        samples[i][0], samples[i][1], trial, None
+                    )
+                    is not None
+                    for i in by_tid[tid]
+                ):
+                    survivors.append(cand)
+            survivors_by_tid[tid] = survivors
+            if len(survivors) == 1:
+                learned[tid] = survivors[0]
+                progress = True
+        if not progress:
+            break
+    # final validation: with the promoted table, every probe stream
+    # decodes EXACTLY or gaps on a still-unresolved id
+    for data, ref in samples:
+        try:
+            got = decode_brotli(data, transforms=learned)
+        except BrotliTransformGap:
+            continue
+        if got != ref:
+            raise RuntimeError(
+                "learned transform table failed final validation"
+            )
+    unresolved = {
+        t: survivors_by_tid.get(t, sorted(v, key=v.get, reverse=True)[:6])
+        for t, v in constraints.items()
+        if t not in learned
+    }
+    return learned, unresolved
+
+
+def _default_probe_texts() -> list[bytes]:
+    """Deterministic TINY probes (1-4 words, heavily decorated): small
+    inputs are where the encoder reaches for dictionary transforms
+    hardest, and a reference at output offset ~0 makes each candidate
+    trial O(bytes) — the whole learning pass runs in seconds.  Head /
+    tail variety is what powers the constraint intersection: the same
+    transform id must replay byte-exactly in many different contexts."""
+    import random
+
+    words = [
+        "the", "information", "description", "available", "development",
+        "different", "important", "companies", "world", "people", "work",
+        "during", "something", "question", "service", "through",
+        "because", "president", "government", "university", "technology",
+        "community", "experience", "everything", "management",
+        "international", "production", "understand", "performance",
+        "education", "children", "security", "american", "between",
+        "business", "computer", "download", "software", "language",
+        "necessary", "particular", "television", "generation",
+    ]
+    decos = [
+        "{}", "{}.", "{} ", " {}", "{},", '"{}"', "({})", "The {} is",
+        "{} of the", "{}'s", "<{}>", "{}:", "{}s", "{}ed", "{}ing",
+        "[{}]", "{};", "{}\n", ".{}", "{} the", "a {}", "{} a", "e {}",
+        "s {}", ", {}", "{} in", "{} to", "{} and", "{} as", "{} at",
+        "{} by", "{} on", "{} for", "{} with", "{} from", "{} that",
+        "{}. The", "{}, and", "{} =", "{}=\"", "{}.com", "{}. This",
+        "{} is", "{} was", "{} not", "{}er", "{}al", "{}ful", "{}ive",
+        "{}less", "{}est", "{}ize", "{}ous", "{}ly",
+        # capitalization / uppercase contexts with varied neighbors —
+        # what disambiguates the ferment family from literal-prefix
+        # omit coincidences
+        "The {} q", "The {}9", "A {} z", "THE {} j", "Z {} X",
+        "Q. The {} x", "{} The", ". {} .", "? {}!", "' {}'",
+        "{}=", "-{}", "{} -", "{})", "{}(", "{}\"", "{}>", "{}]",
+        "{}'", "{} it", "{} of", "{} an", "{}\'t",
+        # connective-suffix contexts (the transform table's suffix
+        # pool is dominated by function words)
+        "{} will", "{} would", "{} were", "{} their", "{} can",
+        "{} had", "{} his", "{} her", "{} all", "{} when", "{} who",
+        "{} more", "{} are", "{} be", "{} which", "{} has",
+        "{} have", "{} this", "{} or", "{} but", "{} said",
+        "{} one", "{} you", "{} we", "{} they", "{} she", "{} he",
+        "{} its", "{} my", "{} time", "{} there", "{} about",
+        "{} out", "{} up", "{} what", "{} them", "{} some",
+        "{} so", "{} no", "{} if", "{} would q", "{} will q",
+        "{}\nq", "{}\nZ", "{}. q", "{}, q",
+        "{} a q", "{} a z9", "{}, jj", "{}, Zx", "{}.<q", "{}.</p>",
+        '{}."', "{}.'", "{} a detailed", "{}, and zz",
+    ]
+    heads = ["", "q ", "9 ", "Z", "jj ", "~", "X:", "..", "0"]
+    tails = ["", " qqq", " Zx9", "!", "?", " 42", "zzz", " KJH", "~",
+             " #", "Q", " jj", "99"]
+    rng = random.Random(5)
+    texts = set()
+    for w in words:
+        for deco in decos:
+            for _ in range(2):
+                h = rng.choice(heads)
+                t = rng.choice(tails)
+                texts.add((h + deco.format(w) + t).encode())
+        # capitalized / uppercased forms with NO following space and
+        # varied next bytes — what separates the bare-ferment ids
+        # (e.g. 9) from their space-suffixed siblings (e.g. 4)
+        for t in tails:
+            texts.add((w.capitalize() + t).encode())
+            texts.add((rng.choice(heads) + w.capitalize() + t).encode())
+            texts.add((w.upper() + t).encode())
+    return sorted(texts)

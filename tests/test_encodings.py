@@ -190,3 +190,65 @@ def test_zstd_multi_frame_concatenation():
         b"second frame", 3, "zstd"
     )
     assert E.zstd_decompress(multi) == b"first frame second frame"
+
+
+def test_learned_transform_table_closes_the_seam():
+    """With the shipped learned-transform table, the house decoder
+    round-trips transform-heavy real text at EVERY level — the
+    round-10 'dictionary transforms' seam, closed empirically."""
+    table = E._learned_transforms()
+    assert len(table) >= 50  # 58 learned + identity at this snapshot
+    assert table[0] == (b"", "identity", b"")
+    eng = b"The committee of the whole published a detailed report. " * 60
+    html = (
+        b"<html><body>"
+        + b"<p>Information about the development of the technology.</p>"
+        * 40
+        + b"</body></html>"
+    )
+    for data in (eng, html):
+        for lvl in range(1, 12):
+            assert E.decode_brotli(_compress(data, lvl)) == data
+
+
+def test_transform_ops_match_spec_arithmetic():
+    # ferment: ASCII a-z flips bit 5; 2-byte UTF-8 flips bit 5 of the
+    # continuation; 3-byte XORs byte 3 with 5 (RFC 7932 §8.2)
+    assert E.TRANSFORM_OPS["ferment_first"](b"hello") == b"Hello"
+    assert E.TRANSFORM_OPS["ferment_all"](b"hello") == b"HELLO"
+    # NOT an involution: only a-z ferments (uppercase stays put)
+    assert E.TRANSFORM_OPS["ferment_first"](b"Hello") == b"Hello"
+    e_acute = "é".encode()
+    assert E.TRANSFORM_OPS["ferment_first"](e_acute) == bytes(
+        [e_acute[0], e_acute[1] ^ 32]
+    )
+    assert E.TRANSFORM_OPS["omit_first_2"](b"abcdef") == b"cdef"
+    assert E.TRANSFORM_OPS["omit_last_2"](b"abcdef") == b"abcd"
+    assert E.TRANSFORM_OPS["omit_last_9"](b"abc") == b""
+    assert E.apply_transform(b"word", b" ", "ferment_first", b'="') == (
+        b' Word="'
+    )
+
+
+def test_learn_transforms_regenerates_shipped_table():
+    """The committed resource is exactly what the deterministic
+    learning run produces in THIS environment — regeneration is the
+    review gate against a stale or hand-edited table."""
+    import json
+    import os
+
+    learned, unresolved = E.learn_transforms()
+    assert unresolved == {}
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(E.__file__))),
+        "sources", "..", "data", "brotli_transforms_learned.json",
+    )
+    with open(os.path.normpath(path)) as f:
+        doc = json.load(f)
+    shipped = {
+        int(k): (bytes.fromhex(v["prefix"]), v["op"],
+                 bytes.fromhex(v["suffix"]))
+        for k, v in doc["transforms"].items()
+    }
+    shipped[0] = (b"", "identity", b"")
+    assert shipped == learned
