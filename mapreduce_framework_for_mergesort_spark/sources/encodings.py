@@ -1140,16 +1140,18 @@ def learn_transforms(
     that references an unknown transform, recover the (prefix, op,
     suffix) triple in two sound phases:
 
-    1. LOCAL-VIABILITY INTERSECTION — at every encounter, the id's
-       global candidate set intersects with the triples whose
-       ``prefix + op(word)`` matches the reference output at that
-       position (the true triple is always in the set);
-    2. GLOBAL VALIDATION — a candidate survives only if EVERY probe
-       stream where that id was the single unknown decodes to exact
-       byte equality with the Arrow decode under it (this is what
-       separates "suffix is a space" from "the space comes from the
-       next command" — both are locally viable, only one replays the
-       whole stream).
+    1. LOCAL-VIABILITY VOTES — at every encounter on a VALIDATED
+       replay, each triple whose ``prefix + op(word)`` matches the
+       reference output at that position gets a vote (the true triple
+       is locally viable at every correctly parsed instance; strict
+       intersection is unsound here because an alternative
+       wrong-length parse can mislabel later (id, word) pairs);
+    2. GLOBAL VALIDATION over the top vote tier — a candidate
+       survives only if EVERY probe stream where that id was the
+       single unknown decodes to exact byte equality with the Arrow
+       decode under it (this is what separates "suffix is a space"
+       from "the space comes from the next command" — both are
+       locally viable, only one replays the whole stream).
 
     An id is promoted only when exactly one candidate survives —
     nothing is ever guessed; ids the encoder never exercised (or that
