@@ -260,8 +260,7 @@ def main() -> None:
     held = url_deduped.select(
         "url", F.lit("2025-06-01 00:00:00").alias("fetched_at")
     )
-    plan = RB.plan_recrawl(entries.withColumnRenamed("loc", "loc"),
-                           held, fetched_at_col="fetched_at")
+    plan = RB.plan_recrawl(entries, held, fetched_at_col="fetched_at")
     by_action = {
         r["action"]: r["n"]
         for r in plan.groupBy("action").agg(F.count("*").alias("n"))

@@ -167,6 +167,12 @@ def registrable_domain_expr(
     docstring for when to prefer the join strategy)."""
     if rules is None:
         rules = load_psl_rules()
+    # publicsuffix.org algorithm step 1: the host is matched with the
+    # root label removed — a trailing-dot FQDN (`example.com.`) must
+    # resolve at the same grain as `example.com` (round 12; before
+    # this, the empty rightmost label matched nothing, the default
+    # rule fired, and the "registrable domain" came back as `com.`)
+    host = F.regexp_replace(host, r"\.$", "")
     labels, ps = public_suffix_length(host, rules)
     n = F.size(labels)
     reg = F.array_join(F.slice(labels, -(ps + F.lit(1)), ps + F.lit(1)), ".")
@@ -203,7 +209,11 @@ def registrable_domain_join(
     rule_df = spark.createDataFrame(rows, "suffix string, kind string")
 
     host = F.col("__psl_host")
-    hosts = df.select(F.col(host_col).alias("__psl_host")).distinct()
+    # root label stripped before matching, mirroring the expression
+    # strategy (round 12) — the join-back key uses the same stripped
+    # form so trailing-dot rows still find their mapping
+    stripped = F.regexp_replace(F.col(host_col), r"\.$", "")
+    hosts = df.select(stripped.alias("__psl_host")).distinct()
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # candidate ladder: (suffix of last i labels, i) for i = 1..max
@@ -267,5 +277,8 @@ def registrable_domain_join(
         )
     )
     return df.join(
-        host_map, df[host_col] == host_map["__psl_host"], "left"
+        host_map,
+        F.regexp_replace(df[host_col], r"\.$", "")
+        == host_map["__psl_host"],
+        "left",
     ).drop("__psl_host")

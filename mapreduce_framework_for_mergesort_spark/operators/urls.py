@@ -82,11 +82,23 @@ def url_host(url: Column) -> Column:
     """Lowercased host: authority minus userinfo and port.  Bracketed
     IPv6 literals (``[2001:db8::1]:8080``) keep their brackets — the
     alternation matches the bracket form BEFORE the first-colon cut,
-    so distinct IPv6 hosts can never collide post-truncation."""
-    return F.lower(
-        F.regexp_extract(
-            _authority(url), r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1
-        )
+    so distinct IPv6 hosts can never collide post-truncation.
+
+    A single trailing dot (the DNS root label: ``example.com.``) is
+    stripped (round 12): browsers and resolvers treat the fully-
+    qualified form as the same origin, and keeping it let
+    ``http://example.com./x`` survive ``dedup_by_url`` as a distinct
+    page AND gave ``registrable_domain`` an empty rightmost label (the
+    default rule then fired and returned the bare TLD).  Bracketed
+    IPv6 hosts end in ``]`` — the rule can't touch them."""
+    return F.regexp_replace(
+        F.lower(
+            F.regexp_extract(
+                _authority(url), r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]*)", 1
+            )
+        ),
+        r"\.$",
+        "",
     )
 
 

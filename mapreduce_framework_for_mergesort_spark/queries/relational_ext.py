@@ -425,9 +425,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'HTTP' END AS scheme_raw,
                CASE WHEN o_orderkey % 2 = 0 THEN 'https'
                     ELSE 'http' END AS scheme_norm,
+               -- o_orderkey % 11 = 0 rows carry the DNS root label
+               -- (trailing dot) — the engine must strip it (round 12)
                'User:Pw@WWW.Shop-' || CAST(o_custkey % 50 AS VARCHAR)
                  || CASE WHEN o_orderkey % 3 = 0 THEN '.Example.CO.UK'
-                         ELSE '.Example.COM' END AS host_raw,
+                         ELSE '.Example.COM' END
+                 || CASE WHEN o_orderkey % 11 = 0 THEN '.'
+                         ELSE '' END AS host_raw,
                'www.shop-' || CAST(o_custkey % 50 AS VARCHAR)
                  || CASE WHEN o_orderkey % 3 = 0 THEN '.example.co.uk'
                          ELSE '.example.com' END AS host_norm,
@@ -487,6 +491,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("://User:Pw@WWW.Shop-"),
         (F.col("o_custkey") % 50).cast("string"),
         F.when(k % 3 == 0, ".Example.CO.UK").otherwise(".Example.COM"),
+        # trailing-dot FQDN rows (round 12): the engine strips the
+        # root label; the oracle's host_norm never carries it
+        F.when(k % 11 == 0, ".").otherwise(""),
         F.when(
             k % 4 == 1, F.when(k % 2 == 0, ":443").otherwise(":80")
         ).when(k % 4 == 2, ":8080").otherwise(""),

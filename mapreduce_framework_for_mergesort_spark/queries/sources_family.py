@@ -165,7 +165,8 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``sources/warc.py`` — the Common Crawl layout: one gzip member
     per record, stored deflate) → read back through the
     ``binaryFile`` + member-walk ingestion path → aggregate per shard.
-    The oracle recomputes shard membership (``doc_id % 4``), record
+    The oracle recomputes shard membership (``doc_id % n_shards``,
+    with ``n_shards`` derived by the same sizing rule), record
     counts, total payload bytes, and the doc_id sum from the original
     parquet, so the check proves the full sink→source hop is lossless
     down to payload byte counts.  Files are written by the EXECUTORS
@@ -183,8 +184,8 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 11: shard count follows the crawl sizing rule
     # (n_shards ≈ pages/5k, SCALE_NOTES round 10) so the ×10/×100
     # scale rows measure the ENGINE, not a fixed 4-file parallelism
-    # ceiling.  The floor of 4 keeps the oracle's static doc_id % 4
-    # membership valid at the driver's sf0.01 grain.
+    # ceiling.  The oracle computes the SAME rule from the same table
+    # (round 12), so membership agrees at any corpus size.
     n_shards = max(4, docs.count() // 5000)
     shards = W.warc_shard_bytes(docs, n_shards=n_shards)
 
@@ -301,7 +302,7 @@ def q_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(__ZKEY__) AS BIGINT) AS sum_k
     FROM orders WHERE o_custkey BETWEEN 100 AND 600 GROUP BY 2
     UNION ALL
-    SELECT 'warc' AS fmt, CAST(doc_id % 4 AS VARCHAR) AS grp,
+    SELECT 'warc' AS fmt, CAST(doc_id % n_shards AS VARCHAR) AS grp,
            COUNT(*) AS n,
            CAST(SUM(octet_length(encode(text))) AS DOUBLE) AS sum_metric,
            -- member_idx recomputed as the doc's 0-based rank within
@@ -310,11 +311,16 @@ def q_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- pins the record->member pairing per record
            CAST(SUM(doc_id * rn) AS BIGINT) AS sum_k
     FROM (
-        SELECT doc_id, text,
+        -- n_shards mirrors the engine's crawl sizing rule
+        -- max(4, docs/5000) DYNAMICALLY (round 12, ADVICE): the two
+        -- sides agree at ANY corpus size, not just below 25k docs
+        SELECT doc_id, text, n_shards,
                ROW_NUMBER() OVER (
-                   PARTITION BY doc_id % 4 ORDER BY doc_id
+                   PARTITION BY doc_id % n_shards ORDER BY doc_id
                ) AS rn
-        FROM documents
+        FROM documents,
+             (SELECT GREATEST(4, COUNT(*) // 5000) AS n_shards
+              FROM documents)
     ) GROUP BY 2
     UNION ALL
     SELECT 'warc_http' AS fmt, md5(expected) AS grp, COUNT(*) AS n,

@@ -81,6 +81,13 @@ class BrotliError(ValueError):
     """Malformed brotli stream."""
 
 
+class BrotliOutputCapExceeded(BrotliError):
+    """The stream is (so far) WELL-FORMED but its output passed the
+    caller's ``max_output`` cap — distinct from corruption so the
+    wrapper's never-succeeds classifier (round 12, ADVICE) can tell a
+    legal-but-huge stream from garbage bytes."""
+
+
 class BrotliDataGap(NotImplementedError):
     """The stream needs spec DATA this build could not obtain (static
     dictionary, context tables, or a non-identity dictionary
@@ -716,7 +723,7 @@ def decode_brotli(
             mlen |= br.read(4) << (4 * i)
         mlen += 1
         if len(out) + mlen > max_output:
-            raise BrotliError("output exceeds max_output cap")
+            raise BrotliOutputCapExceeded("output exceeds max_output cap")
         if not islast and br.read_bit():  # ISUNCOMPRESSED
             br.align_byte()
             out += br.read_bytes(mlen)
@@ -909,6 +916,30 @@ def _arrow_codec(name: str):
     return None
 
 
+def _brotli_looks_corrupt(data: bytes, cap: int = 1 << 20) -> bool:
+    """Bounded house-decoder probe for the never-succeeds path: True
+    means PROVABLY malformed (the from-scratch RFC 7932 decoder hit a
+    structural error before reaching ``cap`` output bytes); False
+    means legal-so-far or undecidable (cap reached, an unlearned
+    transform, any unexpected failure — all benefit of the doubt).
+    Cheap by construction: the cap check fires on the meta-block
+    HEADER (`len(out) + mlen > cap`), so a legal stream with big
+    meta-blocks exits after parsing one header, and corrupt bytes die
+    at the first bad prefix code — no gigabyte of Python decode either
+    way."""
+    try:
+        decode_brotli(data, max_output=cap)
+        return False
+    except BrotliOutputCapExceeded:
+        return False
+    except BrotliDataGap:
+        return False
+    except BrotliError:
+        return True
+    except Exception:
+        return False
+
+
 def _arrow_decompress_bisect(
     codec, data: bytes, max_output: int = 1 << 30
 ) -> bytes:
@@ -916,7 +947,16 @@ def _arrow_decompress_bisect(
     ``decompress`` demands the exact size: failure on a too-small
     buffer is reliable, so the smallest size that succeeds IS the true
     size — found by doubling then bisection (~2·log2 attempts against
-    a fast C decoder)."""
+    a fast C decoder).
+
+    Corrupt input fails at EVERY size (measured: Arrow raises 'Corrupt
+    brotli compressed data' regardless of the buffer), which the first
+    cut reported as 'exceeds cap' after allocating up-to-cap buffers
+    on the way (round-11 ADVICE).  Now the house decoder arbitrates:
+    before the doubling ladder crosses 64 MB, and again if it exhausts
+    the cap, a bounded structural probe (`_brotli_looks_corrupt`)
+    separates garbage bytes (→ 'corrupt') from a legal stream that is
+    genuinely bigger than the cap (→ 'exceeds cap')."""
 
     def ok(n: int):
         try:
@@ -927,11 +967,24 @@ def _arrow_decompress_bisect(
         except Exception:
             return None
 
+    probed = False
     hi = max(4 * len(data), 1 << 12)
     while ok(hi) is None:
-        hi *= 4
-        if hi > max_output:
+        if not probed and hi * 4 > (1 << 26):
+            # about to start allocating big attempt buffers — check
+            # once whether the stream is even structurally brotli
+            probed = True
+            if _brotli_looks_corrupt(data):
+                raise ValueError(
+                    "corrupt brotli data (no output size succeeds)"
+                )
+        if hi >= max_output:
+            if _brotli_looks_corrupt(data):
+                raise ValueError(
+                    "corrupt brotli data (no output size succeeds)"
+                )
             raise ValueError("decompressed output exceeds cap")
+        hi = min(hi * 4, max_output)
     lo = 0
     while lo < hi:
         mid = (lo + hi) // 2
@@ -1003,12 +1056,42 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 30) -> bytes:
     return _zstd_bisect(codec, data, max_output)
 
 
+@lru_cache(maxsize=1)
+def _zstd_undersize_signature() -> str | None:
+    """The running pyarrow's OWN error message for an undersized zstd
+    output buffer, learned by self-probe: compress a known payload,
+    decompress it with size 0, record what the library says.  The
+    bisect classifies direction against THIS string, so a pyarrow
+    release that rewords the message re-learns it automatically
+    instead of silently sending the search the wrong way (round-11
+    ADVICE).  The message carries no sizes or payload text (measured:
+    'ZSTD decompression failed: Destination buffer is too small'), so
+    exact equality is the right comparison."""
+    codec = _arrow_codec("zstd")
+    if codec is None:
+        return None
+    try:
+        buf = codec.compress(b"zstd signature probe payload " * 8)
+        comp = bytes(
+            buf.to_pybytes() if hasattr(buf, "to_pybytes") else buf
+        )
+        codec.decompress(comp, 0)
+    except Exception as ex:
+        return str(ex)
+    return None
+
+
 def _zstd_bisect(codec, data: bytes, max_output: int = 1 << 30) -> bytes:
     """Sizeless-frame fallback.  Arrow's zstd accepts only the EXACT
-    size (unlike brotli, where any n >= true size succeeds), but its
-    errors encode direction: 'Destination buffer is too small' means
-    the guess is low, anything else means high — a binary search on
-    that signal converges on the exact size."""
+    size — measured: an OVERSIZED buffer fails too ('Corrupt ZSTD
+    compressed data' at true+1), so brotli's monotone doubling cannot
+    apply here.  But the errors encode direction: the undersize
+    message (learned at runtime from the library itself, see
+    ``_zstd_undersize_signature``) means the guess is low; anything
+    else — oversize or genuine corruption — means high.  Corrupt input
+    is every-guess-high, so the search exhausts and raises; legal
+    sizeless/multi-frame bodies converge on the exact size."""
+    sig = _zstd_undersize_signature()
     lo, hi = 0, max(4 * len(data), 1 << 12)
     while lo <= hi:
         mid = (lo + hi) // 2
@@ -1018,7 +1101,16 @@ def _zstd_bisect(codec, data: bytes, max_output: int = 1 << 30) -> bytes:
                 buf.to_pybytes() if hasattr(buf, "to_pybytes") else buf
             )
         except Exception as ex:
-            if "too small" in str(ex).lower():
+            msg = str(ex)
+            # learned signature (digit-stripped, in case a future
+            # wording embeds the attempted size) OR the known-wording
+            # substring — either marks the guess as low
+            strip = str.maketrans("", "", "0123456789")
+            low = "too small" in msg.lower() or (
+                sig is not None
+                and msg.translate(strip) == sig.translate(strip)
+            )
+            if low:
                 lo = mid + 1
                 if lo > hi and hi < max_output:
                     hi = min(hi * 4, max_output)

