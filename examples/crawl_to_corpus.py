@@ -14,9 +14,10 @@ Stages (each is the 100 TB-shaped operator documented in its module):
    bodies) per document (``sources/html.py html_crawl_shard_bytes``;
    bytes built and written by executors, never gathered on the
    driver).  One shard is deliberately truncated, and two extra
-   records carry an LZW-encoded body (the coding that IS still
-   unsupported) and a corrupt HTTP message, standing in for the dirty
-   fraction every real crawl carries.
+   records carry an sdch-encoded body (the withdrawn coding that IS
+   still unsupported — LZW 'compress' decodes since round 12) and a
+   corrupt HTTP message, standing in for the dirty fraction every
+   real crawl carries.
 2. INGESTION: ``read_warc`` — a ``binaryFile`` scan (one file = one
    task; crawl parallelism is file-count parallelism) fanned out to
    records in one Arrow pass.
@@ -96,18 +97,20 @@ def main() -> None:
 
     H.html_crawl_shard_bytes(docs, n_shards=8).foreachPartition(write_shards)
 
-    # ...one truncated shard, one LZW ('compress') body, one corrupt
-    # HTTP message — the dirty fraction every real crawl carries.
-    # (Round 11: br/zstd now DECODE — the 8 main shards exercise them
-    # via the doc_id % 7 transport variants — so the planted codec
-    # seam uses the one coding that is still genuinely unsupported.)
+    # ...one truncated shard, one 'sdch' body, one corrupt HTTP
+    # message — the dirty fraction every real crawl carries.
+    # (Round 11 closed br/zstd; round 12 closed LZW 'compress' — the
+    # % 8 transport variants of the 8 main shards exercise all of
+    # them — so the planted codec seam now uses sdch, the withdrawn
+    # shared-dictionary coding with no public spec'd dictionary
+    # transport, which is genuinely unsupported.)
     good = W.synthesize_warc([("resource", "urn:doc:corrupt", b"oops")])
     with open(os.path.join(crawl_dir, "shard-corrupt.warc.gz"), "wb") as f:
         f.write(good[:-6])  # truncated mid-terminator
-    page = H.synthesize_html(10**9, "unreachable lzw page")
+    page = H.synthesize_html(10**9, "unreachable sdch page")
     dirty = W.synthesize_warc([
         ("response", "http://crawl.test/doc/1000000000",
-         H.synthesize_http_response(page, content_encoding="compress")),
+         H.synthesize_http_response(page, content_encoding="sdch")),
         ("response", "http://crawl.test/doc/1000000001",
          b"HTTP/1.1 not a real message"),
     ])
@@ -168,7 +171,7 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("n")).collect()
     }
     print("http extraction classes:", json.dumps(classes, sort_keys=True))
-    assert classes.get("unsupported_encoding") == 1  # the lzw record
+    assert classes.get("unsupported_encoding") == 1  # the sdch record
     assert classes.get("corrupt") == 1
     assert classes.get("ok") == n_docs
 

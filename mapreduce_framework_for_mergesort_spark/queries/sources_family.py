@@ -226,7 +226,8 @@ def q_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WET chain end-to-end (round 10): documents → deterministic
     HTML pages (charset varying utf-8/latin-1/utf-16 by doc_id) behind
     HTTP responses (transport varying identity/gzip/chunked/both and —
-    round 11 — br/zstd, decoded via ``sources/encodings.py``) →
+    round 11 — br/zstd, round 12 — LZW ``compress``, decoded via
+    ``sources/encodings.py``) →
     ``response``-record ``.warc.gz`` shards → ``read_warc`` →
     ``audit_http_extractions``/``warc_responses_to_documents``
     (``sources/html.py``) → md5-of-extracted-text per document.  The

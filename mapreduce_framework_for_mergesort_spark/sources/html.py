@@ -450,6 +450,10 @@ def synthesize_http_response(
         body = bytes(
             buf.to_pybytes() if hasattr(buf, "to_pybytes") else buf
         )
+    elif content_encoding in ("compress", "x-compress"):
+        from . import encodings as _enc
+
+        body = _enc.encode_lzw(body)
     elif content_encoding not in (None, "identity"):
         # fixtures for the quarantine tests: emit the header, keep the
         # (undecodable) body bytes as-is
@@ -484,9 +488,10 @@ _CHARSET_VARIANTS = [
     ("latin-1", "text/html; charset=ISO-8859-1", False),
     ("utf-16", "text/html", False),
 ]
-#: transport by doc_id % 7: (content_encoding, chunked) — round 11
+#: transport by doc_id % 8: (content_encoding, chunked) — round 11
 #: added the br/zstd variants when ``sources/encodings.py`` closed
-#: that decode seam, so the WET-chain key proves them end-to-end
+#: that decode seam; round 12 adds LZW ``compress`` (the .Z coding),
+#: so the WET-chain key proves all of them end-to-end
 _TRANSPORT_VARIANTS = [
     (None, False),
     ("gzip", False),
@@ -495,6 +500,7 @@ _TRANSPORT_VARIANTS = [
     ("br", False),
     ("zstd", False),
     ("br", True),
+    ("compress", False),
 ]
 
 
@@ -504,7 +510,7 @@ def crawl_url(doc_id: int) -> str:
 
 def _response_record_payload(doc_id: int, text: str) -> bytes:
     charset, ctype, with_meta = _CHARSET_VARIANTS[doc_id % 3]
-    enc, chunked = _TRANSPORT_VARIANTS[doc_id % 7]
+    enc, chunked = _TRANSPORT_VARIANTS[doc_id % 8]
     page = synthesize_html(doc_id, text, charset=charset, with_meta=with_meta)
     return synthesize_http_response(
         page, content_type=ctype, content_encoding=enc, chunked=chunked

@@ -161,6 +161,114 @@ def test_zstd_frame_content_size_and_decode():
     assert E._zstd_bisect(codec, _compress(b"", 3, "zstd")) == b""
 
 
+# ---------------------------------------------------------------------------
+# LZW / compress(1) .Z (round 12)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("maxbits", [9, 10, 12, 14, 16])
+def test_lzw_roundtrip_all_samples(maxbits):
+    for name, data in _SAMPLES.items():
+        z = E.encode_lzw(data, maxbits=maxbits)
+        assert z[:2] == E.LZW_MAGIC and z[2] == (0x80 | maxbits)
+        assert E.decode_lzw(z) == data, (name, maxbits)
+
+
+@pytest.mark.parametrize("maxbits", [9, 10, 12, 16])
+def test_lzw_cross_pinned_against_system_uncompress(maxbits):
+    """The strongest available pin: gzip's unlzw (the deployed .Z
+    decoder) must read every house-encoded stream byte-for-byte —
+    this is what validates the unit-padding convention AND the
+    maxbits==9 ten-bit bug-compat empirically."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("gzip") is None:
+        pytest.skip("no system gzip")
+    for name, data in _SAMPLES.items():
+        z = E.encode_lzw(data, maxbits=maxbits)
+        with tempfile.NamedTemporaryFile(suffix=".Z", delete=False) as f:
+            f.write(z)
+            p = f.name
+        try:
+            r = subprocess.run(["gzip", "-dc", p], capture_output=True)
+        finally:
+            import os as _os
+
+            _os.unlink(p)
+        assert r.returncode == 0, (name, maxbits, r.stderr[:120])
+        assert r.stdout == data, (name, maxbits)
+
+
+def test_lzw_hand_built_stream():
+    """A stream packed by hand (no house encoder involved): 9-bit
+    LSB-first literals, a CLEAR with unit padding, a post-clear
+    KwKwK — decoded output is a construction."""
+
+    def pack(codes, w=9):
+        buf = cnt = 0
+        out = bytearray()
+        for c in codes:
+            buf |= c << cnt
+            cnt += w
+            while cnt >= 8:
+                out.append(buf & 0xFF)
+                buf >>= 8
+                cnt -= 8
+        if cnt:
+            out.append(buf & 0xFF)
+        return bytes(out)
+
+    hdr = bytes((0x1F, 0x9D, 0x89))
+    # 'ab' + entry257('ab') => 'abab'
+    assert E.decode_lzw(hdr + pack([97, 98, 257])) == b"abab"
+    # KwKwK: 'a' + code257 (being defined) = 'aa' => 'aaa'
+    assert E.decode_lzw(hdr + pack([97, 257])) == b"aaa"
+    # 7 literals + CLEAR fill exactly one 9-byte unit (no pad), then
+    # a fresh start: d e <257='de'>
+    codes = [97] * 7 + [256, 100, 101, 257]
+    assert E.decode_lzw(hdr + pack(codes)) == b"aaaaaaadede"
+
+
+def test_lzw_corrupt_is_loud():
+    with pytest.raises(ValueError, match="magic"):
+        E.decode_lzw(b"\x1f\x8b\x08not lzw")
+    with pytest.raises(ValueError, match="width"):
+        E.decode_lzw(bytes((0x1F, 0x9D, 0x88)))  # maxbits=8 invalid
+    # a code referencing a never-defined entry
+    def pack(codes, w=9):
+        buf = cnt = 0
+        out = bytearray()
+        for c in codes:
+            buf |= c << cnt
+            cnt += w
+            while cnt >= 8:
+                out.append(buf & 0xFF)
+                buf >>= 8
+                cnt -= 8
+        if cnt:
+            out.append(buf & 0xFF)
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="out of range"):
+        E.decode_lzw(bytes((0x1F, 0x9D, 0x89)) + pack([97, 400]))
+    with pytest.raises(ValueError, match="literal"):
+        E.decode_lzw(bytes((0x1F, 0x9D, 0x89)) + pack([300, 97]))
+    # output cap honored
+    big = E.encode_lzw(b"x" * 100000)
+    with pytest.raises(ValueError, match="cap"):
+        E.decode_lzw(big, max_output=1000)
+
+
+def test_lzw_empty_and_boundary():
+    assert E.decode_lzw(E.encode_lzw(b"")) == b""
+    assert E.decode_lzw(E.encode_lzw(b"\x00")) == b"\x00"
+    assert E.decode_lzw(E.encode_lzw(bytes(range(256)))) == bytes(
+        range(256)
+    )
+
+
 def test_decode_content_coding_tokens():
     body = b"chained body " * 50
     gz = zlib.compressobj(wbits=zlib.MAX_WBITS | 16)
@@ -175,8 +283,15 @@ def test_decode_content_coding_tokens():
     assert E.decode_content_coding("br", _compress(body)) == body
     assert E.decode_content_coding("zstd", _compress(body, 3, "zstd")) == body
     assert E.decode_content_coding("identity", body) == body
+    # round 12: 'compress' decodes; 'sdch' keeps the loud seam
+    assert (
+        E.decode_content_coding("compress", E.encode_lzw(body)) == body
+    )
+    assert (
+        E.decode_content_coding("x-compress", E.encode_lzw(body)) == body
+    )
     with pytest.raises(NotImplementedError):
-        E.decode_content_coding("compress", body)
+        E.decode_content_coding("sdch", body)
 
 
 def test_http_chain_and_warc_integration():

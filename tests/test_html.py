@@ -133,7 +133,9 @@ def test_classify_ok_all_transports():
                          # round 11: the br/zstd seam is closed —
                          # these now extract, not quarantine
                          ("br", False), ("br", True), ("zstd", False),
-                         ("zstd", True)]:
+                         ("zstd", True),
+                         # round 12: LZW 'compress' decodes too
+                         ("compress", False), ("compress", True)]:
         row = H._classify_and_extract(
             _resp(content_encoding=enc, chunked=chunked))
         assert row["extract_ok"] and row["extract_class"] == "ok", (enc,
@@ -143,12 +145,13 @@ def test_classify_ok_all_transports():
 
 
 def test_classify_unsupported_encoding_is_counted_not_raised():
-    # br/zstd decode since round 11; 'compress' (LZW) remains a
-    # genuinely unsupported coding and keeps the countable class
-    row = H._classify_and_extract(_resp(content_encoding="compress"))
+    # br/zstd decode since round 11, LZW 'compress' since round 12;
+    # 'sdch' (the withdrawn shared-dictionary coding real crawls still
+    # contain) keeps the countable unsupported class
+    row = H._classify_and_extract(_resp(content_encoding="sdch"))
     assert row["extract_class"] == "unsupported_encoding"
-    assert not row["extract_ok"] and "compress" in row["extract_err"]
-    assert row["content_encoding"] == "compress"
+    assert not row["extract_ok"] and "sdch" in row["extract_err"]
+    assert row["content_encoding"] == "sdch"
     assert row["http_status"] == 200
 
 
@@ -217,6 +220,8 @@ def test_audit_router_on_mixed_crawl(spark, tmp_path):
                                             content_encoding="zstd")),
         ("response", "http://t/lzw", _resp(14, "lzw page",
                                            content_encoding="compress")),
+        ("response", "http://t/sdch", _resp(16, "sdch page",
+                                            content_encoding="sdch")),
         ("response", "http://t/bad", b"HTTP/1.1 garbage"),
         ("response", "http://t/404", _resp(15, "gone", status=404)),
         ("warcinfo", None, b"software: x\r\n"),  # not a response: ignored
@@ -225,14 +230,19 @@ def test_audit_router_on_mixed_crawl(spark, tmp_path):
     back = W.read_warc(spark, str(tmp_path / "*.warc.gz"))
     audit = H.audit_http_extractions(back).collect()
     by_url = {r["url"]: r for r in audit}
-    assert len(audit) == 7  # warcinfo filtered out
+    assert len(audit) == 8  # warcinfo filtered out
     assert by_url["http://t/ok"]["extract_class"] == "ok"
     assert by_url["http://t/gz"]["extract_class"] == "ok"
-    # round 11: br/zstd extract; 'compress' keeps the countable seam
+    # round 11: br/zstd extract; round 12: LZW 'compress' extracts
+    # too, and 'sdch' keeps the countable seam
     assert by_url["http://t/br"]["extract_class"] == "ok"
     assert by_url["http://t/br"]["content_encoding"] == "br"
     assert by_url["http://t/zstd"]["extract_class"] == "ok"
-    assert by_url["http://t/lzw"]["extract_class"] == "unsupported_encoding"
+    assert by_url["http://t/lzw"]["extract_class"] == "ok"
+    assert by_url["http://t/lzw"]["content_encoding"] == "compress"
+    assert (
+        by_url["http://t/sdch"]["extract_class"] == "unsupported_encoding"
+    )
     assert by_url["http://t/bad"]["extract_class"] == "corrupt"
     assert "no header terminator" in by_url["http://t/bad"]["extract_err"]
     assert by_url["http://t/404"]["extract_class"] == "non_200"
@@ -240,13 +250,15 @@ def test_audit_router_on_mixed_crawl(spark, tmp_path):
     # the clean feed carries exactly the ok rows
     clean = H.warc_responses_to_documents(back).collect()
     assert sorted(r["url"] for r in clean) == [
-        "http://t/br", "http://t/gz", "http://t/ok", "http://t/zstd"
+        "http://t/br", "http://t/gz", "http://t/lzw", "http://t/ok",
+        "http://t/zstd",
     ]
     assert {r["text"] for r in clean} == {
         H.expected_extracted_text(10, "plain page"),
         H.expected_extracted_text(11, "gzip page"),
         H.expected_extracted_text(12, "brotli page"),
         H.expected_extracted_text(13, "zstd page"),
+        H.expected_extracted_text(14, "lzw page"),
     }
 
 
@@ -283,7 +295,7 @@ def test_crawl_shards_end_to_end_vs_duckdb(spark, sf_smoke):
     assert got == expected
     # all charset and transport variants actually occurred
     assert {d % 3 for d in got} == {0, 1, 2}
-    assert {d % 4 for d in got} == {0, 1, 2, 3}
+    assert {d % 8 for d in got} == set(range(8))
 
 
 def test_read_warc_member_idx_is_the_seek_contract(spark, tmp_path):

@@ -207,9 +207,9 @@ def test_http_response_body_is_loud():
         W.http_response_body(
             b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxxx"
         )
-    with pytest.raises(NotImplementedError, match="compress"):
+    with pytest.raises(NotImplementedError, match="sdch"):
         W.http_response_body(
-            b"HTTP/1.1 200 OK\r\nContent-Encoding: compress\r\n\r\nxxx"
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: sdch\r\n\r\nxxx"
         )
     base = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
     with pytest.raises(ValueError, match="bad chunk size"):
