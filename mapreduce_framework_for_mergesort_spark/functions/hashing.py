@@ -83,14 +83,85 @@ import re as _re
 
 TOKEN_RE = _re.compile(r"[^ \t\n\f\r]+")  # the kernels' identical class
 
+# --- script-aware segmentation (round 12) ----------------------------------
+# Whitespace tokenization misreads every UNSEGMENTED script: Chinese /
+# Japanese / Thai / Lao / Khmer / Myanmar write no spaces between
+# words, so a whole line became one "token" — token counts read
+# ~chars/line, shingle dedup saw one shingle per sentence, chunking
+# emitted page-sized chunks (round-11 verdict, missing #1).  The fix
+# is the standard character-level baseline for unsegmented scripts:
+# every code point in these ranges becomes its own token, implemented
+# as ONE pre-tokenize regexp_replace that spaces the characters out.
+# The ranges are Unicode block data (public): Han (unified + ext A +
+# compatibility), kana (hiragana, katakana, extensions, halfwidth),
+# Thai, Lao, Myanmar, Khmer.  Hangul is NOT here — Korean is written
+# WITH spaces, so whitespace tokenization is already right for it.
+# ASCII and all space-delimited scripts hit the no-op path: the class
+# matches nothing and the string passes through unchanged, which is
+# what keeps every pre-round-12 pinned value stable.
+#
+# The class is built from code-point numbers into LITERAL characters,
+# not regex \uXXXX escapes, because the three engines disagree on
+# escape syntax (Java \uXXXX, RE2 \x{XXXX}) but all three agree on
+# literal UTF-8 code points in a character class.
+UNSEG_SCRIPT_RANGES: tuple[tuple[int, int], ...] = (
+    (0x3400, 0x4DBF),  # CJK ext A
+    (0x4E00, 0x9FFF),  # CJK unified
+    (0xF900, 0xFAFF),  # CJK compatibility ideographs
+    (0x3040, 0x309F),  # hiragana
+    (0x30A0, 0x30FF),  # katakana
+    (0x31F0, 0x31FF),  # katakana phonetic extensions
+    (0xFF66, 0xFF9D),  # halfwidth katakana
+    (0x0E00, 0x0E7F),  # Thai
+    (0x0E80, 0x0EFF),  # Lao
+    (0x1000, 0x109F),  # Myanmar
+    (0x1780, 0x17FF),  # Khmer
+)
+UNSEG_SCRIPT_CLASS = (
+    "["
+    + "".join(f"{chr(a)}-{chr(b)}" for a, b in UNSEG_SCRIPT_RANGES)
+    + "]"
+)
+_SEG_RE = _re.compile(f"({UNSEG_SCRIPT_CLASS})")
+
+
+def tokenize(s: str) -> list[str]:
+    """The kernels' tokenizer — identical semantics to the SQL
+    spellings below (segment unsegmented scripts, then split on the
+    explicit whitespace class)."""
+    return TOKEN_RE.findall(_SEG_RE.sub(r" \1 ", s))
+
+
+def spark_segmented(text_col: str) -> str:
+    """``text_col`` with unsegmented-script characters spaced out —
+    the shared pre-tokenize step (Java regex spelling)."""
+    return (
+        f"regexp_replace({text_col}, '({UNSEG_SCRIPT_CLASS})', ' $1 ')"
+    )
+
+
+def duckdb_segmented(text_col: str) -> str:
+    """RE2 spelling of ``spark_segmented`` (backref ``\\1``, explicit
+    global flag)."""
+    return (
+        f"regexp_replace({text_col}, '({UNSEG_SCRIPT_CLASS})', "
+        f"' \\1 ', 'g')"
+    )
+
 
 def spark_tokens(text_col: str = "text") -> str:
     # explicit group: Spark's regexp_extract_all requires one.
-    return rf"regexp_extract_all({text_col}, '({TOKEN_CLASS_SPARK})', 1)"
+    return (
+        rf"regexp_extract_all({spark_segmented(text_col)}, "
+        rf"'({TOKEN_CLASS_SPARK})', 1)"
+    )
 
 
 def duckdb_tokens(text_col: str = "text") -> str:
-    return rf"regexp_extract_all({text_col}, '{TOKEN_CLASS_DUCKDB}')"
+    return (
+        rf"regexp_extract_all({duckdb_segmented(text_col)}, "
+        rf"'{TOKEN_CLASS_DUCKDB}')"
+    )
 
 
 # --- word n-gram shingles --------------------------------------------------
@@ -234,7 +305,7 @@ def gram_rows_udf(k: int):
                 continue
             hit = doc_memo.get(s)
             if hit is None:
-                toks = TOKEN_RE.findall(s)
+                toks = tokenize(s)
                 hit = []
                 if len(toks) >= k:
                     join = " ".join
@@ -334,7 +405,7 @@ def band_structs_udf(n: int = SHINGLE_N):
         for s in text:
             # None → no bands, like <n-token text (the SQL spelling's
             # NULL shingle array explodes to no rows either way)
-            toks = TOKEN_RE.findall(s) if s is not None else []
+            toks = tokenize(s) if s is not None else []
             if len(toks) < n:
                 out.append([])
                 continue
@@ -467,7 +538,7 @@ def simhash_udf():
                 # pins for the fingerprint) — and the kernel must not
                 # rely on callers null-filtering its input.
                 continue
-            toks = TOKEN_RE.findall(s)
+            toks = tokenize(s)
             if not toks:
                 continue  # no tokens → every vote fails → 0, like the SQL
             rows = np.empty((len(toks), SIMHASH_BITS), dtype=np.uint8)

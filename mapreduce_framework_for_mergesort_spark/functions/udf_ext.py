@@ -58,12 +58,13 @@ class SplitWords:
 
     def eval(self, text: str):
         from mapreduce_framework_for_mergesort_spark.functions.hashing import (
-            TOKEN_RE,
+            tokenize,
         )
 
-        # TOKEN_RE, not str.split(): Python's unicode whitespace rules
-        # diverge from the SQL oracle's explicit class on \x1c-\x1f /
-        # NEL / NBSP (see hashing.py tokenization note).
+        # the shared tokenizer, not str.split(): Python's unicode
+        # whitespace rules diverge from the SQL oracle's explicit
+        # class on \x1c-\x1f / NEL / NBSP, and round 12 adds the
+        # script-aware segmentation step (see hashing.py).
         if text:
-            for pos, word in enumerate(TOKEN_RE.findall(text)):
+            for pos, word in enumerate(tokenize(text)):
                 yield word, pos

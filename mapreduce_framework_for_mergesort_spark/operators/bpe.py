@@ -162,7 +162,7 @@ def bpe_segment_udf(merges: Merges):
     from pyspark.sql.functions import pandas_udf
 
     ranks = {p: i for i, p in enumerate(merges)}
-    token_re = H.TOKEN_RE
+    token_re = H.tokenize  # script-aware shared tokenizer (round 12)
 
     @pandas_udf("array<string>")
     def seg(texts: pd.Series) -> pd.Series:
@@ -170,7 +170,7 @@ def bpe_segment_udf(merges: Merges):
 
         def one(text: str) -> list[str]:
             out: list[str] = []
-            for w in token_re.findall(text or ""):
+            for w in token_re(text or ""):
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = segment_word(w, ranks)
@@ -190,7 +190,7 @@ def bpe_count_udf(merges: Merges):
     from pyspark.sql.functions import pandas_udf
 
     ranks = {p: i for i, p in enumerate(merges)}
-    token_re = H.TOKEN_RE
+    token_re = H.tokenize  # script-aware shared tokenizer (round 12)
 
     @pandas_udf("long")
     def count(texts: pd.Series) -> pd.Series:
@@ -198,7 +198,7 @@ def bpe_count_udf(merges: Merges):
 
         def one(text: str) -> int:
             total = 0
-            for w in token_re.findall(text or ""):
+            for w in token_re(text or ""):
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = len(segment_word(w, ranks))
@@ -310,7 +310,7 @@ def chunk_documents_bpe(
             f"({chunk_tokens}) for forward progress"
         )
     ranks = {p: i for i, p in enumerate(merges)}
-    token_re = H.TOKEN_RE
+    token_re = H.tokenize  # script-aware shared tokenizer (round 12)
     schema = (
         "doc_id bigint, chunk_idx bigint, chunk_text string, "
         "n_chunk_tokens bigint"
@@ -324,7 +324,7 @@ def chunk_documents_bpe(
             texts: list[str] = []
             ntoks: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                words = token_re.findall(text or "")
+                words = token_re(text or "")
                 counts = []
                 for w in words:
                     c = memo.get(w)

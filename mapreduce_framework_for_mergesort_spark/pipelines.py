@@ -49,22 +49,13 @@ def with_curation_features(
     exists because the dup fraction costs an extra O(n_tokens)
     ``array_distinct`` per document — the pipeline only pays it when a
     repetition filter is actually requested."""
+    from mapreduce_framework_for_mergesort_spark.operators import langid
+
     e = text_feature_exprs()
-    toks = e["toks"]
-    langs = list(LANG_STOPWORDS)
-    hits = {lang: _hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
-    # Same zero-evidence 'und' guard as operators/text.lang_id (pinned
-    # equal in tests) — zero-stopword docs must not classify 'en'.
-    zero = " AND ".join(f"({hits[lang]}) = 0" for lang in langs)
-    branches = [f"WHEN {zero} THEN 'und'"]
-    for lang in langs:
-        cond = " AND ".join(
-            f"({hits[lang]}) >= ({hits[other]})"
-            for other in langs
-            if other != lang
-        )
-        branches.append(f"WHEN {cond} THEN '{lang}'")
-    pred = f"CASE {' '.join(branches)} ELSE 'und' END"
+    # SAME classifier expression as operators/text.lang_id (round 12:
+    # the two-stage script + learned-trigram model; pinned equal in
+    # tests) — the pipeline must not fork the language definition.
+    pred = langid.spark_pred_expr("text")
     cols = {"quality": F.expr(e["quality"]), "pred_lang": F.expr(pred)}
     if with_repetition:
         cols["dup_token_frac"] = F.expr(e["dup_token_frac"])

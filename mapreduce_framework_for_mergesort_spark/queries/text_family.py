@@ -18,11 +18,15 @@ from mapreduce_framework_for_mergesort_spark.queries import query
 
 @query(
     "q_text_stats",
-    oracle=r"""
+    # sum_tokens counts SCRIPT-AWARE tokens (round 12 — the shared
+    # tokenizer segments unsegmented scripts on both engines);
+    # sum_token_chars counts non-whitespace CHARS, which segmentation
+    # does not change
+    oracle=rf"""
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           CAST(SUM(len(regexp_extract_all(text, '[^ \t\n\f\r]+'))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len({H.duckdb_tokens('text')})) AS BIGINT) AS sum_tokens,
            CAST(SUM(length(regexp_replace(text, '[ \t\n\f\r]+', '', 'g'))) AS BIGINT)
              AS sum_token_chars
     FROM documents
@@ -42,7 +46,7 @@ def _duckdb_hits(words) -> str:
 # Mirrors operators/text.PUNCT_CLASS (non-negated: the chars counted
 # AS punctuation) — both engines must flip together.
 _PUNCT = r"(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
-_NT = r"len(regexp_extract_all(text, '[^ \t\n\f\r]+'))"
+_NT = rf"len({H.duckdb_tokens('text')})"
 
 
 @query(
@@ -78,46 +82,106 @@ def q_text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_profile(load_table(spark, sf_dir, "documents"))
 
 
-def _duckdb_lang_case() -> str:
-    langs = list(T.LANG_STOPWORDS)
-    # Zero-evidence guard first: without it the first language wins the
-    # all-zero tie and ELSE 'und' is unreachable (mirrors operators/text).
-    zero = " AND ".join(f"h_{lang} = 0" for lang in langs)
-    branches = [f"WHEN {zero} THEN 'und'"]
-    for lang in langs:
-        cond = " AND ".join(
-            f"h_{lang} >= h_{other}" for other in langs if other != lang
-        )
-        branches.append(f"WHEN {cond} THEN '{lang}'")
-    return f"CASE {' '.join(branches)} ELSE 'und' END"
+from mapreduce_framework_for_mergesort_spark.operators import langid as L  # noqa: E402
+
+#: Multilingual fixture sentences (composed for this repo): the
+#: documents table is ASCII-only with synthetic lang labels, so the
+#: CJK/Cyrillic/Thai classifier paths get their oracle coverage from
+#: a per-doc_id synthesized column — the url_rfc_raw discipline.  The
+#: last branch is deliberately MIXED (English + Han): the script
+#: stage wins by design.
+ML_SENTENCES: tuple[tuple[str, str], ...] = (
+    ("zh", "我们的数据系统每天都在快速增长"),
+    ("ja", "これは日本語のテキストです。データを読んで書きます"),
+    ("ko", "한국어 문장은 띄어쓰기를 사용합니다"),
+    ("th", "ระบบข้อมูลของเราเติบโตอย่างรวดเร็ว"),
+    ("en", "the people who build the system must think about the work and the way it is done"),
+    ("de", "die menschen, die das system bauen, müssen über die arbeit nachdenken und wie sie gemacht wird"),
+    ("es", "las personas que construyen el sistema deben pensar en el trabajo y en cómo se hace"),
+    ("fr", "les personnes qui construisent le système doivent réfléchir à la manière dont le travail est fait"),
+    ("ru", "люди, которые строят систему, должны думать о том, как делается работа"),
+    ("und", "12345 67890 24680 13579"),
+    ("zh", "mixed page 混合内容测试 with english words"),
+)
+
+
+def _ml_text_sql(engine: str) -> str:
+    """The synthesized multilingual column, same construction on both
+    engines (a trailing doc_id-derived number keeps contents distinct
+    without touching any letter trigram — digit grams are excluded at
+    profile-train time)."""
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, (_, s) in enumerate(ML_SENTENCES)
+    )
+    return (
+        f"(CASE doc_id % {len(ML_SENTENCES)} {whens} END"
+        f" || ' ' || CAST(doc_id % 97 AS {cast}))"
+    )
+
+
+def _ml_expected_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{lang}'"
+        for i, (lang, _) in enumerate(ML_SENTENCES)
+    )
+    return f"CASE doc_id % {len(ML_SENTENCES)} {whens} END"
 
 
 @query(
     "q_lang_id",
     oracle=f"""
-    WITH h AS (
+    WITH mlb AS (
       SELECT doc_id, lang AS labeled_lang, text,
-             {', '.join(f'{_duckdb_hits(w)} AS h_{lang}' for lang, w in T.LANG_STOPWORDS.items())}
-      FROM documents)
-    SELECT doc_id, labeled_lang, {_duckdb_lang_case()} AS pred_lang,
-           {H.duckdb_fingerprint("text")} AS fingerprint
-    FROM h
+             {_ml_text_sql('duckdb')} AS __ml,
+             {_ml_expected_sql()} AS ml_expected
+      FROM documents),
+    p1 AS ({L.duckdb_pred_query(
+        table='mlb',
+        text_col='text',
+        extra_cols='doc_id, labeled_lang, text, __ml, ml_expected',
+    )}),
+    p2 AS ({L.duckdb_pred_query(
+        table='p1',
+        text_col='__ml',
+        extra_cols='doc_id, labeled_lang, text, ml_expected, '
+                   'pred AS pred_lang',
+    )})
+    SELECT doc_id, labeled_lang, pred_lang,
+           {H.duckdb_fingerprint("text")} AS fingerprint,
+           ml_expected, pred AS pred_ml
+    FROM p2
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID + content fingerprint in one projection (round-1
     ``q_fingerprint`` consolidated here — both per-doc classifier-shape
-    columns over the same scan)."""
-    return T.lang_id(
-        load_table(spark, sf_dir, "documents"), with_fingerprint=True
+    columns over the same scan).
+
+    Round 12: ``pred_lang`` is the two-stage char-n-gram classifier
+    (``operators/langid.py`` — script detection + learned trigram
+    profiles), and the ``ml_expected``/``pred_ml`` pair runs the SAME
+    classifier over a synthesized multilingual column so the zh / ja /
+    ko / th / ru / mixed paths are oracle-pinned on a corpus that is
+    otherwise ASCII (the accuracy itself — pred_ml == ml_expected on
+    every row — is pinned in tests/test_llm_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = T.lang_id(docs, with_fingerprint=True).select(
+        "doc_id", "labeled_lang", "pred_lang", "fingerprint"
+    )
+    return base.withColumns(
+        {
+            "ml_expected": F.expr(_ml_expected_sql()),
+            "pred_ml": F.expr(L.spark_pred_expr(_ml_text_sql("spark"))),
+        }
     )
 
 
 @query(
     "q_tfidf_top_terms",
-    oracle=r"""
+    oracle=rf"""
     WITH tok AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '[^ \t\n\f\r]+')) AS term
+      SELECT doc_id, unnest({H.duckdb_tokens('text')}) AS term
       FROM documents),
     tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_for_mergesort_spark.functions import hashing as _H
 from mapreduce_framework_for_mergesort_spark.functions.udf_ext import (
     SplitWords,
     digit_sum,
@@ -95,10 +96,10 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            toks[i] AS k,
            doc_id AS v1,
            CAST(i - 1 AS BIGINT) AS v2
-    FROM (SELECT doc_id, regexp_extract_all(text, '[^ \t\n\f\r]+') AS toks
+    FROM (SELECT doc_id, __DUCKDB_TOKS__ AS toks
           FROM documents),
          unnest(range(1, len(toks) + 1)) AS u(i)
-    """,
+    """.replace("__DUCKDB_TOKS__", _H.duckdb_tokens("text")),
 )
 def q_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three Python extension seams in one tagged union:

@@ -57,12 +57,12 @@ def test_bpe_distributed_apply_matches_reference(spark):
         ).collect()
     }
     from mapreduce_framework_for_mergesort_spark.functions.hashing import (
-        TOKEN_RE,
+        tokenize,
     )
 
     for doc_id, text in [(1, "lowest newest"), (2, "low low widest"), (3, "")]:
         want = [
-            s for w in TOKEN_RE.findall(text)
+            s for w in tokenize(text)
             for s in B.segment_word(w, ranks)
         ]
         assert got[doc_id] == want, doc_id
@@ -180,13 +180,13 @@ def _literal_bpe_chunks(docs, merges, chunk, overlap):
     words with explicit running sums (no shared helper, no prefix
     arrays) and emit (doc_id, chunk_idx, chunk_text, n_chunk_tokens)."""
     from mapreduce_framework_for_mergesort_spark.functions.hashing import (
-        TOKEN_RE,
+        tokenize,
     )
 
     ranks = {p: i for i, p in enumerate(merges)}
     out = []
     for doc_id, text in docs:
-        words = TOKEN_RE.findall(text or "")
+        words = tokenize(text or "")
         counts = [len(B.segment_word(w, ranks)) for w in words]
         s, idx, last_e = 0, 0, -1
         while s < len(words):
@@ -293,12 +293,12 @@ def test_bpe_chunker_invariants_and_edges(spark):
     # every chunk's token count is the true BPE count of its text
     for r in rows:
         from mapreduce_framework_for_mergesort_spark.functions.hashing import (
-            TOKEN_RE,
+            tokenize,
         )
 
         true = sum(
             len(B.segment_word(w, ranks))
-            for w in TOKEN_RE.findall(r["chunk_text"])
+            for w in tokenize(r["chunk_text"])
         )
         assert r["n_chunk_tokens"] == true
 

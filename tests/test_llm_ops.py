@@ -253,7 +253,9 @@ def test_curation_pipeline_cluster_cap(spark):
         (100, "spark shuffle mechanics explained for the curious reader"),
         (101, "catalyst optimizer internals and adaptive query execution"),
     ]
-    no_emb = [(200, "a document with no embedding row at all here")]
+    # round 12: phrased so the trigram lang-id scores it 'en'
+    no_emb = [(200, "the document with no embedding row at all that "
+                    "still appears here")]
     docs = spark.createDataFrame(
         texts_a + texts_b + no_emb, ["doc_id", "text"]
     )
@@ -694,7 +696,7 @@ def test_tokenizer_agrees_across_engines_on_exotic_whitespace(spark):
         d = duckdb.execute(
             f"SELECT {H.duckdb_tokens('t')} FROM (SELECT ? AS t)", [s]
         ).fetchone()[0]
-        assert got_spark[i] == d == H.TOKEN_RE.findall(s), (i, s)
+        assert got_spark[i] == d == H.tokenize(s), (i, s)
 
 
 def test_lang_id_labels_zero_evidence_as_und(spark):
@@ -1778,7 +1780,7 @@ def test_decontaminate_matches_brute_force(spark, sf_oracle):
     docs (must flag at least themselves) + one unrelated text (must
     flag nothing)."""
     from mapreduce_framework_for_mergesort_spark.functions.hashing import (
-        TOKEN_RE,
+        tokenize,
     )
 
     docs = load_table(spark, sf_oracle, "documents")
@@ -1791,7 +1793,7 @@ def test_decontaminate_matches_brute_force(spark, sf_oracle):
     n = 8
 
     def grams(text):
-        toks = TOKEN_RE.findall(text)
+        toks = tokenize(text)
         return {
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         }
@@ -2867,7 +2869,10 @@ def test_curation_strip_spans_rewrites(spark):
         (1, f"lead one two {block} tail alpha beta"),
         (2, f"other open here {block} close gamma delta"),
         (3, block),  # nothing but the (later) boilerplate
-        (4, "a fully original document with enough words to pass easily"),
+        # round 12: the trigram lang-id needs genuinely English
+        # phrasing — the old "enough words to pass" salad scored de
+        (4, "this is a fully original document and the words that it "
+            "carries pass the filter easily"),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
