@@ -224,7 +224,9 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WET chain end-to-end (round 10): documents → deterministic
-    HTML pages (charset varying utf-8/latin-1/utf-16 by doc_id) behind
+    HTML pages (charset varying utf-8/latin-1/utf-16 by doc_id) — or,
+    for doc_id % 5 == 2, PDF documents (``sources/pdf.py``, filters /
+    xref layout / fonts varying by doc_id) — behind
     HTTP responses (transport varying identity/gzip/chunked/both and —
     round 11 — br/zstd, round 12 — LZW ``compress``, decoded via
     ``sources/encodings.py``) →
@@ -262,9 +264,19 @@ def q_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = W.read_warc(spark, os.path.join(path, "*.warc.gz"))
     ext = H.warc_responses_to_documents(back)
     doc_id = F.element_at(F.split(F.col("url"), "/"), -1).cast("long")
+    # round 12: the fmt split pins that doc_id % 5 == 2 rows really
+    # were served AND classified as application/pdf (sources/pdf.py) —
+    # the oracle recomputes fmt from doc_id arithmetic, so a PDF that
+    # fell back to the HTML path (or vice versa) lands in the wrong
+    # group and hash-mismatches even though the text agrees
+    fmt = F.when(
+        F.col("mime") == "application/pdf", F.lit("warc_pdf")
+    ).otherwise(F.lit("warc_http"))
     return (
-        ext.select(doc_id.alias("__doc"), "text")
-        .groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5"))
+        ext.select(fmt.alias("fmt"), doc_id.alias("__doc"), "text")
+        .groupBy(
+            "fmt", F.md5(F.encode(F.col("text"), "UTF-8")).alias("text_md5")
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.octet_length("text")).alias("n_text_bytes"),
@@ -324,18 +336,23 @@ def q_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents)
     ) GROUP BY 2
     UNION ALL
-    SELECT 'warc_http' AS fmt, md5(expected) AS grp, COUNT(*) AS n,
+    SELECT CASE WHEN doc_id % 5 = 2 THEN 'warc_pdf' ELSE 'warc_http' END
+               AS fmt,
+           md5(expected) AS grp, COUNT(*) AS n,
            CAST(SUM(octet_length(encode(expected))) AS DOUBLE)
                AS sum_metric,
            CAST(SUM(doc_id) AS BIGINT) AS sum_k
     FROM (
+        -- doc_id % 5 = 2 rows are served as application/pdf
+        -- (sources/pdf.py); the expected text is the SAME closed form
+        -- either way, so only the fmt tag differs
         SELECT doc_id,
                'doc ' || CAST(doc_id AS VARCHAR) || ' ± crawl'
                || chr(10) || 'heading ' || CAST(doc_id AS VARCHAR)
                || CASE WHEN text IS NULL OR text = '' THEN ''
                        ELSE chr(10) || text END AS expected
         FROM documents
-    ) GROUP BY 2
+    ) GROUP BY 1, 2
     """.replace("__ZKEY__", layout.duckdb_zorder_key(_ZCOLS)),
 )
 def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +420,7 @@ def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_doc_member").alias("sum_k"),
     )
     warc_http = q_warc_http_extract(spark, sf_dir).select(
-        F.lit("warc_http").alias("fmt"),
+        "fmt",
         F.col("text_md5").alias("grp"),
         "n",
         F.col("n_text_bytes").cast("double").alias("sum_metric"),

@@ -509,8 +509,22 @@ def crawl_url(doc_id: int) -> str:
 
 
 def _response_record_payload(doc_id: int, text: str) -> bytes:
-    charset, ctype, with_meta = _CHARSET_VARIANTS[doc_id % 3]
     enc, chunked = _TRANSPORT_VARIANTS[doc_id % 8]
+    if doc_id % 5 == 2:
+        # round 12: one doc in five is an application/pdf page whose
+        # extracted text is the SAME closed form as the HTML pages —
+        # the oracle's expectation is format-agnostic, so the hash pin
+        # proves the whole sources/pdf.py chain (filters, xref
+        # layouts, fonts vary by doc_id inside synthesize_pdf)
+        from . import pdf as P
+
+        return synthesize_http_response(
+            P.synthesize_pdf(doc_id, text),
+            content_type="application/pdf",
+            content_encoding=enc,
+            chunked=chunked,
+        )
+    charset, ctype, with_meta = _CHARSET_VARIANTS[doc_id % 3]
     page = synthesize_html(doc_id, text, charset=charset, with_meta=with_meta)
     return synthesize_http_response(
         page, content_type=ctype, content_encoding=enc, chunked=chunked
@@ -640,8 +654,23 @@ def _classify_and_extract(payload: bytes) -> dict:
         out["extract_err"] = f"http status {status}"
         return out
     mime = out["mime"]
+    if mime == "application/pdf":
+        # round 12: PDFs join the clean feed via the stdlib extractor
+        # (sources/pdf.py) instead of the non_text quarantine; damage
+        # routes to `corrupt` exactly like any codec failure
+        from . import pdf as P
+
+        try:
+            out["text"] = P.extract_pdf_text(body)
+        except ValueError as ex:
+            out["extract_class"] = "corrupt"
+            out["extract_err"] = str(ex)[:300]
+            return out
+        out["extract_ok"] = True
+        out["extract_class"] = "ok"
+        return out
     if mime is not None and not _is_textual_mime(mime):
-        # round-10 review: a 200 carrying image/pdf/octet-stream bytes
+        # round-10 review: a 200 carrying image/octet-stream bytes
         # must NOT be charset-decoded into mojibake and tagged ok —
         # binary payloads are a countable class of their own, never a
         # text row in the clean feed

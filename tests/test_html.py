@@ -189,9 +189,11 @@ def test_non_html_mime_skips_tag_strip():
 
 
 def test_binary_mime_is_counted_not_mojibake():
-    # round-10 review: a 200 carrying image/pdf/font bytes must not be
-    # charset-decoded into a mojibake "document" tagged ok
-    for mime in ("image/jpeg", "application/pdf",
+    # round-10 review: a 200 carrying image/font bytes must not be
+    # charset-decoded into a mojibake "document" tagged ok.  Round 12:
+    # application/pdf left this class — damaged PDF bytes now route to
+    # `corrupt` via the sources/pdf.py extractor instead
+    for mime in ("image/jpeg",
                  "application/octet-stream", "font/woff2"):
         r = H.synthesize_http_response(
             b"\x89\xff\xd8\x00binary payload bytes", content_type=mime
@@ -199,6 +201,12 @@ def test_binary_mime_is_counted_not_mojibake():
         row = H._classify_and_extract(r)
         assert not row["extract_ok"] and row["extract_class"] == "non_text"
         assert row["text"] is None and mime in row["extract_err"]
+    r = H.synthesize_http_response(
+        b"\x89\xff\xd8\x00binary payload bytes",
+        content_type="application/pdf",
+    )
+    row = H._classify_and_extract(r)
+    assert not row["extract_ok"] and row["extract_class"] == "corrupt"
     # structured-text application types and +xml suffixes stay text
     for mime in ("application/json", "application/xhtml+xml",
                  "image/svg+xml", "text/plain"):
@@ -293,9 +301,11 @@ def test_crawl_shards_end_to_end_vs_duckdb(spark, sf_smoke):
         " ORDER BY doc_id LIMIT 48"
     ).fetchall())
     assert got == expected
-    # all charset and transport variants actually occurred
+    # all charset, transport, and format variants actually occurred
     assert {d % 3 for d in got} == {0, 1, 2}
     assert {d % 8 for d in got} == set(range(8))
+    # round 12: one doc in five went through the application/pdf path
+    assert {d % 5 for d in got} == set(range(5))
 
 
 def test_read_warc_member_idx_is_the_seek_contract(spark, tmp_path):
