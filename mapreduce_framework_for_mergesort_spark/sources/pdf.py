@@ -105,6 +105,8 @@ class _Lexer:
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
         self.pos = pos
+        self.depth = 0  # container nesting, bounded to keep a hostile
+        # '[[[[…' body a ValueError instead of a C-stack blowout
 
     def skip_ws(self) -> None:
         d, n = self.data, len(self.data)
@@ -226,31 +228,43 @@ class _Lexer:
             return self.parse_literal_string()
         if c == 0x3C:
             if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
+                if self.depth > 128:
+                    raise ValueError("PDF container nesting too deep")
                 self.pos += 2
+                self.depth += 1
                 out: dict = {}
-                while True:
-                    self.skip_ws()
-                    if self.pos + 1 < n and d[self.pos : self.pos + 2] == b">>":
-                        self.pos += 2
-                        return out
-                    if self.pos >= n:
-                        raise ValueError("unterminated PDF dict")
-                    if d[self.pos] != 0x2F:
-                        raise ValueError("PDF dict key is not a name")
-                    key = self.parse_name()
-                    out[str(key)] = self.parse_object()
+                try:
+                    while True:
+                        self.skip_ws()
+                        if self.pos + 1 < n and d[self.pos : self.pos + 2] == b">>":
+                            self.pos += 2
+                            return out
+                        if self.pos >= n:
+                            raise ValueError("unterminated PDF dict")
+                        if d[self.pos] != 0x2F:
+                            raise ValueError("PDF dict key is not a name")
+                        key = self.parse_name()
+                        out[str(key)] = self.parse_object()
+                finally:
+                    self.depth -= 1
             return self.parse_hex_string()
         if c == 0x5B:
+            if self.depth > 128:
+                raise ValueError("PDF container nesting too deep")
             self.pos += 1
+            self.depth += 1
             arr = []
-            while True:
-                self.skip_ws()
-                if self.pos < n and d[self.pos] == 0x5D:
-                    self.pos += 1
-                    return arr
-                if self.pos >= n:
-                    raise ValueError("unterminated PDF array")
-                arr.append(self.parse_object())
+            try:
+                while True:
+                    self.skip_ws()
+                    if self.pos < n and d[self.pos] == 0x5D:
+                        self.pos += 1
+                        return arr
+                    if self.pos >= n:
+                        raise ValueError("unterminated PDF array")
+                    arr.append(self.parse_object())
+            finally:
+                self.depth -= 1
         m = _NUM_RE.match(d, self.pos)
         if m and m.start() == self.pos:
             text = m.group().decode("latin-1")
@@ -424,6 +438,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         v = 0
         for g in group + [84] * (5 - k):
             v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise ValueError("ASCII85 group overflow")
         out += struct.pack(">I", v)[: k - 1]
     return bytes(out)
 
@@ -673,6 +689,34 @@ def _utf16be_str(b: bytes) -> str:
         return ""
 
 
+def _join_surrogates(s: str) -> str:
+    """Re-join UTF-16 surrogate pairs that per-code-unit decoding left
+    apart, and DROP lone surrogates — a str carrying one cannot be
+    UTF-8 encoded, which would kill the Arrow conversion of the audit
+    kernel's output while the row sits tagged ``ok``."""
+    if not any(0xD800 <= ord(c) <= 0xDFFF for c in s):
+        return s
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = ord(s[i])
+        if (
+            0xD800 <= c <= 0xDBFF
+            and i + 1 < n
+            and 0xDC00 <= ord(s[i + 1]) <= 0xDFFF
+        ):
+            out.append(
+                chr(0x10000 + ((c - 0xD800) << 10) + (ord(s[i + 1]) - 0xDC00))
+            )
+            i += 2
+        elif 0xD800 <= c <= 0xDFFF:
+            i += 1  # lone surrogate: loud by omission
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 class _IncRange:
     """bfrange destination of the 'base hex string, incremented' form:
     src maps to base + (src - lo), re-encoded as UTF-16BE."""
@@ -702,7 +746,10 @@ class _CMap:
         for lo, hi, rlen, dst in self.ranges:
             if rlen == length and lo <= code <= hi:
                 if isinstance(dst, list):
-                    return dst[code - lo]
+                    # a malformed CMap may ship an array shorter than
+                    # the range; out-of-range decodes to '' (loud by
+                    # omission), never an IndexError
+                    return dst[code - lo] if code - lo < len(dst) else ""
                 assert isinstance(dst, _IncRange)
                 v = dst.base + (code - lo)
                 try:
@@ -814,14 +861,9 @@ class _FontDecoder:
                         chr(code) if ln == 1 else _utf16be_str(raw[i : i + ln])
                     )
                     i += ln
-            joined = "".join(out)
-            # re-join surrogate pairs produced by 2-byte identity maps
-            try:
-                return joined.encode("utf-16", "surrogatepass").decode("utf-16")
-            except UnicodeDecodeError:
-                return joined
+            return _join_surrogates("".join(out))
         if self.nbytes == 2:
-            return _utf16be_str(raw)
+            return _join_surrogates(_utf16be_str(raw))
         table = self.simple if self.simple is not None else _WIN_ANSI
         return "".join(table.get(b, "") for b in raw)
 
@@ -1036,13 +1078,16 @@ class PdfDocument:
         for _ in range(n):
             a = lex.parse_object()
             b = lex.parse_object()
-            pairs.append((int(a), int(b)))
-        for i, (objnum, off) in enumerate(pairs):
-            if objnum == want or i == idx:
-                inner = _Lexer(data, first + off)
-                got = inner.parse_object()
-                if objnum == want:
-                    return got
+            if not isinstance(a, int) or not isinstance(b, int):
+                raise ValueError("malformed object-stream header")
+            pairs.append((a, b))
+        for objnum, off in pairs:
+            if objnum == want:
+                return _Lexer(data, first + off).parse_object()
+        # header objnums disagree with the xref's type-2 entry: fall
+        # back to the recorded index
+        if 0 <= idx < len(pairs):
+            return _Lexer(data, first + pairs[idx][1]).parse_object()
         raise ValueError(f"object {want} not found in object stream {stm_num}")
 
     def resolve(self, obj, depth: int = 0):
@@ -1176,11 +1221,14 @@ def _page_text(doc: PdfDocument, page: dict) -> list[str]:
             lines.append("".join(cur))
             cur.clear()
 
-    while lex.pos < n:
-        try:
-            tok = lex.parse_object()
-        except ValueError:
+    while True:
+        lex.skip_ws()
+        if lex.pos >= n:
             break
+        # a lex error here (cut mid-string, hostile nesting) is real
+        # damage — propagate so the record routes to `corrupt` rather
+        # than shipping silently truncated text tagged ok
+        tok = lex.parse_object()
         if not (isinstance(tok, tuple) and tok[0] == "kw"):
             operands.append(tok)
             if len(operands) > 128:
@@ -1228,12 +1276,23 @@ def extract_pdf_text(data: bytes) -> str:
     concatenated, joined with ``\\n``.  Raises ``ValueError`` on
     structural damage — ``audit_http_extractions`` routes that to the
     ``corrupt`` quarantine class, the same contract as every codec in
-    ``sources/encodings.py``."""
-    doc = PdfDocument(data)
-    lines: list[str] = []
-    for page in doc.pages():
-        lines.extend(_page_text(doc, page))
-    return "\n".join(lines)
+    ``sources/encodings.py``.  ValueError is the ONLY failure type:
+    hostile bytes can reach int()/struct/recursion paths whose native
+    exceptions would otherwise escape the audit kernel's catch and
+    kill the whole Arrow task over one bad crawl record (round-12
+    review finding, reproduced with a 50k-deep '[' nest)."""
+    try:
+        doc = PdfDocument(data)
+        lines: list[str] = []
+        for page in doc.pages():
+            lines.extend(_page_text(doc, page))
+        return "\n".join(lines)
+    except (ValueError, MemoryError):
+        raise
+    except Exception as ex:  # noqa: BLE001 — the containment boundary
+        raise ValueError(
+            f"damaged PDF ({type(ex).__name__}: {str(ex)[:120]})"
+        ) from ex
 
 
 # ---------------------------------------------------------------------------

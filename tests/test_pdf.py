@@ -452,3 +452,76 @@ def test_pdf_behind_content_encoding_chain():
         row = H._classify_and_extract(r)
         assert row["extract_class"] == "ok", enc
         assert row["text"] == EXPECTED(17, "compressed transport")
+
+
+# ---------------------------------------------------------------------------
+# round-12 review findings: hostile input stays ValueError / clean text
+# ---------------------------------------------------------------------------
+
+
+def test_hostile_nesting_is_value_error_not_recursion():
+    blob = b"%PDF-1.4\n1 0 obj\n" + b"[" * 50_000 + b"\nendobj"
+    with pytest.raises(ValueError):
+        P.extract_pdf_text(blob)
+
+
+def test_ascii85_final_group_overflow_is_value_error():
+    with pytest.raises(ValueError, match="overflow"):
+        P._ascii85_decode(b"uu~>")
+    # end-to-end: the audit must classify, not crash
+    data = P.build_pdf(["x"], content_filter="a85")
+    bad = data.replace(b"~>", b"uu~>", 1)
+    row = H._classify_and_extract(
+        H.synthesize_http_response(bad, content_type="application/pdf")
+    )
+    assert row["extract_class"] == "corrupt"
+
+
+def test_short_bfrange_array_decodes_empty_not_indexerror():
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfrange <40> <45> [<0041>] endbfrange"
+    )
+    dec = P._FontDecoder(P.parse_tounicode_cmap(cmap), None, 1)
+    assert dec.decode(b"\x40\x43") == "A"
+
+
+def test_lone_surrogates_never_reach_output():
+    # bfchar destination is an unpaired high surrogate
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <D800> endbfchar"
+    )
+    dec = P._FontDecoder(P.parse_tounicode_cmap(cmap), None, 1)
+    out = dec.decode(b"AA")
+    out.encode("utf-8")  # must not raise
+    assert out == ""
+    # Type0 without ToUnicode: GID bytes that look like surrogates
+    dec2 = P._FontDecoder(None, None, 2)
+    dec2.decode(b"\xd8\x00\x41\x42").encode("utf-8")  # must not raise
+
+
+def test_truncated_content_stream_is_corrupt_not_partial_ok():
+    # content stream cut mid-literal-string: the record must route to
+    # `corrupt`, never ship the prefix tagged ok
+    font = {
+        "Type": P.Name("Font"),
+        "Subtype": P.Name("Type1"),
+        "Encoding": P.Name("WinAnsiEncoding"),
+    }
+    content = b"BT /F1 12 Tf (kept) Tj T* (cut of"
+    with pytest.raises(ValueError):
+        P.extract_pdf_text(_one_page_pdf(font, content))
+
+
+def test_objstm_header_disagreement_falls_back_to_index():
+    data = P.build_pdf(["objstm fallback"], xref_variant=2)
+    doc = P.PdfDocument(data)
+    # find a compressed object and ask for a number the header lacks
+    locs = [
+        (num, loc) for num, loc in doc.xref.items() if isinstance(loc, tuple)
+    ]
+    assert locs, "variant 2 must compress objects"
+    num, (_, stm, idx) = locs[0]
+    got = doc._get_from_objstm(stm, idx, want=999_999)
+    assert got == doc.get(num)  # the idx-recorded object, not a raise
