@@ -7,11 +7,13 @@ and the judge correctly marked it weak: the heuristic merges every
 sites), ``per_domain_stats``, and ``pagerank_domains`` (all of GitHub
 Pages collapses to one graph node) applied site policy at the wrong
 grain.  The correct rule is DATA, not code: the Mozilla Public Suffix
-List (publicsuffix.org, public data).  This module ships a pinned
-snapshot subset as a packaged resource
-(``data/public_suffix_snapshot.dat`` — the build host is offline; the
-parser reads the full-format file, so production swaps in the complete
-list by path) and implements the publicsuffix.org algorithm:
+List (publicsuffix.org, public data).  This module ships BOTH a pinned
+snapshot subset (``data/public_suffix_snapshot.dat``, the cheap
+expression-strategy default) and — round 12 — the COMPLETE list
+(``data/public_suffix_list.dat``, vendored from the Debian
+``publicsuffix`` package, MPL 2.0), which is the default rule set of
+the ``annotate_registrable_domain`` dispatcher.  It implements the
+publicsuffix.org algorithm:
 
 * among all rules matching a host, an EXCEPTION rule (``!www.ck``)
   prevails — its public suffix is the rule minus the leftmost label;
@@ -33,8 +35,9 @@ Two execution strategies, same semantics (cross-pinned in tests):
   a broadcast exchange, and the URL family keeps its zero-Python /
   zero-shuffle plan pin
   (``tests/test_urls.py::test_url_family_is_pure_codegen``).  Right
-  for the pinned snapshot; a full 240 KB list would bloat the plan —
-  that's what the join strategy is for.
+  for the pinned snapshot; the full list still folds and looks up in
+  O(1) but rides in every stage's serialized expression tree — above
+  ``EXPR_RULE_LIMIT`` the dispatcher routes to the join instead.
 * ``registrable_domain_join`` — the full-list scale path: distinct
   hosts (≪ pages) fan out to their candidate suffixes, broadcast-join
   the rule table, take the prevailing rule per host, and map the
@@ -51,11 +54,18 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_SNAPSHOT_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "data",
-    "public_suffix_snapshot.dat",
+_DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
 )
+_SNAPSHOT_PATH = os.path.join(_DATA_DIR, "public_suffix_snapshot.dat")
+#: The COMPLETE publicsuffix.org list (round 12): vendored from the
+#: Debian ``publicsuffix`` package's
+#: ``/usr/share/publicsuffix/public_suffix_list.dat`` (Mozilla Public
+#: Suffix List, MPL 2.0, public data) — ~9.5 K rules including the
+#: private-domains section (``*.compute.amazonaws.com``, ``github.io``,
+#: …), so site-grain policy is right for cloud-hosted corpora, not just
+#: the snapshot's top suffixes.
+_FULL_PATH = os.path.join(_DATA_DIR, "public_suffix_list.dat")
 
 
 @dataclass(frozen=True)
@@ -108,6 +118,12 @@ def load_psl_rules(path: str | None = None) -> PslRules:
         return parse_psl(f.read())
 
 
+def load_full_psl_rules() -> PslRules:
+    """The complete vendored publicsuffix.org list (see ``_FULL_PATH``
+    note) — the default rule set of ``annotate_registrable_domain``."""
+    return load_psl_rules(_FULL_PATH)
+
+
 #: Hosts the suffix algorithm must never rewrite: bracketed IPv6
 #: literals and dotted-decimal IPv4.
 _IP_HOST_RE = r"^(\[.*|[0-9.]+)$"
@@ -119,11 +135,15 @@ def _suffix(labels: Column, i: int) -> Column:
 
 def _member(s: Column, rules: list[str]) -> Column:
     """Membership via ``element_at`` on a LITERAL map: Catalyst folds
-    the ``create_map`` of literals into one map value, and the lookup
-    measured ~8× faster than scanning a ``|``-delimited blob with
-    ``contains`` (0.55 s vs 4.5 s for the snapshot's ~220 len-2 rules
-    over 150 K rows) — the round-11 representation switch."""
-    m = F.create_map(*[x for r in rules for x in (F.lit(r), F.lit(1))])
+    ``map_from_arrays`` of two array literals into one map value, and
+    the lookup measured ~8× faster than scanning a ``|``-delimited
+    blob with ``contains`` (0.55 s vs 4.5 s for the snapshot's ~220
+    len-2 rules over 150 K rows) — the round-11 representation switch.
+    Round 12 swapped ``create_map`` of per-rule literals (2 py4j calls
+    PER RULE — ~19 K driver round trips at full-list size) for two
+    array literals (2 calls total), which is what makes the expression
+    strategy constructible against the complete list at all."""
+    m = F.map_from_arrays(F.lit(list(rules)), F.lit([1] * len(rules)))
     return F.element_at(m, s).isNotNull()
 
 
@@ -179,6 +199,43 @@ def registrable_domain_expr(
     return F.when(
         host.rlike(_IP_HOST_RE) | (n <= ps), host
     ).otherwise(reg)
+
+
+#: Above this many rules the dispatcher routes to the broadcast-join
+#: strategy: a literal map that size still folds and looks up in O(1),
+#: but it rides in the serialized expression tree of EVERY stage that
+#: references the column, while the join ships the rule table once as
+#: one broadcast whatever its size.
+EXPR_RULE_LIMIT = 1024
+
+
+def annotate_registrable_domain(
+    df: DataFrame,
+    host_col: str,
+    out_col: str = "domain",
+    rules: PslRules | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """THE documented entry point for site-grain annotation (round 12):
+    registrable domain of ``host_col`` under the COMPLETE vendored
+    publicsuffix.org list by default (``load_full_psl_rules``), so
+    ``alice.github.io`` and ``x.eu-1.compute.amazonaws.com``-class
+    hosts resolve at the right grain out of the box.
+
+    Strategy dispatch by rule-set size: at or below
+    ``EXPR_RULE_LIMIT`` rules the whole-stage-codegen expression wins
+    (zero shuffle, zero broadcast — the snapshot path); above it, the
+    broadcast-join (one small exchange regardless of list size — the
+    full-list path).  Both strategies are pinned equal on the full
+    list in tests/test_urls.py."""
+    if rules is None:
+        rules = load_psl_rules(path) if path else load_full_psl_rules()
+    n_rules = len(rules.exact) + len(rules.wildcard) + len(rules.exception)
+    if n_rules <= EXPR_RULE_LIMIT:
+        return df.withColumn(
+            out_col, registrable_domain_expr(F.col(host_col), rules)
+        )
+    return registrable_domain_join(df, host_col, rules, out_col=out_col)
 
 
 def registrable_domain_join(
