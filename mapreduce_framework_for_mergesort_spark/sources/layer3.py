@@ -220,17 +220,9 @@ def decode_frame_spectrum(frame: bytes) -> list[list[float]]:
             "bit-reservoir frames (main_data_begin != 0) are outside "
             "the profile"
         )
-    if si["scfsi"] != 0 and any(
-        _SLEN1[g["scalefac_compress"]] or _SLEN2[g["scalefac_compress"]]
-        for g in si["granules"]
-    ):
-        # shared scalefactors change which granule-1 bits exist in the
-        # stream; combined with nonzero slen that is outside the
-        # profile's parse (review pass 2 — gap instead of misparsing)
-        raise Mp3DataGap("scfsi-shared scalefactors are outside the profile")
     br = _BitReader(frame, si["main_data_offset_bits"])
     granules = []
-    for g in si["granules"]:
+    for gr, g in enumerate(si["granules"]):
         if g["windows_switching_flag"]:
             raise Mp3DataGap("short/mixed blocks are outside the profile")
         if g["big_values"] != 0:
@@ -239,20 +231,27 @@ def decode_frame_spectrum(frame: bytes) -> list[list[float]]:
                 "data not present in this build)"
             )
         start = br.pos
-        # part2: scalefactor bits.  slen arithmetic is implemented;
-        # APPLYING a nonzero scalefactor needs the band-width tables.
+        # part2: scalefactor bits.  slen arithmetic is implemented —
+        # including (round 12) the scfsi sharing rule: a set scfsi bit
+        # means the second granule RESTATES granule 0's scalefactors
+        # for that band group and transmits no bits for it (§2.4.2.7,
+        # long blocks: groups sfb 0-5 / 6-10 at slen1, 11-15 / 16-20
+        # at slen2; scfsi bit k is the k-th from the MSB).  APPLYING a
+        # nonzero scalefactor needs the band-width tables — still the
+        # documented data gap; shared values inherit granule 0's
+        # zero-enforcement, so sharing adds no new value state.
         slen1 = _SLEN1[g["scalefac_compress"]]
         slen2 = _SLEN2[g["scalefac_compress"]]
-        for _ in range(11):
-            if br.read(slen1) if slen1 else 0:
-                raise Mp3DataGap(
-                    "nonzero scalefactors need the band-width tables"
-                )
-        for _ in range(10):
-            if br.read(slen2) if slen2 else 0:
-                raise Mp3DataGap(
-                    "nonzero scalefactors need the band-width tables"
-                )
+        for k, (n_bands, slen) in enumerate(
+            ((6, slen1), (5, slen1), (5, slen2), (5, slen2))
+        ):
+            if gr == 1 and (si["scfsi"] >> (3 - k)) & 1:
+                continue  # shared: no bits in the stream
+            for _ in range(n_bands):
+                if br.read(slen) if slen else 0:
+                    raise Mp3DataGap(
+                        "nonzero scalefactors need the band-width tables"
+                    )
         if g["count1table_select"] != 1:
             raise Mp3DataGap(
                 "count1 table A is tabulated spec data; profile uses "
@@ -345,17 +344,39 @@ def spectrum_to_subbands(
 
 
 def encode_tone_frame(
-    bins: list[tuple[int, int]], global_gain: int = 210
+    bins: list[tuple[int, int]],
+    global_gain: int = 210,
+    scalefac_compress: int = 0,
+    scfsi: int = 0,
 ) -> bytes:
     """One profile frame carrying ``±1`` at the given spectral bins in
     BOTH granules: ``bins`` is [(bin_index, sign)] with sign ∈ {+1,-1},
     bin_index < 576.  Everything else zero.  The exact inverse of
-    ``decode_frame_spectrum`` under the module's pinned conventions."""
+    ``decode_frame_spectrum`` under the module's pinned conventions.
+
+    Round 12: ``scalefac_compress`` (0-15) transmits that many
+    all-zero scalefactor bits per band, and ``scfsi`` (4 bits) marks
+    band groups whose granule-1 scalefactors are scfsi-SHARED (not
+    transmitted) — the fixture side of the §2.4.2.7 sharing rule, so
+    per-granule part2 lengths genuinely differ on the wire."""
     bins = sorted(bins)
     if bins and (bins[0][0] < 0 or bins[-1][0] > 575):
         raise Mp3Error("bin index out of range")
     if len({b for b, _s in bins}) != len(bins):
         raise Mp3Error("duplicate bin")
+    if not 0 <= scalefac_compress <= 15 or not 0 <= scfsi <= 15:
+        raise Mp3Error("scalefac_compress and scfsi are 4-bit fields")
+    slen1 = _SLEN1[scalefac_compress]
+    slen2 = _SLEN2[scalefac_compress]
+    group_bits = (6 * slen1, 5 * slen1, 5 * slen2, 5 * slen2)
+    part2 = (
+        sum(group_bits),  # granule 0: scfsi never applies
+        sum(
+            gb
+            for k, gb in enumerate(group_bits)
+            if not (scfsi >> (3 - k)) & 1
+        ),
+    )
     # main data bits for one granule
     md = _BitWriter()
     by_quad: dict[int, list[tuple[int, int]]] = {}
@@ -380,12 +401,12 @@ def encode_tone_frame(
     si = _BitWriter()
     si.write(0, 9)   # main_data_begin
     si.write(0, 5)   # private_bits (mono)
-    si.write(0, 4)   # scfsi
-    for _g in range(2):
-        si.write(granule_bits, 12)  # part2_3_length (no scalefac bits)
+    si.write(scfsi, 4)
+    for gr in range(2):
+        si.write(part2[gr] + granule_bits, 12)  # part2_3_length
         si.write(0, 9)   # big_values
         si.write(global_gain, 8)
-        si.write(0, 4)   # scalefac_compress
+        si.write(scalefac_compress, 4)
         si.write(0, 1)   # windows_switching_flag
         si.write(0, 15)  # table_select x3 (unused: big_values = 0)
         si.write(0, 4)   # region0_count
@@ -394,7 +415,10 @@ def encode_tone_frame(
         si.write(0, 1)   # scalefac_scale
         si.write(1, 1)   # count1table_select = table B
     main = _BitWriter()
-    main.bits = md.bits + md.bits  # same spectrum in both granules
+    for gr in range(2):  # same spectrum in both granules
+        if part2[gr]:
+            main.write(0, part2[gr])  # all-zero scalefactors
+        main.bits += md.bits
     frame = (
         PROFILE_HEADER
         + si.to_bytes(pad_to=_SIDE_INFO_BYTES)
@@ -424,8 +448,16 @@ def tone_bins_for_text(text: str) -> list[tuple[int, int]]:
 
 def synthesize_mp3_l3(text: str) -> bytes:
     """Fixture payload: ONE profile frame of the text's tone placement
-    (global_gain 210 → unit amplitudes)."""
-    return encode_tone_frame(tone_bins_for_text(text))
+    (global_gain 210 → unit amplitudes).  Round 12: scalefac_compress
+    and scfsi vary by text length, so the multimodal key exercises the
+    scfsi sharing rule in-fixture — the features are scalefactor-
+    independent by construction, so the oracle's closed form holds for
+    every variant."""
+    return encode_tone_frame(
+        tone_bins_for_text(text),
+        scalefac_compress=len(text) % 16,
+        scfsi=(len(text) * 5) % 16,
+    )
 
 
 def decode_mp3_l3_features(payload: bytes) -> list[float]:

@@ -240,3 +240,82 @@ def test_two_granule_chain_vs_numpy_replica():
             s1[1::2] *= -1
         assert np.allclose(got[0][sb], s0, atol=1e-12), sb
         assert np.allclose(got[1][sb], s1, atol=1e-12), sb
+
+
+# ---------------------------------------------------------------------------
+# scfsi-shared scalefactors (round 12 widening)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sc,scfsi", [
+    (4, 0b1000), (9, 0b0101), (15, 0b1111), (7, 0b0010), (0, 0b1111),
+])
+def test_scfsi_shared_scalefactors_decode(sc, scfsi):
+    """A frame with transmitted (all-zero) scalefactors and scfsi-
+    shared granule-1 groups decodes to the same spectra as the plain
+    frame, with per-granule part2_3_length accounting for exactly the
+    shared groups' bits (independent restatement of §2.4.2.7)."""
+    bins = [(26, 1), (45, -1), (100, 1)]
+    plain = L.decode_frame_spectrum(L.encode_tone_frame(bins))
+    frame = L.encode_tone_frame(bins, scalefac_compress=sc, scfsi=scfsi)
+    assert L.decode_frame_spectrum(frame) == plain
+    si = L.parse_side_info(frame)
+    assert si["scfsi"] == scfsi
+    slen1, slen2 = L._SLEN1[sc], L._SLEN2[sc]
+    group_bits = [6 * slen1, 5 * slen1, 5 * slen2, 5 * slen2]
+    huff = 26 * 4 + 3
+    assert si["granules"][0]["part2_3_length"] == sum(group_bits) + huff
+    g1_expected = huff + sum(
+        gb for k, gb in enumerate(group_bits) if not (scfsi >> (3 - k)) & 1
+    )
+    assert si["granules"][1]["part2_3_length"] == g1_expected
+
+
+def test_scfsi_nonzero_restated_scalefactor_still_gaps():
+    """Sharing widens the PARSE; applying nonzero values still needs
+    the band-width tables — flip one granule-1 transmitted scalefactor
+    bit and the gap must fire."""
+    frame = bytearray(
+        L.encode_tone_frame([(26, 1)], scalefac_compress=9, scfsi=0b1000)
+    )
+    si = L.parse_side_info(bytes(frame))
+    # granule 1's first TRANSMITTED group is group 1 (group 0 shared):
+    # its first slen1 bit sits right after granule 0's part2_3 bits
+    g1_start = (
+        si["main_data_offset_bits"]
+        + si["granules"][0]["part2_3_length"]
+    )
+    frame[g1_start // 8] |= 1 << (7 - (g1_start % 8))
+    with pytest.raises(L.Mp3DataGap, match="band-width"):
+        L.decode_frame_spectrum(bytes(frame))
+
+
+def test_scfsi_fixture_variants_keep_the_closed_form():
+    """synthesize_mp3_l3 now varies (scalefac_compress, scfsi) by text
+    length; the feature kernel's closed form must hold across lengths
+    covering every variant pair."""
+    for n in range(0, 20):
+        text = "x" * n
+        f = L.decode_mp3_l3_features(L.synthesize_mp3_l3(text))
+        bins = L.tone_bins_for_text(text)
+        assert f[1] == float(len(bins)) and f[5] == 210.0, n
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 575), st.sampled_from([1, -1])),
+        max_size=16,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 15),
+    st.integers(0, 15),
+)
+@settings(max_examples=60, deadline=None)
+def test_encode_decode_inversion_with_scfsi(bins, sc, scfsi):
+    frame = L.encode_tone_frame(bins, scalefac_compress=sc, scfsi=scfsi)
+    g0, g1 = L.decode_frame_spectrum(frame)
+    assert g0 == g1
+    expected = [0.0] * 576
+    for b, s in bins:
+        expected[b] = float(s)
+    assert g0 == expected
