@@ -199,6 +199,86 @@ def remove_dot_segments(path: Column) -> Column:
     )
 
 
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789._~-"
+)
+
+
+def pct_normalize_py(s: str) -> str:
+    """Pure-Python replica of :func:`pct_normalize` — the independent
+    pin for the codegen fold AND the kernel body of the Arrow variant
+    in the round-12 A/B (SCALE_NOTES)."""
+    if "%" not in s:
+        return s
+    pieces = s.split("%")
+    out = [pieces[0]]
+    for seg in pieces[1:]:
+        h = seg[:2].upper()
+        if len(h) == 2 and all(c in "0123456789ABCDEF" for c in h):
+            ch = chr(int(h, 16))
+            if ch in _UNRESERVED:
+                out.append(ch + seg[2:])
+            else:
+                out.append("%" + h + seg[2:])
+        else:
+            out.append("%" + seg)
+    return "".join(out)
+
+
+def remove_dot_segments_py(path: str) -> str:
+    """Pure-Python replica of :func:`remove_dot_segments` (same role
+    as :func:`pct_normalize_py`)."""
+    import re as _re
+
+    if not _re.search(r"(^|/)\.\.?(/|$)", path):
+        return path
+    acc: list[str] = []
+    for seg in path.split("/")[1:]:
+        if seg == ".":
+            continue
+        if seg == "..":
+            if acc:
+                acc.pop()
+            continue
+        acc.append(seg)
+    joined = "/" + "/".join(acc)
+    if _re.search(r"/\.\.?$", path) and not joined.endswith("/"):
+        joined += "/"
+    return joined
+
+
+def pct_dot_normalize_arrow(path: Column) -> Column:
+    """The round-12 A/B CONTENDER: the §6.2.2 pct + dot-segment folds
+    as one memoized Arrow kernel (per-content dict memo inside the
+    executor, the ``functions/hashing.py`` kernel family shape)
+    instead of the codegen HOF fold.  Measured at ×1 and ×10 against
+    the codegen path in ``scripts/ab_hof_vs_arrow.py``; the DECISION
+    and both numbers live in SCALE_NOTES round 12 — this symbol stays
+    as the documented losing/winning variant either way, pinned equal
+    to the codegen fold in tests/test_urls.py."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(s):
+        memo: dict[str, str] = {}
+
+        def one(v: str) -> str:
+            hit = memo.get(v)
+            if hit is None:
+                hit = remove_dot_segments_py(pct_normalize_py(v))
+                if len(memo) < 1 << 20:
+                    memo[v] = hit
+            return hit
+
+        return s.map(one, na_action="ignore")
+
+    # concrete annotation objects: the module's future-annotations mode
+    # stringifies inline hints, and pyspark resolves them against
+    # module globals where pandas is (deliberately) not imported
+    kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, "string")(path)
+
+
 def normalized_query(url: Column) -> Column:
     """Sorted, tracking-stripped query ('' when nothing survives)."""
     params = F.array_sort(
@@ -214,9 +294,19 @@ def normalized_query(url: Column) -> Column:
     ).otherwise(F.lit(""))
 
 
-def normalize_url(url: Column) -> Column:
-    """Canonical form per the module-docstring rules — one codegen
-    expression tree, no Python."""
+def normalize_url(url: Column, pct_dot_strategy: str = "codegen") -> Column:
+    """Canonical form per the module-docstring rules.
+
+    ``pct_dot_strategy`` picks how the path's §6.2.2 pct/dot folds run
+    (round-12 A/B, ``scripts/ab_hof_vs_arrow.py``, numbers in
+    SCALE_NOTES): ``"codegen"`` (default) keeps the whole expression
+    zero-Python — right for URL sets whose paths rarely carry escapes
+    or dot segments, where the ``contains``/regex short-circuit makes
+    the HOFs nearly free; ``"arrow"`` routes the two folds through the
+    memoized Arrow kernel — HOFs run as CodegenFallback WITHOUT
+    common-subexpression elimination, so on escape-bearing paths the
+    kernel measured 7×/11.6× faster at ×1/×10 despite the Arrow round
+    trip.  Both strategies are pinned equal in tests/test_urls.py."""
     scheme = url_scheme(url)
     host = url_host(url)
     port = url_port(url)
@@ -229,9 +319,13 @@ def normalize_url(url: Column) -> Column:
     path = url_path(url)
     # pct first (so an escaped dot segment — %2E is unreserved —
     # participates in dot removal, the RFC §6.2.2 order), then dots
-    path_norm = F.when(path == "", F.lit("/")).otherwise(
-        remove_dot_segments(pct_normalize(path))
-    )
+    if pct_dot_strategy == "arrow":
+        folded = pct_dot_normalize_arrow(path)
+    elif pct_dot_strategy == "codegen":
+        folded = remove_dot_segments(pct_normalize(path))
+    else:
+        raise ValueError(f"unknown pct_dot_strategy {pct_dot_strategy!r}")
+    path_norm = F.when(path == "", F.lit("/")).otherwise(folded)
     return F.concat(
         scheme, F.lit("://"), host, port_norm, path_norm,
         normalized_query(url),

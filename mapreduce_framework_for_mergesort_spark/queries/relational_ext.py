@@ -569,7 +569,14 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.url_host(url_raw).alias("url_host"),
         U.registrable_domain(U.url_host(url_raw)).alias("url_domain"),
         url_rfc_raw.alias("url_rfc_raw"),
-        U.normalize_url(url_rfc_raw).alias("url_rfc_norm"),
+        # round-12 A/B winner: the escape-bearing RFC fixture runs its
+        # pct/dot folds through the memoized Arrow kernel (7× at ×1,
+        # 11.6× at ×10 over the CodegenFallback HOF fold — numbers in
+        # SCALE_NOTES); url_norm above stays codegen, its clean paths
+        # ride the short-circuit
+        U.normalize_url(url_rfc_raw, pct_dot_strategy="arrow").alias(
+            "url_rfc_norm"
+        ),
     )
 
 
