@@ -249,8 +249,9 @@ def remove_dot_segments_py(path: str) -> str:
 
 def pct_dot_normalize_arrow(path: Column) -> Column:
     """The round-12 A/B CONTENDER: the §6.2.2 pct + dot-segment folds
-    as one memoized Arrow kernel (per-content dict memo inside the
-    executor, the ``functions/hashing.py`` kernel family shape)
+    as one memoized Arrow kernel (per-content dict memo in the task's
+    unpickled closure — persists across that task's Arrow batches; the
+    ``functions/hashing.py`` kernel family shape)
     instead of the codegen HOF fold.  Measured at ×1 and ×10 against
     the codegen path in ``scripts/ab_hof_vs_arrow.py``; the DECISION
     and both numbers live in SCALE_NOTES round 12 — this symbol stays
@@ -259,17 +260,21 @@ def pct_dot_normalize_arrow(path: Column) -> Column:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # memo OUTSIDE kernel(): the closure is unpickled once per task,
+    # so the cache persists across that task's Arrow batches (review
+    # pass 2 — defined inside, it reset per batch and the documented
+    # per-content collapse never happened)
+    memo: dict[str, str] = {}
+
+    def one(v: str) -> str:
+        hit = memo.get(v)
+        if hit is None:
+            hit = remove_dot_segments_py(pct_normalize_py(v))
+            if len(memo) < 1 << 20:
+                memo[v] = hit
+        return hit
+
     def kernel(s):
-        memo: dict[str, str] = {}
-
-        def one(v: str) -> str:
-            hit = memo.get(v)
-            if hit is None:
-                hit = remove_dot_segments_py(pct_normalize_py(v))
-                if len(memo) < 1 << 20:
-                    memo[v] = hit
-            return hit
-
         return s.map(one, na_action="ignore")
 
     # concrete annotation objects: the module's future-annotations mode

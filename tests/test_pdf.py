@@ -514,14 +514,39 @@ def test_truncated_content_stream_is_corrupt_not_partial_ok():
         P.extract_pdf_text(_one_page_pdf(font, content))
 
 
-def test_objstm_header_disagreement_falls_back_to_index():
-    data = P.build_pdf(["objstm fallback"], xref_variant=2)
+def test_objstm_header_disagreement_raises_not_substitutes():
+    # xref says object N lives in this stream, the stream header
+    # disagrees: substituting the index-matched object would ship
+    # WRONG content tagged ok — must raise (routes to `corrupt`)
+    data = P.build_pdf(["objstm strict"], xref_variant=2)
     doc = P.PdfDocument(data)
-    # find a compressed object and ask for a number the header lacks
     locs = [
         (num, loc) for num, loc in doc.xref.items() if isinstance(loc, tuple)
     ]
     assert locs, "variant 2 must compress objects"
-    num, (_, stm, idx) = locs[0]
-    got = doc._get_from_objstm(stm, idx, want=999_999)
-    assert got == doc.get(num)  # the idx-recorded object, not a raise
+    _num, (_, stm, idx) = locs[0]
+    with pytest.raises(ValueError, match="not found in object stream"):
+        doc._get_from_objstm(stm, idx, want=999_999)
+
+
+def test_surrogate_glyph_names_decode_empty():
+    # a /Differences entry naming uniD800 must not place a lone
+    # surrogate in the output (UTF-8-unencodable -> Arrow task death)
+    assert P._glyph_to_unicode("uniD800") == ""
+    assert P._glyph_to_unicode("u10FFFF") == "\U0010FFFF"
+    assert P._glyph_to_unicode("uni0041") == "A"
+    dec = P._FontDecoder(None, {65: P._glyph_to_unicode("uniD800")}, 1)
+    dec.decode(b"A").encode("utf-8")  # must not raise
+    font = {
+        "Type": P.Name("Font"),
+        "Subtype": P.Name("Type1"),
+        "Encoding": {
+            "BaseEncoding": P.Name("WinAnsiEncoding"),
+            "Differences": [65, P.Name("uniD800")],
+        },
+    }
+    out = P.extract_pdf_text(
+        _one_page_pdf(font, b"BT /F1 9 Tf (xAy) Tj ET")
+    )
+    out.encode("utf-8")
+    assert out == "xy"
