@@ -10,8 +10,10 @@ Stages (each is the 100 TB-shaped operator documented in its module):
 1. CRAWL FIXTURE: the documents table is republished as a RAW crawl —
    multi-member ``.warc.gz`` shards of HTTP ``response`` records whose
    HTML pages vary charset (utf-8/latin-1/utf-16) and transport
-   (identity/gzip/br/zstd/chunked — round 11 decodes the br/zstd
-   bodies) per document (``sources/html.py html_crawl_shard_bytes``;
+   (identity/gzip/br/zstd/chunked/compress — round 11 decodes the
+   br/zstd bodies, round 12 LZW) per document, with one document in
+   five served as an ``application/pdf`` page (round 12,
+   ``sources/pdf.py``) (``sources/html.py html_crawl_shard_bytes``;
    bytes built and written by executors, never gathered on the
    driver).  One shard is deliberately truncated, and two extra
    records carry an sdch-encoded body (the withdrawn coding that IS
@@ -26,7 +28,8 @@ Stages (each is the 100 TB-shaped operator documented in its module):
 4. THE WET STEP + RECORD-LEVEL QUARANTINE: ``audit_http_extractions``
    classifies every response record (ok / corrupt /
    unsupported_encoding / non_200) and extracts visible text through
-   HTTP decoding, charset detection, and tag stripping;
+   HTTP decoding, charset detection, and tag stripping — or, for
+   ``application/pdf`` records, the stdlib PDF parser;
    ``warc_responses_to_documents`` is the clean feed.
 4b. URL CURATION: per-domain audit (``operators/urls.py
    per_domain_stats``), canonical-URL dedup (``dedup_by_url`` — the
