@@ -141,7 +141,11 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
+def lang_id(
+    documents: DataFrame,
+    with_fingerprint: bool = False,
+    strategy: str = "arrow",
+) -> DataFrame:
     """Two-stage language ID (round 12, ``operators/langid.py``):
     script detection for the script-determined languages (kana → ja,
     hangul → ko, Thai → th, Han → zh — in that order, since Japanese
@@ -159,13 +163,24 @@ def lang_id(documents: DataFrame, with_fingerprint: bool = False) -> DataFrame:
 
     Classification and fingerprint are pure functions of the text, so
     both run once per distinct content (``per_content``); the labeled
-    ``lang`` column rides the document side of the join."""
+    ``lang`` column rides the document side of the join.
+
+    ``strategy``: ``"arrow"`` (default — the round-12 A/B winner,
+    1.7× over the codegen ``let`` on the real fixture; the memoized
+    kernel ``langid.lang_pred_arrow``) or ``"codegen"`` (the
+    zero-Python expression the DuckDB oracle replicates).  Pinned
+    equal in tests/test_langid.py."""
     from mapreduce_framework_for_mergesort_spark.operators import langid as L
 
-    pred = L.spark_pred_expr("text")
+    if strategy == "arrow":
+        pred_col = L.lang_pred_arrow("text")
+    elif strategy == "codegen":
+        pred_col = F.expr(L.spark_pred_expr("text"))
+    else:
+        raise ValueError(f"unknown lang_id strategy {strategy!r}")
 
     def compute(reps: DataFrame) -> DataFrame:
-        cols = ["__th", F.expr(pred).alias("pred_lang")]
+        cols = ["__th", pred_col.alias("pred_lang")]
         if with_fingerprint:
             cols.append(
                 H.fingerprint_udf()(F.col("text")).alias("fingerprint")

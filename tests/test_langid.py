@@ -276,3 +276,56 @@ def test_lang_id_handles_null_text(spark):
         for r in T.lang_id(df).collect()
     }
     assert rows[1] == "und" and rows[2] == "en"
+
+
+# ---------------------------------------------------------------------------
+# round-12 strategy A/B: Arrow kernel vs the codegen let (pinned equal)
+# ---------------------------------------------------------------------------
+
+
+def test_python_pred_replica_matches_sql_decision(spark):
+    """python_pred (the Arrow kernel body) == the codegen expression
+    on a battery covering every decision branch: all four scripts,
+    each trigram language's seed, mixed scripts, zero evidence, empty,
+    NULL."""
+    from pyspark.sql import functions as F
+
+    texts = (
+        list(L.SEED_TEXT.values())
+        + [
+            "汉字测试页面内容", "これは日本語のテキストです",
+            "한국어 텍스트입니다", "ข้อความภาษาไทย",
+            "mixed 汉字 with english words", "zzz qqq xxx", "", "12345",
+        ]
+    )
+    df = spark.createDataFrame(
+        [(t,) for t in texts] + [(None,)], "text string"
+    )
+    rows = df.select(
+        "text",
+        F.expr(L.spark_pred_expr("text")).alias("cg"),
+        L.lang_pred_arrow("text").alias("ar"),
+    ).collect()
+    for r in rows:
+        assert r["cg"] == r["ar"], r["text"]
+        assert r["ar"] == L.python_pred(r["text"]), r["text"]
+
+
+def test_lang_id_strategies_equal_on_fixture(spark, sf_oracle):
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    docs = load_table(spark, sf_oracle, "documents").limit(400)
+    a = {
+        r["doc_id"]: r["pred_lang"]
+        for r in T.lang_id(docs, strategy="arrow").collect()
+    }
+    b = {
+        r["doc_id"]: r["pred_lang"]
+        for r in T.lang_id(docs, strategy="codegen").collect()
+    }
+    assert a == b and len(a) == 400
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        T.lang_id(docs, strategy="nope")
