@@ -1417,36 +1417,71 @@ def build_pdf(
     tj_array: bool = False,
     xref_variant: int = 0,
     force_type0: bool = False,
+    two_pages: bool = False,
 ) -> bytes:
-    """One-page PDF whose :func:`extract_pdf_text` result is exactly
+    """PDF whose :func:`extract_pdf_text` result is exactly
     ``"\\n".join(lines)`` — the closed form the ``warc_pdf`` oracle
     branch recomputes.  ``xref_variant``: 0 = classic xref table, 1 =
     cross-reference stream (PNG Up predictor), 2 = xref stream +
-    object stream holding the non-stream objects (type-2 entries)."""
+    object stream holding the non-stream objects (type-2 entries).
+    ``two_pages`` splits the lines across two /Kids of the page tree
+    (Resources inherited from the /Pages node) — extraction joins
+    pages with ``\\n``, so the closed form is UNCHANGED, which is what
+    lets the fixture exercise the multi-page walk in-key."""
     type0 = force_type0 or any(
         not _cp1252_able(line) for line in lines
     )
-    content = _content_stream(
-        lines, hex_strings=hex_strings, tj_array=tj_array, type0=type0
-    )
     fname, encoder = _CONTENT_FILTERS[content_filter]
-    enc_content = encoder(content)
-    content_dict: dict = {"Length": len(enc_content)}
-    if fname is not None:
-        content_dict["Filter"] = fname
 
-    objs: dict[int, object] = {
-        1: {"Type": Name("Catalog"), "Pages": Ref(2, 0)},
-        2: {"Type": Name("Pages"), "Kids": [Ref(3, 0)], "Count": 1},
-        3: {
-            "Type": Name("Page"),
-            "Parent": Ref(2, 0),
-            "MediaBox": [0, 0, 612, 792],
-            "Resources": {"Font": {"F1": Ref(5, 0)}},
-            "Contents": Ref(4, 0),
-        },
-        4: (content_dict, enc_content),
-    }
+    def content_obj(page_lines: list[str]) -> tuple[dict, bytes]:
+        content = _content_stream(
+            page_lines, hex_strings=hex_strings, tj_array=tj_array,
+            type0=type0,
+        )
+        enc = encoder(content)
+        d: dict = {"Length": len(enc)}
+        if fname is not None:
+            d["Filter"] = fname
+        return (d, enc)
+
+    if two_pages and len(lines) >= 2:
+        split = (len(lines) + 1) // 2
+        objs: dict[int, object] = {
+            1: {"Type": Name("Catalog"), "Pages": Ref(2, 0)},
+            2: {
+                "Type": Name("Pages"),
+                "Kids": [Ref(3, 0), Ref(8, 0)],
+                "Count": 2,
+                # inherited by both pages (§7.7.3.4)
+                "Resources": {"Font": {"F1": Ref(5, 0)}},
+            },
+            3: {
+                "Type": Name("Page"),
+                "Parent": Ref(2, 0),
+                "MediaBox": [0, 0, 612, 792],
+                "Contents": Ref(4, 0),
+            },
+            4: content_obj(lines[:split]),
+            8: {
+                "Type": Name("Page"),
+                "Parent": Ref(2, 0),
+                "Contents": Ref(9, 0),
+            },
+            9: content_obj(lines[split:]),
+        }
+    else:
+        objs = {
+            1: {"Type": Name("Catalog"), "Pages": Ref(2, 0)},
+            2: {"Type": Name("Pages"), "Kids": [Ref(3, 0)], "Count": 1},
+            3: {
+                "Type": Name("Page"),
+                "Parent": Ref(2, 0),
+                "MediaBox": [0, 0, 612, 792],
+                "Resources": {"Font": {"F1": Ref(5, 0)}},
+                "Contents": Ref(4, 0),
+            },
+            4: content_obj(lines),
+        }
     if type0:
         objs[5] = {
             "Type": Name("Font"),
@@ -1589,8 +1624,10 @@ def _assemble_xref_stream(
             rows.append(struct.pack(">B I H", 2, objstm_num, compressed[num]))
         elif num == xref_num:
             rows.append(struct.pack(">B I H", 1, xref_off, 0))
-        else:
+        elif num in offsets:
             rows.append(struct.pack(">B I H", 1, offsets[num], 0))
+        else:  # gap in the object numbering: a free entry
+            rows.append(struct.pack(">B I H", 0, 0, 0))
     enc_rows = zlib.compress(_png_up_predict(rows), 6)
     xdict = {
         "Type": Name("XRef"),
@@ -1634,4 +1671,7 @@ def synthesize_pdf(doc_id: int, text: str) -> bytes:
         tj_array=(doc_id % 13 == 0),
         xref_variant=doc_id % 3,
         force_type0=(doc_id % 11 == 0),
+        # %17: the multi-page walk in-key — pages join with '\n', so
+        # the closed form is unchanged
+        two_pages=(doc_id % 17 == 0),
     )

@@ -550,3 +550,21 @@ def test_surrogate_glyph_names_decode_empty():
     )
     out.encode("utf-8")
     assert out == "xy"
+
+
+def test_two_page_variant_same_closed_form():
+    lines = ["alpha", "beta", "gamma"]
+    for xv in (0, 1, 2):
+        for t0 in (False, True):
+            data = P.build_pdf(
+                lines, xref_variant=xv, force_type0=t0, two_pages=True
+            )
+            assert P.extract_pdf_text(data) == "alpha\nbeta\ngamma", (xv, t0)
+            # via the parsed tree — in the ObjStm variant the page
+            # dicts are compressed, so raw-byte grep can't see them
+            assert len(P.PdfDocument(data).pages()) == 2
+    # the fixture's %17 rule rides the same closed form end-to-end
+    for doc_id in (17, 34, 170, 187):
+        text = f"body {doc_id}"
+        got = P.extract_pdf_text(P.synthesize_pdf(doc_id, text))
+        assert got == EXPECTED(doc_id, text)
