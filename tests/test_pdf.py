@@ -568,3 +568,34 @@ def test_two_page_variant_same_closed_form():
         text = f"body {doc_id}"
         got = P.extract_pdf_text(P.synthesize_pdf(doc_id, text))
         assert got == EXPECTED(doc_id, text)
+
+
+def _incremental_update(base: bytes, new_content: bytes) -> bytes:
+    """Append-style update replacing object 4 (the content stream) —
+    the §7.5.6 incremental-save layout: new object, new xref section,
+    trailer /Prev pointing at the previous table."""
+    import re
+
+    old_xref = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    out = bytearray(base)
+    off4 = len(out)
+    out += P._obj_bytes(4, ({"Length": len(new_content)}, new_content))
+    xref_off = len(out)
+    out += b"xref\n4 1\n" + f"{off4:010d} 00000 n \n".encode()
+    out += b"trailer\n" + P._ser(
+        {"Size": 6, "Root": P.Ref(1, 0), "Prev": old_xref}
+    )
+    out += f"\nstartxref\n{xref_off}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def test_incremental_update_newest_object_wins():
+    base = P.build_pdf(["original text"], content_filter="none")
+    upd = _incremental_update(
+        base, b"BT /F1 12 Tf 72 720 Td (updated text) Tj ET"
+    )
+    assert P.extract_pdf_text(upd) == "updated text"
+    # and the rebuild-by-scan fallback agrees (last obj marker wins,
+    # matching incremental-save semantics) when the xref chain breaks
+    broken = upd.replace(b"startxref", b"startxrEf")
+    assert P.extract_pdf_text(broken) == "updated text"
