@@ -97,6 +97,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_events_ts(df)
 
 
+def scan_parallelism(sf_dir: str, name: str, spark: SparkSession) -> int:
+    """Estimated task count of a ``load_table`` scan: Spark splits a
+    parquet read at `spark.sql.files.maxPartitionBytes` granularity
+    (bounded below by row-group layout, which this estimate cannot
+    see — fine: production files are written multi-row-group, and the
+    estimate is only used to detect *starvation*, not to size work)."""
+    size = os.path.getsize(table_path(sf_dir, name))
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_split = int(
+        spark._jvm.org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(raw)
+    )
+    return max(1, -(-size // max_split))
+
+
+def fan_out_starved_scan(
+    df: DataFrame, sf_dir: str, name: str, factor: int = 1
+) -> DataFrame:
+    """Round-robin repartition of a parallelism-starved scan (guide
+    §2.5 'input skew': one huge unsplittable file → repartition right
+    after the read).  The driver test fixtures are single-row-group
+    parquet files, so every scan is ONE task and any CPU-heavy
+    projection/partial-aggregate above it runs on 1 of N cores; at
+    production scale the same starvation appears whenever the split
+    count of an input is below the cluster's core count (a handful of
+    big gzip shards, a freshly-compacted small table).
+
+    Scale-adaptive, not tuned to local[32]: the target is the
+    session's ``defaultParallelism`` (= total cores on any master) and
+    the repartition only fires when the ESTIMATED split count of the
+    scan is below it — a 100 TB table scans as tens of thousands of
+    splits and passes through untouched, plan unchanged.  The shuffle
+    this inserts moves the scan's (column-pruned) output once; it is
+    only applied at call sites whose per-row compute dwarfs a row's
+    shuffle bytes (measured per key in OPTIMIZATION_r12.md)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if scan_parallelism(sf_dir, name, spark) >= target:
+        return df
+    return df.repartition(target)
+
+
 # The runtime confs the STREAMING events read depends on (see
 # ``streaming.sources.stream_events``).  The batch path no longer needs
 # them: ``load_table`` scopes the nanos conf around schema inference and

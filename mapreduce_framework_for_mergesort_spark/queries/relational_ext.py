@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.io import (
+    fan_out_starved_scan,
+    load_table,
+)
 from mapreduce_framework_for_mergesort_spark.operators import relational as R
 from mapreduce_framework_for_mergesort_spark.queries import query
 
@@ -482,9 +485,25 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical form from the same base columns, so every normalization
     rule is pinned independently (including what must NOT change:
     path case, non-default ports)."""
+    o = fan_out_starved_scan(
+        load_table(spark, sf_dir, "orders"), sf_dir, "orders"
+    )
+    return o.select(*_scalar_funcs_cols())
+
+
+def _scalar_funcs_cols_build() -> list:
+    """The full q_scalar_funcs projection as unresolved Columns.
+
+    Split out + memoized (round 12 optimization): the expression tree
+    is STATIC — ~40 columns of nested CASE/url expressions plus the
+    PSL literal maps — and building it costs ~2 s of driver-side py4j
+    round trips PER CALL (measured: construct 1.8-2.2 s vs 0.4 s
+    planning and ~1 s of actual execution after the scan fan-out).
+    Unresolved Columns are reusable across DataFrames/sessions by
+    construction (they reference columns by name), so the list is
+    built once per process; nothing data-dependent is cached."""
     from mapreduce_framework_for_mergesort_spark.operators import urls as U
 
-    o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     url_raw = F.concat(
         F.when(k % 2 == 0, "HTTPS").otherwise("HTTP"),
@@ -524,8 +543,8 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 1, "?b=2&a=1")
         .otherwise(""),
     )
-    return o.select(
-        "o_orderkey",
+    return [
+        F.col("o_orderkey"),
         F.upper("o_orderpriority").alias("prio_upper"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
         F.length("o_orderpriority").cast("long").alias("prio_len"),
@@ -577,7 +596,23 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         U.normalize_url(url_rfc_raw, pct_dot_strategy="arrow").alias(
             "url_rfc_norm"
         ),
-    )
+    ]
+
+
+# (context, columns): py4j Columns hold JVM refs, so a cached list is
+# only valid while the SparkContext that built it is alive — keyed on
+# the active context and rebuilt after a restart (pytest stops/starts
+# sessions between modules).
+_SCALAR_FUNCS_COLS: list = [None, None]
+
+
+def _scalar_funcs_cols() -> list:
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _SCALAR_FUNCS_COLS[0] is not ctx:
+        _SCALAR_FUNCS_COLS[:] = [ctx, _scalar_funcs_cols_build()]
+    return _SCALAR_FUNCS_COLS[1]
 
 
 @query(

@@ -137,14 +137,24 @@ def test_window_funcs_single_shuffle(spark, sf_oracle):
 
 def test_scalar_funcs_is_one_narrow_projection(spark, sf_oracle):
     """The 27-column scalar bundle (string/math/conditional/date) must
-    stay a shuffle-free single-scan projection."""
+    stay a single-scan projection.  Round 12 (optimization): a starved
+    scan (splits < cores — every single-row-group test fixture) is
+    fanned out through ONE round-robin exchange so the expression
+    battery runs on all cores instead of one task (io.py
+    ``fan_out_starved_scan``, measured 7.9 → 3.3 s at sf0.1); at
+    production split counts the repartition does not fire and the plan
+    is exchange-free again.  The pin allows exactly that shape and
+    nothing more: at most one RoundRobin exchange, no hash/range
+    exchange, one scan."""
     plan = (
         QUERIES["q_scalar_funcs"](spark, sf_oracle)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
 
 
