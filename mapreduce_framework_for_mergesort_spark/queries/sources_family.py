@@ -258,10 +258,21 @@ def q_warc_http_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 11: rule-sized shards (n_shards ≈ pages/5k, floor 4) so
     # the ×100 scale row measures extraction, not a 4-file ceiling;
     # the oracle groups by md5(expected text) and is shard-agnostic
-    H.html_crawl_shard_bytes(
-        docs, n_shards=max(4, docs.count() // 5000)
-    ).foreachPartition(write_partition)
+    n_shards = max(4, docs.count() // 5000)
+    H.html_crawl_shard_bytes(docs, n_shards=n_shards).foreachPartition(
+        write_partition
+    )
     back = W.read_warc(spark, os.path.join(path, "*.warc.gz"))
+    # Round 12 (optimization): extraction parallelism after read_warc
+    # is FILE-count parallelism (n_shards tasks — 4 at fixture scale on
+    # 32 cores), and the HTML/PDF parse per record is the expensive
+    # part of the chain.  When the shard count is below the session's
+    # core count, spread the decoded records once before the parse;
+    # at crawl scale (shards ≥ cores) this is a no-op and the chain
+    # keeps its map-only shape.
+    par = spark.sparkContext.defaultParallelism
+    if n_shards < par:
+        back = back.repartition(par)
     ext = H.warc_responses_to_documents(back)
     doc_id = F.element_at(F.split(F.col("url"), "/"), -1).cast("long")
     # round 12: the fmt split pins that doc_id % 5 == 2 rows really
@@ -377,49 +388,69 @@ def q_source_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     varying transfer/content encodings, extracted back to visible text
     (sources/html.py) — exact per document via md5-of-extracted-text
     group keys."""
-    zorder = q_zorder_roundtrip(spark, sf_dir).select(
+    # The seven branches are INDEPENDENT jobs (distinct /tmp workdirs,
+    # distinct source tables), and each branch's sink write runs
+    # eagerly at construction time — sequentially they cost the SUM of
+    # seven write jobs while most cores idle through every job's tail.
+    # Submit the constructions from a small thread pool (guide §2.6:
+    # Spark's scheduler runs concurrent jobs fine; FIFO back-fills the
+    # tail of one job with tasks of the next) so construction latency
+    # is the max, not the sum — measured 6.3 → ~2.7 s at sf0.1 with
+    # identical results (the profile_family pattern, applied here in
+    # round 12).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=7) as ex:
+        f_zorder = ex.submit(q_zorder_roundtrip, spark, sf_dir)
+        f_csv = ex.submit(q_csv_roundtrip, spark, sf_dir)
+        f_jsonl = ex.submit(q_json_roundtrip, spark, sf_dir)
+        f_pq = ex.submit(q_partitioned_parquet, spark, sf_dir)
+        f_orc = ex.submit(q_orc_roundtrip, spark, sf_dir)
+        f_warc = ex.submit(q_warc_roundtrip, spark, sf_dir)
+        f_http = ex.submit(q_warc_http_extract, spark, sf_dir)
+    zorder = f_zorder.result().select(
         F.lit("zorder").alias("fmt"),
         F.col("zb").cast("string").alias("grp"),
         "n",
         F.col("sum_price").alias("sum_metric"),
         F.col("sum_zkey").alias("sum_k"),
     )
-    csv = q_csv_roundtrip(spark, sf_dir).select(
+    csv = f_csv.result().select(
         F.lit("csv").alias("fmt"),
         F.col("c_mktsegment").alias("grp"),
         "n",
         F.col("sum_bal").alias("sum_metric"),
         F.lit(None).cast("long").alias("sum_k"),
     )
-    jsonl = q_json_roundtrip(spark, sf_dir).select(
+    jsonl = f_jsonl.result().select(
         F.lit("jsonl").alias("fmt"),
         F.col("event_type").alias("grp"),
         "n",
         F.col("sum_value").alias("sum_metric"),
         "sum_k",
     )
-    pq = q_partitioned_parquet(spark, sf_dir).select(
+    pq = f_pq.result().select(
         F.lit("parquet_part").alias("fmt"),
         F.col("o_orderpriority").alias("grp"),
         "n",
         F.col("revenue").alias("sum_metric"),
         F.lit(None).cast("long").alias("sum_k"),
     )
-    orc = q_orc_roundtrip(spark, sf_dir).select(
+    orc = f_orc.result().select(
         F.lit("orc").alias("fmt"),
         F.col("p_size").cast("string").alias("grp"),
         "n",
         F.col("sum_price").alias("sum_metric"),
         F.lit(None).cast("long").alias("sum_k"),
     )
-    warc = q_warc_roundtrip(spark, sf_dir).select(
+    warc = f_warc.result().select(
         F.lit("warc").alias("fmt"),
         F.col("shard").alias("grp"),
         "n",
         F.col("sum_payload_bytes").cast("double").alias("sum_metric"),
         F.col("sum_doc_member").alias("sum_k"),
     )
-    warc_http = q_warc_http_extract(spark, sf_dir).select(
+    warc_http = f_http.result().select(
         "fmt",
         F.col("text_md5").alias("grp"),
         "n",

@@ -539,47 +539,39 @@ def html_crawl_shard_bytes(
     conversion-style ``resource`` records): each document becomes one
     deterministic HTML page behind one HTTP response whose charset and
     transport vary by doc_id.  Same executor-side build discipline as
-    ``warc_shard_bytes`` — one task builds one shard, bytes never on
-    the driver."""
+    ``warc_shard_bytes`` — bytes never on the driver — and (round 12,
+    optimization) the same TWO-PHASE build: page synthesis +
+    per-record gzip-member encoding is a pure function of (doc_id,
+    text), so it runs at full input parallelism, and the shard task
+    only concatenates members in doc_id order (byte-identical output;
+    before, synthesis parallelism was n_shards — 4 at fixture scale)."""
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: dict[int, list] = {}
+    def build_member(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for doc_id, text, shard in zip(
-                pdf["doc_id"], pdf["text"], pdf["__shard"]
-            ):
-                rows.setdefault(int(shard), []).append(
-                    (int(doc_id), text or "")
-                )
-        out = {"shard_id": [], "n_records": [], "n_bytes": [], "data": []}
-        for shard, docs in sorted(rows.items()):
-            docs.sort(key=lambda d: d[0])
-            blob = W.synthesize_warc(
-                [
-                    (
+            members = [
+                W._gzip_member_stored(
+                    W._record_bytes(
                         "response",
-                        crawl_url(doc_id),
-                        _response_record_payload(doc_id, text),
+                        crawl_url(int(doc_id)),
+                        _response_record_payload(int(doc_id), text or ""),
                     )
-                    for doc_id, text in docs
-                ],
-                gzip_members=True,
+                )
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "__shard": pdf["__shard"].astype("int32"),
+                    "doc_id": pdf["doc_id"],
+                    "member": members,
+                }
             )
-            out["shard_id"].append(shard)
-            out["n_records"].append(len(docs))
-            out["n_bytes"].append(len(blob))
-            out["data"].append(blob)
-        yield pd.DataFrame(out)
 
-    return (
-        documents.select(
-            "doc_id",
-            "text",
-            F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("__shard"),
-        )
-        .repartition(n_shards, "__shard")
-        .mapInPandas(build, W.WARC_SHARD_SCHEMA)
+    members = W._fan_out_members(documents, n_shards).mapInPandas(
+        build_member, "__shard int, doc_id bigint, member binary"
     )
+    return W._assemble_shards(members, n_shards)
 
 
 # Record content-type override for html_crawl_shard_bytes' records:

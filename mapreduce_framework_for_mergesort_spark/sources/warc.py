@@ -423,48 +423,95 @@ def warc_shard_bytes(
     takedown-correct only through ``streaming.ingest.read_corpus``
     (the retraction-masked read) — a raw ``spark.read.parquet`` feed
     re-ships retracted documents until the next physical fold (pinned
-    in tests/test_warc.py::test_republish_after_takedown...)."""
-    from pyspark.sql import functions as F
+    in tests/test_warc.py::test_republish_after_takedown...).
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows: dict[int, list] = {}
+    Round 12 (optimization): the build is TWO phases.  Each record's
+    bytes are a pure function of its own (doc_id, text) — the record
+    id is content-derived and a gzip member is self-contained — so
+    per-record member synthesis runs at full input parallelism first,
+    and the shard task only concatenates members in doc_id order
+    (multi-member gzip = concatenation).  Before, the single
+    repartition-by-shard made synthesis parallelism = n_shards (4 at
+    fixture scale, on 32 cores); output bytes are identical
+    (tests/test_warc.py pins the round-trip, and the two-phase blob is
+    byte-equal by construction)."""
+
+    def build_member(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for doc_id, text, shard in zip(
-                pdf["doc_id"], pdf["text"], pdf["__shard"]
-            ):
-                rows.setdefault(int(shard), []).append((int(doc_id), text))
-        out = {"shard_id": [], "n_records": [], "n_bytes": [], "data": []}
-        for shard, docs in sorted(rows.items()):
-            # key on doc_id alone: tied ids would fall through to
-            # comparing text, which raises TypeError when a text is
-            # None (round-10 advisory)
-            docs.sort(key=lambda d: d[0])
-            blob = synthesize_warc(
-                [
-                    (
+            members = [
+                _gzip_member_stored(rec) if gzip_members else rec
+                for rec in (
+                    _record_bytes(
                         "resource",
-                        f"urn:doc:{doc_id}",
+                        f"urn:doc:{int(doc_id)}",
                         (text or "").encode("utf-8"),
                     )
-                    for doc_id, text in docs
-                ],
-                gzip_members=gzip_members,
+                    for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "__shard": pdf["__shard"].astype("int32"),
+                    "doc_id": pdf["doc_id"],
+                    "member": members,
+                }
             )
+
+    members = _fan_out_members(documents, n_shards).mapInPandas(
+        build_member, "__shard int, doc_id bigint, member binary"
+    )
+    return _assemble_shards(members, n_shards)
+
+
+def _fan_out_members(documents: DataFrame, n_shards: int) -> DataFrame:
+    """Phase-1 input: (doc_id, text, __shard), repartitioned wide when
+    the incoming partitioning is below the session's core count (the
+    single-file fixture scan is ONE task; at corpus scale the input is
+    already wide and this is a no-op check)."""
+    from pyspark.sql import functions as F
+
+    sel = documents.select(
+        "doc_id",
+        "text",
+        # pmod, not %: Spark's % is sign-preserving, so a negative
+        # doc_id would yield a negative shard_id and a filename
+        # like 'shard--001' (round-10 advisory)
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("__shard"),
+    )
+    target = documents.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() >= target:
+        return sel
+    return sel.repartition(target)
+
+
+def _assemble_shards(members: DataFrame, n_shards: int) -> DataFrame:
+    """Phase 2: hash-shuffle members by shard id and concatenate in
+    doc_id order — the byte layout ``synthesize_warc`` emits (one gzip
+    member per record, records ordered by doc_id).  A task may hold
+    several shards (hash collisions) or none; memory is bounded by the
+    shards it holds, exactly as the one-phase build was."""
+
+    def assemble(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[int, list] = {}
+        for pdf in batches:
+            for shard, doc_id, member in zip(
+                pdf["__shard"], pdf["doc_id"], pdf["member"]
+            ):
+                rows.setdefault(int(shard), []).append(
+                    (int(doc_id), member)
+                )
+        out = {"shard_id": [], "n_records": [], "n_bytes": [], "data": []}
+        for shard, mems in sorted(rows.items()):
+            mems.sort(key=lambda m: m[0])
+            blob = b"".join(bytes(m) for _, m in mems)
             out["shard_id"].append(shard)
-            out["n_records"].append(len(docs))
+            out["n_records"].append(len(mems))
             out["n_bytes"].append(len(blob))
             out["data"].append(blob)
         yield pd.DataFrame(out)
 
-    return (
-        documents.select(
-            "doc_id",
-            "text",
-            # pmod, not %: Spark's % is sign-preserving, so a negative
-            # doc_id would yield a negative shard_id and a filename
-            # like 'shard--001' (round-10 advisory)
-            F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("__shard"),
-        )
-        .repartition(n_shards, "__shard")
-        .mapInPandas(build, WARC_SHARD_SCHEMA)
+    return members.repartition(n_shards, "__shard").mapInPandas(
+        assemble, WARC_SHARD_SCHEMA
     )

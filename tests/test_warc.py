@@ -334,6 +334,35 @@ def test_warc_shard_sink_round_trip(spark, sf_smoke):
     assert got == src
 
 
+def test_two_phase_shard_build_is_byte_identical(spark, sf_smoke):
+    """Round 12 (optimization): the shard build runs member synthesis
+    at full parallelism and concatenates per shard.  Pin that each
+    shard blob is BYTE-equal to a direct single-threaded
+    ``synthesize_warc`` over the shard's records in doc_id order — the
+    layout every existing consumer (member walk, seek contract,
+    oracle) assumes."""
+    from mapreduce_framework_for_mergesort_spark.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    src = sorted(
+        (r["doc_id"], r["text"]) for r in docs.collect()
+    )
+    got = {
+        r["shard_id"]: bytes(r["data"])
+        for r in W.warc_shard_bytes(docs, n_shards=3).collect()
+    }
+    for shard in sorted(got):
+        expected = W.synthesize_warc(
+            [
+                ("resource", f"urn:doc:{d}", (t or "").encode("utf-8"))
+                for d, t in src
+                if d % 3 == shard
+            ],
+            gzip_members=True,
+        )
+        assert got[shard] == expected
+
+
 def test_republish_after_takedown_excludes_retracted(spark, tmp_path):
     """Round-9 verdict item 6: ``warc_shard_bytes`` shards whatever it
     is given, so a republished crawl is takedown-correct ONLY through
