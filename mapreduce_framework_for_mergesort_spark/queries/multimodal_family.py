@@ -17,12 +17,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.io import (
+    load_table,
+    scan_parallelism,
+)
 from mapreduce_framework_for_mergesort_spark.operators import dedup as D
 from mapreduce_framework_for_mergesort_spark.queries import query
 from mapreduce_framework_for_mergesort_spark.sources import containers as CT
 from mapreduce_framework_for_mergesort_spark.sources import layer3 as L3
 from mapreduce_framework_for_mergesort_spark.sources import multimodal as M
+
+
+def _spread_reps(
+    reps: DataFrame, sf_dir: str, n_chains: int
+) -> DataFrame:
+    """Round 12 (optimization): the representative set feeds
+    ``n_chains`` synth→decode mapInPandas chains evaluated together in
+    one union, and after the exact-dup semi-join AQE coalesces it to
+    ~1 partition at fixture scale (tiny bytes, huge per-row decode
+    CPU) — so every chain ran ~single-task.  Spread reps to
+    ``ceil(cores / n_chains)`` partitions so the union's concurrent
+    chains together fill the cores without flooding the Python worker
+    pool with per-task overhead (measured at sf0.1, warm interleaved:
+    none 3.8 s, n=4 2.3 s, n=8 2.7 s, n=32 5.7 s — more tasks than
+    cores across 10 chains is a regression, not a win).  Fires only
+    when the documents SCAN is itself parallelism-starved (single-file
+    fixtures); at corpus scale the join output is already wide and the
+    shape is untouched."""
+    spark = reps.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    n = -(-cores // n_chains)
+    if n <= 1 or scan_parallelism(sf_dir, "documents", spark) >= cores:
+        return reps
+    return reps.repartition(n)
 
 
 def _join_back_to_docs(
@@ -409,7 +436,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per distinct content, not once per copy): the mapInPandas chain
     # runs over exact-dup representatives and the per-doc rows come
     # back through one md5(text) join.
-    reps = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
+    reps = _spread_reps(
+        docs.join(D.exact_rep_ids(docs), "doc_id", "semi"), sf_dir, 10
+    )
     b = (
         M.binarize_documents(reps)
         .unionByName(M.binarize_audio_documents(reps))
@@ -585,7 +614,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key: the synth → frame fan-out → per-doc reduction is a pure
     # function of the text, so it runs over representatives and the
     # aggregate rows join back to every doc id
-    reps = docs.join(D.exact_rep_ids(docs), "doc_id", "semi")
+    reps = _spread_reps(
+        docs.join(D.exact_rep_ids(docs), "doc_id", "semi"), sf_dir, 9
+    )
     b = (
         M.binarize_documents(reps)
         .unionByName(M.binarize_image_documents(reps))

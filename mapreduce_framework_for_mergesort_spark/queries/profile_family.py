@@ -271,6 +271,13 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible.  The distinct-counts are two-stage partial aggregates,
     never a global collect; the systematic key-modulo sample is
     reproducible across engines, unlike ``TABLESAMPLE``."""
+    # Round 12 (optimization): scan fan-out (io.fan_out_starved_scan)
+    # was A/B-measured here and REJECTED — all-three-inputs 6.7 s,
+    # lineitem-only 4.3 s, unmodified 3.2 s (warm interleaved, sf0.1).
+    # The heavy per-group work (exact percentile buffers over 3
+    # l_returnflag groups) happens AFTER the group-by exchange on 3
+    # reducers whatever the scan parallelism, and the query is already
+    # ~15 small concurrent jobs — extra exchanges only add overhead.
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     docs = load_table(spark, sf_dir, "documents")

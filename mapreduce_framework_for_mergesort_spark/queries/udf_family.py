@@ -22,7 +22,10 @@ from mapreduce_framework_for_mergesort_spark.functions.udf_ext import (
     digit_sum,
     median_long,
 )
-from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.io import (
+    fan_out_starved_scan,
+    load_table,
+)
 from mapreduce_framework_for_mergesort_spark.queries import query
 
 
@@ -30,7 +33,14 @@ def udf_digit_sum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF in a real plan position (projection feeding an
     aggregate).  The plan shows ArrowEvalPython — one Python stage,
     columnar batches — not per-row pickling."""
-    o = load_table(spark, sf_dir, "orders")
+    # round 12 (optimization): the Arrow UDF ran on the starved
+    # single-task fixture scan; fan-out A/B at sf0.1 — orders+documents
+    # 1.29 s vs unmodified 1.57 s (lineitem's grouped-agg branch
+    # measured WORSE fanned: its heavy work happens after the groupBy
+    # exchange on 3 groups, the profile_stats lesson)
+    o = fan_out_starved_scan(
+        load_table(spark, sf_dir, "orders"), sf_dir, "orders"
+    )
     return (
         o.select(digit_sum("o_orderkey").alias("ds"))
         .groupBy("ds")
@@ -62,9 +72,11 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan node ArrowEvalPythonUDTF, pinned in tests/test_udf_ext.py."""
     spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("split_words", SplitWords)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents_udtf"
-    )
+    # fan-out: the UDTF's eval is called per ROW in Python — the most
+    # per-row-expensive seam in the suite — and ran on one task
+    fan_out_starved_scan(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    ).createOrReplaceTempView("documents_udtf")
     return spark.sql(
         """
         SELECT d.doc_id, s.word, s.pos
