@@ -17,7 +17,10 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_framework_for_mergesort_spark.io import load_table
+from mapreduce_framework_for_mergesort_spark.io import (
+    load_table,
+    scoped_session_confs,
+)
 from mapreduce_framework_for_mergesort_spark.queries import query
 from mapreduce_framework_for_mergesort_spark.streaming import (
     dedup_stream,
@@ -31,6 +34,27 @@ from mapreduce_framework_for_mergesort_spark.streaming import (
 from mapreduce_framework_for_mergesort_spark.streaming.stateful import (
     sessionize_batch,
 )
+from mapreduce_framework_for_mergesort_spark.streaming.sources import (
+    stream_state_partitions,
+)
+from contextlib import contextmanager
+
+
+@contextmanager
+def _sized_state(spark: SparkSession, sf_dir: str):
+    """Scope ``spark.sql.shuffle.partitions`` to the input-sized state
+    partition count for one bounded drain (round 12 optimization — see
+    ``streaming.sources.stream_state_partitions``: every stateful
+    operator pays a per-state-store fixed cost per micro-batch, and a
+    fixed 32 over-partitions MB-scale inputs ~3x in wall time for
+    identical results).  The drain completes inside the scope
+    (run_to_memory awaits termination), so the restore never races a
+    live micro-batch."""
+    n = stream_state_partitions(spark, sf_dir)
+    with scoped_session_confs(
+        spark, (("spark.sql.shuffle.partitions", str(n)),)
+    ):
+        yield
 
 # Memory-sink table names must be unique per started query within a
 # session (tests run queries repeatedly; the driver once).
@@ -91,10 +115,13 @@ def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate, run as a real stream
     (file source → availableNow → memory sink, complete mode)."""
-    stream = windowed_event_aggregate(stream_events(spark, sf_dir))
-    return run_to_memory(
-        stream, f"q_stream_windowed_agg_{next(_seq)}", output_mode="complete"
-    )
+    with _sized_state(spark, sf_dir):
+        stream = windowed_event_aggregate(stream_events(spark, sf_dir))
+        return run_to_memory(
+            stream,
+            f"q_stream_windowed_agg_{next(_seq)}",
+            output_mode="complete",
+        )
 
 
 @query(
@@ -112,8 +139,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization).  Emits *closed* sessions — ones that can no longer
     grow given the key's observed timeline — so the oracle is the batch
     sessionization minus each user's still-open trailing session."""
-    stream = sessionize_stream(stream_events(spark, sf_dir), gap="30 minutes")
-    return run_to_memory(stream, f"q_stream_sessionize_{next(_seq)}")
+    with _sized_state(spark, sf_dir):
+        stream = sessionize_stream(
+            stream_events(spark, sf_dir), gap="30 minutes"
+        )
+        return run_to_memory(stream, f"q_stream_sessionize_{next(_seq)}")
 
 
 @query(
@@ -128,10 +158,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded key spaces is ``dedup_stream_within_watermark`` (tested
     rows-only in tests/test_streaming.py — its keep-first semantics are
     inherently arrival-order-dependent)."""
-    stream = dedup_stream(stream_events(spark, sf_dir), ["user_id", "event_type"])
-    return run_to_memory(
-        stream, f"q_stream_dedup_{next(_seq)}", output_mode="append"
-    )
+    with _sized_state(spark, sf_dir):
+        stream = dedup_stream(
+            stream_events(spark, sf_dir), ["user_id", "event_type"]
+        )
+        return run_to_memory(
+            stream, f"q_stream_dedup_{next(_seq)}", output_mode="append"
+        )
 
 
 @query(
@@ -149,20 +182,23 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join (stateless enrichment) feeding a
     streaming aggregate: the canonical 'enrich the firehose against a
     dimension, then reduce' pipeline."""
-    enriched = enrich_stream_with_dim(
-        stream_events(spark, sf_dir),
-        load_table(spark, sf_dir, "customer"),
-        on=("user_id", "c_custkey"),
-        dim_cols=["c_mktsegment"],
-    )
-    agg = enriched.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2)
-          .alias("sum_value"),
-    )
-    return run_to_memory(
-        agg, f"q_stream_static_join_{next(_seq)}", output_mode="complete"
-    )
+    with _sized_state(spark, sf_dir):
+        enriched = enrich_stream_with_dim(
+            stream_events(spark, sf_dir),
+            load_table(spark, sf_dir, "customer"),
+            on=("user_id", "c_custkey"),
+            dim_cols=["c_mktsegment"],
+        )
+        agg = enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("sum_value"),
+        )
+        return run_to_memory(
+            agg, f"q_stream_static_join_{next(_seq)}", output_mode="complete"
+        )
 
 
 @query(
@@ -184,9 +220,14 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     same-user event in the following 6 hours — both sides unbounded,
     state bounded by watermark + interval.  Drained with availableNow,
     the result equals the batch self-join the oracle runs."""
-    probes = stream_events(spark, sf_dir).where(F.col("event_id") % 50 == 0)
-    others = stream_events(spark, sf_dir)
-    joined = interval_join_events(probes, others, "6 hours", "1 day")
-    return run_to_memory(
-        joined, f"q_stream_interval_join_{next(_seq)}", output_mode="append"
-    )
+    with _sized_state(spark, sf_dir):
+        probes = stream_events(spark, sf_dir).where(
+            F.col("event_id") % 50 == 0
+        )
+        others = stream_events(spark, sf_dir)
+        joined = interval_join_events(probes, others, "6 hours", "1 day")
+        return run_to_memory(
+            joined,
+            f"q_stream_interval_join_{next(_seq)}",
+            output_mode="append",
+        )

