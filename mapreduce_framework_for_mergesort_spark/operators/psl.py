@@ -201,6 +201,43 @@ def registrable_domain_expr(
     ).otherwise(reg)
 
 
+def registrable_domain_py(host: str, rules: PslRules | None = None) -> str:
+    """Pure-Python publicsuffix.org algorithm — the body of the
+    round-12 URL-family Arrow kernel (``urls.url_family_arrow``).
+    Same semantics as :func:`registrable_domain_expr` (root label
+    stripped first, exception > longest, implicit ``*``, IP/suffix
+    pass-through); pinned equal to both Spark strategies in
+    tests/test_urls.py (which keeps its own independent replica as the
+    oracle, so this implementation never pins itself)."""
+    import re as _re
+
+    if rules is None:
+        rules = load_psl_rules()
+    host = host[:-1] if host.endswith(".") else host
+    if _re.match(_IP_HOST_RE, host):
+        return host
+    labels = host.split(".")
+    n = len(labels)
+    exc = [
+        i
+        for i in range(1, n + 1)
+        if ".".join(labels[n - i:]) in rules.exception
+    ]
+    if exc:
+        ps = max(exc) - 1
+    else:
+        ps = 1
+        for i in range(1, n + 1):
+            s = ".".join(labels[n - i:])
+            if s in rules.exact:
+                ps = max(ps, i)
+            if s in rules.wildcard and n > i:
+                ps = max(ps, i + 1)
+    if n <= ps:
+        return host
+    return ".".join(labels[n - ps - 1:])
+
+
 #: Above this many rules the dispatcher routes to the broadcast-join
 #: strategy: a literal map that size still folds and looks up in O(1),
 #: but it rides in the serialized expression tree of EVERY stage that

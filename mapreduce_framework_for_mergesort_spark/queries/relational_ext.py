@@ -488,7 +488,14 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = fan_out_starved_scan(
         load_table(spark, sf_dir, "orders"), sf_dir, "orders"
     )
-    return o.select(*_scalar_funcs_cols())
+    # Two-step select: the URL-family struct kernel (url_norm/host/
+    # domain + url_rfc_norm in ONE Arrow round trip — round-12
+    # optimization, A/B numbers in OPTIMIZATION_r12.md) is computed in
+    # the first projection and unpacked in the second; Spark extracts
+    # the UDF into one ArrowEvalPython either way, the field reads are
+    # free projections of its single output.
+    base, final = _scalar_funcs_cols()
+    return o.select(*base).select(*final)
 
 
 def _scalar_funcs_cols_build() -> list:
@@ -543,7 +550,7 @@ def _scalar_funcs_cols_build() -> list:
         .when(k % 5 == 1, "?b=2&a=1")
         .otherwise(""),
     )
-    return [
+    base = [
         F.col("o_orderkey"),
         F.upper("o_orderpriority").alias("prio_upper"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
@@ -584,19 +591,35 @@ def _scalar_funcs_cols_build() -> list:
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).cast("long").alias("days_since_95"),
         url_raw.alias("url_raw"),
-        U.normalize_url(url_raw).alias("url_norm"),
-        U.url_host(url_raw).alias("url_host"),
-        U.registrable_domain(U.url_host(url_raw)).alias("url_domain"),
         url_rfc_raw.alias("url_rfc_raw"),
-        # round-12 A/B winner: the escape-bearing RFC fixture runs its
-        # pct/dot folds through the memoized Arrow kernel (7× at ×1,
-        # 11.6× at ×10 over the CodegenFallback HOF fold — numbers in
-        # SCALE_NOTES); url_norm above stays codegen, its clean paths
-        # ride the short-circuit
-        U.normalize_url(url_rfc_raw, pct_dot_strategy="arrow").alias(
-            "url_rfc_norm"
-        ),
+        # Round-12 optimization phase: the four derived URL columns run
+        # as ONE Arrow struct kernel (url_family_arrow — pure-Python
+        # replicas of the same rules, pinned equal in tests/test_urls
+        # and oracle-gated).  Supersedes the build-phase per-column
+        # decision ("url_norm stays codegen"): one boundary crossing
+        # amortized over four columns beat the interpreted expression
+        # battery 1.91 → 0.94 s at sf0.1 (OPTIMIZATION_r12.md).  The
+        # codegen operators themselves are unchanged for library users.
+        U.url_family_arrow(url_raw, url_rfc_raw).alias("__urlfam"),
     ]
+    scalar_names = [
+        "o_orderkey", "prio_upper", "prio_code", "prio_len",
+        "status_key", "cust_pad", "o_year", "o_month", "o_day",
+        "due_date", "abs_price", "floor_price", "ceil_price",
+        "sqrt_price", "key_mod7", "price_band", "status_norm",
+        "finished_price", "capped", "floored", "month_start",
+        "quarter_start", "month_end", "iso_dow", "doy", "iso_week",
+        "days_since_95",
+    ]
+    final = [F.col(n) for n in scalar_names] + [
+        F.col("url_raw"),
+        F.col("__urlfam.url_norm").alias("url_norm"),
+        F.col("__urlfam.url_host").alias("url_host"),
+        F.col("__urlfam.url_domain").alias("url_domain"),
+        F.col("url_rfc_raw"),
+        F.col("__urlfam.url_rfc_norm").alias("url_rfc_norm"),
+    ]
+    return base, final
 
 
 # (context, columns): py4j Columns hold JVM refs, so a cached list is

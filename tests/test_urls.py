@@ -704,3 +704,73 @@ def test_property_arrow_kernel_matches_codegen(spark, paths):
     ).collect()
     for r in rows:
         assert r["cg"] == r["ar"]
+
+
+# round 12 (optimization): the whole-URL-family Arrow kernel that
+# q_scalar_funcs now runs — pure-Python replicas of normalize_url,
+# url_host, and the PSL algorithm, pinned against the codegen
+# expressions on a battery spanning every rule: userinfo, default and
+# non-default ports, tracking params, fragments, pct/dot folds, root
+# labels, IPv6/IPv4 literals, scheme-less strings (anchored extracts
+# return '' on both sides), and PSL edge grains.
+_FAMILY_BATTERY = [
+    "http://RFC.Ex.ORG/u3/%7ea/docs/./v2/../latest%2fx?x=%7e&b=%2F",
+    "HTTPS://Host.COM:443/a/%2e%2e/c%4d?b=2&a=1",
+    "HTTP://h.co.uk:80/p%2f/100%25/.",
+    "http://h.example.com./plain/55?utm_source=x&z=9&a=1#frag",
+    "http://User:Pw@WWW.Shop-7.Example.CO.UK:8080/Item/7#frag",
+    "https://alice.GitHub.IO/page?fbclid=ZZ&b=2",
+    "http://[2001:DB8::1]:8080/x?a=1",
+    "http://1.2.3.4/y",
+    "http://www.ck/z",
+    "http://foo.ck/z",
+    "https://x.example.com?",
+    "http://h//double//slash/./a/../b",
+    "not a url at all",
+    "ftp://weird.Example.ORG:21/a%ZZbad/..",
+]
+
+
+def test_url_family_kernel_matches_codegen(spark):
+    """url_family_arrow (the q_scalar_funcs round-12 struct kernel) ==
+    the codegen normalize_url / url_host / registrable_domain on the
+    full battery, field for field."""
+    df = spark.createDataFrame([(u,) for u in _FAMILY_BATTERY], "url string")
+    u = F.col("url")
+    rows = df.select(
+        "url",
+        U.normalize_url(u).alias("cg_norm"),
+        U.url_host(u).alias("cg_host"),
+        U.registrable_domain(U.url_host(u)).alias("cg_dom"),
+        U.url_family_arrow(u, u).alias("fam"),
+    ).collect()
+    for r in rows:
+        assert r["fam"]["url_norm"] == r["cg_norm"], r["url"]
+        assert r["fam"]["url_host"] == r["cg_host"], r["url"]
+        assert r["fam"]["url_domain"] == r["cg_dom"], r["url"]
+        assert r["fam"]["url_rfc_norm"] == r["cg_norm"], r["url"]
+
+
+def test_normalize_url_py_replica_matches_codegen(spark):
+    """The pure-Python normalize_url/url_host replicas (the kernel
+    body) == the codegen expressions, checked driver-side so failures
+    name the exact url."""
+    df = spark.createDataFrame([(u,) for u in _FAMILY_BATTERY], "url string")
+    rows = df.select(
+        "url",
+        U.normalize_url(F.col("url")).alias("cg_norm"),
+        U.url_host(F.col("url")).alias("cg_host"),
+    ).collect()
+    for r in rows:
+        assert U.normalize_url_py(r["url"]) == r["cg_norm"], r["url"]
+        assert U.url_host_py(r["url"]) == r["cg_host"], r["url"]
+
+
+def test_registrable_domain_py_matches_reference():
+    """psl.registrable_domain_py (the kernel's PSL body) == the test
+    module's own independent replica on the standing battery."""
+    rules = P.load_psl_rules()
+    for h in _PSL_BATTERY:
+        assert P.registrable_domain_py(h, rules) == _psl_reference(
+            h, rules
+        ), h
