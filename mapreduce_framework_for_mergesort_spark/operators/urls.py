@@ -339,11 +339,20 @@ def url_family_arrow(url: Column, rfc_url: Column) -> Column:
     def kernel(u, r):
         norms, hosts, doms, rfcs = [], [], [], []
         for a, b in zip(u, r):
-            norms.append(normalize_url_py(a))
-            h = url_host_py(a)
-            hosts.append(h)
-            doms.append(registrable_domain_py(h, rules))
-            rfcs.append(normalize_url_py(b))
+            # NULL-safe to match the codegen expressions it replaces
+            # (regexp_extract of NULL is NULL): a None input yields
+            # None for its derived fields instead of a TypeError in
+            # the executor (round-12 advisory).
+            if a is None:
+                norms.append(None)
+                hosts.append(None)
+                doms.append(None)
+            else:
+                norms.append(normalize_url_py(a))
+                h = url_host_py(a)
+                hosts.append(h)
+                doms.append(registrable_domain_py(h, rules))
+            rfcs.append(None if b is None else normalize_url_py(b))
         return pd.DataFrame(
             {
                 "url_norm": norms,

@@ -33,11 +33,16 @@ def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     sizes to the 2×cores cap (parallelism-bound, the batch advisor's
     regime, see ``tuning.shuffle_partitions``), while test fixtures
     stop paying for state stores they cannot fill.  Parameterised, not
-    local-tuned: the count follows data and cores, never a constant."""
-    import os
+    local-tuned: the count follows data and cores, never a constant.
+    Directory-layout tables sum recursively; an unmeasurable path
+    (object store) falls back to 2×cores — at that scale the input is
+    never state-store-fixed-cost bound (``io.local_input_bytes``)."""
+    from mapreduce_framework_for_mergesort_spark.io import local_input_bytes
 
     cores = spark.sparkContext.defaultParallelism
-    size = os.path.getsize(table_path(sf_dir, "events"))
+    size = local_input_bytes(table_path(sf_dir, "events"))
+    if size is None:
+        return 2 * cores
     by_bytes = -(-size // (32 << 20))
     return max(min(cores, 4), min(by_bytes, 2 * cores))
 

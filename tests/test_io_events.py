@@ -197,3 +197,55 @@ def test_load_table_events_concurrent_loads_restore_conf(spark, sf_smoke):
             spark.conf.unset(NANOS_KEY)
         else:
             spark.conf.set(NANOS_KEY, prev)
+
+
+def test_local_input_bytes_directory_and_unmeasurable(tmp_path):
+    """Round-13 advisory fix: the adaptive sizing helpers must see a
+    directory-layout table's REAL bytes (a bare getsize reports the
+    ~4 KB dirent, which would misclassify every production multi-file
+    table as starved), and an unmeasurable path must read as None so
+    the fan-out never fires on inputs the driver cannot measure."""
+    from mapreduce_framework_for_mergesort_spark.io import local_input_bytes
+
+    f = tmp_path / "one.parquet"
+    f.write_bytes(b"x" * 1000)
+    assert local_input_bytes(str(f)) == 1000
+
+    d = tmp_path / "table.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a" * 600)
+    (d / "part-1.parquet").write_bytes(b"b" * 400)
+    (d / "_SUCCESS").write_bytes(b"")  # marker files excluded
+    (d / ".hidden").write_bytes(b"c" * 999)
+    assert local_input_bytes(str(d)) == 1000
+
+    assert local_input_bytes(str(tmp_path / "missing.parquet")) is None
+    assert local_input_bytes("s3://bucket/table") is None
+
+
+def test_scan_parallelism_unmeasurable_is_never_starved(spark, tmp_path):
+    """A path the driver can't size must report a huge split count so
+    fan_out_starved_scan passes the scan through untouched."""
+    from mapreduce_framework_for_mergesort_spark.io import (
+        fan_out_starved_scan,
+        load_table,
+        scan_parallelism,
+    )
+
+    assert scan_parallelism(str(tmp_path), "orders", spark) >= 1 << 20
+
+    # fan_out over an unmeasurable dir is the identity on the plan
+    df = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = fan_out_starved_scan(df, str(tmp_path), "orders")
+    assert out is df
+
+
+def test_stream_state_partitions_unmeasurable_falls_back(spark, tmp_path):
+    """Unmeasurable streaming input sizes to the 2×cores cap (the
+    production parallelism regime), never the small-fixture clamp."""
+    from mapreduce_framework_for_mergesort_spark.streaming.sources import (
+        stream_state_partitions,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    assert stream_state_partitions(spark, str(tmp_path)) == 2 * cores

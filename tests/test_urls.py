@@ -728,6 +728,15 @@ _FAMILY_BATTERY = [
     "http://h//double//slash/./a/../b",
     "not a url at all",
     "ftp://weird.Example.ORG:21/a%ZZbad/..",
+    # round 13 (advisory): non-ASCII raw hosts — Python str.lower()
+    # vs Spark lower() special-casing (dotted-İ expands to i+combining
+    # dot on BOTH engines, ß stays ß, Cyrillic/kana map 1:1); these
+    # pin the kernel/codegen agreement the 'ASCII-exact' docstring
+    # used to merely assume.
+    "http://İstanbul.Example.COM/x",
+    "http://Über.DE/a?b=1",
+    "http://Сайт.РФ/p",
+    "http://STRAßE.de/s",
 ]
 
 
@@ -749,6 +758,25 @@ def test_url_family_kernel_matches_codegen(spark):
         assert r["fam"]["url_host"] == r["cg_host"], r["url"]
         assert r["fam"]["url_domain"] == r["cg_dom"], r["url"]
         assert r["fam"]["url_rfc_norm"] == r["cg_norm"], r["url"]
+
+
+def test_url_family_kernel_null_safe(spark):
+    """A NULL url yields NULL for all four derived fields — matching
+    the codegen expressions' null propagation (regexp_extract(NULL) is
+    NULL) instead of a TypeError in the executor (round-13 advisory
+    fix; unreachable from q_scalar_funcs but the operator is public)."""
+    df = spark.createDataFrame(
+        [("http://a.example.com/x",), (None,)], "url string"
+    )
+    rows = df.select(
+        "url", U.url_family_arrow(F.col("url"), F.col("url")).alias("fam")
+    ).collect()
+    by_url = {r["url"]: r["fam"] for r in rows}
+    assert by_url[None]["url_norm"] is None
+    assert by_url[None]["url_host"] is None
+    assert by_url[None]["url_domain"] is None
+    assert by_url[None]["url_rfc_norm"] is None
+    assert by_url["http://a.example.com/x"]["url_host"] == "a.example.com"
 
 
 def test_normalize_url_py_replica_matches_codegen(spark):

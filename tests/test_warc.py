@@ -12,6 +12,7 @@ import zlib
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from mapreduce_framework_for_mergesort_spark.sources import warc as W
 
@@ -343,7 +344,19 @@ def test_two_phase_shard_build_is_byte_identical(spark, sf_smoke):
     oracle) assumes."""
     from mapreduce_framework_for_mergesort_spark.io import load_table
 
-    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    # deterministic subset: limit() without ordering may pick different
+    # rows on each of the two evaluations below (round-13 advisory) —
+    # filter by key instead so both jobs see the identical 40 docs
+    all_ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id")
+        .collect()
+    )
+    cutoff = all_ids[39]
+    docs = load_table(spark, sf_smoke, "documents").where(
+        F.col("doc_id") <= cutoff
+    )
     src = sorted(
         (r["doc_id"], r["text"]) for r in docs.collect()
     )
