@@ -231,7 +231,119 @@ def per_content(documents: DataFrame, compute) -> DataFrame:
     ).drop("__th", "__th_r")
 
 
-def doc_profile(documents: DataFrame) -> DataFrame:
+# --- round-13 optimization: per-content Arrow kernels -----------------------
+# Pure-Python replicas of the doc_profile / tfidf per-content expression
+# batteries, applied as ONE pandas_udf behind the per_content collapse —
+# the exact shape that won for lang-id's classifier and the URL family
+# (one boundary crossing amortized over the whole column family beats
+# the interpreted/codegen regex battery).  Every replica is pinned
+# equal to the SQL form in tests/test_llm_ops.py; the DuckDB oracles
+# are untouched, so the driver's value-level hash check is the gate.
+
+import re as _re2
+
+_BPE_RE_PY = _re2.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r]")
+_NUM_RE_PY = _re2.compile(r"[0-9]+")
+_CAP_RE_PY = _re2.compile(r"[A-Z][a-z]+")
+_URL_RE_PY = _re2.compile(r"https?://")
+_PUNCT_RE_PY = _re2.compile(r"[.,!?;:]")
+_EN_STOPS = frozenset(LANG_STOPWORDS["en"])
+
+
+def _doc_profile_py(s: str | None) -> tuple:
+    """One document's doc_profile row (the kernel body) — field-for-field
+    the SQL battery: same tokenizer (``hashing.tokenize``), same
+    try_divide→None semantics, same least()-skips-NULL quality algebra,
+    same IEEE double op order (left-assoc sum of the three terms)."""
+    if s is None:
+        return (None,) * 10
+    toks = H.tokenize(s)
+    nt = len(toks)
+    nchars = len(s)
+    n_sub = len(_BPE_RE_PY.findall(s))
+    punct = len(_PUNCT_RE_PY.findall(s))
+    stop_hits = sum(1 for t in toks if t in _EN_STOPS)
+    punct_ratio = punct / nchars if nchars > 0 else None
+    stop_ratio = stop_hits / nt if nt > 0 else None
+    t1 = 0.4 * min(nt / 64.0, 1.0)
+    t3 = 0.3 * (min((4.0 * stop_hits) / nt, 1.0) if nt > 0 else 1.0)
+    quality = (
+        None
+        if punct_ratio is None
+        else (t1 + 0.3 * (1.0 - punct_ratio)) + t3
+    )
+    m = _NUM_RE_PY.search(s)
+    first_num = m.group(0) if m else ""
+    return (
+        nt,
+        n_sub,
+        nchars,
+        punct_ratio,
+        stop_ratio,
+        quality,
+        first_num,
+        _NUM_RE_PY.sub("#", s),
+        len(_CAP_RE_PY.findall(s)),
+        _URL_RE_PY.search(s) is not None,
+    )
+
+
+_DOC_PROFILE_SCHEMA = (
+    "n_tokens long, n_subwords long, n_chars_actual long, "
+    "punct_ratio double, stopword_ratio double, quality double, "
+    "first_num string, no_digits string, n_capitalized long, "
+    "has_url boolean"
+)
+_DOC_PROFILE_FIELDS = [f.split()[0] for f in _DOC_PROFILE_SCHEMA.split(", ")]
+
+
+def doc_profile_arrow(text) -> Column:
+    """The whole doc_profile column family as ONE Arrow struct kernel
+    (round 13; the url_family_arrow shape).  Pinned equal to the
+    codegen battery in tests/test_llm_ops.py."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(s):
+        rows = [_doc_profile_py(v) for v in s]
+        return pd.DataFrame(rows, columns=_DOC_PROFILE_FIELDS)
+
+    kernel.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    return pandas_udf(kernel, _DOC_PROFILE_SCHEMA)(text)
+
+
+def term_counts_arrow(text) -> Column:
+    """Per-document (term, tf) multiset as ONE Arrow kernel returning
+    ``array<struct<term,tf>>`` (round 13) — replaces tfidf's
+    explode-tokens → groupBy(content, term) count, which paid a corpus-
+    token-volume exchange; the Counter runs inside the row, so the only
+    remaining shuffles in tf-idf are the per_content distinct and the
+    df aggregation the algorithm fundamentally needs.  Exact: Counter
+    over the pinned ``hashing.tokenize`` == the SQL count-by-group."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from collections import Counter
+
+    def kernel(s):
+        out = []
+        for v in s:
+            if v is None:
+                out.append([])
+            else:
+                out.append(
+                    [
+                        {"term": t, "tf": c}
+                        for t, c in Counter(H.tokenize(v)).items()
+                    ]
+                )
+        return pd.Series(out)
+
+    kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(kernel, "array<struct<term string, tf long>>")(text)
+
+
+def doc_profile(documents: DataFrame, strategy: str = "arrow") -> DataFrame:
     """Per-document profile: token/subword/char counts, punctuation and
     stopword ratios, the heuristic quality score, and the regex scalar
     bundle (extract / replace-all / extract-all count / match test) —
@@ -239,10 +351,29 @@ def doc_profile(documents: DataFrame) -> DataFrame:
     the single-pass per-doc featurizer a filter pipeline wants, not five
     passes.  Patterns stay in the POSIX-compatible subset where Java
     regex and DuckDB's RE2 agree; both return '' for a no-match
-    extract."""
+    extract.
+
+    ``strategy``: ``"arrow"`` (default — round-13 A/B winner: the
+    whole ten-column family as ONE struct kernel behind the
+    per-content collapse, one Python crossing per distinct content;
+    numbers in OPTIMIZATION_r13.md) or ``"codegen"`` (the zero-Python
+    battery the DuckDB oracle replicates).  Pinned equal in
+    tests/test_llm_ops.py."""
     e = text_feature_exprs()
     n_tokens = e["n_tokens"]
     bpe = r"regexp_extract_all(text, '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r])', 1)"
+    if strategy == "arrow":
+
+        def compute_arrow(reps: DataFrame) -> DataFrame:
+            return reps.select(
+                "__th", doc_profile_arrow(F.col("text")).alias("__p")
+            ).select("__th", "__p.*")
+
+        return per_content(documents, compute_arrow).select(
+            "doc_id", *_DOC_PROFILE_FIELDS
+        )
+    if strategy != "codegen":
+        raise ValueError(f"unknown doc_profile strategy {strategy!r}")
 
     # every output column is a pure function of the text, so the whole
     # projection runs once per distinct content (per_content)
@@ -484,7 +615,9 @@ def duckdb_chunk_sql(
     """
 
 
-def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
+def tfidf_top_terms(
+    documents: DataFrame, top_n: int = 3, strategy: str = "codegen"
+) -> DataFrame:
     """Per-document top-n terms by tf-idf (linear-idf variant:
     ``tf · N / df`` — no logarithm, so the score is exact integer
     arithmetic surfaced as one deterministic double division; ``log``
@@ -510,12 +643,33 @@ def tfidf_top_terms(documents: DataFrame, top_n: int = 3) -> DataFrame:
     # join back to doc ids fans them out); document frequency and the
     # per-doc window below are computed AFTER the join-back, so df
     # still counts DOCUMENTS, replicas included
-    def compute(reps: DataFrame) -> DataFrame:
-        return (
-            reps.select("__th", F.explode(F.expr(toks)).alias("term"))
-            .groupBy("__th", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+    #
+    # strategy="codegen" (default — round-13 A/B LOSER was arrow:
+    # the per-content Counter kernel emits array<struct<term,tf>> in
+    # one crossing, removing the groupBy(content, term) exchange, but
+    # measured 1.27 vs 1.28 s at x1 and 1.82 vs 2.23 s at x10 — the
+    # Python-built struct arrays cost more to serialize than the
+    # map-side-combined count shuffle they replace.  "arrow" stays as
+    # the documented losing variant, pinned equal in
+    # tests/test_llm_ops.py.
+    if strategy == "arrow":
+
+        def compute(reps: DataFrame) -> DataFrame:
+            return reps.select(
+                "__th", F.explode(term_counts_arrow(F.col("text"))).alias("kv")
+            ).select("__th", "kv.term", "kv.tf")
+
+    elif strategy == "codegen":
+
+        def compute(reps: DataFrame) -> DataFrame:
+            return (
+                reps.select("__th", F.explode(F.expr(toks)).alias("term"))
+                .groupBy("__th", "term")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+
+    else:
+        raise ValueError(f"unknown tfidf strategy {strategy!r}")
 
     tf = per_content(documents, compute).select("doc_id", "term", "tf")
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -123,6 +123,41 @@ def _to_cents(v: float) -> int:
     )
 
 
+# Round 13: the Decimal round trip is ~2 µs/row and ran per EVENT in the
+# stateful kernels (100 K rows per drain at sf0.1) — memoize per distinct
+# double (a pure function; the langid-kernel memo shape).  Bounded, and
+# worker-local: lives in the executor's Python worker, never keyed on any
+# input path, rebuilt on worker restart.
+_CENTS_MEMO: dict[float, int] = {}
+
+
+def _to_cents_memo(v: float) -> int:
+    c = _CENTS_MEMO.get(v)
+    if c is None:
+        c = _to_cents(v)
+        if len(_CENTS_MEMO) < (1 << 20):
+            _CENTS_MEMO[v] = c
+    return c
+
+
+def _fold_batch(rows: list, pdf: pd.DataFrame, hwm: int) -> int:
+    """Append one micro-batch's (t, t, 1, cents) point sessions to
+    ``rows`` and return the count of ordering-contract violations
+    (events at/below the emitted high-water mark) — the vectorized
+    spelling of the round-12 per-row loop (round 13: ``astype`` +
+    numpy comparison + memoized cents; ~4× less Python per event,
+    value-identical by the _to_cents purity)."""
+    us = pdf["ts"].astype("int64").to_numpy() // 1000
+    violations = int((us <= hwm).sum()) if hwm else 0
+    usl = us.tolist()
+    from itertools import repeat
+
+    rows.extend(
+        zip(usl, usl, repeat(1), map(_to_cents_memo, pdf["value"].tolist()))
+    )
+    return violations
+
+
 def _merge_sessions(
     rows: list[tuple[int, int, int, int]], gap_us: int
 ) -> list[tuple[int, int, int, int]]:
@@ -172,11 +207,7 @@ def sessionize_stream(
             rows += list(zip(starts, ends, counts, totals))
         violations = 0
         for pdf in pdfs:
-            us = pdf["ts"].astype("int64") // 1000
-            for t, v in zip(us, pdf["value"]):
-                if int(t) <= hwm:
-                    violations += 1
-                rows.append((int(t), int(t), 1, _to_cents(v)))
+            violations += _fold_batch(rows, pdf, hwm)
         sessions = _merge_sessions(rows, gap_us)
         max_ts = max(e for _, e, _, _ in sessions)
         closed = [s for s in sessions if s[1] + gap_us < max_ts]
@@ -213,19 +244,27 @@ def sessionize_stream(
 
 def _emit(user_id: int, closed: list[tuple[int, int, int, int]]):
     if closed:
+        import numpy as np
+
+        n = len(closed)
+        # columnar construction (round 13): int64 ns viewed as
+        # datetime64[ns] == pd.to_datetime over the same ints, and the
+        # /100.0 division is the identical IEEE op per element — only
+        # the construction cost changes, never a value.
+        starts = np.fromiter((s[0] for s in closed), "int64", n) * 1000
+        ends = np.fromiter((s[1] for s in closed), "int64", n) * 1000
         yield pd.DataFrame(
             {
-                "user_id": [user_id] * len(closed),
-                "session_start": pd.to_datetime(
-                    [s[0] * 1000 for s in closed]
-                ),
-                "session_end": pd.to_datetime(
-                    [s[1] * 1000 for s in closed]
-                ),
-                "n_events": [s[2] for s in closed],
+                "user_id": np.full(n, user_id, "int64"),
+                "session_start": starts.view("datetime64[ns]"),
+                "session_end": ends.view("datetime64[ns]"),
+                "n_events": np.fromiter((s[2] for s in closed), "int64", n),
                 # cents → double is the same decimal(18,2)→double cast the
                 # batch operator performs; exact at 2 decimals.
-                "total_value": [s[3] / 100.0 for s in closed],
+                "total_value": np.fromiter(
+                    (s[3] for s in closed), "int64", n
+                )
+                / 100.0,
             }
         )
 
@@ -262,9 +301,7 @@ def sessionize_stream_watermarked(
             rows += list(zip(starts, ends, counts, totals))
         if not state.hasTimedOut:
             for pdf in pdfs:
-                us = pdf["ts"].astype("int64") // 1000
-                for t, v in zip(us, pdf["value"]):
-                    rows.append((int(t), int(t), 1, _to_cents(v)))
+                _fold_batch(rows, pdf, 0)
         sessions = _merge_sessions(rows, gap_us)
         wm_us = state.getCurrentWatermarkMs() * 1000
         closed = [s for s in sessions if s[1] + gap_us < wm_us]

@@ -4124,3 +4124,69 @@ def test_jpeg_decoder_progressive_color_420_with_restarts():
     bad = payload.replace(bytes([0xFF, 0xD0]), bytes([0xFF, 0xD3]))
     with pytest.raises(ValueError, match="expected RST0"):
         M._jpeg_ycbcr(bad)
+
+
+# ---------------------------------------------------------------------------
+# round-13 strategy A/B: doc_profile / tfidf Arrow kernels vs codegen
+# (pinned equal — the hard gate behind the q_text_doc_profile /
+# q_tfidf_top_terms strategy switches)
+# ---------------------------------------------------------------------------
+
+_TEXT_EDGE_BATTERY = [
+    "plain english text with the and of to stopwords. Plus Caps!",
+    "",  # empty → NULL ratios/quality on both strategies
+    "   \t\n  ",  # whitespace-only → quality 0.6
+    "汉字测试页面内容 no spaces needed",  # unsegmented script
+    "これは日本語のテキスト",
+    "numbers 123 and 456 plus http://example.com/x?a=1",
+    "!!!,,,;;;:::...???",  # punctuation-dense
+    "repeat repeat repeat repeat repeat",
+    None,  # NULL text keeps its own content group
+]
+
+
+def _edge_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXT_EDGE_BATTERY)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_doc_profile_strategies_equal(spark, sf_oracle):
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    for df in (
+        _edge_df(spark),
+        load_table(spark, sf_oracle, "documents"),
+    ):
+        a = sorted(
+            tuple(r)
+            for r in T.doc_profile(df, strategy="arrow").collect()
+        )
+        c = sorted(
+            tuple(r)
+            for r in T.doc_profile(df, strategy="codegen").collect()
+        )
+        assert a == c and len(a) == df.count()
+    with pytest.raises(ValueError, match="strategy"):
+        T.doc_profile(_edge_df(spark), strategy="nope")
+
+
+def test_tfidf_strategies_equal(spark, sf_oracle):
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    for df in (
+        _edge_df(spark),
+        load_table(spark, sf_oracle, "documents"),
+    ):
+        a = sorted(
+            tuple(r)
+            for r in T.tfidf_top_terms(df, strategy="arrow").collect()
+        )
+        c = sorted(
+            tuple(r)
+            for r in T.tfidf_top_terms(df, strategy="codegen").collect()
+        )
+        assert a == c
+    with pytest.raises(ValueError, match="strategy"):
+        T.tfidf_top_terms(_edge_df(spark), strategy="nope")
