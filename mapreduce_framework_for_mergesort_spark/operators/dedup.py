@@ -1667,12 +1667,73 @@ def duckdb_dup_spans_cte(
     """
 
 
+def _strip_rebuild_arrow(k: int):
+    """Round-13 A/B variant: the strip rebuild (tokenize → slice out
+    protecting intervals → rejoin) as ONE Arrow kernel over
+    (text, __iv) returning struct(stripped_text, n_tokens,
+    n_kept_tokens) — replaces three interpreted HOF expressions (HOFs
+    never enter codegen and re-evaluate shared subtrees).  Exact
+    replica: same pinned tokenizer (``hashing.tokenize``), same
+    1-based inclusive slices, same <k short-doc passthrough, same NULL
+    propagation.  Pinned equal to the SQL spelling in
+    tests/test_llm_ops.py."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def rebuild(text, iv):
+        memo: dict[str, list] = {}
+        st, nt, nk = [], [], []
+        for s, intervals in zip(text, iv):
+            if s is None:
+                # match the SQL spelling exactly: concat_ws over a
+                # NULL token array is '', size(NULL) is NULL, and the
+                # n_kept CASE falls to the interval-sum ELSE branch
+                st.append("")
+                nt.append(None)
+                nk.append(sum(int(v["e"]) - int(v["s"]) + 1 for v in intervals))
+                continue
+            toks = memo.get(s)
+            if toks is None:
+                toks = H.tokenize(s)
+                if len(memo) < (1 << 20):
+                    memo[s] = toks
+            n = len(toks)
+            nt.append(n)
+            if n < k:
+                st.append(" ".join(toks))
+                nk.append(n)
+            else:
+                kept: list[str] = []
+                total = 0
+                for v in intervals:
+                    s0, e0 = int(v["s"]), int(v["e"])
+                    kept.extend(toks[s0 - 1 : e0])
+                    total += e0 - s0 + 1
+                st.append(" ".join(kept))
+                nk.append(total)
+        return pd.DataFrame(
+            {"stripped_text": st, "n_tokens": nt, "n_kept_tokens": nk}
+        )
+
+    # concrete annotation objects: future-annotations mode stringifies
+    # inline hints, which pyspark cannot resolve (the urls.py pattern)
+    rebuild.__annotations__ = {
+        "text": pd.Series, "iv": pd.Series, "return": pd.DataFrame
+    }
+    return pandas_udf(
+        rebuild,
+        "struct<stripped_text: string, n_tokens: bigint, "
+        "n_kept_tokens: bigint>",
+    )
+
+
 def strip_dup_spans(
     documents: DataFrame,
     k: int = DUP_SPAN_K,
     min_count: int = 2,
     grams: DataFrame | None = None,
     flags: DataFrame | None = None,
+    strategy: str = "codegen",
 ) -> DataFrame:
     """Span REMOVAL, first-occurrence-wins (the Lee et al. '21 step
     after detection): rewrite each document keeping only tokens covered
@@ -1724,6 +1785,18 @@ def strip_dup_spans(
     joined = documents.join(iv, "doc_id", "left").withColumn(
         "__iv", F.coalesce(F.col("__iv"), empty_iv)
     )
+    if strategy == "arrow":
+        out = joined.withColumn(
+            "__sr", _strip_rebuild_arrow(k)(F.col("text"), F.col("__iv"))
+        )
+        return (
+            out.withColumn("stripped_text", F.col("__sr.stripped_text"))
+            .withColumn("n_tokens", F.col("__sr.n_tokens"))
+            .withColumn("n_kept_tokens", F.col("__sr.n_kept_tokens"))
+            .drop("__iv", "__sr")
+        )
+    if strategy != "codegen":
+        raise ValueError(f"unknown strip strategy {strategy!r}")
     # __iv intervals are disjoint and sorted by start (islands output +
     # array_sort), so the kept text is the in-order concatenation of
     # token-array slices and the kept count is the length sum

@@ -34,6 +34,19 @@ from mapreduce_framework_for_mergesort_spark.operators.materialize import (
 # (56 MB at x100); at 100 TB the branch always materializes, which is
 # the posture a corpus-sized input wants.
 HASH_MAT_THRESHOLD_BYTES = 16 << 20
+
+# Scale-adaptive cutoff for the strip tier's rebuild strategy
+# (round 13): the Arrow kernel (memoized tokenize + Python slice
+# rebuild) beats the interpreted HOF slice battery once the corpus
+# carries enough volume/replication to amortize the Python crossing —
+# measured on the full key: ×1 (0.6 MB docs) codegen 4.06 s vs arrow
+# 4.55 s (the kernel contends for Python workers inside the two-chain
+# overlap), ×10 (5.8 MB) codegen 7.79 s vs arrow 7.38 s (isolated
+# strip pass 1.78 → 1.24 s — the text memo pays on replicas, which is
+# what a 100 TB crawl corpus looks like).  4 MB sits between the
+# measured loss and the measured win; at corpus scale the branch
+# always takes the kernel.
+STRIP_ARROW_THRESHOLD_BYTES = 4 << 20
 from mapreduce_framework_for_mergesort_spark.operators import similarity as S
 from mapreduce_framework_for_mergesort_spark.queries import query
 
@@ -455,8 +468,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("double").alias("val"),
         F.col("n_dup_pos").cast("double").alias("val2"),
     )
+    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+        input_bytes,
+    )
+
+    strip_strategy = (
+        "arrow"
+        if (input_bytes(docs) or 0) >= STRIP_ARROW_THRESHOLD_BYTES
+        else "codegen"
+    )
     strips = (
-        D.strip_dup_spans(docs, flags=flags)
+        D.strip_dup_spans(docs, flags=flags, strategy=strip_strategy)
         .where(F.col("n_kept_tokens") < F.col("n_tokens"))
         .select(
             lit("strip").alias("part"),

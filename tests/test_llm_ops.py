@@ -4190,3 +4190,44 @@ def test_tfidf_strategies_equal(spark, sf_oracle):
         assert a == c
     with pytest.raises(ValueError, match="strategy"):
         T.tfidf_top_terms(_edge_df(spark), strategy="nope")
+
+
+def test_strip_rebuild_strategies_equal(spark, sf_oracle):
+    """Round-13 A/B pin: the Arrow strip-rebuild kernel == the codegen
+    HOF slice rebuild, row for row, on the fixture plus synthetic
+    duplicates (so protecting intervals actually bind) and edge texts."""
+    from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+        materialize,
+    )
+
+    base = load_table(spark, sf_oracle, "documents").limit(150)
+    dups = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    edge = _edge_df(spark)
+    for c, dt in base.dtypes:
+        if c not in edge.columns:
+            edge = edge.withColumn(c, F.lit(None).cast(dt))
+    docs = base.unionByName(dups).unionByName(edge.select(base.columns))
+    flags = materialize(D.positional_gram_flags(docs))
+    cols = ["doc_id", "stripped_text", "n_tokens", "n_kept_tokens"]
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    a = sorted(
+        (
+            tuple(r)
+            for r in D.strip_dup_spans(docs, flags=flags, strategy="arrow")
+            .select(cols)
+            .collect()
+        ),
+        key=key,
+    )
+    c = sorted(
+        (
+            tuple(r)
+            for r in D.strip_dup_spans(docs, flags=flags, strategy="codegen")
+            .select(cols)
+            .collect()
+        ),
+        key=key,
+    )
+    assert a == c and len(a) == docs.count()
+    with pytest.raises(ValueError, match="strategy"):
+        D.strip_dup_spans(docs, flags=flags, strategy="nope")
