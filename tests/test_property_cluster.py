@@ -142,4 +142,51 @@ def test_hash_min_raises_loudly_but_auto_falls_back(spark):
         for r in D.cluster_pairs(pairs, max_iters=10, stats=stats).collect()
     }
     assert labels == {i: 0 for i in range(n)}
-    assert stats["algorithm"] == "star"  # the fallback produced the answer
+    # round 13: a graph this small takes the driver union-find fast path
+    assert stats["algorithm"] == "driver_uf"
+    # the distributed star fallback must still engage when the graph
+    # exceeds the driver ceiling — force the routing past the fast path
+    prev = D.DRIVER_UF_MAX_EDGES
+    D.DRIVER_UF_MAX_EDGES = 0
+    try:
+        stats2: dict = {}
+        labels2 = {
+            r["node"]: r["cluster"]
+            for r in D.cluster_pairs(
+                pairs, max_iters=10, stats=stats2
+            ).collect()
+        }
+    finally:
+        D.DRIVER_UF_MAX_EDGES = prev
+    assert labels2 == labels
+    assert stats2["algorithm"] == "star"  # the fallback produced the answer
+
+
+def test_driver_uf_matches_distributed_on_mixed_graph(spark):
+    """Round-13 fast path: the bounded driver union-find returns the
+    identical min-label fixpoint as hash-min and star on a graph mixing
+    cliques, a bridge, self-loops, and isolated nodes."""
+    edges = (
+        [(a, b) for c in range(5) for a in range(c * 7, c * 7 + 7)
+         for b in range(a + 1, c * 7 + 7)]
+        + [(6, 7), (20, 21), (50, 50)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    nodes = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    outs = {}
+    for alg in ("auto", "hash_min", "star"):
+        st: dict = {}
+        outs[alg] = (
+            sorted(
+                map(
+                    tuple,
+                    D.cluster_pairs(
+                        pairs, nodes=nodes, algorithm=alg, stats=st
+                    ).collect(),
+                )
+            ),
+            st["algorithm"],
+        )
+    assert outs["auto"][1] == "driver_uf"
+    assert outs["auto"][0] == outs["hash_min"][0] == outs["star"][0]
+    assert len(outs["auto"][0]) == 60  # every node labeled, singletons too
