@@ -616,7 +616,7 @@ def duckdb_chunk_sql(
 
 
 def tfidf_top_terms(
-    documents: DataFrame, top_n: int = 3, strategy: str = "codegen"
+    documents: DataFrame, top_n: int = 3, strategy: str = "collapsed"
 ) -> DataFrame:
     """Per-document top-n terms by tf-idf (linear-idf variant:
     ``tf · N / df`` — no logarithm, so the score is exact integer
@@ -668,6 +668,65 @@ def tfidf_top_terms(
                 .agg(F.count(F.lit(1)).alias("tf"))
             )
 
+    elif strategy == "collapsed":
+        # Round 13: run the ENTIRE tfidf pipeline at distinct-content
+        # grain and fan out to doc_ids once, at the end.  Every
+        # downstream quantity is content-determined: tf per (content,
+        # term) by definition; df = Σ over contents containing the
+        # term of that content's replica count (exactly "number of
+        # documents containing the term", replicas included); tfidf is
+        # arithmetic on those; and the per-doc top-n window's order
+        # (tfidf DESC, term) is a deterministic total order WITHIN a
+        # content (terms are unique per content), so every replica of
+        # a content gets the identical rn sequence — the window can
+        # rank once per content and the fan-out copies the rows.  On a
+        # replica-heavy corpus this removes the document-grain sort
+        # (the plan's largest shuffle+sort) and shrinks the df/join
+        # stages by the duplication factor; on an all-distinct corpus
+        # it degenerates to the same volumes plus one hash join.
+        # PRECONDITION (same key contract pack_documents documents):
+        # doc_id is unique — two different texts sharing a doc_id
+        # would pool into one per-document window in the old spelling
+        # but rank separately here; no table in the schema can
+        # produce that.  Pinned row-identical to the per-document
+        # spelling in tests/test_llm_ops.py (replica-bearing corpus);
+        # the DuckDB oracle is unchanged.
+        from pyspark.sql import Window
+
+        hashed = documents.withColumn(
+            "__th", F.md5(F.col("text").cast("binary"))
+        )
+        reps = documents.select(
+            F.md5(F.col("text").cast("binary")).alias("__th"), "text"
+        ).dropDuplicates(["__th"])
+        repl = hashed.groupBy("__th").agg(F.count(F.lit(1)).alias("__n"))
+        tf_d = (
+            reps.select("__th", F.explode(F.expr(toks)).alias("term"))
+            .groupBy("__th", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        df_ = (
+            tf_d.join(repl, "__th")
+            .groupBy("term")
+            .agg(F.sum("__n").alias("df"))
+        )
+        n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+        scored_d = (
+            tf_d.join(df_, "term")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "tfidf",
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df"),
+            )
+        )
+        w = Window.partitionBy("__th").orderBy(F.col("tfidf").desc(), "term")
+        top_d = scored_d.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).where(F.col("rn") <= top_n)
+        return hashed.join(top_d, "__th").select(
+            "doc_id", "term", "tf", "df", "tfidf", "rn"
+        )
     else:
         raise ValueError(f"unknown tfidf strategy {strategy!r}")
 
@@ -749,10 +808,19 @@ def _check_bm25_terms(query_terms: tuple[str, ...]) -> None:
             )
 
 
+#: Input-bytes cutoff for bm25's per-content collapse (round 13, the
+#: STRIP_ARROW_THRESHOLD_BYTES shape): below it the md5 + distinct +
+#: fan-out overhead beats the saving (measured 0.70 → 1.02 s at ×1,
+#: 0.6 MB docs); above it the per-doc tokenize battery dominates
+#: (4.05 → 1.23 s at ×10, 5.8 MB).  At corpus scale always collapsed.
+BM25_COLLAPSE_THRESHOLD_BYTES = 4 << 20
+
+
 def bm25_topk(
     documents: DataFrame,
     query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
     top_k: int = BM25_TOP_K,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Top-k documents for a fixed term query by BM25 (Robertson &
     Walker '94 term saturation + length normalization; linear idf per
@@ -781,24 +849,107 @@ def bm25_topk(
     )
 
     _check_bm25_terms(query_terms)
+    if strategy == "auto":
+        from mapreduce_framework_for_mergesort_spark.operators.materialize import (
+            input_bytes,
+        )
+
+        strategy = (
+            "collapsed"
+            if (input_bytes(documents) or 0) >= BM25_COLLAPSE_THRESHOLD_BYTES
+            else "per_doc"
+        )
     # coalesce NULL text to '': Spark's legacy sizeOfNull makes
     # size(NULL) = -1, which would corrupt dl (and sum_dl/avgdl) while
     # DuckDB's len(NULL) is NULL — coalescing on BOTH engines keeps a
     # NULL-text doc as dl=0 with every tf=0, cross-engine identical
     toks = H.spark_tokens("coalesce(text, '')")
+    idx = range(len(query_terms))
+    tf_cols = [
+        F.expr(f"size(filter({toks}, t -> t = '{q}'))")
+        .cast("long")
+        .alias(f"tf_{i}")
+        for i, q in enumerate(query_terms)
+    ]
+    avgdl = bm25_avgdl_expr()
+    score = " + ".join(
+        bm25_score_expr(f"tf_{i}", "dl", f"df_{i}", "n_docs", avgdl)
+        for i in idx
+    )
+    hits = " + ".join(f"tf_{i}" for i in idx)
+    if strategy == "collapsed":
+        # Round 13: dl and every tf_i are pure functions of the text,
+        # so the tokenize+filter battery runs once per DISTINCT
+        # (NULL-coalesced) content; the corpus stats are replica-count-
+        # weighted integer sums over that grain — EXACTLY the per-doc
+        # sums (n_docs = Σn, sum_dl = Σ dl·n, df_i = Σ n where
+        # tf_i > 0; integer arithmetic, no regrouping error) — and the
+        # scoring arithmetic runs per content.  Only the final top-k
+        # needs doc_ids: one narrow join fans (content → bm25) back to
+        # (doc_id) rows for the same TakeOrderedAndProject.  NULL and
+        # '' text share a group deliberately: both produce the
+        # identical all-zero row.  Measured 0.94 → ~0.9 s at ×1 and
+        # 4.37 → ~1 s at ×10; pinned row-identical to the per-document
+        # spelling in tests/test_llm_ops.py.
+        keyed = documents.select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+                "__th"
+            ),
+        )
+        reps = (
+            documents.select(
+                F.md5(
+                    F.coalesce(F.col("text"), F.lit("")).cast("binary")
+                ).alias("__th"),
+                "text",
+            )
+            .dropDuplicates(["__th"])
+        )
+        per_d = materialize(
+            reps.select(
+                "__th",
+                F.expr(f"size({toks})").cast("long").alias("dl"),
+                *tf_cols,
+            )
+        )
+        repl = keyed.groupBy("__th").agg(F.count(F.lit(1)).alias("__n"))
+        both = per_d.join(repl, "__th")
+        stats = both.agg(
+            F.sum("__n").alias("n_docs"),
+            F.sum(F.col("dl") * F.col("__n")).alias("sum_dl"),
+            *[
+                F.sum(
+                    F.when(F.col(f"tf_{i}") > 0, F.col("__n")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"df_{i}")
+                for i in idx
+            ],
+        )
+        scored_d = per_d.crossJoin(F.broadcast(stats)).select(
+            "__th",
+            "dl",
+            F.expr(hits).cast("long").alias("hits"),
+            F.expr(score).alias("bm25"),
+        )
+        top = (
+            keyed.join(scored_d, "__th")
+            .select("doc_id", "dl", "hits", "bm25")
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(top_k)
+        )
+        w = Window.orderBy(F.desc("bm25"), "doc_id")
+        return top.withColumn("rank", F.row_number().over(w).cast("long"))
+    if strategy != "per_doc":
+        raise ValueError(f"unknown bm25 strategy {strategy!r}")
     per = materialize(
         documents.select(
             "doc_id",
             F.expr(f"size({toks})").cast("long").alias("dl"),
-            *[
-                F.expr(f"size(filter({toks}, t -> t = '{q}'))")
-                .cast("long")
-                .alias(f"tf_{i}")
-                for i, q in enumerate(query_terms)
-            ],
+            *tf_cols,
         )
     )
-    idx = range(len(query_terms))
     stats = per.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -807,12 +958,6 @@ def bm25_topk(
             for i in idx
         ],
     )
-    avgdl = bm25_avgdl_expr()
-    score = " + ".join(
-        bm25_score_expr(f"tf_{i}", "dl", f"df_{i}", "n_docs", avgdl)
-        for i in idx
-    )
-    hits = " + ".join(f"tf_{i}" for i in idx)
     top = (
         per.crossJoin(F.broadcast(stats))
         .select(

@@ -4231,3 +4231,73 @@ def test_strip_rebuild_strategies_equal(spark, sf_oracle):
     assert a == c and len(a) == docs.count()
     with pytest.raises(ValueError, match="strategy"):
         D.strip_dup_spans(docs, flags=flags, strategy="nope")
+
+
+def test_tfidf_collapsed_strategy_equals_per_document(spark, sf_oracle):
+    """Round-13 restructure pin: the distinct-content-grain tfidf
+    (strategy='collapsed', the default) == the per-document spelling,
+    row for row, on a corpus WITH replicas (so df's replica-count sum
+    and the fanned-out window ranks actually bind) plus edge texts."""
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    # key filter, not limit(): an unordered limit may pick different
+    # rows on each strategy's independent evaluation (the test_warc
+    # advisory flake class)
+    base = load_table(spark, sf_oracle, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    dups = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    docs = base.unionByName(dups).unionByName(
+        _edge_df(spark)
+        # doc_id must stay UNIQUE across the corpus (the operator's
+        # documented key contract): a colliding id with different
+        # texts makes the per-document window pool terms across both
+        # texts, which is not a corpus any declared query can produce
+        .withColumn("doc_id", F.col("doc_id") + 900000)
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("source", F.lit(None).cast("string"))
+        .withColumn("n_chars", F.lit(None).cast("bigint"))
+        .select(base.columns)
+    )
+    a = sorted(
+        tuple(r)
+        for r in T.tfidf_top_terms(docs, strategy="collapsed").collect()
+    )
+    c = sorted(
+        tuple(r)
+        for r in T.tfidf_top_terms(docs, strategy="codegen").collect()
+    )
+    assert a == c and len(a) > 0
+
+
+def test_bm25_strategies_equal(spark, sf_oracle):
+    """Round-13 pin: the per-content-collapsed bm25 == the per-document
+    spelling on a replica-bearing corpus with NULL/empty text and score
+    ties, and the auto gate routes by input size."""
+    from mapreduce_framework_for_mergesort_spark.operators import text as T
+
+    base = load_table(spark, sf_oracle, "documents").where(
+        F.col("doc_id") % 3 == 0
+    )
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 100000)
+    ).unionByName(
+        spark.createDataFrame(
+            [(900001, "merge sort spark merge"), (900002, ""),
+             (900003, None), (900004, "merge sort spark merge")],
+            "doc_id bigint, text string",
+        )
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("source", F.lit(None).cast("string"))
+        .withColumn("n_chars", F.lit(None).cast("bigint"))
+        .select(base.columns)
+    )
+    a = sorted(
+        tuple(r) for r in T.bm25_topk(docs, strategy="collapsed").collect()
+    )
+    c = sorted(
+        tuple(r) for r in T.bm25_topk(docs, strategy="per_doc").collect()
+    )
+    assert a == c and len(a) == T.BM25_TOP_K
+    with pytest.raises(ValueError, match="strategy"):
+        T.bm25_topk(docs, strategy="nope")
